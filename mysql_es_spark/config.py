@@ -1,0 +1,58 @@
+"""Engine configuration.
+
+Analog of the reference's config layer (``setting/River.java:83-436``,
+``setting/Config.java:13-14``): where mysql-es declares per-table index
+names, pk, columns, relations and sync flags in ``etc/river.json``, we
+declare the fulltext/index parameters once as a frozen dataclass. The
+BM25 constants mirror the ES 6.x defaults the reference inherits by not
+overriding ``similarity`` in ``etc/template.json`` (Lucene k1=1.2, b=0.75).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    # --- BM25 scoring contract (SURVEY.md §2.9 T5) ---
+    k1: float = 1.2
+    b: float = 0.75
+
+    # --- analyzer (template.json T1/T2) ---
+    # index-analyzer edge-ngram expansion (reference applies it to
+    # name/phone fields only, etc/template.json:74-96); default off for
+    # the transcripts engine, exercised by dedicated tests.
+    edge_ngram: bool = False
+    edge_ngram_min: int = 2
+    edge_ngram_max: int = 25
+
+    # --- physical layout ---
+    # Postings per encoded block (delta-gap + FOR bit-packing; block_max
+    # score bound stored per block for pruned query evaluation).
+    block_size: int = 128
+    # conv_id hash buckets: the unit of build resume/lineage. At 100 TB
+    # this would be ~4096; small here so tests exercise multi-wave resume.
+    n_buckets: int = 16
+    # buckets built per wave (one Spark job per wave; lineage committed
+    # between waves so a killed build resumes at wave granularity).
+    wave_size: int = 8
+    # docids per range-salt: bounds the number of postings any single
+    # reducer sees for one term — a Zipf head term's postings are split
+    # into ceil(N/salt_docs) independent, already-ordered groups, so the
+    # classic "one reducer owns the stop-word" skew cannot occur.
+    salt_docs: int = 1 << 14
+    # hash(term) partition count of the postings table; query-time term
+    # lookups prune to 1/term_buckets of the files.
+    term_buckets: int = 32
+
+    # query-side: candidate multiplier for the two-phase block-max pruned
+    # top-k (phase 1 scores the highest-upper-bound ranges covering
+    # >= candidate_factor*k docs to establish a threshold).
+    candidate_factor: int = 8
+
+    def with_(self, **kw) -> "IndexConfig":
+        return replace(self, **kw)
+
+
+DEFAULT = IndexConfig()

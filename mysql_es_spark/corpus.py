@@ -1,0 +1,166 @@
+"""Deterministic synthetic transcript corpus (FIXTURES.md §1-2).
+
+Generates the engine's primary input shape from BASELINE.json input_hint:
+``(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp)`` plus the parent tables ``conversations`` / ``owners`` that
+mirror the reference's one-to-one relation/withs chains
+(/root/reference/etc/river.json:76-110 — users / user_infos / comments).
+
+Properties the generator guarantees (seed-stable, numpy only):
+- Zipf(s=1.07) rank-frequency over a 50k-word vocabulary → heavy head-term
+  skew, exercising the range-salted posting shuffle.
+- ~2% empty strings and ~0.5% NULL text; a slice of accented/unicode
+  tokens, exercising the ascii-fold analyzer (template.json T1).
+- ~3% of transcript conv_ids absent from ``conversations`` and ~2% of
+  owner_ids dangling, exercising left-outer null-padding
+  (RelationRecords.fillRecords, RelationRecords.java:118-150).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+VOCAB_SIZE = 50_000
+ZIPF_S = 1.07
+ROLES = np.array(["user", "assistant", "tool"])
+TOOLS = np.array(
+    ["search", "bash", "python", "browser", "sql", "edit", "read", "write",
+     "fetch", "plan", "diff", "test"]
+)
+CHANNELS = np.array(["web", "api", "cli", "slack"])
+EPOCH_2026 = np.datetime64("2026-01-01T00:00:00")
+
+# a handful of accented word forms stitched into the vocab tail so folding
+# matters; their folded forms collide with the plain head words on purpose.
+_ACCENTED = ["café", "naïve", "résumé", "Ürün", "piñata", "déjà", "über", "señor"]
+
+
+def _vocab() -> np.ndarray:
+    base = np.array([f"w{i}" for i in range(VOCAB_SIZE)], dtype=object)
+    base[VOCAB_SIZE - len(_ACCENTED):] = _ACCENTED
+    return base
+
+
+def _zipf_probs(n: int, s: float = ZIPF_S) -> np.ndarray:
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    p = ranks ** (-s)
+    return p / p.sum()
+
+
+def transcripts_pdf(n_turns: int, seed: int = 42) -> pd.DataFrame:
+    """Build ~n_turns transcript rows as a pandas DataFrame."""
+    rng = np.random.default_rng(seed)
+    vocab = _vocab()
+    probs = _zipf_probs(VOCAB_SIZE)
+
+    # conversation lengths: 1 + geometric(p=0.15) or flat 2, capped 64
+    avg_turns = 1 + 1 / 0.15
+    n_convs = max(1, int(n_turns / avg_turns))
+    geo = rng.geometric(0.15, size=n_convs)
+    flat = np.full(n_convs, 2)
+    lens = np.where(rng.random(n_convs) < 0.5, 1 + geo, 1 + flat)
+    lens = np.minimum(lens, 64).astype(np.int64)
+
+    conv_ids = np.repeat(np.array([f"c{i:08d}" for i in range(n_convs)], dtype=object), lens)
+    turn_idx = np.concatenate([np.arange(n, dtype=np.int32) for n in lens])
+    total = len(conv_ids)
+
+    # roles: alternate user/assistant, 10% tool turns
+    role = np.where(turn_idx % 2 == 0, "user", "assistant").astype(object)
+    tool_mask = rng.random(total) < 0.10
+    role[tool_mask] = "tool"
+    tool = np.full(total, None, dtype=object)
+    tool[tool_mask] = rng.choice(TOOLS, size=int(tool_mask.sum()))
+
+    # text: 5-120 Zipf tokens; 2% empty, 0.5% null
+    n_tok = rng.integers(5, 121, size=total)
+    flat_tokens = vocab[rng.choice(VOCAB_SIZE, size=int(n_tok.sum()), p=probs)]
+    bounds = np.cumsum(n_tok)[:-1]
+    texts = np.array(
+        [" ".join(chunk) for chunk in np.split(flat_tokens, bounds)], dtype=object
+    )
+    r = rng.random(total)
+    texts[r < 0.02] = ""
+    texts[r > 1 - 0.005] = None
+
+    # ts: conv start = 2026-01-01 + conv_index minutes; +7s per turn
+    conv_ordinal = np.repeat(np.arange(n_convs, dtype=np.int64), lens)
+    ts = EPOCH_2026 + conv_ordinal * np.timedelta64(60, "s") + turn_idx.astype(np.int64) * np.timedelta64(7, "s")
+
+    return pd.DataFrame(
+        {
+            "conv_id": conv_ids,
+            "turn_idx": turn_idx.astype(np.int32),
+            "role": role,
+            "text": texts,
+            "tool": tool,
+            "ts": pd.Series(ts),
+        }
+    )
+
+
+def conversations_pdf(n_convs: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Parent tables (conversations, owners) for relation-join fixtures."""
+    rng = np.random.default_rng(seed + 1)
+    vocab = _vocab()
+    probs = _zipf_probs(VOCAB_SIZE)
+
+    n_owners = max(4, n_convs // 8)
+    owner_ids = np.array([f"u{i:06d}" for i in range(n_owners)], dtype=object)
+    owners = pd.DataFrame(
+        {
+            "owner_id": owner_ids,
+            "name": [f"owner {i}" for i in range(n_owners)],
+            "org": rng.choice(np.array(["acme", "globex", "initech"]), size=n_owners),
+        }
+    )
+
+    keep = rng.random(n_convs) >= 0.03  # ~3% conv_ids intentionally absent
+    idx = np.arange(n_convs)[keep]
+    n_title = rng.integers(3, 9, size=len(idx))
+    flat_tokens = vocab[rng.choice(VOCAB_SIZE, size=int(n_title.sum()), p=probs)]
+    bounds = np.cumsum(n_title)[:-1]
+    titles = [" ".join(c) for c in np.split(flat_tokens, bounds)]
+    owner_pick = rng.integers(0, n_owners + max(1, n_owners // 50), size=len(idx))
+    owner_fk = np.where(
+        owner_pick < n_owners,  # ~2% dangling FKs
+        np.array([f"u{i % n_owners:06d}" for i in owner_pick], dtype=object),
+        np.array([f"u9{i:05d}" for i in owner_pick], dtype=object),
+    )
+    convs = pd.DataFrame(
+        {
+            "conv_id": np.array([f"c{i:08d}" for i in idx], dtype=object),
+            "title": titles,
+            "channel": rng.choice(CHANNELS, size=len(idx)),
+            "owner_id": owner_fk,
+            "created_at": pd.Series(EPOCH_2026 + idx * np.timedelta64(60, "s")),
+        }
+    )
+    return convs, owners
+
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def transcripts_df(spark, n_turns: int, seed: int = 42):
+    return spark.createDataFrame(transcripts_pdf(n_turns, seed), schema=TRANSCRIPT_SCHEMA)
+
+
+def write_corpus(spark, out_dir: str, n_turns: int, seed: int = 42) -> dict[str, int]:
+    """Write transcripts/conversations/owners parquet under out_dir."""
+    tp = transcripts_pdf(n_turns, seed)
+    n_convs = tp["conv_id"].nunique()
+    cp, op = conversations_pdf(n_convs, seed)
+    spark.createDataFrame(tp, schema=TRANSCRIPT_SCHEMA).write.mode("overwrite").parquet(
+        f"{out_dir}/transcripts"
+    )
+    spark.createDataFrame(
+        cp, schema="conv_id string, title string, channel string, owner_id string, created_at timestamp"
+    ).write.mode("overwrite").parquet(f"{out_dir}/conversations")
+    spark.createDataFrame(op, schema="owner_id string, name string, org string").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/owners")
+    return {"turns": len(tp), "convs": n_convs, "owners": len(op)}

@@ -1,0 +1,107 @@
+"""Fulltext analysis chain — vectorized pandas UDFs.
+
+Re-implements the reference's ES analyzer contract
+(/root/reference/etc/template.json:8-52):
+
+- T1 index analyzer  : standard tokenize → lowercase → asciifolding →
+                       (optional) front edge-ngram(min..max) → unique
+- T2 search analyzer : same chain minus the edge-ngram step
+
+Our concrete, oracle-checkable contract (documented so the DuckDB oracle
+can reproduce it exactly):
+
+    fold(text)   = lower(NFKD(text) with combining marks removed)
+    tokens(text) = regexp findall '[0-9a-z]+' over fold(text)
+
+which equals DuckDB's ``regexp_extract_all(lower(strip_accents(text)),
+'[0-9a-z]+')`` for Latin-script input. Everything is pandas/Arrow
+vectorized — no per-row Python UDFs (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKEN_RE = re.compile(r"[0-9a-z]+")
+# combining diacritical marks (U+0300..U+036F) stripped after NFKD
+_COMBINING_RE = re.compile("[\u0300-\u036f]+")
+# DuckDB-oracle equivalent of tokens(): keep in one place
+DUCKDB_TOKENIZE = "regexp_extract_all(lower(strip_accents({col})), '[0-9a-z]+')"
+
+
+def fold_text(s: str) -> str:
+    return _COMBINING_RE.sub("", unicodedata.normalize("NFKD", s)).lower()
+
+
+def tokenize_text(s: str | None) -> list[str]:
+    """Scalar tokenizer (search analyzer T2) — used for query strings."""
+    if s is None:
+        return []
+    return TOKEN_RE.findall(fold_text(s))
+
+
+def edge_ngrams(tokens: list[str], lo: int, hi: int) -> list[str]:
+    """Front edge-ngram expansion + unique filter (template.json:30-36).
+
+    Mirrors ES edge_ngram(min_gram=2, max_gram=25) followed by the
+    ``unique`` token filter; tokens shorter than ``lo`` pass through
+    unchanged (ES emits the original token via the analyzer chain).
+    """
+    out: list[str] = []
+    seen: set[str] = set()
+    for t in tokens:
+        grams = [t[:n] for n in range(lo, min(len(t), hi) + 1)] if len(t) >= lo else [t]
+        for g in grams:
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+    return out
+
+
+def fold_series(s: pd.Series) -> pd.Series:
+    """Vectorized fold: NFKD → strip combining marks → lower."""
+    filled = s.fillna("")
+    return (
+        filled.str.normalize("NFKD").str.replace(_COMBINING_RE, "", regex=True).str.lower()
+    )
+
+
+def tokenize_series(
+    s: pd.Series,
+    edge_ngram: bool = False,
+    ngram_min: int = 2,
+    ngram_max: int = 25,
+) -> pd.Series:
+    """Vectorized tokenize: Series[str] → Series[list[str]]."""
+    toks = fold_series(s).str.findall(TOKEN_RE)
+    if edge_ngram:
+        toks = toks.map(lambda ts: edge_ngrams(ts, ngram_min, ngram_max))
+    # null text → empty token list (reference serializes null text as an
+    # absent field; we index nothing for it)
+    return toks.where(s.notna(), other=pd.Series([[]] * len(s), index=s.index))
+
+
+def tokenize_udf(edge_ngram: bool = False, ngram_min: int = 2, ngram_max: int = 25):
+    """pandas UDF: text column → array<string> of analyzer tokens."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _tok(s: pd.Series) -> pd.Series:
+        return tokenize_series(s, edge_ngram, ngram_min, ngram_max)
+
+    return _tok
+
+
+def spark_tokens_col(col: str = "text"):
+    """Pure-JVM tokenizer expression, exactly equivalent to
+    :func:`tokenize_series` for input already free of combining marks
+    after NFKD — used by DuckDB-oracle-checked relational queries so both
+    sides share one definition. For full unicode folding use the pandas
+    UDF (JVM has no NFKD builtin)."""
+    return F.expr(
+        f"filter(split(lower({col}), '[^0-9a-z]+'), x -> x != '')"
+    )

@@ -1,0 +1,143 @@
+"""Posting-list construction — tokenize, explode, range-salted block encode.
+
+This is the engine's analog of the reference's whole write path (records →
+JSON docs → ES `_bulk` → Lucene segment build, Writer.java:106-144 +
+template.json); here the index structures are built *by* Spark:
+
+    transcripts(docid, text)
+      → mapInPandas tokenize+tf          (one Arrow pass, no per-row Python)
+      → (docid, term, tf, dl) + one null-term row per doc (carries dl)
+      → groupBy(term_bucket, term, salt) applyInPandas encode
+      → posting block rows (delta-gap + FOR bitpacked blobs, block-max
+        ingredients max_tf / min_dl for pruned query eval)
+
+**Skew handling (north_rule):** ``salt = docid // salt_docs`` is a *range*
+salt, not a random one. Each (term, salt) group holds at most ``salt_docs``
+postings, so a Zipf head term is split across ceil(N/salt_docs) reducers —
+and because salts are disjoint docid ranges, the groups are already in
+global docid order: **no second merge phase is needed**, blocks from
+different salts are directly valid, globally-sorted segments of the term's
+posting list. Term-level stats (df, total tf) that *would* have needed the
+merge are instead a separate map-side-combined groupBy (term_stats), which
+Spark partial-aggregates without skew issues.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from ..functions.analyze import tokenize_series
+from ..functions.codecs import encode_block
+
+TOKENIZED_SCHEMA = "docid long, term string, tf int, dl int"
+BLOCK_SCHEMA = (
+    "term_bucket int, term string, salt long, start_docid long, "
+    "n int, max_tf int, min_dl int, blob binary"
+)
+
+
+def tokenized(df: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """(docid, text) → exploded (docid, term, tf, dl).
+
+    Emits one row per (doc, distinct term) plus one ``term IS NULL`` row
+    per document carrying its token count ``dl`` — so a single tokenize
+    pass feeds postings, doc_lens, and corpus stats. Zero-token docs
+    (empty/null text) still get their null-term row (dl=0): BM25's N and
+    avgdl count them (SURVEY.md §2.9 T5 / oracle.py contract).
+    """
+    ngram, lo, hi = cfg.edge_ngram, cfg.edge_ngram_min, cfg.edge_ngram_max
+
+    def explode_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = tokenize_series(pdf["text"], ngram, lo, hi)
+            dl = toks.str.len().astype(np.int32)
+            docids = pdf["docid"].to_numpy(dtype=np.int64)
+            # per-doc row carrying dl (term NULL)
+            doc_rows = pd.DataFrame(
+                {"docid": docids, "term": None, "tf": np.int32(0), "dl": dl.to_numpy()}
+            )
+            total = int(dl.sum())
+            if total:
+                rep = np.repeat(docids, dl.to_numpy())
+                rep_dl = np.repeat(dl.to_numpy(), dl.to_numpy())
+                terms = np.concatenate([t for t in toks.to_numpy() if len(t)])
+                long_form = pd.DataFrame({"docid": rep, "term": terms, "dl": rep_dl})
+                tf = (
+                    long_form.groupby(["docid", "term"], sort=False)
+                    .agg(tf=("term", "size"), dl=("dl", "first"))
+                    .reset_index()
+                )
+                tf["tf"] = tf["tf"].astype(np.int32)
+                tf["dl"] = tf["dl"].astype(np.int32)
+                yield pd.concat([doc_rows, tf[["docid", "term", "tf", "dl"]]], ignore_index=True)
+            else:
+                yield doc_rows
+
+    return df.select("docid", "text").mapInPandas(explode_tokens, schema=TOKENIZED_SCHEMA)
+
+
+def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """One (term_bucket, term, salt) group → block rows."""
+    pdf = pdf.sort_values("docid")
+    docids = pdf["docid"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    rows = []
+    tb = int(pdf["term_bucket"].iloc[0])
+    term = pdf["term"].iloc[0]
+    salt = int(pdf["salt"].iloc[0])
+    for s in range(0, len(docids), block_size):
+        e = min(s + block_size, len(docids))
+        rows.append(
+            (
+                tb,
+                term,
+                salt,
+                int(docids[s]),
+                e - s,
+                int(tfs[s:e].max()),
+                int(dls[s:e].min()),
+                encode_block(docids[s:e], tfs[s:e], dls[s:e]),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "term_bucket", "term", "salt", "start_docid", "n", "max_tf", "min_dl", "blob",
+        ],
+    )
+
+
+def posting_blocks(tok: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Exploded postings → encoded block rows (see module docstring)."""
+    block_size = cfg.block_size
+    p = (
+        tok.filter(F.col("term").isNotNull())
+        .withColumn("salt", (F.col("docid") / F.lit(cfg.salt_docs)).cast("long"))
+        .withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int")
+        )
+    )
+    return p.groupBy("term_bucket", "term", "salt").applyInPandas(
+        lambda pdf: _encode_group(pdf, block_size), schema=BLOCK_SCHEMA
+    )
+
+
+def doc_lens(tok: DataFrame) -> DataFrame:
+    """(docid, dl) — one row per document, including zero-token docs."""
+    return tok.filter(F.col("term").isNull()).select("docid", "dl")
+
+
+def term_stats(tok: DataFrame) -> DataFrame:
+    """Per-term partials (df, ttf) — map-side combined, skew-immune."""
+    return (
+        tok.filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf"))
+    )

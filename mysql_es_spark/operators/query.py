@@ -1,0 +1,265 @@
+"""BM25 top-k query evaluation over the posting-block index.
+
+The reference delegates this entirely to ES/Lucene (it only writes docs;
+query semantics live in /root/reference/etc/template.json + Lucene BM25
+defaults). We own both paths:
+
+- ``bm25_topk(mode='simple')``  — decode every matching block, groupBy(docid)
+  sum, global TakeOrdered(k). The baseline / oracle path.
+- ``bm25_topk(mode='pruned')``  — two-phase block-max pruning ("batch WAND"):
+  phase 0 reads only block *metadata* (term, salt, max_tf, min_dl — Parquet
+  column pruning means the blobs are never read), computes a per-salt-range
+  score upper bound  UB(R) = Σ_t idf_t · tfnorm_bound(max_tf, min_dl);
+  phase 1 decodes the highest-UB ranges covering ≥ candidate_factor·k docs
+  and establishes the threshold τ = kth exact score; phase 2 decodes only
+  the remaining ranges with UB > τ. Because a salt is a *docid range*, a
+  document's entire score is confined to one range, so pruned results are
+  exactly equal to the simple path (verified by tests + rank-identity
+  oracle).
+
+Also here: ``direct_bm25`` — index-free BM25 over any (id, text) table as a
+single declarative DataFrame plan (one Arrow tokenize pass, all scoring in
+JVM expressions). This is the DuckDB-oracle-checkable form of the scorer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from ..functions.analyze import tokenize_text
+from ..functions.codecs import decode_block
+from ..sources import tables as tbl
+
+
+def query_terms(query: str) -> list[str]:
+    """Search-analyzer tokens, deduplicated order-preserving (T2 + unique)."""
+    return list(dict.fromkeys(tokenize_text(query)))
+
+
+def corpus_stats(spark: SparkSession, index_dir: str) -> dict:
+    row = spark.read.parquet(tbl.p(index_dir, "corpus_stats")).collect()[0]
+    n, sdl = int(row["n_docs"]), int(row["sum_dl"])
+    return {"n_docs": n, "sum_dl": sdl, "avgdl": (sdl / n) if n else 0.0}
+
+
+def term_idfs(
+    spark: SparkSession, index_dir: str, terms: list[str], n_docs: int
+) -> dict[str, float]:
+    """idf per query term from term_dict (tiny filtered read + collect)."""
+    if not terms:
+        return {}
+    rows = (
+        spark.read.parquet(tbl.p(index_dir, "term_dict"))
+        .filter(F.col("term").isin(terms))
+        .collect()
+    )
+    return {
+        r["term"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+        for r in rows
+    }
+
+
+def _term_buckets(spark: SparkSession, terms: list[str], cfg: IndexConfig) -> list[int]:
+    """term_bucket partition values for the query terms (partition pruning)."""
+    df = spark.createDataFrame([(t,) for t in terms], schema="term string")
+    rows = df.select(
+        F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int").alias("b")
+    ).distinct().collect()
+    return [int(r["b"]) for r in rows]
+
+
+def _matching_blocks(
+    spark: SparkSession, index_dir: str, terms: list[str], cfg: IndexConfig
+) -> DataFrame:
+    buckets = _term_buckets(spark, terms, cfg)
+    return (
+        tbl.read(spark, index_dir, "postings")
+        .filter(F.col("term_bucket").isin(buckets))  # partition-dir pruning
+        .filter(F.col("term").isin(terms))  # parquet row-group pruning
+    )
+
+
+def _decode_scores(blocks: DataFrame, idf: dict[str, float], cfg: IndexConfig, avgdl: float) -> DataFrame:
+    """Block rows → per-(doc, term) contributions → per-doc scores."""
+    k1, b = cfg.k1, cfg.b
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_all, contrib_all = [], []
+            for term, n, blob in zip(pdf["term"], pdf["n"], pdf["blob"]):
+                ids, tfs, dls = decode_block(blob, int(n))
+                tfs = tfs.astype(np.float64)
+                norm = tfs / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
+                ids_all.append(ids)
+                contrib_all.append(idf[term] * norm)
+            if ids_all:
+                yield pd.DataFrame(
+                    {
+                        "docid": np.concatenate(ids_all),
+                        "contrib": np.concatenate(contrib_all),
+                    }
+                )
+
+    per_posting = blocks.select("term", "n", "blob").mapInPandas(
+        decode, schema="docid long, contrib double"
+    )
+    return per_posting.groupBy("docid").agg(F.sum("contrib").alias("score"))
+
+
+def _with_keys(spark: SparkSession, index_dir: str, scored: DataFrame) -> DataFrame:
+    fwd = tbl.read(spark, index_dir, "forward").select(
+        "docid", "doc_key", "conv_id", "turn_idx", "text"
+    )
+    return scored.join(fwd, "docid", "inner")
+
+
+def bm25_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    mode: str = "simple",
+    with_keys: bool = False,
+) -> DataFrame:
+    """Top-k BM25 over the built index. Returns (docid, score[, keys…])."""
+    cfg = cfg or IndexConfig()
+    terms = query_terms(query)
+    stats = corpus_stats(spark, index_dir)
+    idf = term_idfs(spark, index_dir, terms, stats["n_docs"])
+    terms = [t for t in terms if t in idf]
+    empty = spark.createDataFrame([], schema="docid long, score double")
+    if not terms:
+        return empty
+
+    blocks = _matching_blocks(spark, index_dir, terms, cfg)
+    order = [F.col("score").desc(), F.col("docid").asc()]
+
+    if mode == "simple":
+        scored = _decode_scores(blocks, idf, cfg, stats["avgdl"]).orderBy(*order).limit(k)
+        return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+    if mode != "pruned":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    # ---- phase 0: per-salt upper bounds from block metadata only ----
+    k1, b = cfg.k1, cfg.b
+    idf_df = spark.createDataFrame(list(idf.items()), schema="term string, idf double")
+    meta = (
+        blocks.select("term", "salt", "n", "max_tf", "min_dl")
+        .join(F.broadcast(idf_df), "term")
+        .withColumn(
+            "ub_block",
+            F.col("idf")
+            * F.col("max_tf")
+            / (
+                F.col("max_tf")
+                + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("min_dl") / F.lit(stats["avgdl"]))
+            ),
+        )
+    )
+    # per (term, salt) the bound is the max over its blocks; per salt the
+    # conjunctive-free bound is the sum over terms. n_cand ≈ docs touched.
+    salt_ub = (
+        meta.groupBy("term", "salt")
+        .agg(F.max("ub_block").alias("ub_t"), F.sum("n").alias("n_t"))
+        .groupBy("salt")
+        .agg(F.sum("ub_t").alias("ub"), F.max("n_t").alias("n_cand"))
+    )
+    # salt count = n_docs/salt_docs: small enough to rank on the driver at
+    # test scale; at 10^12 docs this becomes a distributed cumsum window.
+    salts = sorted(
+        ((int(r["salt"]), float(r["ub"]), int(r["n_cand"])) for r in salt_ub.collect()),
+        key=lambda x: -x[1],
+    )
+    if not salts:
+        return empty
+
+    target = cfg.candidate_factor * k
+    phase1, covered = [], 0
+    for s, _ub, n_cand in salts:
+        phase1.append(s)
+        covered += n_cand
+        if covered >= target:
+            break
+    p1_set = set(phase1)
+
+    p1_scores = _decode_scores(
+        blocks.filter(F.col("salt").isin(phase1)), idf, cfg, stats["avgdl"]
+    ).persist()
+    top1 = p1_scores.orderBy(*order).limit(k).collect()
+    tau = top1[-1]["score"] if len(top1) >= k else float("-inf")
+
+    phase2 = [s for s, ub, _n in salts if s not in p1_set and ub > tau]
+    if phase2:
+        p2_scores = _decode_scores(
+            blocks.filter(F.col("salt").isin(phase2)), idf, cfg, stats["avgdl"]
+        )
+        scored = p1_scores.unionByName(p2_scores)
+    else:
+        scored = p1_scores
+    out = scored.orderBy(*order).limit(k)
+    return _with_keys(spark, index_dir, out) if with_keys else out
+
+
+# ---------------------------------------------------------------------------
+# Index-free declarative BM25 (DuckDB-oracle-checkable form)
+# ---------------------------------------------------------------------------
+
+def direct_bm25(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k over any (id, text) DataFrame as one declarative plan.
+
+    Same scoring contract as the index path / oracle.py; used as the
+    flagship ``entry()`` query and for the DuckDB correctness gate. Output:
+    (<id_col>, score) with score rounded to 4 dp for cross-engine hashing.
+    """
+    from ..operators.postings import tokenized  # local import to avoid cycle
+
+    cfg = cfg or IndexConfig()
+    terms = query_terms(query)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame([], schema=f"{id_col} long, score double")
+
+    tok = tokenized(
+        docs.select(F.col(id_col).cast("long").alias("docid"), F.col(text_col).alias("text")),
+        cfg,
+    )
+    dl = tok.filter(F.col("term").isNull()).select("docid", "dl")
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = tok.filter(F.col("term").isin(terms)).select("docid", "term", "tf", "dl")
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = cfg.k1, cfg.b
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+            * F.col("tf")
+            / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        contrib.groupBy("docid")
+        .agg(F.round(F.sum("c"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+        .select(F.col("docid").alias(id_col), "score")
+    )

@@ -1,0 +1,161 @@
+"""Checkpoint-resumable index build — bucket waves, lineage, metrics.
+
+The reference's bulk path (SURVEY.md §3.1: mysqldump → parse → relate →
+bulk-write, with the binlog position persisted *after* the ES write so a
+crash replays idempotently — Dumper.java:296-297, ChangePositionAction.java:
+36-49, Setting.saveBinLog Setting.java:179-210) becomes:
+
+  for each *wave* of conv_id hash buckets:
+      docids → forward table → tokenize (one Arrow pass)
+             → posting blocks / doc_lens / term_stats   [wave-partitioned]
+      append lineage row  (the "position save" — strictly after the data)
+  finalize: merge term_stats → term_dict; doc_lens → corpus_stats
+            (idempotent overwrite, re-run on every resume)
+
+Resume = read lineage, skip completed waves, overwrite any partially
+written wave directory (idempotent-by-docid, the analog of the reference's
+at-least-once + idempotent-by-_id contract, SURVEY.md §2.10 ST2).
+
+Scale notes: waves bound the blast radius of a failure and the size of any
+single job; buckets-per-wave and n_buckets are config. With the input
+Iceberg-partitioned by bucket(conv_id), each wave's ``filter(bucket IN …)``
+is partition pruning, not a rescan.
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..config import IndexConfig
+from ..operators.docids import assign_docids, bucket_counts, bucket_offsets, with_bucket
+from ..operators.postings import doc_lens, posting_blocks, term_stats, tokenized
+from ..sources import tables as tbl
+
+FORWARD_COLS = ["docid", "doc_key", "conv_id", "turn_idx", "role", "text", "tool", "ts", "bucket"]
+
+
+class InjectedFailure(RuntimeError):
+    """Raised by the test-only fault injector to simulate a killed build."""
+
+
+def _waves(cfg: IndexConfig) -> list[list[int]]:
+    buckets = list(range(cfg.n_buckets))
+    return [buckets[i : i + cfg.wave_size] for i in range(0, len(buckets), cfg.wave_size)]
+
+
+def completed_waves(spark: SparkSession, index_dir: str) -> set[int]:
+    if not tbl.exists(index_dir, "lineage"):
+        return set()
+    rows = (
+        tbl.read(spark, index_dir, "lineage")
+        .filter(F.col("status") == "complete")
+        .select("wave")
+        .collect()
+    )
+    return {int(r["wave"]) for r in rows}
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    resume: bool = False,
+    fail_after_waves: int | None = None,
+) -> dict:
+    """Build (or resume) the full index under ``index_dir``.
+
+    Returns a metrics dict: waves run/skipped, docs, postings, blocks.
+    """
+    cfg = cfg or IndexConfig()
+    df = with_bucket(transcripts, cfg)
+
+    # deterministic docid space: one cheap count per bucket (n_buckets rows)
+    counts = bucket_counts(df)
+    offsets = bucket_offsets(counts, cfg.n_buckets)
+
+    done = completed_waves(spark, index_dir) if resume else set()
+    ran, skipped = [], []
+    for wave_id, wave_buckets in enumerate(_waves(cfg)):
+        if wave_id in done:
+            skipped.append(wave_id)
+            continue
+        t0 = time.monotonic()
+        sub = df.filter(F.col("bucket").isin(wave_buckets))
+        docs = assign_docids(sub, offsets, spark)
+        docs.select(*FORWARD_COLS).write.mode("overwrite").parquet(
+            tbl.wave_dir(index_dir, "forward", wave_id)
+        )
+
+        tok = tokenized(docs, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            posting_blocks(tok, cfg).write.partitionBy("term_bucket").mode(
+                "overwrite"
+            ).parquet(tbl.wave_dir(index_dir, "postings", wave_id))
+            doc_lens(tok).write.mode("overwrite").parquet(
+                tbl.wave_dir(index_dir, "doc_lens", wave_id)
+            )
+            term_stats(tok).write.mode("overwrite").parquet(
+                tbl.wave_dir(index_dir, "term_stats", wave_id)
+            )
+        finally:
+            tok.unpersist()
+
+        # wave metrics from the written (column-pruned) block metadata
+        blk = spark.read.parquet(tbl.wave_dir(index_dir, "postings", wave_id))
+        agg = blk.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("np"), F.count(F.lit(1)).alias("nb")
+        ).collect()[0]
+        n_docs = sum(counts.get(b, 0) for b in wave_buckets)
+        lineage_row = (
+            wave_id,
+            wave_buckets,
+            n_docs,
+            int(agg["np"]),
+            int(agg["nb"]),
+            time.monotonic() - t0,
+            "complete",
+            datetime.now(timezone.utc),
+        )
+        # the "position save": strictly after the wave's data is durable
+        spark.createDataFrame([lineage_row], schema=tbl.LINEAGE_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(tbl.p(index_dir, "lineage"))
+        ran.append(wave_id)
+
+        if fail_after_waves is not None and len(ran) >= fail_after_waves:
+            raise InjectedFailure(f"injected failure after wave {wave_id}")
+
+    finalize(spark, index_dir, cfg)
+    return {
+        "waves_run": ran,
+        "waves_skipped": skipped,
+        "n_docs": sum(counts.values()),
+        "n_buckets": cfg.n_buckets,
+    }
+
+
+def finalize(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> None:
+    """Merge per-wave partials into term_dict + corpus_stats (idempotent)."""
+    ts = tbl.read(spark, index_dir, "term_stats")
+    (
+        ts.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+        .write.mode("overwrite")
+        .parquet(tbl.p(index_dir, "term_dict"))
+    )
+    dl = tbl.read(spark, index_dir, "doc_lens")
+    td = spark.read.parquet(tbl.p(index_dir, "term_dict"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")
+    ).collect()[0]
+    n_terms = td.count()
+    spark.createDataFrame(
+        [(int(stats["n_docs"]), int(stats["sum_dl"]), int(n_terms), cfg.n_buckets)],
+        schema=tbl.CORPUS_STATS_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(tbl.p(index_dir, "corpus_stats"))

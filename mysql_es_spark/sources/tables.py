@@ -1,0 +1,77 @@
+"""Index storage layout — Parquet tables with an Iceberg-ready shape.
+
+Analog of the reference's ES index DDL (Es.createIndex,
+/root/reference/src/main/java/org/fly/sync/es/Es.java:79-126). The sandbox
+image has no Iceberg runtime jar, so tables are plain Parquet directories
+with explicit ``wave=K`` / ``term_bucket=K`` partition directories — the
+exact layout Iceberg's hidden partitioning would give us; swapping
+``.parquet(path)`` for ``.writeTo(tbl)`` is the only change needed on a
+real cluster (see iceberg_ddl() below for the intended DDL).
+
+    <index_dir>/
+      postings/wave=K/term_bucket=B/*.parquet   block rows (postings.py)
+      doc_lens/wave=K/*.parquet                 (docid, dl)
+      forward/wave=K/*.parquet                  full turn rows + docid
+      term_stats/wave=K/*.parquet               per-wave (term, df, ttf)
+      term_dict/*.parquet                       merged (term, df, ttf) [final]
+      corpus_stats/*.parquet                    single row (n_docs, sum_dl, ...)
+      lineage/*.parquet                         per-wave build lineage+metrics
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+LINEAGE_SCHEMA = (
+    "wave int, buckets array<int>, n_docs long, n_postings long, n_blocks long, "
+    "wall_sec double, status string, built_at timestamp"
+)
+CORPUS_STATS_SCHEMA = "n_docs long, sum_dl long, n_terms long, n_buckets int"
+
+
+def p(index_dir: str, *parts: str) -> str:
+    return os.path.join(index_dir, *parts)
+
+
+def wave_dir(index_dir: str, table: str, wave: int) -> str:
+    return p(index_dir, table, f"wave={wave}")
+
+
+def read(spark: SparkSession, index_dir: str, table: str) -> DataFrame:
+    return spark.read.option("basePath", p(index_dir, table)).parquet(p(index_dir, table))
+
+
+def exists(index_dir: str, table: str) -> bool:
+    d = p(index_dir, table)
+    if not os.path.isdir(d):
+        return False
+    for root, _dirs, files in os.walk(d):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def iceberg_ddl(db: str = "fts") -> list[str]:
+    """The DDL this layout corresponds to on a cluster with Iceberg."""
+    return [
+        f"""CREATE TABLE {db}.postings (
+              term_bucket int, term string, salt bigint, start_docid bigint,
+              n int, max_tf int, min_dl int, blob binary, wave int)
+            USING iceberg PARTITIONED BY (wave, term_bucket)""",
+        f"""CREATE TABLE {db}.doc_lens (docid bigint, dl int, wave int)
+            USING iceberg PARTITIONED BY (wave)""",
+        f"""CREATE TABLE {db}.forward (
+              docid bigint, doc_key string, conv_id string, turn_idx int,
+              role string, text string, tool string, ts timestamp,
+              bucket int, wave int)
+            USING iceberg PARTITIONED BY (wave)""",
+        f"""CREATE TABLE {db}.term_dict (term string, df bigint, ttf bigint)
+            USING iceberg""",
+        f"""CREATE TABLE {db}.lineage (
+              wave int, buckets array<int>, n_docs bigint, n_postings bigint,
+              n_blocks bigint, wall_sec double, status string,
+              built_at timestamp)
+            USING iceberg""",
+    ]
