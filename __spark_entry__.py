@@ -1,38 +1,727 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship path: full inverted-index build + BM25
+top-k over the sf0.001 documents table. ``queries()`` exposes every
+implemented operator from SURVEY.md §2 plus the training-data-pipeline
+suite; ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
+SQL-expressible one (the rest get the driver's rows-only check).
+
+Column names/types are aligned on both sides; floating outputs are rounded
+to fixed decimals on both sides and orderings use the rounded value so the
+k-boundary picks identical rows.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from mysql_es_spark.config import IndexConfig
+from mysql_es_spark.operators import dedup, multimodal, similarity, textstats
+from mysql_es_spark.operators.query import bm25_topk, direct_bm25
+from mysql_es_spark.operators.relations import propagate_parent_update
+from mysql_es_spark.plans.build import build_index
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+TOK = "regexp_extract_all(lower(strip_accents(text)), '[0-9a-z]+')"
+BM25_Q1 = ["spark", "join", "query"]
+BM25_Q2 = ["window", "agg", "batch", "scan"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs_index_cfg() -> IndexConfig:
+    return IndexConfig(n_buckets=4, wave_size=4, salt_docs=1 << 20, term_buckets=8)
+
+
+def _documents_as_transcripts(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
+def _index_for_documents(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per machine) a full index over documents."""
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    ix = f"/tmp/mysql_es_spark_ixcache/{key}"
+    marker = os.path.join(ix, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(ix, ignore_errors=True)
+        docs = _documents_as_transcripts(_t(spark, sf_dir, "documents"))
+        build_index(spark, docs, ix, _docs_index_cfg())
+        with open(marker, "w") as f:
+            f.write("ok")
+    return ix
+
+
+def _bm25_sql(terms: list[str], k: int) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ({tl})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Full engine end-to-end on sf0.001: build the inverted index over the
+    documents table (bucket waves, lineage, posting blocks), then answer a
+    BM25 top-k query with block-max pruning."""
+    sf_dir = "/root/testdata/sf0.001"
+    ix = _index_for_documents(spark, sf_dir)
+    return bm25_topk(
+        spark, ix, " ".join(BM25_Q1), k=20, cfg=_docs_index_cfg(), mode="pruned", with_keys=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries (spark side)
+# ---------------------------------------------------------------------------
+
+
+def q_p1(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.filter(F.col("l_shipdate") < "1996-01-01").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+def q_p4(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "event_type", "user_id"
+    )
+
+
+def q_p6(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000)
+    ).select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+def q_p8(spark, sf):
+    ev = _t(spark, sf, "events")
+    masked = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    return ev.select("event_id", "event_type", F.round(masked, 2).alias("value_masked"))
+
+
+def q_j3(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_j4(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select("o_orderkey", "c_name", "n_name", "r_name")
+    )
+
+
+def q_j1(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_janti(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_j6(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    changed = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.lit("URGENT-SYNC").alias("o_orderpriority"),
+    )
+    return propagate_parent_update(o, changed, "o_custkey", ["o_orderpriority"]).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+def q_a1(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def q_a3(spark, sf):
+    return _t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+def q_tpch_q1(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_a2(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run_start = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("rs", run_start)
+        .groupBy("user_id")
+        .agg(F.sum("rs").alias("n_runs"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_w1(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def q_running(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
+    )
+
+
+def q_sessionize(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("ns", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"))
+    )
+
+
+def q_o4(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+def q_e2(spark, sf):
+    s, c = _t(spark, sf, "supplier"), _t(spark, sf, "customer")
+    return (
+        s.select(F.col("s_name").alias("name"))
+        .union(c.select(F.col("c_name").alias("name")))
+        .distinct()
+    )
+
+
+def q_f4(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_f5(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber")).alias("doc_key"),
+        "l_quantity",
+    )
+
+
+def q_f7(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select("o_orderkey", F.hex(F.col("o_orderkey")).alias("key_hex"))
+
+
+def q_f8(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_val")
+    )
+
+
+def q_f10(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(F.col("o_orderkey").alias("id"), F.col("o_orderstatus").alias("st"))
+        ).alias("doc_json"),
+    )
+
+
+def q_cube(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_pivot(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+def q_hourly(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def q_region_rev(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_tok_count(spark, sf):
+    return textstats.token_count(_t(spark, sf, "documents"))
+
+
+def q_lang(spark, sf):
+    return textstats.lang_id(_t(spark, sf, "documents"))
+
+
+def q_quality(spark, sf):
+    return textstats.quality_score(_t(spark, sf, "documents"))
+
+
+def q_fp(spark, sf):
+    return textstats.fingerprint(_t(spark, sf, "documents"))
+
+
+def q_term_freq(spark, sf):
+    return textstats.term_freq_topn(_t(spark, sf, "documents"), 20)
+
+
+def q_dedup_exact(spark, sf):
+    return dedup.exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_jaccard(spark, sf):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=2, threshold=0.15)
+
+
+def q_bm25_direct(spark, sf):
+    return direct_bm25(_t(spark, sf, "documents"), " ".join(BM25_Q1), k=20)
+
+
+def q_bm25_direct2(spark, sf):
+    return direct_bm25(_t(spark, sf, "documents"), " ".join(BM25_Q2), k=15)
+
+
+def q_bm25_index(spark, sf):
+    """Full engine: posting-block index + pruned BM25, re-keyed to doc_id."""
+    ix = _index_for_documents(spark, sf)
+    top = bm25_topk(
+        spark, ix, " ".join(BM25_Q1), k=60, cfg=_docs_index_cfg(), mode="pruned", with_keys=True
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def q_emb_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk(emb, [float(x) for x in qv], k=10)
+
+
+def q_emb_near_dups(spark, sf):
+    return dedup.embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.30)
+
+
+# --- rows-only (no SQL oracle: internal hash functions / approx / stubs) ---
+
+
+def q_minhash(spark, sf):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), n=2, num_perm=64, bands=16, threshold=0.15
+    )
+
+
+def q_simhash(spark, sf):
+    return dedup.simhash_near_dups(_t(spark, sf, "documents"), max_hamming=10)
+
+
+def q_ann(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.ann_topk(emb, [float(x) for x in qv], k=10, n_planes=8, multiprobe=3)
+
+
+def q_mm_features(spark, sf):
+    return multimodal.extract_features(multimodal.synth_media(spark, 48)).select(
+        "media_id", "kind", "n_bytes"
+    )
+
+
+def q_mm_frames(spark, sf):
+    return multimodal.frame_sample(multimodal.synth_media(spark, 48), fps=0.5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "p1_projection_filter": q_p1,
+        "p4_event_type_filter": q_p4,
+        "p6_eq_predicate": q_p6,
+        "p8_delete_null_mask": q_p8,
+        "j3_left_outer_join": q_j3,
+        "j4_multihop_join": q_j4,
+        "j1_semi_join": q_j1,
+        "j_anti_join": q_janti,
+        "j6_parent_propagation": q_j6,
+        "a1_counts_by_type": q_a1,
+        "a3_distinct": q_a3,
+        "q1_pricing_summary": q_tpch_q1,
+        "a2_runlength_groups": q_a2,
+        "w1_last_writer_wins": q_w1,
+        "w_running_total": q_running,
+        "sessionize": q_sessionize,
+        "o4_topk_orders": q_o4,
+        "e2_union": q_e2,
+        "f4_date_format": q_f4,
+        "f5_concat_ws_id": q_f5,
+        "f7_hex": q_f7,
+        "f8_json_extract": q_f8,
+        "f10_to_json": q_f10,
+        "cube_count": q_cube,
+        "pivot_status": q_pivot,
+        "hourly_rollup": q_hourly,
+        "region_revenue": q_region_rev,
+        "doc_token_count": q_tok_count,
+        "doc_lang_id": q_lang,
+        "doc_quality": q_quality,
+        "doc_fingerprint": q_fp,
+        "doc_term_freq_top20": q_term_freq,
+        "doc_dedup_exact": q_dedup_exact,
+        "doc_ngram_jaccard_pairs": q_jaccard,
+        "bm25_direct": q_bm25_direct,
+        "bm25_direct_q2": q_bm25_direct2,
+        "bm25_via_index": q_bm25_index,
+        "emb_cosine_topk": q_emb_topk,
+        "emb_near_dups": q_emb_near_dups,
+        "doc_minhash_lsh_pairs": q_minhash,
+        "doc_simhash_near_dups": q_simhash,
+        "emb_ann_lsh_topk": q_ann,
+        "mm_feature_extract": q_mm_features,
+        "mm_frame_sample": q_mm_frames,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_STOP_EN = "'the','a','of','and','to','in','is','that','it','for'"
+_STOP_ES = "'el','la','de','y','que','en','un','una','los','las'"
+_STOP_FR = "'le','la','de','et','que','en','un','une','les','des'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "p1_projection_filter": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            WHERE l_shipdate < timestamp '1996-01-01'
+        """,
+        "p4_event_type_filter": """
+            SELECT event_id, event_type, user_id FROM events
+            WHERE event_type IN ('click', 'view')
+        """,
+        "p6_eq_predicate": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+        """,
+        "p8_delete_null_mask": """
+            SELECT event_id, event_type,
+                   round(CASE WHEN event_type = 'error' THEN NULL ELSE value END, 2)
+                     AS value_masked
+            FROM events
+        """,
+        "j3_left_outer_join": """
+            SELECT o_orderkey, c_name, c_mktsegment
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        """,
+        "j4_multihop_join": """
+            SELECT o_orderkey, c_name, n_name, r_name
+            FROM orders
+            LEFT JOIN customer ON o_custkey = c_custkey
+            LEFT JOIN nation ON c_nationkey = n_nationkey
+            LEFT JOIN region ON n_regionkey = r_regionkey
+        """,
+        "j1_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "j_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "j6_parent_propagation": """
+            SELECT o_orderkey,
+                   CASE WHEN o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+                        THEN 'URGENT-SYNC' ELSE o_orderpriority END AS o_orderpriority
+            FROM orders
+        """,
+        "a1_counts_by_type": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "a3_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "a2_runlength_groups": """
+            WITH x AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+              FROM events)
+            SELECT user_id,
+                   sum(CASE WHEN p IS NULL OR p <> event_type THEN 1 ELSE 0 END) AS n_runs,
+                   count(*) AS n_events
+            FROM x GROUP BY user_id
+        """,
+        "w1_last_writer_wins": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "w_running_total": """
+            SELECT o_orderkey, o_custkey,
+                   round(sum(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+            FROM orders
+        """,
+        "sessionize": """
+            WITH x AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+              FROM events)
+            SELECT user_id,
+                   sum(CASE WHEN p IS NULL OR epoch(ts) - epoch(p) > 1800 THEN 1 ELSE 0 END)
+                     AS n_sessions
+            FROM x GROUP BY user_id
+        """,
+        "o4_topk_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+        """,
+        "e2_union": """
+            SELECT s_name AS name FROM supplier UNION SELECT c_name AS name FROM customer
+        """,
+        "f4_date_format": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "f5_concat_ws_id": """
+            SELECT l_orderkey || ':' || l_linenumber AS doc_key, l_quantity FROM lineitem
+        """,
+        "f7_hex": "SELECT o_orderkey, to_hex(o_orderkey) AS key_hex FROM orders",
+        "f8_json_extract": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events
+        """,
+        "f10_to_json": """
+            SELECT o_orderkey,
+                   to_json(struct_pack(id := o_orderkey, st := o_orderstatus))::varchar
+                     AS doc_json
+            FROM orders
+        """,
+        "cube_count": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "pivot_status": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "hourly_rollup": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1
+        """,
+        "region_revenue": """
+            SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "doc_token_count": f"SELECT doc_id, len({TOK}) AS n_tokens FROM documents",
+        "doc_lang_id": f"""
+            WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+            r AS (SELECT doc_id,
+                   len(list_filter(toks, x -> x IN ({_STOP_EN}))) * 1.0 / greatest(len(toks), 1) AS r_en,
+                   len(list_filter(toks, x -> x IN ({_STOP_ES}))) * 1.0 / greatest(len(toks), 1) AS r_es,
+                   len(list_filter(toks, x -> x IN ({_STOP_FR}))) * 1.0 / greatest(len(toks), 1) AS r_fr
+                  FROM t)
+            SELECT doc_id,
+                   CASE WHEN r_en >= r_es AND r_en >= r_fr AND r_en > 0 THEN 'en'
+                        WHEN r_es >= r_fr AND r_es > 0 THEN 'es'
+                        WHEN r_fr > 0 THEN 'fr'
+                        ELSE 'und' END AS lang_pred
+            FROM r
+        """,
+        "doc_quality": f"""
+            WITH t AS (SELECT doc_id, text, {TOK} AS toks FROM documents)
+            SELECT doc_id,
+                   round(0.4 * least(1.0, len(toks) / 100.0)
+                       + 0.4 * least(1.0, 3.0 * len(list_filter(toks, x -> x IN ({_STOP_EN})))
+                                           * 1.0 / greatest(len(toks), 1))
+                       + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^0-9a-zA-Z ]', '', 'g')))
+                                      * 1.0 / greatest(length(text), 1)), 4) AS quality
+            FROM t
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id, md5(array_to_string({TOK}, ' ')) AS fp FROM documents
+        """,
+        "doc_term_freq_top20": f"""
+            WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+            e AS (SELECT t.doc_id, u.term FROM t, unnest(t.toks) AS u(term))
+            SELECT term, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+            FROM e GROUP BY term ORDER BY n_occurrences DESC, term ASC LIMIT 20
+        """,
+        "doc_dedup_exact": f"""
+            SELECT doc_id, fp FROM (
+              SELECT doc_id, md5(array_to_string({TOK}, ' ')) AS fp,
+                     row_number() OVER (PARTITION BY md5(array_to_string({TOK}, ' '))
+                                        ORDER BY doc_id ASC) AS rn
+              FROM documents) WHERE rn = 1
+        """,
+        "doc_ngram_jaccard_pairs": f"""
+            WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct(
+                     [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])) AS shingle
+                   FROM t WHERE len(toks) >= 2),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, round(i * 1.0 / (za.sz + zb.sz - i), 4) AS jaccard
+            FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+            WHERE round(i * 1.0 / (za.sz + zb.sz - i), 4) >= 0.15
+        """,
+        "bm25_direct": _bm25_sql(BM25_Q1, 20),
+        "bm25_direct_q2": _bm25_sql(BM25_Q2, 15),
+        "bm25_via_index": _bm25_sql(BM25_Q1, 20),
+        "emb_cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cos
+            FROM embeddings
+            ORDER BY round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        "emb_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                     AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                  >= 0.30
+        """,
+    }

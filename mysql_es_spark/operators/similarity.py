@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``          exact brute-force top-k, fully JVM-side
+                           (zip_with/aggregate — the correctness baseline)
+- ``hyperplane_buckets``   random-hyperplane LSH bucketing (the scale path:
+                           a query probes 1 bucket + optional multiprobe
+                           neighbors instead of scanning 10^11 vectors)
+- ``ann_topk``             LSH-bucketed approximate top-k with exact
+                           re-ranking inside the probed buckets
+
+The hyperplanes are seeded numpy — deterministic, shipped to executors as
+a broadcast-sized literal (dim × n_planes doubles, a few KB).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import cosine_expr
+
+
+def _query_lit(qv: list[float]):
+    return F.array(*[F.lit(float(x)) for x in qv])
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: one scan, map-side partial top-k via Spark's
+    TakeOrdered (orderBy+limit), no shuffle of the vectors themselves."""
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    scored = (
+        v.withColumn("__q", _query_lit(query_vec))
+        .withColumn("cos", F.round(cosine_expr("v", "__q"), 4))
+        .drop("__q", "v")
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hyperplane_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def hyperplane_buckets(
+    emb: DataFrame,
+    planes: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket int, v array<double>) — sign-pattern LSH bucket per
+    vector, one Arrow pass (numpy matmul per batch)."""
+    P = planes
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (1 << np.arange(P.shape[0])).astype(np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            signs = (M @ P.T) > 0
+            bucket = (signs @ weights).astype(np.int32)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "bucket": bucket, "v": list(M)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, bucket int, v array<double>"
+    )
+
+
+def query_buckets(query_vec: list[float], planes: np.ndarray, multiprobe: int = 1) -> list[int]:
+    """Buckets to probe: the query's own bucket plus single-bit flips of
+    the ``multiprobe`` hyperplanes with smallest |margin| (the standard
+    multiprobe heuristic — the nearly-tied planes are the likely misses)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    margins = planes @ q
+    signs = margins > 0
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    base = int((signs @ weights))
+    out = [base]
+    order = np.argsort(np.abs(margins))
+    for i in order[:multiprobe]:
+        out.append(base ^ int(weights[i]))
+    return out
+
+
+def ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    multiprobe: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+    bucketed: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k: probe LSH buckets, exact cosine inside them.
+
+    At scale the bucketed table is precomputed once (pass ``bucketed``)
+    and written partitioned by bucket so a probe is partition pruning —
+    touching |probes|/2^n_planes of the data."""
+    if planes is None:
+        dim = len(query_vec)
+        planes = hyperplane_planes(dim, n_planes, seed)
+    if bucketed is None:
+        bucketed = hyperplane_buckets(emb, planes, id_col, vec_col)
+    probes = query_buckets(query_vec, planes, multiprobe)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    scored = (
+        cand.withColumn("__q", _query_lit(query_vec))
+        .withColumn("cos", F.round(cosine_expr("v", "__q"), 4))
+        .select(id_col, "cos")
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)

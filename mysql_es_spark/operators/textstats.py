@@ -1,0 +1,111 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (stopword heuristic), quality scoring, token counting, and
+document fingerprinting over a (id, text) table. Every formula here is
+deliberately expressible both as Spark expressions and as DuckDB SQL so
+the driver's oracle can check it value-for-value; the shared tokenizer
+contract is functions/analyze.py.
+
+All heavy lifting is JVM expressions or one Arrow-vectorized tokenize
+pass — no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analyze import tokenize_udf
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "los", "las"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "les", "des"],
+}
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def with_tokens(df: DataFrame, text_col: str = "text", out: str = "toks") -> DataFrame:
+    return df.withColumn(out, tokenize_udf()(F.col(text_col)))
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens) — analyzer token count per document."""
+    return with_tokens(df, text_col).select(
+        F.col(id_col), F.size("toks").cast("long").alias("n_tokens")
+    )
+
+
+def _stop_ratio(lang: str):
+    return F.size(
+        F.expr(f"filter(toks, x -> x in ({_sql_list(STOPWORDS[lang])}))")
+    ) / F.greatest(F.size("toks"), F.lit(1))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, lang_pred) — stopword-ratio heuristic over en/es/fr.
+
+    Deterministic tie-break: en ≥ es ≥ fr; all-zero → 'und'.
+    """
+    t = with_tokens(df, text_col)
+    r_en, r_es, r_fr = _stop_ratio("en"), _stop_ratio("es"), _stop_ratio("fr")
+    pred = (
+        F.when((r_en >= r_es) & (r_en >= r_fr) & (r_en > 0), F.lit("en"))
+        .when((r_es >= r_fr) & (r_es > 0), F.lit("es"))
+        .when(r_fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return t.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, quality) in [0,1]:
+    0.4·min(1, n_tokens/100) + 0.4·min(1, 3·stopword_ratio)
+    + 0.2·(1 − punct_ratio), rounded to 4 dp."""
+    t = with_tokens(df, text_col)
+    n_tok = F.size("toks")
+    len_score = F.least(F.lit(1.0), n_tok / F.lit(100.0))
+    stop_score = F.least(F.lit(1.0), F.lit(3.0) * _stop_ratio("en"))
+    clean_len = F.length(F.regexp_replace(F.col(text_col), "[^0-9a-zA-Z ]", ""))
+    punct_ratio = (F.length(F.col(text_col)) - clean_len) / F.greatest(
+        F.length(F.col(text_col)), F.lit(1)
+    )
+    q = F.round(
+        F.lit(0.4) * len_score + F.lit(0.4) * stop_score + F.lit(0.2) * (F.lit(1.0) - punct_ratio),
+        4,
+    )
+    return t.select(F.col(id_col), q.alias("quality"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fp) — md5 over the analyzer-normalized token stream: robust to
+    case/accents/punctuation, the canonical exact-dedup key."""
+    t = with_tokens(df, text_col)
+    return t.select(F.col(id_col), F.md5(F.concat_ws(" ", F.col("toks"))).alias("fp"))
+
+
+def term_freq_topn(
+    df: DataFrame, n: int = 20, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-N terms by total occurrences (term, n_occurrences,
+    n_docs), a classic shuffle-light two-level agg: explode happens after
+    the Arrow tokenize pass, the groupBy map-side combines."""
+    t = with_tokens(df, text_col)
+    ex = t.select(F.col(id_col), F.explode("toks").alias("term"))
+    return (
+        ex.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        .limit(n)
+    )
+
+
+def duckdb_tokens(text_col: str = "text") -> str:
+    """The DuckDB expression equal to with_tokens() for Latin-script text."""
+    return f"regexp_extract_all(lower(strip_accents({text_col})), '[0-9a-z]+')"

@@ -14,7 +14,10 @@ crash replays idempotently — Dumper.java:296-297, ChangePositionAction.java:
 
 Resume = read lineage, skip completed waves, overwrite any partially
 written wave directory (idempotent-by-docid, the analog of the reference's
-at-least-once + idempotent-by-_id contract, SURVEY.md §2.10 ST2).
+at-least-once + idempotent-by-_id contract, SURVEY.md §2.10 ST2). Because
+bucket docid ranges are static (operators/docids.py), a wave rebuild never
+perturbs other waves — which is also what makes the incremental/CDC path
+(streaming/incremental.py) a per-bucket operation.
 
 Scale notes: waves bound the blast radius of a failure and the size of any
 single job; buckets-per-wave and n_buckets are config. With the input
@@ -32,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..config import IndexConfig
-from ..operators.docids import assign_docids, bucket_counts, bucket_offsets, with_bucket
+from ..operators.docids import assign_docids, with_bucket
 from ..operators.postings import doc_lens, posting_blocks, term_stats, tokenized
 from ..sources import tables as tbl
 
@@ -43,7 +46,7 @@ class InjectedFailure(RuntimeError):
     """Raised by the test-only fault injector to simulate a killed build."""
 
 
-def _waves(cfg: IndexConfig) -> list[list[int]]:
+def waves_of(cfg: IndexConfig) -> list[list[int]]:
     buckets = list(range(cfg.n_buckets))
     return [buckets[i : i + cfg.wave_size] for i in range(0, len(buckets), cfg.wave_size)]
 
@@ -60,6 +63,61 @@ def completed_waves(spark: SparkSession, index_dir: str) -> set[int]:
     return {int(r["wave"]) for r in rows}
 
 
+def build_wave(
+    spark: SparkSession,
+    df_bucketed: DataFrame,
+    index_dir: str,
+    wave_id: int,
+    wave_buckets: list[int],
+    cfg: IndexConfig,
+) -> tuple:
+    """Build one wave's tables; returns the lineage row (not yet written)."""
+    t0 = time.monotonic()
+    sub = df_bucketed.filter(F.col("bucket").isin(wave_buckets))
+    docs = assign_docids(sub, cfg)
+    docs.select(*FORWARD_COLS).write.mode("overwrite").parquet(
+        tbl.wave_dir(index_dir, "forward", wave_id)
+    )
+
+    tok = tokenized(docs, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        posting_blocks(tok, cfg).write.partitionBy("term_bucket").mode("overwrite").parquet(
+            tbl.wave_dir(index_dir, "postings", wave_id)
+        )
+        doc_lens(tok).write.mode("overwrite").parquet(
+            tbl.wave_dir(index_dir, "doc_lens", wave_id)
+        )
+        term_stats(tok).write.mode("overwrite").parquet(
+            tbl.wave_dir(index_dir, "term_stats", wave_id)
+        )
+    finally:
+        tok.unpersist()
+
+    # wave metrics from the written (column-pruned) tables
+    blk = spark.read.parquet(tbl.wave_dir(index_dir, "postings", wave_id))
+    agg = blk.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("np"), F.count(F.lit(1)).alias("nb")
+    ).collect()[0]
+    n_docs = spark.read.parquet(tbl.wave_dir(index_dir, "doc_lens", wave_id)).count()
+    return (
+        wave_id,
+        wave_buckets,
+        int(n_docs),
+        int(agg["np"]),
+        int(agg["nb"]),
+        time.monotonic() - t0,
+        "complete",
+        datetime.now(timezone.utc),
+    )
+
+
+def commit_lineage(spark: SparkSession, index_dir: str, row: tuple) -> None:
+    """The "position save": strictly after the wave's data is durable."""
+    spark.createDataFrame([row], schema=tbl.LINEAGE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(tbl.p(index_dir, "lineage"))
+
+
 def build_index(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -70,64 +128,21 @@ def build_index(
 ) -> dict:
     """Build (or resume) the full index under ``index_dir``.
 
-    Returns a metrics dict: waves run/skipped, docs, postings, blocks.
+    Returns a metrics dict: waves run/skipped, docs indexed this run.
     """
     cfg = cfg or IndexConfig()
     df = with_bucket(transcripts, cfg)
 
-    # deterministic docid space: one cheap count per bucket (n_buckets rows)
-    counts = bucket_counts(df)
-    offsets = bucket_offsets(counts, cfg.n_buckets)
-
     done = completed_waves(spark, index_dir) if resume else set()
-    ran, skipped = [], []
-    for wave_id, wave_buckets in enumerate(_waves(cfg)):
+    ran, skipped, docs_this_run = [], [], 0
+    for wave_id, wave_buckets in enumerate(waves_of(cfg)):
         if wave_id in done:
             skipped.append(wave_id)
             continue
-        t0 = time.monotonic()
-        sub = df.filter(F.col("bucket").isin(wave_buckets))
-        docs = assign_docids(sub, offsets, spark)
-        docs.select(*FORWARD_COLS).write.mode("overwrite").parquet(
-            tbl.wave_dir(index_dir, "forward", wave_id)
-        )
-
-        tok = tokenized(docs, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            posting_blocks(tok, cfg).write.partitionBy("term_bucket").mode(
-                "overwrite"
-            ).parquet(tbl.wave_dir(index_dir, "postings", wave_id))
-            doc_lens(tok).write.mode("overwrite").parquet(
-                tbl.wave_dir(index_dir, "doc_lens", wave_id)
-            )
-            term_stats(tok).write.mode("overwrite").parquet(
-                tbl.wave_dir(index_dir, "term_stats", wave_id)
-            )
-        finally:
-            tok.unpersist()
-
-        # wave metrics from the written (column-pruned) block metadata
-        blk = spark.read.parquet(tbl.wave_dir(index_dir, "postings", wave_id))
-        agg = blk.agg(
-            F.coalesce(F.sum("n"), F.lit(0)).alias("np"), F.count(F.lit(1)).alias("nb")
-        ).collect()[0]
-        n_docs = sum(counts.get(b, 0) for b in wave_buckets)
-        lineage_row = (
-            wave_id,
-            wave_buckets,
-            n_docs,
-            int(agg["np"]),
-            int(agg["nb"]),
-            time.monotonic() - t0,
-            "complete",
-            datetime.now(timezone.utc),
-        )
-        # the "position save": strictly after the wave's data is durable
-        spark.createDataFrame([lineage_row], schema=tbl.LINEAGE_SCHEMA).coalesce(
-            1
-        ).write.mode("append").parquet(tbl.p(index_dir, "lineage"))
+        row = build_wave(spark, df, index_dir, wave_id, wave_buckets, cfg)
+        commit_lineage(spark, index_dir, row)
+        docs_this_run += row[2]
         ran.append(wave_id)
-
         if fail_after_waves is not None and len(ran) >= fail_after_waves:
             raise InjectedFailure(f"injected failure after wave {wave_id}")
 
@@ -135,7 +150,7 @@ def build_index(
     return {
         "waves_run": ran,
         "waves_skipped": skipped,
-        "n_docs": sum(counts.values()),
+        "n_docs_built": docs_this_run,
         "n_buckets": cfg.n_buckets,
     }
 
@@ -150,11 +165,10 @@ def finalize(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> None:
         .parquet(tbl.p(index_dir, "term_dict"))
     )
     dl = tbl.read(spark, index_dir, "doc_lens")
-    td = spark.read.parquet(tbl.p(index_dir, "term_dict"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")
     ).collect()[0]
-    n_terms = td.count()
+    n_terms = spark.read.parquet(tbl.p(index_dir, "term_dict")).count()
     spark.createDataFrame(
         [(int(stats["n_docs"]), int(stats["sum_dl"]), int(n_terms), cfg.n_buckets)],
         schema=tbl.CORPUS_STATS_SCHEMA,

@@ -1,0 +1,100 @@
+"""Incremental re-index — the reference's binlog/CDC phase, Spark-first.
+
+mysql-es tails the MySQL binlog via embedded canal, applies row events in
+order, re-joins affected relations, and upserts ES docs by _id, saving the
+binlog position after each write (SURVEY.md §3.2, canal/Canal.java:139-230,
+Consumer.java:87-109). Our equivalent, built on the static per-bucket docid
+ranges (operators/docids.py):
+
+- a change set (any mix of insert/update/delete of turns) is reduced to
+  the set of *affected conv_ids* → affected *buckets* (deterministic hash);
+- each affected bucket's wave is rebuilt from the current snapshot —
+  conversation-level rebuild mirrors how a parent change re-syncs every
+  embedded child doc (Associate reverse propagation, River.java:539-600) —
+  and committed to lineage (a fresh 'complete' row per rebuild — the
+  lineage table is an append-only audit log, latest row wins);
+- term_dict / corpus_stats are re-finalized (cheap merges of per-wave
+  partials).
+
+Idempotent and at-least-once: replaying a batch rebuilds the same bytes
+(the ST2 contract). The Structured Streaming wrapper consumes a directory
+of transcript-delta parquet files with ``foreachBatch`` + availableNow,
+exactly the reference's dump→tail handover (ST1): batch build from
+snapshot S, then incremental from S.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from ..corpus import TRANSCRIPT_SCHEMA
+from ..operators.docids import with_bucket
+from ..plans.build import build_wave, commit_lineage, finalize, waves_of
+
+
+def affected_buckets(changed_conv_ids: DataFrame, cfg: IndexConfig) -> list[int]:
+    """Distinct buckets touched by a change set (tiny collect: ≤ n_buckets)."""
+    rows = (
+        with_bucket(changed_conv_ids.select("conv_id").distinct(), cfg)
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["bucket"]) for r in rows)
+
+
+def incremental_update(
+    spark: SparkSession,
+    transcripts_now: DataFrame,
+    changed_conv_ids: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+) -> dict:
+    """Rebuild only the waves whose buckets contain changed conversations."""
+    cfg = cfg or IndexConfig()
+    buckets = affected_buckets(changed_conv_ids, cfg)
+    if not buckets:
+        return {"waves_rebuilt": [], "buckets": []}
+    bucket_set = set(buckets)
+    df = with_bucket(transcripts_now, cfg)
+    rebuilt = []
+    for wave_id, wave_buckets in enumerate(waves_of(cfg)):
+        if not bucket_set.intersection(wave_buckets):
+            continue
+        row = build_wave(spark, df, index_dir, wave_id, wave_buckets, cfg)
+        commit_lineage(spark, index_dir, row)
+        rebuilt.append(wave_id)
+    finalize(spark, index_dir, cfg)
+    return {"waves_rebuilt": rebuilt, "buckets": buckets}
+
+
+def start_cdc_stream(
+    spark: SparkSession,
+    delta_dir: str,
+    snapshot: Callable[[], DataFrame],
+    index_dir: str,
+    checkpoint_dir: str,
+    cfg: IndexConfig | None = None,
+):
+    """Tail a directory of transcript-delta parquet files and fold each
+    micro-batch into the index. ``snapshot()`` returns the current full
+    transcripts table (on a cluster: the Iceberg table, whose snapshot id
+    would be recorded in lineage). Returns the StreamingQuery; callers use
+    ``q.processAllAvailable()`` / ``awaitTermination``."""
+    cfg = cfg or IndexConfig()
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(delta_dir)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        changed = batch_df.select("conv_id").distinct()
+        incremental_update(spark, snapshot(), changed, index_dir, cfg)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

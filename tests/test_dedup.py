@@ -1,0 +1,110 @@
+"""Dedup operators vs small Python oracles."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from mysql_es_spark.functions.analyze import tokenize_text
+from mysql_es_spark.operators import dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "The QUICK brown fox jumps over the lazy dog"),  # exact dup of 0 (normalized)
+    (2, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+    (3, "spark builds inverted indexes with posting lists"),
+    (4, "spark builds inverted indexes with postings lists"),  # near dup of 3
+    (5, "completely unrelated text about databases and storage"),
+    (6, ""),
+    (7, None),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, schema="doc_id long, text string")
+
+
+def _py_shingles(text, n):
+    toks = tokenize_text(text)
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _py_jaccard(a, b, n):
+    sa, sb = _py_shingles(a, n), _py_shingles(b, n)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark, docs_df):
+    kept = {r.doc_id for r in dedup.exact_dedup(docs_df).collect()}
+    # doc 1 is a case-variant of doc 0 → dropped; empty and null normalize
+    # to the same empty fingerprint → one survivor (6)
+    assert 0 in kept and 1 not in kept
+    assert (6 in kept) != (7 in kept)
+    assert {2, 3, 4, 5} <= kept
+
+
+def test_duplicate_groups(spark, docs_df):
+    groups = dedup.duplicate_groups(docs_df).collect()
+    by_keep = {r.keep_id: r.n_dups for r in groups}
+    assert by_keep.get(0) == 2  # docs 0,1
+    assert by_keep.get(6) == 2  # docs 6,7 (empty-normalized)
+
+
+def test_ngram_jaccard_matches_python(spark, docs_df):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs_df, n=3, threshold=0.3).collect()
+    }
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        j = _py_jaccard(ta or "", tb or "", 3)
+        if j >= 0.3:
+            want[(ia, ib)] = round(j, 4)
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 2) in got  # near dup
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(
+            docs_df, n=3, num_perm=64, bands=32, threshold=0.3
+        ).collect()
+    }
+    # exact dup must always be caught (identical signatures); jaccard exact
+    assert pairs.get((0, 1)) == 1.0
+    for (a, b), j in pairs.items():
+        assert j == round(_py_jaccard(DOCS[a][1] or "", DOCS[b][1] or "", 3), 4)
+
+
+def test_simhash_properties(spark, docs_df):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs_df).collect()}
+    assert len(sh) == len(DOCS)
+    assert sh[0] == sh[1]  # normalization-identical docs
+    assert sh[6] == 0 and sh[7] == 0  # zero-token docs
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[5])  # near closer than far
+
+
+def test_simhash_near_dups(spark, docs_df):
+    pairs = {(r.id_a, r.id_b) for r in dedup.simhash_near_dups(docs_df, max_hamming=12).collect()}
+    assert (0, 1) in pairs
+
+
+def test_embedding_near_dups(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),  # ~dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.98, 0.2]),  # ~dup of 2
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, schema="vec_id long, embedding array<double>")
+    pairs = {(r.id_a, r.id_b): r.cos for r in dedup.embedding_near_dups(df, 0.95).collect()}
+    assert set(pairs) == {(0, 1), (2, 3)}
+    assert pairs[(0, 1)] > 0.99

@@ -78,15 +78,21 @@ def test_forward_reconstruction_invariant(spark, built_index, tiny_transcripts):
     assert diff.count() == 0
 
 
-def test_docids_dense_and_deterministic(spark, built_index):
+def test_docids_unique_bucket_dense_deterministic(spark, built_index):
+    from mysql_es_spark.operators.docids import bucket_capacity
+    from tests.conftest import TEST_CFG
+
+    cap = bucket_capacity(TEST_CFG.n_buckets)
     fwd = spark.read.parquet(f"{built_index}/forward")
     n = fwd.count()
-    stats = fwd.agg(
-        F.min("docid").alias("lo"),
-        F.max("docid").alias("hi"),
-        F.count_distinct("docid").alias("nd"),
-    ).collect()[0]
-    assert stats["lo"] == 0 and stats["hi"] == n - 1 and stats["nd"] == n
+    assert fwd.select("docid").distinct().count() == n
+    # dense within each bucket's static range [bucket*cap, bucket*cap + n_b)
+    per_bucket = fwd.groupBy("bucket").agg(
+        F.min("docid").alias("lo"), F.max("docid").alias("hi"), F.count(F.lit(1)).alias("nb")
+    )
+    for r in per_bucket.collect():
+        assert r["lo"] == r["bucket"] * cap
+        assert r["hi"] == r["bucket"] * cap + r["nb"] - 1
     # a conversation's turns are contiguous, ascending with turn_idx
     w = fwd.groupBy("conv_id").agg(
         (F.max("docid") - F.min("docid") + 1).alias("span"), F.count(F.lit(1)).alias("n")

@@ -1,0 +1,63 @@
+"""Similarity search: exact top-k vs numpy; ANN recall vs exact."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mysql_es_spark.operators import similarity
+
+N, DIM = 400, 16
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    """Clustered vectors — the regime ANN indexes exist for. Isotropic
+    gaussian noise has no neighbor structure and any LSH's recall on it is
+    near-random; real embedding corpora cluster."""
+    rng = np.random.default_rng(123)
+    centers = rng.standard_normal((12, DIM)) * 3.0
+    M = centers[rng.integers(0, 12, size=N)] + 0.25 * rng.standard_normal((N, DIM))
+    rows = [(i, [float(x) for x in M[i]]) for i in range(N)]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    return df, M
+
+
+def _numpy_topk(M, q, k):
+    cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(cos)), key=lambda i: (-round(cos[i], 4), i))
+    return order[:k]
+
+
+def test_cosine_topk_exact(spark, emb_df):
+    df, M = emb_df
+    q = [float(x) for x in M[7]]
+    got = [r.vec_id for r in similarity.cosine_topk(df, q, k=10).collect()]
+    assert got == _numpy_topk(M, np.array(q), 10)
+    assert got[0] == 7  # self is the nearest
+
+
+def test_ann_topk_recall(spark, emb_df):
+    df, M = emb_df
+    planes = similarity.hyperplane_planes(DIM, 8, seed=42)
+    bucketed = similarity.hyperplane_buckets(df, planes).cache()
+    recalls = []
+    for qid in [0, 50, 123]:
+        q = [float(x) for x in M[qid]]
+        exact = set(_numpy_topk(M, np.array(q), 10))
+        approx = {
+            r.vec_id
+            for r in similarity.ann_topk(
+                df, q, k=10, planes=planes, bucketed=bucketed, multiprobe=4
+            ).collect()
+        }
+        assert qid in approx  # own bucket always probed → self found
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.4  # approximate, but useful
+
+
+def test_query_buckets_multiprobe():
+    planes = similarity.hyperplane_planes(8, 6, seed=1)
+    probes = similarity.query_buckets([1.0] * 8, planes, multiprobe=3)
+    assert len(probes) == 4 and len(set(probes)) == 4
+    assert all(0 <= p < 2**6 for p in probes)

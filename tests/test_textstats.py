@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import pytest
+
+from mysql_es_spark.operators import textstats
+
+DOCS = [
+    (0, "The cat sat on the mat and it was happy for a while"),
+    (1, "el perro corre en la calle y la gente mira los arboles"),
+    (2, "le chat dort dans la maison et les enfants jouent"),
+    (3, "zxqv foo123 bar"),
+    (4, ""),
+    (5, None),
+    (6, "Short! With, punctuation... everywhere??"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, schema="doc_id long, text string")
+
+
+def test_token_count(spark, docs_df):
+    got = {r.doc_id: r.n_tokens for r in textstats.token_count(docs_df).collect()}
+    assert got[0] == 13
+    assert got[3] == 3
+    assert got[4] == 0 and got[5] == 0
+
+
+def test_lang_id(spark, docs_df):
+    got = {r.doc_id: r.lang_pred for r in textstats.lang_id(docs_df).collect()}
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "fr"
+    assert got[3] == "und" and got[4] == "und"
+
+
+def test_quality_bounds_and_order(spark, docs_df):
+    got = {r.doc_id: r.quality for r in textstats.quality_score(docs_df).collect()}
+    assert all(q is None or 0.0 <= q <= 1.0 for q in got.values())
+    # stopword-rich clean English beats punctuation soup
+    assert got[0] > got[6]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello, World!"), (1, "hello world"), (2, "HELLO   world...")],
+        schema="doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fp for r in textstats.fingerprint(df).collect()}
+    assert fps[0] == fps[1] == fps[2]
+    assert len(fps[0]) == 32
+
+
+def test_term_freq_topn(spark, docs_df):
+    rows = textstats.term_freq_topn(docs_df, 3).collect()
+    assert rows[0].term == "la"  # 3 occurrences (es ×2, fr ×1)
+    assert rows[0].n_occurrences == 3 and rows[0].n_docs == 2
