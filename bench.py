@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Headline benchmark for the driver: one JSON line on stdout.
+
+Runs the engine's flagship paths at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32):
+
+- ``index_build``     full posting-block index build over documents
+- ``bm25_idx_q1/q2``  top-k via the index with block-max pruning
+- ``bm25_direct``     index-free declarative BM25
+- ``q1_pricing``      TPC-H Q1 shaped agg over lineitem
+- ``region_revenue``  4-way broadcast join + agg
+- ``doc_minhash``     MinHash-LSH near-dup pairs over documents
+- ``emb_topk``        brute-force cosine top-k over embeddings
+
+Prints exactly one JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "build_turns_per_sec": ...}``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def _sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(path)))
+    try:
+        return float(m.group(1)) if m else 0.0
+    except ValueError:
+        return 0.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from mysql_es_spark.config import IndexConfig
+    from mysql_es_spark.operators import dedup, similarity
+    from mysql_es_spark.operators.query import bm25_topk, direct_bm25
+    from mysql_es_spark.plans.build import build_index
+    from mysql_es_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus)
+
+    def t(name):
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    docs = t("documents")
+    n_docs = docs.count()  # warm the JVM + parquet footer cache
+
+    cfg = IndexConfig(n_buckets=4, wave_size=4, salt_docs=1 << 20, term_buckets=8)
+    transcripts = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+    timings: dict[str, float] = {}
+    ix = tempfile.mkdtemp(prefix="bench_ix_")
+    try:
+        t0 = time.monotonic()
+        build_index(spark, transcripts, ix, cfg)
+        timings["index_build"] = time.monotonic() - t0
+        build_tps = n_docs / timings["index_build"]
+
+        q1, q2 = "spark join query", "window agg batch scan"
+        t0 = time.monotonic()
+        bm25_topk(spark, ix, q1, k=20, cfg=cfg, mode="pruned").collect()
+        timings["bm25_idx_q1"] = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        bm25_topk(spark, ix, q2, k=20, cfg=cfg, mode="pruned").collect()
+        timings["bm25_idx_q2"] = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        direct_bm25(docs, q1, k=20).collect()
+        timings["bm25_direct"] = time.monotonic() - t0
+
+        li = t("lineitem")
+        t0 = time.monotonic()
+        (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+                F.avg("l_quantity").alias("avg_qty"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .collect()
+        )
+        timings["q1_pricing"] = time.monotonic() - t0
+
+        o, c = t("orders"), t("customer")
+        n, r = t("nation"), t("region")
+        t0 = time.monotonic()
+        (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.sum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+            .collect()
+        )
+        timings["region_revenue"] = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        dedup.minhash_lsh_pairs(docs, n=2, num_perm=64, bands=16, threshold=0.15).collect()
+        timings["doc_minhash"] = time.monotonic() - t0
+
+        emb = t("embeddings")
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+        t0 = time.monotonic()
+        similarity.cosine_topk(emb, qv, k=10).collect()
+        timings["emb_topk"] = time.monotonic() - t0
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": _sf_of(sf_dir),
+                "build_turns_per_sec": round(build_tps, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,42 +42,68 @@ def query_terms(query: str) -> list[str]:
     return list(dict.fromkeys(tokenize_text(query)))
 
 
+# per-process driver-side cache: corpus_stats is one tiny immutable row per
+# built index; re-reading it per query would cost a Spark job each time.
+_STATS_CACHE: dict[str, dict] = {}
+
+
 def corpus_stats(spark: SparkSession, index_dir: str) -> dict:
+    cached = _STATS_CACHE.get(index_dir)
+    if cached is not None:
+        return cached
     row = spark.read.parquet(tbl.p(index_dir, "corpus_stats")).collect()[0]
     n, sdl = int(row["n_docs"]), int(row["sum_dl"])
-    return {"n_docs": n, "sum_dl": sdl, "avgdl": (sdl / n) if n else 0.0}
+    stats = {"n_docs": n, "sum_dl": sdl, "avgdl": (sdl / n) if n else 0.0}
+    _STATS_CACHE[index_dir] = stats
+    return stats
+
+
+def invalidate_stats_cache(index_dir: str | None = None) -> None:
+    if index_dir is None:
+        _STATS_CACHE.clear()
+    else:
+        _STATS_CACHE.pop(index_dir, None)
+
+
+def term_meta(
+    spark: SparkSession, index_dir: str, terms: list[str], n_docs: int, cfg: IndexConfig
+) -> tuple[dict[str, float], list[int]]:
+    """(idf per query term, term_bucket partitions to read) in ONE job.
+
+    The bucket is recomputed JVM-side with the same ``pmod(xxhash64(term))``
+    expression the build used, so query-time partition pruning can't drift
+    from the writer's layout.
+    """
+    if not terms:
+        return {}, []
+    rows = (
+        spark.read.parquet(tbl.p(index_dir, "term_dict"))
+        .filter(F.col("term").isin(terms))
+        .select(
+            "term",
+            "df",
+            F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int").alias("b"),
+        )
+        .collect()
+    )
+    idf = {
+        r["term"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+        for r in rows
+    }
+    return idf, sorted({int(r["b"]) for r in rows})
 
 
 def term_idfs(
     spark: SparkSession, index_dir: str, terms: list[str], n_docs: int
 ) -> dict[str, float]:
     """idf per query term from term_dict (tiny filtered read + collect)."""
-    if not terms:
-        return {}
-    rows = (
-        spark.read.parquet(tbl.p(index_dir, "term_dict"))
-        .filter(F.col("term").isin(terms))
-        .collect()
-    )
-    return {
-        r["term"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
-        for r in rows
-    }
-
-
-def _term_buckets(spark: SparkSession, terms: list[str], cfg: IndexConfig) -> list[int]:
-    """term_bucket partition values for the query terms (partition pruning)."""
-    df = spark.createDataFrame([(t,) for t in terms], schema="term string")
-    rows = df.select(
-        F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int").alias("b")
-    ).distinct().collect()
-    return [int(r["b"]) for r in rows]
+    idf, _ = term_meta(spark, index_dir, terms, n_docs, IndexConfig())
+    return idf
 
 
 def _matching_blocks(
-    spark: SparkSession, index_dir: str, terms: list[str], cfg: IndexConfig
+    spark: SparkSession, index_dir: str, terms: list[str], buckets: list[int]
 ) -> DataFrame:
-    buckets = _term_buckets(spark, terms, cfg)
     return (
         tbl.read(spark, index_dir, "postings")
         .filter(F.col("term_bucket").isin(buckets))  # partition-dir pruning
@@ -135,13 +161,13 @@ def bm25_topk(
     cfg = cfg or IndexConfig()
     terms = query_terms(query)
     stats = corpus_stats(spark, index_dir)
-    idf = term_idfs(spark, index_dir, terms, stats["n_docs"])
+    idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
     terms = [t for t in terms if t in idf]
     empty = spark.createDataFrame([], schema="docid long, score double")
     if not terms:
         return empty
 
-    blocks = _matching_blocks(spark, index_dir, terms, cfg)
+    blocks = _matching_blocks(spark, index_dir, terms, buckets)
     order = [F.col("score").desc(), F.col("docid").asc()]
 
     if mode == "simple":
