@@ -199,10 +199,48 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, n, 0.0, id_col, text_col)
+    return exact_jaccard_for_pairs(df, cand, n, id_col, text_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def exact_jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact shingle Jaccard for a given (id_a, id_b) candidate set only.
+
+    Cost is |pairs| × avg-shingles (fan out id_a's shingles, semi-match
+    against id_b's) — NOT the all-co-occurring-pairs self-join, which is
+    quadratic in the df of every common shingle. This is the verify stage
+    for every LSH-style candidate generator."""
+    sh = shingles(df, n, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # pairs with zero shingle overlap (possible band-hash collisions) get
+    # jaccard 0 via the left join + coalesce.
     return (
-        cand.join(exact, ["id_a", "id_b"])
-        .filter(F.col("jaccard") >= threshold)
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))),
+                4,
+            ),
+        )
         .select("id_a", "id_b", "jaccard")
     )
 

@@ -219,21 +219,40 @@ def bm25_topk(
             break
     p1_set = set(phase1)
 
-    p1_scores = _decode_scores(
-        blocks.filter(F.col("salt").isin(phase1)), idf, cfg, stats["avgdl"]
-    ).persist()
-    top1 = p1_scores.orderBy(*order).limit(k).collect()
+    if len(phase1) == len(salts):
+        # adaptive shortcut: phase 1 would decode every range anyway, so
+        # the threshold/second-pass machinery buys nothing — single pass.
+        scored = _decode_scores(blocks, idf, cfg, stats["avgdl"]).orderBy(*order).limit(k)
+        return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+    # Each salt is a disjoint docid range, so a doc's entire score lives in
+    # exactly one phase; global top-k = top-k of the per-phase top-ks. That
+    # lets both phases collect only k rows to the driver — no persist, no
+    # third union/sort job.
+    top1 = (
+        _decode_scores(blocks.filter(F.col("salt").isin(phase1)), idf, cfg, stats["avgdl"])
+        .orderBy(*order)
+        .limit(k)
+        .collect()
+    )
     tau = top1[-1]["score"] if len(top1) >= k else float("-inf")
 
     phase2 = [s for s, ub, _n in salts if s not in p1_set and ub > tau]
+    top2 = []
     if phase2:
-        p2_scores = _decode_scores(
-            blocks.filter(F.col("salt").isin(phase2)), idf, cfg, stats["avgdl"]
+        top2 = (
+            _decode_scores(
+                blocks.filter(F.col("salt").isin(phase2)), idf, cfg, stats["avgdl"]
+            )
+            .orderBy(*order)
+            .limit(k)
+            .collect()
         )
-        scored = p1_scores.unionByName(p2_scores)
-    else:
-        scored = p1_scores
-    out = scored.orderBy(*order).limit(k)
+    merged = sorted(
+        ((r["docid"], r["score"]) for r in [*top1, *top2]),
+        key=lambda t: (-t[1], t[0]),
+    )[:k]
+    out = spark.createDataFrame(merged or [], schema="docid long, score double")
     return _with_keys(spark, index_dir, out) if with_keys else out
 
 
