@@ -328,6 +328,17 @@ def q_cube(spark, sf):
     return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_rollup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_bpe_tokens(spark, sf):
+    return textstats.bpe_token_estimate(_t(spark, sf, "documents"))
+
+
 def q_pivot(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (
@@ -475,6 +486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_json_extract": q_f8,
         "f10_to_json": q_f10,
         "cube_count": q_cube,
+        "rollup_qty": q_rollup,
+        "doc_bpe_token_estimate": q_bpe_tokens,
         "pivot_status": q_pivot,
         "hourly_rollup": q_hourly,
         "region_revenue": q_region_rev,
@@ -628,6 +641,17 @@ def oracle_sql() -> dict[str, str]:
         "cube_count": """
             SELECT l_returnflag, l_linestatus, count(*) AS n
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "rollup_qty": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "doc_bpe_token_estimate": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9\s]'))
+                     AS n_bpe_tokens
+            FROM documents
         """,
         "pivot_status": """
             SELECT l_returnflag,

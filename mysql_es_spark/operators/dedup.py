@@ -149,18 +149,36 @@ def minhash_signatures(
         for pdf in batches:
             if pdf.empty:
                 continue
-            for doc_id, grp in pdf.groupby(id_col, sort=False):
-                h = grp["h"].to_numpy().astype(np.uint64)
-                # (num_perm, n_shingles) universal hashes mod Mersenne prime
-                vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-                sig = vals.min(axis=1).astype(np.int64)
-                yield pd.DataFrame({id_col: [doc_id], "sig": [sig.tolist()]})
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            h = pdf["h"].to_numpy().astype(np.uint64)
+            # (num_perm, n_shingles) universal hashes mod Mersenne prime,
+            # then a segment-min per doc (ids are sorted within the batch)
+            vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+            change = np.empty(len(ids), dtype=bool)
+            change[0] = True
+            np.not_equal(ids[1:], ids[:-1], out=change[1:])
+            starts = np.flatnonzero(change)
+            mins = np.minimum.reduceat(vals, starts, axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {id_col: ids[starts], "sig": [mins[:, j].tolist() for j in range(len(starts))]}
+            )
 
-    # repartition by id so each doc's shingles are co-located for the pass
-    return (
+    # repartition + sort co-locates and orders each doc's shingles; an
+    # Arrow batch boundary may still split one doc across two batches,
+    # yielding two partial signatures for that id — the elementwise-min
+    # merge below makes that exact (min is associative).
+    sig = (
         sh.repartition(id_col)
         .sortWithinPartitions(id_col)
         .mapInPandas(to_sig, schema=f"{id_col} long, sig array<long>")
+    )
+    # merge split-doc partials (elementwise min across the two partial sigs)
+    return sig.groupBy(id_col).agg(
+        F.aggregate(
+            F.collect_list("sig"),
+            F.array_repeat(F.lit(_MERSENNE), num_perm),
+            lambda acc, s: F.zip_with(acc, s, lambda x, y: F.least(x, y)),
+        ).alias("sig")
     )
 
 

@@ -82,40 +82,62 @@ def tokenized(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     return df.select("docid", "text").mapInPandas(explode_tokens, schema=TOKENIZED_SCHEMA)
 
 
-def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """One (term_bucket, term, salt) group → block rows."""
-    pdf = pdf.sort_values("docid")
-    docids = pdf["docid"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    dls = pdf["dl"].to_numpy(dtype=np.int64)
-    rows = []
-    tb = int(pdf["term_bucket"].iloc[0])
-    term = pdf["term"].iloc[0]
-    salt = int(pdf["salt"].iloc[0])
-    for s in range(0, len(docids), block_size):
-        e = min(s + block_size, len(docids))
-        rows.append(
-            (
-                tb,
-                term,
-                salt,
-                int(docids[s]),
-                e - s,
-                int(tfs[s:e].max()),
-                int(dls[s:e].min()),
-                encode_block(docids[s:e], tfs[s:e], dls[s:e]),
-            )
-        )
-    return pd.DataFrame(
-        rows,
-        columns=[
-            "term_bucket", "term", "salt", "start_docid", "n", "max_tf", "min_dl", "blob",
-        ],
-    )
+def _encode_batches(
+    batches: Iterator[pd.DataFrame], block_size: int
+) -> Iterator[pd.DataFrame]:
+    """Partition-sorted (term_bucket, term, salt, docid, tf, dl) rows →
+    block rows. Group boundaries found vectorized (one change-point scan
+    per Arrow batch); the only per-group Python is numpy slice + encode.
+
+    An Arrow batch boundary may split a (term, salt) group; that's fine —
+    the split emits two shorter runs of blocks whose docid ranges are
+    disjoint and ascending (the shuffle sorted the partition), which is all
+    the decoder and block-max pruning require.
+    """
+    cols = ["term_bucket", "term", "salt", "start_docid", "n", "max_tf", "min_dl", "blob"]
+    for pdf in batches:
+        m = len(pdf)
+        if not m:
+            continue
+        terms = pdf["term"].to_numpy()
+        salts = pdf["salt"].to_numpy(dtype=np.int64)
+        docids = pdf["docid"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        tbs = pdf["term_bucket"].to_numpy(dtype=np.int64)
+        change = np.empty(m, dtype=bool)
+        change[0] = True
+        np.not_equal(terms[1:], terms[:-1], out=change[1:])
+        change[1:] |= salts[1:] != salts[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], m)
+        rows = []
+        for gs, ge in zip(starts, ends):
+            for s in range(gs, ge, block_size):
+                e = min(s + block_size, ge)
+                rows.append(
+                    (
+                        int(tbs[gs]),
+                        terms[gs],
+                        int(salts[gs]),
+                        int(docids[s]),
+                        e - s,
+                        int(tfs[s:e].max()),
+                        int(dls[s:e].min()),
+                        encode_block(docids[s:e], tfs[s:e], dls[s:e]),
+                    )
+                )
+        yield pd.DataFrame(rows, columns=cols)
 
 
 def posting_blocks(tok: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """Exploded postings → encoded block rows (see module docstring)."""
+    """Exploded postings → encoded block rows (see module docstring).
+
+    Shuffle by (term_bucket, term, salt) + sortWithinPartitions, then ONE
+    vectorized mapInPandas encode pass per partition. (A per-group
+    applyInPandas is pathological here: head-term corpora make millions of
+    tiny groups and the per-group pandas overhead dominates the build.)
+    """
     block_size = cfg.block_size
     p = (
         tok.filter(F.col("term").isNotNull())
@@ -124,8 +146,10 @@ def posting_blocks(tok: DataFrame, cfg: IndexConfig) -> DataFrame:
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int")
         )
     )
-    return p.groupBy("term_bucket", "term", "salt").applyInPandas(
-        lambda pdf: _encode_group(pdf, block_size), schema=BLOCK_SCHEMA
+    return (
+        p.repartition("term_bucket", "term", "salt")
+        .sortWithinPartitions("term", "salt", "docid")
+        .mapInPandas(lambda it: _encode_batches(it, block_size), schema=BLOCK_SCHEMA)
     )
 
 

@@ -106,6 +106,25 @@ def term_freq_topn(
     )
 
 
+# BPE-ish subword chunking: ≤4-letter runs / single digits / single
+# punctuation marks approximate a byte-pair-encoding token count without a
+# merges table. The pattern is greedy-identical under Java regex and RE2,
+# so Spark and DuckDB agree byte-for-byte.
+BPE_ISH_RE = "[a-z]{1,4}|[0-9]|[^a-z0-9\\s]"
+
+
+def bpe_token_estimate(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_bpe_tokens) — BPE-like subword count, pure JVM expression."""
+    return df.select(
+        F.col(id_col),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_RE), F.lit(0))
+        ).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def duckdb_tokens(text_col: str = "text") -> str:
     """The DuckDB expression equal to with_tokens() for Latin-script text."""
     return f"regexp_extract_all(lower(strip_accents({text_col})), '[0-9a-z]+')"

@@ -30,6 +30,8 @@ import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 # mid-frequency Zipf vocabulary terms: present in the corpus but not
 # stop-word-dense, so the pruned query path has real work to do.
