@@ -364,16 +364,40 @@ def embedding_near_dups(
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine ≥ threshold.
 
-    Small/medium corpora: exact self-join (Catalyst broadcasts one side).
-    At 100 TB this pairs *within LSH buckets* instead — reuse
-    similarity.hyperplane_buckets as the candidate generator."""
-    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine_expr("va", "vb"), 4))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+    Exact all-pairs via a broadcast right-hand matrix: each partition's
+    block of vectors is multiplied against the full normalized matrix with
+    one numpy matmul (BLAS), emitting only pairs over threshold. Right for
+    corpora whose embedding matrix fits an executor (~10^6 × 768 floats).
+    At 10^11+ vectors, pair *within LSH buckets* instead — reuse
+    similarity.hyperplane_buckets as the candidate generator, then this
+    matmul per bucket."""
+    spark = emb.sparkSession
+    rows = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>")).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    sc = spark.sparkContext
+    b_ids, b_M = sc.broadcast(ids), sc.broadcast(M)
+    thr = float(threshold)
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_M = b_ids.value, b_M.value
+        order = np.argsort(all_ids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            A = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+            cos = np.round(A @ all_M[order].T, 4)
+            bi = all_ids[order]
+            # keep id_a < id_b, cos >= threshold
+            mask = (a_ids[:, None] < bi[None, :]) & (cos >= thr)
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": bi[bj], "cos": cos[ai, bj]}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        block, schema="id_a long, id_b long, cos double"
     )

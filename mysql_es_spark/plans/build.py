@@ -74,35 +74,29 @@ def build_wave(
     """Build one wave's tables; returns the lineage row (not yet written).
 
     Job shape per wave (scale notes):
-    1. forward write — one shuffle (window by bucket for docids); row count
-       captured via ``Observation`` during the write, no read-back job.
+    1. forward write — one shuffle (window by bucket for docids).
     2. postings/doc_lens/term_stats — tokenization reads the *written*
        forward table (so the docid window is never recomputed), is cached
-       once, and feeds all three outputs; posting/block counts captured via
-       ``Observation`` on the postings write.
+       once, and feeds all three outputs.
+    3. metrics read back from the written tables: the forward row count is
+       a Parquet-metadata-only job and the postings agg reads just two
+       small columns (never the blobs). (``Observation`` would save these
+       two cheap jobs but its blocking ``get`` can hang when the listener
+       misses the write action's completion — not worth the fragility.)
     """
-    from pyspark.sql import Observation
-
     t0 = time.monotonic()
     sub = df_bucketed.filter(F.col("bucket").isin(wave_buckets))
     docs = assign_docids(sub, cfg)
-    obs_fwd = Observation(f"fwd_{wave_id}")
-    docs.select(*FORWARD_COLS).observe(obs_fwd, F.count(F.lit(1)).alias("n_docs")).write.mode(
-        "overwrite"
-    ).parquet(tbl.wave_dir(index_dir, "forward", wave_id))
-    n_docs = int(obs_fwd.get["n_docs"])
+    docs.select(*FORWARD_COLS).write.mode("overwrite").parquet(
+        tbl.wave_dir(index_dir, "forward", wave_id)
+    )
 
     fwd = spark.read.parquet(tbl.wave_dir(index_dir, "forward", wave_id)).select(
         "docid", "text"
     )
     tok = tokenized(fwd, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        obs_blk = Observation(f"blk_{wave_id}")
-        posting_blocks(tok, cfg).observe(
-            obs_blk,
-            F.coalesce(F.sum("n"), F.lit(0)).alias("np"),
-            F.count(F.lit(1)).alias("nb"),
-        ).write.partitionBy("term_bucket").mode("overwrite").parquet(
+        posting_blocks(tok, cfg).write.partitionBy("term_bucket").mode("overwrite").parquet(
             tbl.wave_dir(index_dir, "postings", wave_id)
         )
         doc_lens(tok).write.mode("overwrite").parquet(
@@ -111,16 +105,20 @@ def build_wave(
         term_stats(tok).write.mode("overwrite").parquet(
             tbl.wave_dir(index_dir, "term_stats", wave_id)
         )
-        blk_metrics = obs_blk.get
     finally:
         tok.unpersist()
 
+    n_docs = spark.read.parquet(tbl.wave_dir(index_dir, "forward", wave_id)).count()
+    blk = spark.read.parquet(tbl.wave_dir(index_dir, "postings", wave_id))
+    agg = blk.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("np"), F.count(F.lit(1)).alias("nb")
+    ).collect()[0]
     return (
         wave_id,
         wave_buckets,
-        n_docs,
-        int(blk_metrics["np"]),
-        int(blk_metrics["nb"]),
+        int(n_docs),
+        int(agg["np"]),
+        int(agg["nb"]),
         time.monotonic() - t0,
         "complete",
         datetime.now(timezone.utc),
@@ -175,15 +173,11 @@ def finalize(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> None:
     """Merge per-wave partials into term_dict + corpus_stats (idempotent)."""
     from ..operators.query import invalidate_stats_cache
 
-    from pyspark.sql import Observation
-
     invalidate_stats_cache(index_dir)
     ts = tbl.read(spark, index_dir, "term_stats")
-    obs_td = Observation("term_dict")
     (
         ts.groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
-        .observe(obs_td, F.count(F.lit(1)).alias("n_terms"))
         .write.mode("overwrite")
         .parquet(tbl.p(index_dir, "term_dict"))
     )
@@ -191,7 +185,8 @@ def finalize(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> None:
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")
     ).collect()[0]
-    n_terms = int(obs_td.get["n_terms"])
+    # parquet-metadata-only count
+    n_terms = spark.read.parquet(tbl.p(index_dir, "term_dict")).count()
     spark.createDataFrame(
         [(int(stats["n_docs"]), int(stats["sum_dl"]), int(n_terms), cfg.n_buckets)],
         schema=tbl.CORPUS_STATS_SCHEMA,
