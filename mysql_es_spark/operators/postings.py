@@ -50,7 +50,90 @@ def tokenized(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     pass feeds postings, doc_lens, and corpus stats. Zero-token docs
     (empty/null text) still get their null-term row (dl=0): BM25's N and
     avgdl count them (SURVEY.md §2.9 T5 / oracle.py contract).
+
+    Default path is **mapInArrow with pyarrow C++ compute kernels**
+    (utf8_normalize NFKD → strip U+0300-036F → utf8_lower →
+    split_pattern_regex → C++ hash group-by for tf) — ~13× the docs/sec of
+    the pandas ``str.findall`` chain, which loops Python per row. The
+    pandas path remains for the edge-ngram analyzer variant (T1 with
+    ngrams), which pyarrow can't express cleanly.
     """
+    if cfg.edge_ngram:
+        return _tokenized_pandas(df, cfg)
+
+    def explode_arrow(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            docid = batch.column("docid")
+            x = pc.utf8_normalize(batch.column("text"), form="NFKD")
+            x = pc.replace_substring_regex(x, "[̀-ͯ]", "")
+            x = pc.utf8_lower(x)
+            lists = pc.split_pattern_regex(x, "[^0-9a-z]+")
+            flat = pc.list_flatten(lists)
+            par = pc.list_parent_indices(lists)
+            keep = pc.not_equal(flat, "")
+            terms = pc.filter(flat, keep)
+            doc_per_term = pc.take(docid, pc.filter(par, keep))
+
+            # tf per (docid, term); dl per docid — both C++ hash aggs
+            tf = (
+                pa.table({"docid": doc_per_term, "term": terms})
+                .group_by(["docid", "term"], use_threads=False)
+                .aggregate([("term", "count")])
+            )
+            dl = (
+                pa.table({"docid": doc_per_term})
+                .group_by(["docid"], use_threads=False)
+                .aggregate([("docid", "count")])
+            )
+            dl_ids = dl.column("docid").to_numpy(zero_copy_only=False)
+            dl_vals = dl.column("docid_count").to_numpy(zero_copy_only=False)
+            order = np.argsort(dl_ids, kind="stable")
+            dl_ids, dl_vals = dl_ids[order], dl_vals[order]
+
+            def dl_for(ids: np.ndarray) -> np.ndarray:
+                out = np.zeros(len(ids), dtype=np.int32)
+                if len(dl_ids):
+                    pos = np.searchsorted(dl_ids, ids)
+                    pos_c = np.clip(pos, 0, len(dl_ids) - 1)
+                    hit = dl_ids[pos_c] == ids
+                    out[hit] = dl_vals[pos_c[hit]]
+                return out
+
+            all_ids = docid.to_numpy(zero_copy_only=False).astype(np.int64)
+            tf_ids = tf.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
+            n_doc, n_tf = len(all_ids), len(tf_ids)
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate([all_ids, tf_ids]), type=pa.int64()),
+                    pa.concat_arrays(
+                        [pa.nulls(n_doc, pa.string()), tf.column("term").combine_chunks()]
+                    ),
+                    pa.array(
+                        np.concatenate(
+                            [
+                                np.zeros(n_doc, dtype=np.int32),
+                                tf.column("term_count")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int32),
+                            ]
+                        ),
+                        type=pa.int32(),
+                    ),
+                    pa.array(
+                        np.concatenate([dl_for(all_ids), dl_for(tf_ids)]), type=pa.int32()
+                    ),
+                ],
+                names=["docid", "term", "tf", "dl"],
+            )
+
+    return df.select("docid", "text").mapInArrow(explode_arrow, schema=TOKENIZED_SCHEMA)
+
+
+def _tokenized_pandas(df: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """pandas fallback supporting the edge-ngram index analyzer (T1)."""
     ngram, lo, hi = cfg.edge_ngram, cfg.edge_ngram_min, cfg.edge_ngram_max
 
     def explode_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -146,8 +229,18 @@ def posting_blocks(tok: DataFrame, cfg: IndexConfig) -> DataFrame:
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int")
         )
     )
+    # Explicit partition count: the encode stage is Python-CPU-bound, not
+    # bytes-bound — AQE's coalescePartitions would see a few hundred MB of
+    # shuffle data and squash it onto a handful of tasks, serializing the
+    # encode. Pinning the count keeps one task per slot (AQE never
+    # re-splits a user-specified repartition(n, ...)).
+    spark = tok.sparkSession
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism,
+    )
     return (
-        p.repartition("term_bucket", "term", "salt")
+        p.repartition(n_parts, "term_bucket", "term", "salt")
         .sortWithinPartitions("term", "salt", "docid")
         .mapInPandas(lambda it: _encode_batches(it, block_size), schema=BLOCK_SCHEMA)
     )
