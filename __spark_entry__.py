@@ -23,7 +23,7 @@ from pyspark.sql import Window as W
 
 from mysql_es_spark.config import IndexConfig
 from mysql_es_spark.operators import dedup, multimodal, similarity, textstats
-from mysql_es_spark.operators.query import bm25_topk, direct_bm25
+from mysql_es_spark.operators.query import bm25_topk, bm25_topk_conjunctive, direct_bm25
 from mysql_es_spark.operators.relations import propagate_parent_update
 from mysql_es_spark.plans.build import build_index
 
@@ -69,6 +69,33 @@ def _index_for_documents(spark: SparkSession, sf_dir: str) -> str:
         with open(marker, "w") as f:
             f.write("ok")
     return ix
+
+
+def _bm25_conj_sql(terms: list[str], k: int) -> str:
+    """Conjunctive (AND) BM25: docs matching every term; same scoring."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ({tl})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s,
+         count(*) AS nt
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores WHERE nt = {len(terms)}
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT {k}
+"""
 
 
 def _bm25_sql(terms: list[str], k: int) -> str:
@@ -421,6 +448,22 @@ def q_bm25_index(spark, sf):
     )
 
 
+def q_bm25_conjunctive(spark, sf):
+    """Posting-list intersection (AND semantics) over the built index with
+    salt-level structural pruning; re-keyed to doc_id for the oracle."""
+    ix = _index_for_documents(spark, sf)
+    top = bm25_topk_conjunctive(
+        spark, ix, " ".join(BM25_Q1), k=60, cfg=_docs_index_cfg(), with_keys=True
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 def q_emb_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -501,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_direct": q_bm25_direct,
         "bm25_direct_q2": q_bm25_direct2,
         "bm25_via_index": q_bm25_index,
+        "bm25_conjunctive": q_bm25_conjunctive,
         "emb_cosine_topk": q_emb_topk,
         "emb_near_dups": q_emb_near_dups,
         "doc_minhash_lsh_pairs": q_minhash,
@@ -730,6 +774,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_direct": _bm25_sql(BM25_Q1, 20),
         "bm25_direct_q2": _bm25_sql(BM25_Q2, 15),
         "bm25_via_index": _bm25_sql(BM25_Q1, 20),
+        "bm25_conjunctive": _bm25_conj_sql(BM25_Q1, 20),
         "emb_cosine_topk": """
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[],

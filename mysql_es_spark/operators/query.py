@@ -256,6 +256,82 @@ def bm25_topk(
     return _with_keys(spark, index_dir, out) if with_keys else out
 
 
+def bm25_topk_conjunctive(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """Top-k BM25 with AND semantics — posting-list **intersection**.
+
+    The north star names this path explicitly ("posting-list intersection
+    with block-max … pruning"). Docs must contain *every* query term; the
+    score is the usual BM25 sum over the terms.
+
+    Pruning is structural, before any blob is decoded: a salt is a disjoint
+    docid range, so a range can only contain an intersection match if every
+    term has at least one block there. Phase 0 reads block *metadata* only
+    (Parquet column pruning keeps blobs unread), intersects the per-term
+    salt sets, and phase 1 decodes just the surviving ranges. For rare-term
+    conjunctions this skips nearly the whole head-term posting list — the
+    same effect Lucene gets by leapfrogging on skip lists, expressed as a
+    metadata semi-join. Within surviving ranges, a doc matched by fewer
+    than all terms is dropped by the ``n_terms`` count filter (per term a
+    docid appears in exactly one block row, so rows-per-doc = matched
+    terms).
+    """
+    cfg = cfg or IndexConfig()
+    terms = query_terms(query)
+    stats = corpus_stats(spark, index_dir)
+    idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
+    empty = spark.createDataFrame([], schema="docid long, score double")
+    if not terms or len(idf) < len(terms):
+        # a query term absent from the corpus ⇒ empty intersection
+        return empty
+
+    blocks = _matching_blocks(spark, index_dir, terms, buckets)
+    # phase 0: salts where ALL terms are present (metadata-only agg)
+    live_salts = (
+        blocks.select("term", "salt")
+        .groupBy("salt")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == len(terms))
+        .select("salt")
+    )
+    survivors = blocks.join(F.broadcast(live_salts), "salt")
+
+    k1, b = cfg.k1, cfg.b
+    avgdl = stats["avgdl"]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_all, contrib_all = [], []
+            for term, n, blob in zip(pdf["term"], pdf["n"], pdf["blob"]):
+                ids, tfs, dls = decode_block(blob, int(n))
+                tfs = tfs.astype(np.float64)
+                norm = tfs / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
+                ids_all.append(ids)
+                contrib_all.append(idf[term] * norm)
+            if ids_all:
+                yield pd.DataFrame(
+                    {"docid": np.concatenate(ids_all), "contrib": np.concatenate(contrib_all)}
+                )
+
+    scored = (
+        survivors.select("term", "n", "blob")
+        .mapInPandas(decode, schema="docid long, contrib double")
+        .groupBy("docid")
+        .agg(F.sum("contrib").alias("score"), F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == len(terms))
+        .drop("nt")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
 # ---------------------------------------------------------------------------
 # Index-free declarative BM25 (DuckDB-oracle-checkable form)
 # ---------------------------------------------------------------------------

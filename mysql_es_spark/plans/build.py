@@ -46,6 +46,11 @@ class InjectedFailure(RuntimeError):
     """Raised by the test-only fault injector to simulate a killed build."""
 
 
+# per-process scratch for wall-clock phase timings of the last build —
+# observability for the scaling bench; not part of the durable metrics.
+PHASE_TIMINGS: dict[int, dict[str, float]] = {}
+
+
 def waves_of(cfg: IndexConfig) -> list[list[int]]:
     buckets = list(range(cfg.n_buckets))
     return [buckets[i : i + cfg.wave_size] for i in range(0, len(buckets), cfg.wave_size)]
@@ -85,26 +90,50 @@ def build_wave(
        misses the write action's completion — not worth the fragility.)
     """
     t0 = time.monotonic()
+    phases = PHASE_TIMINGS.setdefault(wave_id, {})
+
+    def mark(name: str, since: float) -> float:
+        now = time.monotonic()
+        phases[name] = round(now - since, 3)
+        return now
+
     sub = df_bucketed.filter(F.col("bucket").isin(wave_buckets))
     docs = assign_docids(sub, cfg)
     docs.select(*FORWARD_COLS).write.mode("overwrite").parquet(
         tbl.wave_dir(index_dir, "forward", wave_id)
     )
+    t = mark("forward_write", t0)
 
     fwd = spark.read.parquet(tbl.wave_dir(index_dir, "forward", wave_id)).select(
         "docid", "text"
     )
+    # The tokenize stage is Python-CPU-bound, so its parallelism must be ≥
+    # the executor slots. At production scale the file scan yields plenty
+    # of partitions; at bench scale the scan bin-packs the wave's small
+    # files into a handful of partitions (maxPartitionBytes is sized for
+    # JVM scans), silently capping the Arrow tokenize stage at ~4 tasks.
+    # One cheap text shuffle restores full parallelism; no-op when the
+    # scan is already wide enough.
+    width = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "64")),
+        spark.sparkContext.defaultParallelism,
+    )
+    if fwd.rdd.getNumPartitions() < width:
+        fwd = fwd.repartition(width)
     tok = tokenized(fwd, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         posting_blocks(tok, cfg).write.partitionBy("term_bucket").mode("overwrite").parquet(
             tbl.wave_dir(index_dir, "postings", wave_id)
         )
+        t = mark("postings_write", t)
         doc_lens(tok).write.mode("overwrite").parquet(
             tbl.wave_dir(index_dir, "doc_lens", wave_id)
         )
+        t = mark("doc_lens_write", t)
         term_stats(tok).write.mode("overwrite").parquet(
             tbl.wave_dir(index_dir, "term_stats", wave_id)
         )
+        t = mark("term_stats_write", t)
     finally:
         tok.unpersist()
 
@@ -113,6 +142,7 @@ def build_wave(
     agg = blk.agg(
         F.coalesce(F.sum("n"), F.lit(0)).alias("np"), F.count(F.lit(1)).alias("nb")
     ).collect()[0]
+    mark("metrics_read", t)
     return (
         wave_id,
         wave_buckets,
@@ -145,6 +175,7 @@ def build_index(
     Returns a metrics dict: waves run/skipped, docs indexed this run.
     """
     cfg = cfg or IndexConfig()
+    PHASE_TIMINGS.clear()
     df = with_bucket(transcripts, cfg)
 
     done = completed_waves(spark, index_dir) if resume else set()
@@ -160,7 +191,9 @@ def build_index(
         if fail_after_waves is not None and len(ran) >= fail_after_waves:
             raise InjectedFailure(f"injected failure after wave {wave_id}")
 
+    t_fin = time.monotonic()
     finalize(spark, index_dir, cfg)
+    PHASE_TIMINGS["finalize"] = round(time.monotonic() - t_fin, 3)
     return {
         "waves_run": ran,
         "waves_skipped": skipped,

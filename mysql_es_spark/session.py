@@ -35,6 +35,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Job commit: v2 commits task output directly at task-commit time
+        # (parallel, on executors) instead of a driver-serial rename sweep
+        # at job end — with partitionBy(term_bucket) writes producing
+        # O(tasks × buckets) files, v1's serial commit was ~10s of
+        # non-scaling wall time per build. Production object-store
+        # committers (S3A magic / Iceberg) are likewise task-parallel.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # Local FS only: skip the ChecksumFileSystem .crc shadow files —
+        # they double small-file creates/renames; parquet has its own
+        # page checksums.
+        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -1,0 +1,84 @@
+"""CLI / spark-submit surface: gen → build --enrich → resume no-op → query.
+
+The north rule requires the engine to run "via spark-submit --py-files";
+`mysql_es_spark.cli` is that entry point (cli_submit.py is the submit
+driver file). These tests drive the same code path in-process against the
+session fixture's SparkSession (cli attaches to the active session).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+
+from mysql_es_spark.cli import main as cli_main
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    corpus_dir = str(tmp_path / "corpus")
+    ix = str(tmp_path / "ix")
+
+    assert cli_main(["gen", "--out", corpus_dir, "--turns", "800", "--seed", "7"]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the generator targets ~n_turns via sampled conversation lengths;
+    # actual count lands below the target
+    assert meta["turns"] >= 400
+
+    common = ["--n-buckets", "4", "--wave-size", "2", "--salt-docs", "256"]
+    assert (
+        cli_main(
+            [
+                *common,
+                "build",
+                "--input", f"{corpus_dir}/transcripts",
+                "--index-dir", ix,
+                "--enrich",
+                "--conversations", f"{corpus_dir}/conversations",
+                "--owners", f"{corpus_dir}/owners",
+            ]
+        )
+        == 0
+    )
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_docs_built"] == meta["turns"]
+    assert built["waves_run"] == [0, 1]
+
+    # resume over a completed build skips every wave (lineage-driven)
+    assert (
+        cli_main(
+            [*common, "build", "--input", f"{corpus_dir}/transcripts",
+             "--index-dir", ix, "--resume"]
+        )
+        == 0
+    )
+    resumed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert resumed["waves_run"] == [] and resumed["waves_skipped"] == [0, 1]
+
+    assert (
+        cli_main(
+            [*common, "query", "--index-dir", ix, "--query", "w1 w2 w10",
+             "-k", "5", "--mode", "pruned"]
+        )
+        == 0
+    )
+    q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(q["hits"]) == 5
+    scores = [h["score"] for h in q["hits"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_package_pyfiles(tmp_path):
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "package_pyfiles.py")],
+        capture_output=True, text=True, check=True,
+    )
+    zpath = out.stdout.strip()
+    with zipfile.ZipFile(zpath) as z:
+        names = z.namelist()
+    assert "mysql_es_spark/cli.py" in names
+    assert "mysql_es_spark/plans/build.py" in names
