@@ -493,6 +493,12 @@ def q_ann(spark, sf):
     return similarity.ann_topk(emb, [float(x) for x in qv], k=10, n_planes=8, multiprobe=3)
 
 
+def q_ivf(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.ivf_topk(emb, [float(x) for x in qv], k=10, n_cells=16, n_probe=4)
+
+
 def q_mm_features(spark, sf):
     return multimodal.extract_features(multimodal.synth_media(spark, 48)).select(
         "media_id", "kind", "n_bytes"
@@ -550,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh_pairs": q_minhash,
         "doc_simhash_near_dups": q_simhash,
         "emb_ann_lsh_topk": q_ann,
+        "emb_ann_ivf_topk": q_ivf,
         "mm_feature_extract": q_mm_features,
         "mm_frame_sample": q_mm_frames,
     }

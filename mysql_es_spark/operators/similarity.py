@@ -7,9 +7,14 @@
                            neighbors instead of scanning 10^11 vectors)
 - ``ann_topk``             LSH-bucketed approximate top-k with exact
                            re-ranking inside the probed buckets
+- ``ivf_centroids`` / ``ivf_assign`` / ``ivf_topk``
+                           IVF (inverted-file) ANN: spherical k-means
+                           coarse quantizer trained on a driver-side
+                           sample; cells assigned distributed; a query
+                           probes the n_probe nearest cells
 
-The hyperplanes are seeded numpy — deterministic, shipped to executors as
-a broadcast-sized literal (dim × n_planes doubles, a few KB).
+The hyperplanes / centroids are seeded numpy — deterministic, shipped to
+executors as broadcast-sized literals (a few KB / n_cells × dim doubles).
 """
 
 from __future__ import annotations
@@ -118,6 +123,106 @@ def ann_topk(
         bucketed = hyperplane_buckets(emb, planes, id_col, vec_col)
     probes = query_buckets(query_vec, planes, multiprobe)
     cand = bucketed.filter(F.col("bucket").isin(probes))
+    scored = (
+        cand.withColumn("__q", _query_lit(query_vec))
+        .withColumn("cos", F.round(cosine_expr("v", "__q"), 4))
+        .select(id_col, "cos")
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — k-means coarse quantizer + cell-probe search
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 8,
+    sample_rows: int = 20_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train a spherical-k-means coarse quantizer on a bounded sample.
+
+    The sample (≤ ``sample_rows``, deterministic seeded Bernoulli + limit)
+    is collected to the driver and clustered in numpy — training cost is
+    O(sample) regardless of corpus size; only the (n_cells × dim) centroid
+    matrix ships back to executors. Vectors are L2-normalized so cosine
+    similarity == dot product (spherical k-means); empty cells respawn on
+    the farthest-from-assigned-centroid points (standard repair)."""
+    frac_df = emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+    n = frac_df.limit(sample_rows * 4).count()
+    if n > sample_rows:
+        frac_df = frac_df.sample(fraction=min(1.0, sample_rows / n * 1.2), seed=seed)
+    rows = frac_df.limit(sample_rows).collect()
+    M = np.array([r["v"] for r in rows], dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = M[rng.choice(len(M), size=min(n_cells, len(M)), replace=False)].copy()
+    for _ in range(iters):
+        sim = M @ C.T
+        assign = np.argmax(sim, axis=1)
+        for c in range(len(C)):
+            members = M[assign == c]
+            if len(members):
+                mean = members.mean(axis=0)
+                C[c] = mean / max(np.linalg.norm(mean), 1e-12)
+            else:
+                worst = np.argmin(sim[np.arange(len(M)), assign])
+                C[c] = M[worst]
+    return C
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell int, v array<double>) — nearest-centroid cell per vector,
+    one Arrow pass (numpy matmul per batch). At scale this table is
+    written once, partitioned by ``cell``, so probes are partition
+    pruning (same layout contract as the postings term_bucket dirs)."""
+    C = centroids
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            cell = np.argmax(Mn @ C.T, axis=1).astype(np.int32)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "cell": cell, "v": list(M)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, cell int, v array<double>"
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` nearest cells, exact
+    cosine re-rank inside them. Scans n_probe/n_cells of the corpus."""
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_cells=n_cells, seed=seed, vec_col=vec_col)
+    if assigned is None:
+        assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(c) for c in np.argsort(-(centroids @ qn))[:n_probe]]
+    cand = assigned.filter(F.col("cell").isin(probes))
     scored = (
         cand.withColumn("__q", _query_lit(query_vec))
         .withColumn("cos", F.round(cosine_expr("v", "__q"), 4))

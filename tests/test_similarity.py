@@ -61,3 +61,38 @@ def test_query_buckets_multiprobe():
     probes = similarity.query_buckets([1.0] * 8, planes, multiprobe=3)
     assert len(probes) == 4 and len(set(probes)) == 4
     assert all(0 <= p < 2**6 for p in probes)
+
+
+def test_ivf_topk_recall(spark, emb_df):
+    df, M = emb_df
+    cents = similarity.ivf_centroids(df, n_cells=12, seed=42)
+    assert cents.shape == (12, DIM)
+    assigned = similarity.ivf_assign(df, cents).cache()
+    assert assigned.count() == N
+    recalls = []
+    for qid in [0, 50, 123]:
+        q = [float(x) for x in M[qid]]
+        exact = set(_numpy_topk(M, np.array(q), 10))
+        approx = {
+            r.vec_id
+            for r in similarity.ivf_topk(
+                df, q, k=10, centroids=cents, assigned=assigned, n_probe=3
+            ).collect()
+        }
+        assert qid in approx  # the query's own cell is always probed
+        recalls.append(len(exact & approx) / 10)
+    # the fixture's vectors cluster tightly around 12 centers, so IVF with
+    # 12 cells and 3 probes should be near-exact
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_ivf_full_probe_equals_exact(spark, emb_df):
+    df, M = emb_df
+    cents = similarity.ivf_centroids(df, n_cells=8, seed=7)
+    q = [float(x) for x in M[33]]
+    exact = _numpy_topk(M, np.array(q), 10)
+    got = [
+        r.vec_id
+        for r in similarity.ivf_topk(df, q, k=10, centroids=cents, n_probe=8).collect()
+    ]
+    assert got == exact  # probing every cell degenerates to brute force
