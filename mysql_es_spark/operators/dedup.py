@@ -91,7 +91,10 @@ def ngram_jaccard_pairs(
     shingle string); Jaccard = |∩| / (|A| + |B| − |∩|) is then exact.
     ``max_shingle_df`` drops shingles appearing in more than that many
     docs before pairing (fan-out cap — see module docstring)."""
-    sh = shingles(df, n, id_col, text_col)
+    # the shingle set feeds both join sides and the size agg — persist it
+    # or the tokenize+explode subtree runs three times (Spark reuses plan
+    # *nodes*, not computed results, across self-join branches)
+    sh = shingles(df, n, id_col, text_col).persist()
     if max_shingle_df is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
         sh = sh.join(freq.filter(F.col("sdf") <= max_shingle_df), "shingle", "left_semi")
@@ -235,7 +238,8 @@ def exact_jaccard_for_pairs(
     against id_b's) — NOT the all-co-occurring-pairs self-join, which is
     quadratic in the df of every common shingle. This is the verify stage
     for every LSH-style candidate generator."""
-    sh = shingles(df, n, id_col, text_col)
+    # persisted: referenced by both join sides and the size agg (3×)
+    sh = shingles(df, n, id_col, text_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -46,6 +46,27 @@ def query_terms(query: str) -> list[str]:
 # built index; re-reading it per query would cost a Spark job each time.
 _STATS_CACHE: dict[str, dict] = {}
 
+# term → term_bucket memo. The bucket is pmod(xxhash64(term), B) — it must
+# match the JVM expression the build used bit-for-bit, so unseen terms are
+# resolved with a one-row local-relation job (no scan) and memoized.
+_BUCKET_CACHE: dict[tuple[int, str], int] = {}
+
+
+def term_buckets_of(spark: SparkSession, terms: list[str], n_buckets: int) -> dict[str, int]:
+    missing = [t for t in terms if (n_buckets, t) not in _BUCKET_CACHE]
+    if missing:
+        rows = (
+            spark.createDataFrame([(t,) for t in missing], schema="term string")
+            .select(
+                "term",
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"),
+            )
+            .collect()
+        )
+        for r in rows:
+            _BUCKET_CACHE[(n_buckets, r["term"])] = int(r["b"])
+    return {t: _BUCKET_CACHE[(n_buckets, t)] for t in terms}
+
 
 def corpus_stats(spark: SparkSession, index_dir: str) -> dict:
     cached = _STATS_CACHE.get(index_dir)
@@ -161,54 +182,64 @@ def bm25_topk(
     cfg = cfg or IndexConfig()
     terms = query_terms(query)
     stats = corpus_stats(spark, index_dir)
-    idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
-    terms = [t for t in terms if t in idf]
     empty = spark.createDataFrame([], schema="docid long, score double")
     if not terms:
         return empty
-
-    blocks = _matching_blocks(spark, index_dir, terms, buckets)
     order = [F.col("score").desc(), F.col("docid").asc()]
 
     if mode == "simple":
+        idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
+        terms = [t for t in terms if t in idf]
+        if not terms:
+            return empty
+        blocks = _matching_blocks(spark, index_dir, terms, buckets)
         scored = _decode_scores(blocks, idf, cfg, stats["avgdl"]).orderBy(*order).limit(k)
         return _with_keys(spark, index_dir, scored) if with_keys else scored
 
     if mode != "pruned":
         raise ValueError(f"unknown mode {mode!r}")
 
-    # ---- phase 0: per-salt upper bounds from block metadata only ----
+    # ---- phase 0: ONE block-metadata job yields both df (⇒ idf) and the
+    # per-salt upper bounds. df(term) = Σ_blocks n (a docid appears once
+    # per term posting list), so the term_dict scan is skipped entirely;
+    # partition pruning uses the memoized term→bucket map. ----
     k1, b = cfg.k1, cfg.b
-    idf_df = spark.createDataFrame(list(idf.items()), schema="term string, idf double")
-    meta = (
-        blocks.select("term", "salt", "n", "max_tf", "min_dl")
-        .join(F.broadcast(idf_df), "term")
-        .withColumn(
-            "ub_block",
-            F.col("idf")
-            * F.col("max_tf")
-            / (
-                F.col("max_tf")
-                + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("min_dl") / F.lit(stats["avgdl"]))
-            ),
-        )
+    bucket_of = term_buckets_of(spark, terms, cfg.term_buckets)
+    buckets = sorted(set(bucket_of.values()))
+    blocks = _matching_blocks(spark, index_dir, terms, buckets)
+    tf_bound = F.col("max_tf") / (
+        F.col("max_tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("min_dl") / F.lit(stats["avgdl"]))
     )
-    # per (term, salt) the bound is the max over its blocks; per salt the
+    meta_rows = (
+        blocks.select("term", "salt", "n", tf_bound.alias("tfb"))
+        .groupBy("term", "salt")
+        .agg(F.max("tfb").alias("tfb"), F.sum("n").alias("n_t"))
+        .collect()
+    )
+    if not meta_rows:
+        return empty
+    df_of: dict[str, int] = {}
+    for r in meta_rows:
+        df_of[r["term"]] = df_of.get(r["term"], 0) + int(r["n_t"])
+    n_docs = stats["n_docs"]
+    idf = {
+        t: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))) for t, df in df_of.items()
+    }
+    terms = [t for t in terms if t in idf]
+    # per (term, salt) the bound is idf · max-block tfnorm; per salt the
     # conjunctive-free bound is the sum over terms. n_cand ≈ docs touched.
-    salt_ub = (
-        meta.groupBy("term", "salt")
-        .agg(F.max("ub_block").alias("ub_t"), F.sum("n").alias("n_t"))
-        .groupBy("salt")
-        .agg(F.sum("ub_t").alias("ub"), F.max("n_t").alias("n_cand"))
-    )
     # salt count = n_docs/salt_docs: small enough to rank on the driver at
     # test scale; at 10^12 docs this becomes a distributed cumsum window.
+    by_salt: dict[int, list[float]] = {}
+    cand_by_salt: dict[int, int] = {}
+    for r in meta_rows:
+        s = int(r["salt"])
+        by_salt.setdefault(s, []).append(idf[r["term"]] * float(r["tfb"]))
+        cand_by_salt[s] = max(cand_by_salt.get(s, 0), int(r["n_t"]))
     salts = sorted(
-        ((int(r["salt"]), float(r["ub"]), int(r["n_cand"])) for r in salt_ub.collect()),
-        key=lambda x: -x[1],
+        ((s, sum(ubs), cand_by_salt[s]) for s, ubs in by_salt.items()), key=lambda x: -x[1]
     )
-    if not salts:
-        return empty
 
     target = cfg.candidate_factor * k
     phase1, covered = [], 0
