@@ -67,64 +67,72 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+
+    def run(name: str, fn, reps: int = 2) -> None:
+        # best-of-N: this sandbox's shared host swings ±2× between
+        # identical reps; the min approximates the steady-state floor
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = best
+
     ix = tempfile.mkdtemp(prefix="bench_ix_")
     try:
         t0 = time.monotonic()
         build_index(spark, transcripts, ix, cfg)
-        timings["index_build"] = time.monotonic() - t0
+        timings["index_build"] = time.monotonic() - t0  # single rep: dominant cost
         build_tps = n_docs / timings["index_build"]
 
         q1, q2 = "spark join query", "window agg batch scan"
-        t0 = time.monotonic()
-        bm25_topk(spark, ix, q1, k=20, cfg=cfg, mode="pruned").collect()
-        timings["bm25_idx_q1"] = time.monotonic() - t0
-
-        t0 = time.monotonic()
-        bm25_topk(spark, ix, q2, k=20, cfg=cfg, mode="pruned").collect()
-        timings["bm25_idx_q2"] = time.monotonic() - t0
-
-        t0 = time.monotonic()
-        direct_bm25(docs, q1, k=20).collect()
-        timings["bm25_direct"] = time.monotonic() - t0
+        run("bm25_idx_q1", lambda: bm25_topk(spark, ix, q1, k=20, cfg=cfg, mode="pruned").collect())
+        run("bm25_idx_q2", lambda: bm25_topk(spark, ix, q2, k=20, cfg=cfg, mode="pruned").collect())
+        run("bm25_direct", lambda: direct_bm25(docs, q1, k=20).collect())
 
         li = t("lineitem")
-        t0 = time.monotonic()
-        (
-            li.filter(F.col("l_shipdate") <= "1998-09-02")
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(
-                F.sum("l_quantity").alias("sum_qty"),
-                F.sum("l_extendedprice").alias("sum_base_price"),
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-                F.avg("l_quantity").alias("avg_qty"),
-                F.count(F.lit(1)).alias("count_order"),
-            )
-            .collect()
+        run(
+            "q1_pricing",
+            lambda: (
+                li.filter(F.col("l_shipdate") <= "1998-09-02")
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(
+                    F.sum("l_quantity").alias("sum_qty"),
+                    F.sum("l_extendedprice").alias("sum_base_price"),
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                        "sum_disc_price"
+                    ),
+                    F.avg("l_quantity").alias("avg_qty"),
+                    F.count(F.lit(1)).alias("count_order"),
+                )
+                .collect()
+            ),
         )
-        timings["q1_pricing"] = time.monotonic() - t0
 
         o, c = t("orders"), t("customer")
         n, r = t("nation"), t("region")
-        t0 = time.monotonic()
-        (
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-            .groupBy("r_name")
-            .agg(F.sum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
-            .collect()
+        run(
+            "region_revenue",
+            lambda: (
+                o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+                .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+                .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                .groupBy("r_name")
+                .agg(F.sum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+                .collect()
+            ),
         )
-        timings["region_revenue"] = time.monotonic() - t0
 
-        t0 = time.monotonic()
-        dedup.minhash_lsh_pairs(docs, n=2, num_perm=64, bands=16, threshold=0.15).collect()
-        timings["doc_minhash"] = time.monotonic() - t0
+        run(
+            "doc_minhash",
+            lambda: dedup.minhash_lsh_pairs(
+                docs, n=2, num_perm=64, bands=16, threshold=0.15
+            ).collect(),
+        )
 
         emb = t("embeddings")
         qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
-        t0 = time.monotonic()
-        similarity.cosine_topk(emb, qv, k=10).collect()
-        timings["emb_topk"] = time.monotonic() - t0
+        run("emb_topk", lambda: similarity.cosine_topk(emb, qv, k=10).collect())
     finally:
         shutil.rmtree(ix, ignore_errors=True)
 

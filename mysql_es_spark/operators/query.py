@@ -56,7 +56,7 @@ def term_buckets_of(spark: SparkSession, terms: list[str], n_buckets: int) -> di
     missing = [t for t in terms if (n_buckets, t) not in _BUCKET_CACHE]
     if missing:
         rows = (
-            spark.createDataFrame([(t,) for t in missing], schema="term string")
+            tbl.local_rows_df(spark, [(t,) for t in missing], "term string")
             .select(
                 "term",
                 F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"),
@@ -182,7 +182,7 @@ def bm25_topk(
     cfg = cfg or IndexConfig()
     terms = query_terms(query)
     stats = corpus_stats(spark, index_dir)
-    empty = spark.createDataFrame([], schema="docid long, score double")
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
     if not terms:
         return empty
     order = [F.col("score").desc(), F.col("docid").asc()]
@@ -283,7 +283,7 @@ def bm25_topk(
         ((r["docid"], r["score"]) for r in [*top1, *top2]),
         key=lambda t: (-t[1], t[0]),
     )[:k]
-    out = spark.createDataFrame(merged or [], schema="docid long, score double")
+    out = tbl.local_rows_df(spark, merged, "docid long, score double")
     return _with_keys(spark, index_dir, out) if with_keys else out
 
 
@@ -317,7 +317,7 @@ def bm25_topk_conjunctive(
     terms = query_terms(query)
     stats = corpus_stats(spark, index_dir)
     idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
-    empty = spark.createDataFrame([], schema="docid long, score double")
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
     if not terms or len(idf) < len(terms):
         # a query term absent from the corpus ⇒ empty intersection
         return empty
@@ -387,7 +387,7 @@ def direct_bm25(
     terms = query_terms(query)
     spark = docs.sparkSession
     if not terms:
-        return spark.createDataFrame([], schema=f"{id_col} long, score double")
+        return tbl.local_rows_df(spark, [], f"{id_col} long, score double")
 
     tok = tokenized(
         docs.select(F.col(id_col).cast("long").alias("docid"), F.col(text_col).alias("text")),

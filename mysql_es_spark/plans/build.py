@@ -157,7 +157,7 @@ def build_wave(
 
 def commit_lineage(spark: SparkSession, index_dir: str, row: tuple) -> None:
     """The "position save": strictly after the wave's data is durable."""
-    spark.createDataFrame([row], schema=tbl.LINEAGE_SCHEMA).coalesce(1).write.mode(
+    tbl.local_rows_df(spark, [row], tbl.LINEAGE_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(tbl.p(index_dir, "lineage"))
 
@@ -220,7 +220,8 @@ def finalize(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> None:
     ).collect()[0]
     # parquet-metadata-only count
     n_terms = spark.read.parquet(tbl.p(index_dir, "term_dict")).count()
-    spark.createDataFrame(
+    tbl.local_rows_df(
+        spark,
         [(int(stats["n_docs"]), int(stats["sum_dl"]), int(n_terms), cfg.n_buckets)],
-        schema=tbl.CORPUS_STATS_SCHEMA,
+        tbl.CORPUS_STATS_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(tbl.p(index_dir, "corpus_stats"))
