@@ -23,6 +23,7 @@ from pyspark.sql import Window as W
 
 from mysql_es_spark.config import IndexConfig
 from mysql_es_spark.operators import dedup, multimodal, similarity, textstats
+from mysql_es_spark.operators.asof import asof_join
 from mysql_es_spark.operators.query import bm25_topk, bm25_topk_conjunctive, direct_bm25
 from mysql_es_spark.operators.relations import propagate_parent_update
 from mysql_es_spark.plans.build import build_index
@@ -417,6 +418,34 @@ def q_term_freq(spark, sf):
     return textstats.term_freq_topn(_t(spark, sf, "documents"), 20)
 
 
+def q_t1_edge_ngram(spark, sf):
+    return textstats.edge_ngram_tokens(_t(spark, sf, "documents"), lo=2, hi=25)
+
+
+def q_prefix_search(spark, sf):
+    return textstats.prefix_search(_t(spark, sf, "documents"), "sca")
+
+
+def q_asof(spark, sf):
+    ev, o = _t(spark, sf, "events"), _t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    right = (
+        o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        right,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
 def q_dedup_exact(spark, sf):
     return dedup.exact_dedup(_t(spark, sf, "documents"))
 
@@ -545,6 +574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_quality,
         "doc_fingerprint": q_fp,
         "doc_term_freq_top20": q_term_freq,
+        "t1_edge_ngram_tokens": q_t1_edge_ngram,
+        "doc_prefix_search": q_prefix_search,
+        "asof_join_events_orders": q_asof,
         "doc_dedup_exact": q_dedup_exact,
         "doc_ngram_jaccard_pairs": q_jaccard,
         "bm25_direct": q_bm25_direct,
@@ -756,6 +788,30 @@ def oracle_sql() -> dict[str, str]:
             e AS (SELECT t.doc_id, u.term FROM t, unnest(t.toks) AS u(term))
             SELECT term, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
             FROM e GROUP BY term ORDER BY n_occurrences DESC, term ASC LIMIT 20
+        """,
+        "t1_edge_ngram_tokens": f"""
+            WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents)
+            SELECT doc_id,
+                   len(list_distinct(flatten(
+                     [ CASE WHEN length(x) >= 2
+                        THEN [ x[1:n] FOR n IN range(2, least(length(x), 25) + 1) ]
+                        ELSE [x] END FOR x IN toks ]))) AS n_grams
+            FROM t
+        """,
+        "doc_prefix_search": f"""
+            WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents)
+            SELECT doc_id, len(list_filter(toks, x -> starts_with(x, 'sca'))) AS n_hits
+            FROM t WHERE len(list_filter(toks, x -> starts_with(x, 'sca'))) > 0
+        """,
+        "asof_join_events_orders": """
+            WITH r AS (
+              SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+                FROM orders) WHERE rn = 1)
+            SELECT e.event_id, r.o_orderkey, round(r.o_totalprice, 2) AS o_totalprice
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
         """,
         "doc_dedup_exact": f"""
             SELECT doc_id, fp FROM (

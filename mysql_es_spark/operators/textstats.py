@@ -128,3 +128,35 @@ def bpe_token_estimate(
 def duckdb_tokens(text_col: str = "text") -> str:
     """The DuckDB expression equal to with_tokens() for Latin-script text."""
     return f"regexp_extract_all(lower(strip_accents({text_col})), '[0-9a-z]+')"
+
+
+def edge_ngram_tokens(
+    df: DataFrame,
+    lo: int = 2,
+    hi: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_grams) — unique-token count under the reference's T1 *index*
+    analyzer with front edge-ngrams on (template.json:9-19,30-36: standard
+    → lowercase → asciifold → edge_ngram(lo..hi) → unique). The ngram
+    expansion is the one analyzer step the pyarrow fast path can't express,
+    so this runs the pandas tokenize path (functions/analyze.py T1)."""
+    t = df.withColumn("toks", tokenize_udf(edge_ngram=True, ngram_min=lo, ngram_max=hi)(F.col(text_col)))
+    return t.select(F.col(id_col), F.size("toks").cast("long").alias("n_grams"))
+
+
+def prefix_search(
+    df: DataFrame, prefix: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_hits) for docs with ≥1 analyzer token starting with ``prefix``
+    — search-as-you-type, the query the reference serves by edge-ngram
+    indexing name/phone fields (template.json:74-96). Here it's a pure JVM
+    expression (tokenize → filter → size); against the built index the same
+    query is a term-dictionary range scan over [prefix, prefix+0xFF)."""
+    t = with_tokens(df, text_col)
+    hits = F.size(F.expr(f"filter(toks, x -> startswith(x, '{prefix}'))"))
+    return (
+        t.select(F.col(id_col), hits.cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )

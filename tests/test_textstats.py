@@ -52,6 +52,28 @@ def test_fingerprint_normalization(spark):
     assert len(fps[0]) == 32
 
 
+def test_edge_ngram_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, "spark io a"), (1, ""), (2, "spark spark")],
+        schema="doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_grams
+        for r in textstats.edge_ngram_tokens(df, lo=2, hi=4).collect()
+    }
+    # doc 0: spark → sp,spa,spar; io → io; a → a (short passthrough) = 5 unique
+    assert got[0] == 5
+    assert got[1] == 0
+    assert got[2] == 3  # unique filter dedups the repeat
+
+
+def test_prefix_search(spark, docs_df):
+    got = {r.doc_id: r.n_hits for r in textstats.prefix_search(docs_df, "ca").collect()}
+    assert got[0] == 1  # "cat"
+    assert got[1] == 1  # "calle"
+    assert 2 not in got  # no ca* token ("chat" starts with "ch")
+
+
 def test_term_freq_topn(spark, docs_df):
     rows = textstats.term_freq_topn(docs_df, 3).collect()
     assert rows[0].term == "la"  # 3 occurrences (es ×2, fr ×1)
