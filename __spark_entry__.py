@@ -446,6 +446,27 @@ def q_asof(spark, sf):
     )
 
 
+def q_range_join(spark, sf):
+    """Interval join with an equi prefix: hash-join on the key, the time
+    range as a join-side predicate — the scalable shape (never a pure
+    theta join) for event-window attribution at 100 TB."""
+    li, o = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+    )
+    return o.join(li, cond).groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_fast_ships"))
+
+
+def q_quantiles(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 2).alias("median_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 2).alias("p90_price"),
+    )
+
+
 def q_dedup_exact(spark, sf):
     return dedup.exact_dedup(_t(spark, sf, "documents"))
 
@@ -574,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_quality,
         "doc_fingerprint": q_fp,
         "doc_term_freq_top20": q_term_freq,
+        "range_join_attribution": q_range_join,
+        "quantiles_by_status": q_quantiles,
         "t1_edge_ngram_tokens": q_t1_edge_ngram,
         "doc_prefix_search": q_prefix_search,
         "asof_join_events_orders": q_asof,
@@ -788,6 +811,19 @@ def oracle_sql() -> dict[str, str]:
             e AS (SELECT t.doc_id, u.term FROM t, unnest(t.toks) AS u(term))
             SELECT term, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
             FROM e GROUP BY term ORDER BY n_occurrences DESC, term ASC LIMIT 20
+        """,
+        "range_join_attribution": """
+            SELECT o_orderkey, count(*) AS n_fast_ships
+            FROM orders JOIN lineitem
+              ON l_orderkey = o_orderkey
+             AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+            GROUP BY o_orderkey
+        """,
+        "quantiles_by_status": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+                   round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+            FROM orders GROUP BY o_orderstatus
         """,
         "t1_edge_ngram_tokens": f"""
             WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents)
