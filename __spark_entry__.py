@@ -215,6 +215,29 @@ def q_j6(spark, sf):
     )
 
 
+def q_p3(spark, sf):
+    """P3 column rename — the reference declared column_alias but left it
+    TODO (River.java:470-471, Emiter.java:248-256); here it's one call."""
+    c = _t(spark, sf, "customer")
+    return c.select("c_custkey", "c_name", "c_mktsegment").withColumnsRenamed(
+        {"c_custkey": "id", "c_name": "name", "c_mktsegment": "segment"}
+    )
+
+
+def q_e1(spark, sf):
+    c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+def q_e3(spark, sf):
+    o, ev = _t(spark, sf, "orders"), _t(spark, sf, "events")
+    return o.select(F.col("o_custkey").alias("custkey")).subtract(
+        ev.select(F.col("user_id").alias("custkey"))
+    )
+
+
 def q_a1(spark, sf):
     return (
         _t(spark, sf, "events")
@@ -570,6 +593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_semi_join": q_j1,
         "j_anti_join": q_janti,
         "j6_parent_propagation": q_j6,
+        "p3_column_alias": q_p3,
+        "e1_intersect": q_e1,
+        "e3_except": q_e3,
         "a1_counts_by_type": q_a1,
         "a3_distinct": q_a3,
         "q1_pricing_summary": q_tpch_q1,
@@ -670,6 +696,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
                         THEN 'URGENT-SYNC' ELSE o_orderpriority END AS o_orderpriority
             FROM orders
+        """,
+        "p3_column_alias": """
+            SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment FROM customer
+        """,
+        "e1_intersect": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "e3_except": """
+            SELECT o_custkey AS custkey FROM orders
+            EXCEPT
+            SELECT user_id AS custkey FROM events
         """,
         "a1_counts_by_type": """
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
