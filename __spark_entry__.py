@@ -449,6 +449,10 @@ def q_prefix_search(spark, sf):
     return textstats.prefix_search(_t(spark, sf, "documents"), "sca")
 
 
+def q_phrase_search(spark, sf):
+    return textstats.phrase_search(_t(spark, sf, "documents"), "row scan")
+
+
 def q_asof(spark, sf):
     ev, o = _t(spark, sf, "events"), _t(spark, sf, "orders")
     w = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
@@ -625,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_by_status": q_quantiles,
         "t1_edge_ngram_tokens": q_t1_edge_ngram,
         "doc_prefix_search": q_prefix_search,
+        "doc_phrase_search": q_phrase_search,
         "asof_join_events_orders": q_asof,
         "doc_dedup_exact": q_dedup_exact,
         "doc_ngram_jaccard_pairs": q_jaccard,
@@ -877,6 +882,15 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents)
             SELECT doc_id, len(list_filter(toks, x -> starts_with(x, 'sca'))) AS n_hits
             FROM t WHERE len(list_filter(toks, x -> starts_with(x, 'sca'))) > 0
+        """,
+        "doc_phrase_search": f"""
+            WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents)
+            SELECT doc_id,
+                   strpos(' ' || array_to_string(toks, ' ') || ' ',
+                          ' row scan ')::BIGINT AS pos
+            FROM t
+            WHERE strpos(' ' || array_to_string(toks, ' ') || ' ',
+                         ' row scan ') > 0
         """,
         "asof_join_events_orders": """
             WITH r AS (

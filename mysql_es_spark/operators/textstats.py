@@ -146,6 +146,27 @@ def edge_ngram_tokens(
     return t.select(F.col(id_col), F.size("toks").cast("long").alias("n_grams"))
 
 
+def phrase_search(
+    df: DataFrame, phrase: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, pos) for docs containing the analyzer-token ``phrase`` as a
+    consecutive token run; pos is the 1-based character offset of the first
+    occurrence in the space-joined token stream (0 never appears — misses
+    are filtered). Index-free analog of ES match_phrase: both engines
+    normalize to the same token stream, so "Fast, TABLE value!" matches
+    "fast table value". No positional postings needed for the batch form;
+    the streamed form would reuse the same normalized-stream contract."""
+    from ..functions.analyze import tokenize_text
+
+    needle = " " + " ".join(tokenize_text(phrase)) + " "
+    t = with_tokens(df, text_col)
+    hay = F.concat(F.lit(" "), F.concat_ws(" ", F.col("toks")), F.lit(" "))
+    return (
+        t.select(F.col(id_col), F.instr(hay, needle).cast("long").alias("pos"))
+        .filter(F.col("pos") > 0)
+    )
+
+
 def prefix_search(
     df: DataFrame, prefix: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

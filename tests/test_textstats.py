@@ -74,6 +74,23 @@ def test_prefix_search(spark, docs_df):
     assert 2 not in got  # no ca* token ("chat" starts with "ch")
 
 
+def test_phrase_search(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "The CAT sat on the mat"),
+            (1, "cat sat elsewhere"),
+            (2, "the cat. Sat! yes"),  # punctuation-normalized match
+            (3, "sat cat the"),  # right tokens, wrong order
+            (4, "cat x sat"),  # not consecutive
+        ],
+        schema="doc_id long, text string",
+    )
+    got = {r.doc_id: r.pos for r in textstats.phrase_search(df, "Cat, SAT").collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[1] == 1  # phrase at stream start → offset of leading space +1
+    assert got[0] > 1
+
+
 def test_term_freq_topn(spark, docs_df):
     rows = textstats.term_freq_topn(docs_df, 3).collect()
     assert rows[0].term == "la"  # 3 occurrences (es ×2, fr ×1)
