@@ -24,7 +24,12 @@ from pyspark.sql import Window as W
 from mysql_es_spark.config import IndexConfig
 from mysql_es_spark.operators import dedup, multimodal, similarity, textstats
 from mysql_es_spark.operators.asof import asof_join
-from mysql_es_spark.operators.query import bm25_topk, bm25_topk_conjunctive, direct_bm25
+from mysql_es_spark.operators.query import (
+    bm25_topk,
+    bm25_topk_conjunctive,
+    direct_bm25,
+    phrase_topk,
+)
 from mysql_es_spark.operators.relations import propagate_parent_update
 from mysql_es_spark.plans.build import build_index
 
@@ -41,8 +46,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _docs_index_cfg() -> IndexConfig:
-    return IndexConfig(n_buckets=4, wave_size=4, salt_docs=1 << 20, term_buckets=8)
+def _docs_index_cfg(positions: bool = False) -> IndexConfig:
+    return IndexConfig(
+        n_buckets=4, wave_size=4, salt_docs=1 << 20, term_buckets=8,
+        with_positions=positions,
+    )
 
 
 def _documents_as_transcripts(docs: DataFrame) -> DataFrame:
@@ -56,9 +64,11 @@ def _documents_as_transcripts(docs: DataFrame) -> DataFrame:
     )
 
 
-def _index_for_documents(spark: SparkSession, sf_dir: str) -> str:
+def _index_for_documents(spark: SparkSession, sf_dir: str, positions: bool = False) -> str:
     """Build (once per sf_dir per machine) a full index over documents."""
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    if positions:
+        key += "-pos"
     ix = f"/tmp/mysql_es_spark_ixcache/{key}"
     marker = os.path.join(ix, "_COMPLETE")
     if not os.path.exists(marker):
@@ -66,7 +76,7 @@ def _index_for_documents(spark: SparkSession, sf_dir: str) -> str:
 
         shutil.rmtree(ix, ignore_errors=True)
         docs = _documents_as_transcripts(_t(spark, sf_dir, "documents"))
-        build_index(spark, docs, ix, _docs_index_cfg())
+        build_index(spark, docs, ix, _docs_index_cfg(positions))
         with open(marker, "w") as f:
             f.write("ok")
     return ix
@@ -541,6 +551,22 @@ def q_bm25_conjunctive(spark, sf):
     )
 
 
+def q_phrase_via_index(spark, sf):
+    """Indexed match_phrase: positional index + salt-pruned adjacency
+    verification; BM25-scored, re-keyed to doc_id for the oracle."""
+    ix = _index_for_documents(spark, sf, positions=True)
+    top = phrase_topk(
+        spark, ix, "row scan", k=60, cfg=_docs_index_cfg(True), with_keys=True
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(40)
+    )
+
+
 def q_emb_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -637,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_direct_q2": q_bm25_direct2,
         "bm25_via_index": q_bm25_index,
         "bm25_conjunctive": q_bm25_conjunctive,
+        "bm25_phrase_via_index": q_phrase_via_index,
         "emb_cosine_topk": q_emb_topk,
         "emb_near_dups": q_emb_near_dups,
         "doc_minhash_lsh_pairs": q_minhash,
@@ -927,6 +954,30 @@ def oracle_sql() -> dict[str, str]:
         "bm25_direct_q2": _bm25_sql(BM25_Q2, 15),
         "bm25_via_index": _bm25_sql(BM25_Q1, 20),
         "bm25_conjunctive": _bm25_conj_sql(BM25_Q1, 20),
+        "bm25_phrase_via_index": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+m AS (SELECT doc_id FROM toks
+      WHERE strpos(' ' || array_to_string(tl, ' ') || ' ', ' row scan ') > 0),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('row', 'scan')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM m)
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 40
+""",
         "emb_cosine_topk": """
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[],

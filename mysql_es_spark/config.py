@@ -26,6 +26,11 @@ class IndexConfig:
     edge_ngram: bool = False
     edge_ngram_min: int = 2
     edge_ngram_max: int = 25
+    # store per-occurrence token positions in the posting blocks (enables
+    # indexed phrase queries — ES match_phrase; Lucene stores positions by
+    # default). Off by default: the transcripts north rule needs only BM25,
+    # and positions add ~log2(gap) bits per token occurrence.
+    with_positions: bool = False
 
     # --- physical layout ---
     # Postings per encoded block (delta-gap + FOR bit-packing; block_max

@@ -79,3 +79,46 @@ def decode_block(blob: bytes, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarra
     dls = unpack_uint(mv[off:], w_dl, n)
     docids = base + np.cumsum(deltas, dtype=np.int64)
     return docids, tfs.astype(np.int64), dls.astype(np.int64)
+
+
+def encode_positions(positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode per-posting token positions (phrase-query payload).
+
+    ``positions`` is the concatenation, in posting (docid) order, of each
+    posting's ascending position list; ``tfs`` gives the per-posting counts
+    (the split points — stored once in the main block, not duplicated
+    here). Within a posting the values are delta-gapped (first absolute),
+    then the whole stream is FOR bit-packed: one byte of width header plus
+    ~log2(max gap) bits per occurrence.
+    """
+    positions = np.ascontiguousarray(positions, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    if len(positions) == 0:
+        return b"\x00"
+    starts = np.zeros(len(tfs), dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    deltas = np.empty(len(positions), dtype=np.uint64)
+    np.subtract(positions[1:], positions[:-1], out=deltas[1:], casting="unsafe")
+    deltas[starts] = positions[starts]
+    w, payload = pack_uint(deltas)
+    return bytes((w,)) + payload
+
+
+def decode_positions(blob: bytes | memoryview, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions` → flat int64 position array
+    (segment boundaries are ``np.cumsum(tfs)``, as at encode time)."""
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    n = int(tfs.sum())
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    mv = memoryview(blob)
+    deltas = unpack_uint(mv[1:], mv[0], n).astype(np.int64)
+    starts = np.zeros(len(tfs), dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    c = np.cumsum(deltas)
+    # segmented cumsum: subtract the running total accumulated before each
+    # segment (the stored start values are absolute, so the correction is
+    # c[start-1] for every non-first segment)
+    base = np.zeros(len(tfs), dtype=np.int64)
+    base[1:] = c[starts[1:] - 1]
+    return c - np.repeat(base, tfs)

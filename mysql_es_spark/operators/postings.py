@@ -33,13 +33,15 @@ from pyspark.sql import functions as F
 
 from ..config import IndexConfig
 from ..functions.analyze import tokenize_series
-from ..functions.codecs import encode_block
+from ..functions.codecs import encode_block, encode_positions
 
 TOKENIZED_SCHEMA = "docid long, term string, tf int, dl int"
+TOKENIZED_POS_SCHEMA = TOKENIZED_SCHEMA + ", pos array<int>"
 BLOCK_SCHEMA = (
     "term_bucket int, term string, salt long, start_docid long, "
     "n int, max_tf int, min_dl int, blob binary"
 )
+BLOCK_POS_SCHEMA = BLOCK_SCHEMA + ", pos_blob binary"
 
 
 def tokenized(df: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -59,7 +61,10 @@ def tokenized(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     ngrams), which pyarrow can't express cleanly.
     """
     if cfg.edge_ngram:
+        if cfg.with_positions:
+            raise ValueError("with_positions is not supported with edge_ngram")
         return _tokenized_pandas(df, cfg)
+    with_pos = cfg.with_positions
 
     def explode_arrow(batches):
         import pyarrow as pa
@@ -75,13 +80,34 @@ def tokenized(df: DataFrame, cfg: IndexConfig) -> DataFrame:
             par = pc.list_parent_indices(lists)
             keep = pc.not_equal(flat, "")
             terms = pc.filter(flat, keep)
-            doc_per_term = pc.take(docid, pc.filter(par, keep))
+            par_kept = pc.filter(par, keep)
+            doc_per_term = pc.take(docid, par_kept)
 
             # tf per (docid, term); dl per docid — both C++ hash aggs
+            tok_cols = {"docid": doc_per_term, "term": terms}
+            aggs = [("term", "count")]
+            if with_pos:
+                # position = ordinal of the occurrence among the doc's
+                # *kept* tokens (Lucene's analyzed-stream positions);
+                # par_kept is ascending, so a change-point scan yields
+                # each occurrence's offset from its doc's first token
+                pk = par_kept.to_numpy(zero_copy_only=False).astype(np.int64)
+                idx = np.arange(len(pk), dtype=np.int64)
+                if len(pk):
+                    seg_start = np.empty(len(pk), dtype=bool)
+                    seg_start[0] = True
+                    np.not_equal(pk[1:], pk[:-1], out=seg_start[1:])
+                    starts = idx[seg_start]
+                    counts = np.diff(np.append(starts, len(pk)))
+                    positions = idx - np.repeat(starts, counts)
+                else:
+                    positions = idx
+                tok_cols["pos"] = pa.array(positions.astype(np.int32))
+                aggs.append(("pos", "list"))
             tf = (
-                pa.table({"docid": doc_per_term, "term": terms})
+                pa.table(tok_cols)
                 .group_by(["docid", "term"], use_threads=False)
-                .aggregate([("term", "count")])
+                .aggregate(aggs)
             )
             dl = (
                 pa.table({"docid": doc_per_term})
@@ -105,31 +131,37 @@ def tokenized(df: DataFrame, cfg: IndexConfig) -> DataFrame:
             all_ids = docid.to_numpy(zero_copy_only=False).astype(np.int64)
             tf_ids = tf.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
             n_doc, n_tf = len(all_ids), len(tf_ids)
-            yield pa.record_batch(
-                [
-                    pa.array(np.concatenate([all_ids, tf_ids]), type=pa.int64()),
-                    pa.concat_arrays(
-                        [pa.nulls(n_doc, pa.string()), tf.column("term").combine_chunks()]
+            arrays = [
+                pa.array(np.concatenate([all_ids, tf_ids]), type=pa.int64()),
+                pa.concat_arrays(
+                    [pa.nulls(n_doc, pa.string()), tf.column("term").combine_chunks()]
+                ),
+                pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(n_doc, dtype=np.int32),
+                            tf.column("term_count")
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int32),
+                        ]
                     ),
-                    pa.array(
-                        np.concatenate(
-                            [
-                                np.zeros(n_doc, dtype=np.int32),
-                                tf.column("term_count")
-                                .to_numpy(zero_copy_only=False)
-                                .astype(np.int32),
-                            ]
-                        ),
-                        type=pa.int32(),
-                    ),
-                    pa.array(
-                        np.concatenate([dl_for(all_ids), dl_for(tf_ids)]), type=pa.int32()
-                    ),
-                ],
-                names=["docid", "term", "tf", "dl"],
-            )
+                    type=pa.int32(),
+                ),
+                pa.array(
+                    np.concatenate([dl_for(all_ids), dl_for(tf_ids)]), type=pa.int32()
+                ),
+            ]
+            names = ["docid", "term", "tf", "dl"]
+            if with_pos:
+                plist = tf.column("pos_list").combine_chunks().cast(pa.list_(pa.int32()))
+                arrays.append(
+                    pa.concat_arrays([pa.nulls(n_doc, pa.list_(pa.int32())), plist])
+                )
+                names.append("pos")
+            yield pa.record_batch(arrays, names=names)
 
-    return df.select("docid", "text").mapInArrow(explode_arrow, schema=TOKENIZED_SCHEMA)
+    schema = TOKENIZED_POS_SCHEMA if with_pos else TOKENIZED_SCHEMA
+    return df.select("docid", "text").mapInArrow(explode_arrow, schema=schema)
 
 
 def _tokenized_pandas(df: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -166,7 +198,7 @@ def _tokenized_pandas(df: DataFrame, cfg: IndexConfig) -> DataFrame:
 
 
 def _encode_batches(
-    batches: Iterator[pd.DataFrame], block_size: int
+    batches: Iterator[pd.DataFrame], block_size: int, with_pos: bool = False
 ) -> Iterator[pd.DataFrame]:
     """Partition-sorted (term_bucket, term, salt, docid, tf, dl) rows →
     block rows. Group boundaries found vectorized (one change-point scan
@@ -178,6 +210,8 @@ def _encode_batches(
     the decoder and block-max pruning require.
     """
     cols = ["term_bucket", "term", "salt", "start_docid", "n", "max_tf", "min_dl", "blob"]
+    if with_pos:
+        cols = cols + ["pos_blob"]
     for pdf in batches:
         m = len(pdf)
         if not m:
@@ -188,6 +222,14 @@ def _encode_batches(
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
         tbs = pdf["term_bucket"].to_numpy(dtype=np.int64)
+        if with_pos:
+            flat_pos = (
+                np.concatenate(pdf["pos"].to_numpy()).astype(np.int64)
+                if tfs.sum()
+                else np.zeros(0, dtype=np.int64)
+            )
+            cum = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(tfs, out=cum[1:])
         change = np.empty(m, dtype=bool)
         change[0] = True
         np.not_equal(terms[1:], terms[:-1], out=change[1:])
@@ -198,18 +240,21 @@ def _encode_batches(
         for gs, ge in zip(starts, ends):
             for s in range(gs, ge, block_size):
                 e = min(s + block_size, ge)
-                rows.append(
-                    (
-                        int(tbs[gs]),
-                        terms[gs],
-                        int(salts[gs]),
-                        int(docids[s]),
-                        e - s,
-                        int(tfs[s:e].max()),
-                        int(dls[s:e].min()),
-                        encode_block(docids[s:e], tfs[s:e], dls[s:e]),
-                    )
+                row = (
+                    int(tbs[gs]),
+                    terms[gs],
+                    int(salts[gs]),
+                    int(docids[s]),
+                    e - s,
+                    int(tfs[s:e].max()),
+                    int(dls[s:e].min()),
+                    encode_block(docids[s:e], tfs[s:e], dls[s:e]),
                 )
+                if with_pos:
+                    row = row + (
+                        encode_positions(flat_pos[cum[s] : cum[e]], tfs[s:e]),
+                    )
+                rows.append(row)
         yield pd.DataFrame(rows, columns=cols)
 
 
@@ -239,10 +284,12 @@ def posting_blocks(tok: DataFrame, cfg: IndexConfig) -> DataFrame:
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
         spark.sparkContext.defaultParallelism,
     )
+    with_pos = cfg.with_positions
+    schema = BLOCK_POS_SCHEMA if with_pos else BLOCK_SCHEMA
     return (
         p.repartition(n_parts, "term_bucket", "term", "salt")
         .sortWithinPartitions("term", "salt", "docid")
-        .mapInPandas(lambda it: _encode_batches(it, block_size), schema=BLOCK_SCHEMA)
+        .mapInPandas(lambda it: _encode_batches(it, block_size, with_pos), schema=schema)
     )
 
 

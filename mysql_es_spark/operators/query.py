@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..config import IndexConfig
 from ..functions.analyze import tokenize_text
-from ..functions.codecs import decode_block
+from ..functions.codecs import decode_block, decode_positions
 from ..sources import tables as tbl
 
 
@@ -357,6 +357,138 @@ def bm25_topk_conjunctive(
         .agg(F.sum("contrib").alias("score"), F.count(F.lit(1)).alias("nt"))
         .filter(F.col("nt") == len(terms))
         .drop("nt")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
+def phrase_topk(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """Top-k BM25 over docs containing ``phrase`` as consecutive analyzer
+    tokens — ES ``match_phrase`` served from the index. Requires an index
+    built with ``cfg.with_positions=True``.
+
+    Plan (all pruning before any payload decode):
+    1. conjunctive salt pruning as in :func:`bm25_topk_conjunctive` — a
+       docid range can only hold a phrase match if *every* phrase term has
+       a block there (metadata-only agg, blobs/pos_blobs unread);
+    2. shuffle the surviving block rows by ``salt`` so all terms of a
+       range are co-located, then one vectorized pass per partition:
+       decode postings + positions, chain the phrase with sorted-array
+       intersections on (local docid, position) keys — occurrence i+1 must
+       sit at position+1 — and BM25-score the matching docs;
+    3. global TakeOrdered(k). A salt is a disjoint docid range, so no
+       cross-partition doc ever needs merging.
+
+    Output: (docid, score, n_hits) — n_hits = phrase occurrence count.
+    """
+    cfg = cfg or IndexConfig()
+    seq = tokenize_text(phrase)  # ordered, duplicates preserved
+    uniq = list(dict.fromkeys(seq))
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double, n_hits long")
+    if not seq:
+        return empty
+    idf, buckets = term_meta(spark, index_dir, uniq, stats["n_docs"], cfg)
+    if len(idf) < len(uniq):
+        return empty
+
+    blocks = _matching_blocks(spark, index_dir, uniq, buckets)
+    if "pos_blob" not in blocks.columns:
+        raise ValueError("phrase_topk needs an index built with with_positions=True")
+    live_salts = (
+        blocks.select("term", "salt")
+        .groupBy("salt")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == len(uniq))
+        .select("salt")
+    )
+    surv = (
+        blocks.join(F.broadcast(live_salts), "salt")
+        .select("salt", "term", "n", "blob", "pos_blob")
+        .repartition("salt")
+        .sortWithinPartitions("salt", "term", "start_docid")
+    )
+
+    k1, b = cfg.k1, cfg.b
+    avgdl, salt_docs = stats["avgdl"], cfg.salt_docs
+    seq_l, uniq_l, idf_l = list(seq), list(uniq), dict(idf)
+
+    def match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # a salt's rows may straddle Arrow batch boundaries: concatenate
+        # the partition (post-pruning candidate blocks only — small)
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        out_doc, out_score, out_hits = [], [], []
+        for salt, grp in pdf.groupby("salt", sort=False):
+            per_term: dict[str, tuple] = {}
+            for term, tg in grp.groupby("term", sort=False):
+                ids_l, tfs_l, dls_l, pos_l = [], [], [], []
+                for n, blob, pblob in zip(tg["n"], tg["blob"], tg["pos_blob"]):
+                    ids, tfs, dls = decode_block(blob, int(n))
+                    if pblob is None:
+                        raise ValueError(
+                            "index lacks positions; rebuild with with_positions=True"
+                        )
+                    pos = decode_positions(pblob, tfs)
+                    ids_l.append(ids)
+                    tfs_l.append(tfs)
+                    dls_l.append(dls)
+                    pos_l.append(pos)
+                per_term[term] = (
+                    np.concatenate(ids_l),
+                    np.concatenate(tfs_l),
+                    np.concatenate(dls_l),
+                    np.concatenate(pos_l),
+                )
+            # (local docid, position) composite keys; local ids keep the
+            # product within int64 (docid % salt_docs < salt_docs)
+            max_pos = max(int(p.max()) if len(p) else 0 for _, _, _, p in per_term.values())
+            shift = np.int64(max_pos + 2 + len(seq_l))
+            keys = {}
+            for t, (ids, tfs, _dls, pos) in per_term.items():
+                rep = np.repeat(ids - np.int64(int(salt) * salt_docs), tfs)
+                keys[t] = rep * shift + pos
+            cur = keys[seq_l[0]]
+            for t in seq_l[1:]:
+                if not len(cur):
+                    break
+                cur = np.intersect1d(cur + 1, keys[t], assume_unique=True)
+            if not len(cur):
+                continue
+            # phrase start offset is len(seq)-1 behind cur; same doc either way
+            local_docs, hits = np.unique(cur // shift, return_counts=True)
+            docs = local_docs + np.int64(int(salt) * salt_docs)
+            score = np.zeros(len(docs), dtype=np.float64)
+            for t in uniq_l:
+                ids, tfs, dls, _pos = per_term[t]
+                idx = np.searchsorted(ids, docs)
+                tf = tfs[idx].astype(np.float64)
+                dl = dls[idx].astype(np.float64)
+                score += idf_l[t] * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            out_doc.append(docs)
+            out_score.append(score)
+            out_hits.append(hits)
+        if out_doc:
+            yield pd.DataFrame(
+                {
+                    "docid": np.concatenate(out_doc),
+                    "score": np.concatenate(out_score),
+                    "n_hits": np.concatenate(out_hits),
+                }
+            )
+
+    scored = (
+        surv.mapInPandas(match, schema="docid long, score double, n_hits long")
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )

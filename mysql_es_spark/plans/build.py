@@ -99,13 +99,19 @@ def build_wave(
 
     sub = df_bucketed.filter(F.col("bucket").isin(wave_buckets))
     docs = assign_docids(sub, cfg)
+    fwd_schema = docs.select(*FORWARD_COLS).schema
     docs.select(*FORWARD_COLS).write.mode("overwrite").parquet(
         tbl.wave_dir(index_dir, "forward", wave_id)
     )
     t = mark("forward_write", t0)
 
-    fwd = spark.read.parquet(tbl.wave_dir(index_dir, "forward", wave_id)).select(
-        "docid", "text"
+    # explicit schemas on every wave read-back: a wave whose buckets hold
+    # zero conversations writes an empty dir, and schema inference would
+    # fail on it (empty buckets are normal at production bucket counts)
+    fwd = (
+        spark.read.schema(fwd_schema)
+        .parquet(tbl.wave_dir(index_dir, "forward", wave_id))
+        .select("docid", "text")
     )
     # The tokenize stage is Python-CPU-bound, so its parallelism must be ≥
     # the executor slots. At production scale the file scan yields plenty
@@ -137,8 +143,16 @@ def build_wave(
     finally:
         tok.unpersist()
 
-    n_docs = spark.read.parquet(tbl.wave_dir(index_dir, "forward", wave_id)).count()
-    blk = spark.read.parquet(tbl.wave_dir(index_dir, "postings", wave_id))
+    n_docs = (
+        spark.read.schema(fwd_schema)
+        .parquet(tbl.wave_dir(index_dir, "forward", wave_id))
+        .count()
+    )
+    from ..operators.postings import BLOCK_POS_SCHEMA, BLOCK_SCHEMA
+
+    blk = spark.read.schema(
+        BLOCK_POS_SCHEMA if cfg.with_positions else BLOCK_SCHEMA
+    ).parquet(tbl.wave_dir(index_dir, "postings", wave_id))
     agg = blk.agg(
         F.coalesce(F.sum("n"), F.lit(0)).alias("np"), F.count(F.lit(1)).alias("nb")
     ).collect()[0]

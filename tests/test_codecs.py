@@ -75,3 +75,26 @@ def test_empty_pack():
     w, buf = pack_uint(np.array([], dtype=np.uint64))
     assert w == 0 and buf == b""
     assert unpack_uint(b"", 0, 0).tolist() == []
+
+
+def test_positions_roundtrip_property():
+    from mysql_es_spark.functions.codecs import decode_positions, encode_positions
+
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        n_post = int(rng.integers(1, 16))
+        tfs, pos = [], []
+        for _ in range(n_post):
+            tf = int(rng.integers(1, 9))
+            pos.append(np.sort(rng.choice(4096, size=tf, replace=False)))
+            tfs.append(tf)
+        tfs = np.array(tfs, dtype=np.int64)
+        flat = np.concatenate(pos)
+        assert np.array_equal(decode_positions(encode_positions(flat, tfs), tfs), flat)
+
+
+def test_positions_empty():
+    from mysql_es_spark.functions.codecs import decode_positions, encode_positions
+
+    empty = np.zeros(0, dtype=np.int64)
+    assert len(decode_positions(encode_positions(empty, empty), empty)) == 0
