@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from mysql_es_spark.config import IndexConfig
-from mysql_es_spark.operators import dedup, multimodal, similarity, textstats
+from mysql_es_spark.operators import dedup, multimodal, sampling, similarity, textstats
 from mysql_es_spark.operators.asof import asof_join
 from mysql_es_spark.operators.query import (
     bm25_topk,
@@ -504,6 +504,18 @@ def q_quantiles(spark, sf):
     )
 
 
+def q_hash_split(spark, sf):
+    return sampling.hash_split(_t(spark, sf, "documents"), train_pct=80).select(
+        "doc_id", "split"
+    )
+
+
+def q_dedup_clusters(spark, sf):
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.15)
+    return dedup.near_dup_clusters(docs, pairs)
+
+
 def q_dedup_exact(spark, sf):
     return dedup.exact_dedup(_t(spark, sf, "documents"))
 
@@ -657,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_prefix_search": q_prefix_search,
         "doc_phrase_search": q_phrase_search,
         "asof_join_events_orders": q_asof,
+        "doc_hash_split": q_hash_split,
+        "doc_dedup_clusters": q_dedup_clusters,
         "doc_dedup_exact": q_dedup_exact,
         "doc_ngram_jaccard_pairs": q_jaccard,
         "bm25_direct": q_bm25_direct,
@@ -928,6 +942,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, r.o_orderkey, round(r.o_totalprice, 2) AS o_totalprice
             FROM events e ASOF LEFT JOIN r
               ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
+        """,
+        "doc_hash_split": """
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100 < 80
+                        THEN 'train' ELSE 'test' END AS split
+            FROM documents
+        """,
+        "doc_dedup_clusters": f"""
+            WITH RECURSIVE
+            t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct(
+                     [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])) AS shingle
+                   FROM t WHERE len(toks) >= 2),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+              WHERE round(i * 1.0 / (za.sz + zb.sz - i), 4) >= 0.15),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            r AS (
+              SELECT doc_id AS id, doc_id AS lbl FROM documents
+              UNION
+              SELECT e.src AS id, r.lbl FROM edges e JOIN r ON r.id = e.dst
+            )
+            SELECT id AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY id
         """,
         "doc_dedup_exact": f"""
             SELECT doc_id, fp FROM (

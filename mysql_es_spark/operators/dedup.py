@@ -267,6 +267,51 @@ def exact_jaccard_for_pairs(
     )
 
 
+def near_dup_clusters(
+    ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 25
+) -> DataFrame:
+    """(id, cluster_id) — connected components of the near-dup pair graph;
+    cluster_id = smallest reachable id; ids outside any pair are singleton
+    clusters of themselves. The canonical last step of every near-dup
+    pipeline (pick one representative per component).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels — converges in O(component
+    diameter) rounds, and near-dup components are shallow (quasi-cliques),
+    so a handful of shuffles. ``localCheckpoint`` truncates the plan each
+    round (an iterative join would otherwise grow the lineage
+    exponentially); convergence is detected with a count of changed
+    labels, which also materializes the checkpoint.
+    """
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+                (F.col("nlbl") < F.col("lbl")).alias("chg"),
+            )
+        ).localCheckpoint(eager=False)
+        changed = new.filter(F.col("chg")).limit(1).count()
+        labels = new.select("id", "lbl")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

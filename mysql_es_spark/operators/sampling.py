@@ -1,0 +1,41 @@
+"""Deterministic dataset splitting for training pipelines.
+
+A training-data engine must split corpora reproducibly across engines and
+runs — ``df.randomSplit`` is seed- and partitioning-dependent, so the
+canonical primitive is a *content-hash split*: bucket every row by a hash
+of its id and threshold the bucket. The same row lands in the same split
+on any engine, at any scale, under any repartitioning — and the split is
+a pure projection (no shuffle, no state).
+
+md5 is used (not xxhash64) because it is bit-identical across Spark,
+DuckDB, Python, and virtually everything else — this function is part of
+the cross-engine contract, checked by the driver's DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: str, n_buckets: int = 100):
+    """Deterministic bucket in [0, n_buckets): first 8 hex chars of
+    md5(cast(id as string)) as an int, mod n_buckets."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def hash_split(
+    df: DataFrame, train_pct: int = 80, id_col: str = "doc_id", out: str = "split"
+) -> DataFrame:
+    """Tag each row 'train' or 'test' by content-hash bucket (<train_pct
+    of 100 buckets → train). Stable under any row order or partitioning."""
+    b = hash_bucket(id_col, 100)
+    return df.withColumn(out, F.when(b < int(train_pct), F.lit("train")).otherwise(F.lit("test")))
+
+
+def duckdb_hash_bucket(id_col: str, n_buckets: int = 100) -> str:
+    """The DuckDB expression equal to :func:`hash_bucket`."""
+    return f"(('0x' || substr(md5({id_col}::VARCHAR), 1, 8))::UBIGINT % {n_buckets})"
