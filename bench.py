@@ -44,7 +44,7 @@ def main() -> None:
 
     from mysql_es_spark.config import IndexConfig
     from mysql_es_spark.operators import dedup, similarity
-    from mysql_es_spark.operators.query import bm25_topk, direct_bm25
+    from mysql_es_spark.operators.query import bm25_topk, direct_bm25, phrase_topk
     from mysql_es_spark.plans.build import build_index
     from mysql_es_spark.session import get_spark
 
@@ -56,7 +56,11 @@ def main() -> None:
     docs = t("documents")
     n_docs = docs.count()  # warm the JVM + parquet footer cache
 
-    cfg = IndexConfig(n_buckets=4, wave_size=4, salt_docs=1 << 20, term_buckets=8)
+    # positional layout: measured cost-neutral vs positionless at this
+    # scale (BENCH.md §3) and lets the suite exercise the phrase path
+    cfg = IndexConfig(
+        n_buckets=4, wave_size=4, salt_docs=1 << 20, term_buckets=8, with_positions=True
+    )
     transcripts = docs.select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
@@ -103,6 +107,10 @@ def main() -> None:
         run("bm25_idx_q1", lambda: bm25_topk(spark, ix, q1, k=20, cfg=cfg, mode="pruned").collect())
         run("bm25_idx_q2", lambda: bm25_topk(spark, ix, q2, k=20, cfg=cfg, mode="pruned").collect())
         run("bm25_direct", lambda: direct_bm25(docs, q1, k=20).collect())
+        run(
+            "phrase_idx",
+            lambda: phrase_topk(spark, ix, "row scan", k=20, cfg=cfg).collect(),
+        )
 
         li = t("lineitem")
         run(
