@@ -58,6 +58,8 @@ def _cfg(args) -> IndexConfig:
             kw[name] = v
     if getattr(args, "edge_ngram", False):
         kw["edge_ngram"] = True
+    if getattr(args, "with_positions", False):
+        kw["with_positions"] = True
     return IndexConfig(**kw)
 
 
@@ -89,19 +91,18 @@ def cmd_build(args) -> dict:
 
 
 def cmd_query(args) -> dict:
-    from .operators.query import bm25_topk
+    from .operators.query import bm25_topk, bm25_topk_conjunctive, phrase_topk
 
     spark = _session(args)
     t0 = time.monotonic()
-    rows = bm25_topk(
-        spark,
-        args.index_dir,
-        args.query,
-        k=args.k,
-        cfg=_cfg(args),
-        mode=args.mode,
-        with_keys=args.with_keys,
-    ).collect()
+    common = dict(k=args.k, cfg=_cfg(args), with_keys=args.with_keys)
+    if args.mode == "phrase":
+        df = phrase_topk(spark, args.index_dir, args.query, **common)
+    elif args.mode == "conjunctive":
+        df = bm25_topk_conjunctive(spark, args.index_dir, args.query, **common)
+    else:
+        df = bm25_topk(spark, args.index_dir, args.query, mode=args.mode, **common)
+    rows = df.collect()
     out = {
         "query": args.query,
         "k": args.k,
@@ -110,6 +111,7 @@ def cmd_query(args) -> dict:
         "hits": [
             {"docid": r["docid"], "score": round(r["score"], 6)}
             | ({"doc_key": r["doc_key"]} if args.with_keys else {})
+            | ({"n_hits": r["n_hits"]} if "n_hits" in df.columns else {})
             for r in rows
         ],
     }
@@ -127,6 +129,11 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("n_buckets", "wave_size", "salt_docs", "term_buckets", "block_size"):
         ap.add_argument(f"--{name.replace('_', '-')}", type=int, default=None, dest=name)
     ap.add_argument("--edge-ngram", action="store_true")
+    ap.add_argument(
+        "--with-positions",
+        action="store_true",
+        help="store token positions in posting blocks (enables --mode phrase)",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     g = sub.add_parser("gen", help="write a deterministic synthetic corpus")
@@ -148,7 +155,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index-dir", required=True)
     q.add_argument("--query", required=True)
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--mode", choices=["simple", "pruned"], default="pruned")
+    q.add_argument(
+        "--mode", choices=["simple", "pruned", "conjunctive", "phrase"], default="pruned"
+    )
     q.add_argument("--with-keys", action="store_true")
     q.set_defaults(fn=cmd_query)
 

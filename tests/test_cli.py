@@ -68,6 +68,47 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_cli_positional_phrase(spark, tmp_path, capsys):
+    corpus_dir = str(tmp_path / "corpus")
+    ix = str(tmp_path / "pix")
+    assert cli_main(["gen", "--out", corpus_dir, "--turns", "600", "--seed", "11"]) == 0
+    capsys.readouterr()
+    common = ["--n-buckets", "2", "--wave-size", "2", "--salt-docs", "256",
+              "--with-positions"]
+    assert (
+        cli_main(
+            [*common, "build", "--input", f"{corpus_dir}/transcripts",
+             "--index-dir", ix]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    assert (
+        cli_main(
+            [*common, "query", "--index-dir", ix, "--query", "w0 w1",
+             "-k", "5", "--mode", "phrase"]
+        )
+        == 0
+    )
+    q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert q["mode"] == "phrase"
+    assert all("n_hits" in h and h["n_hits"] >= 1 for h in q["hits"])
+    assert (
+        cli_main(
+            [*common, "query", "--index-dir", ix, "--query", "w0 w1",
+             "-k", "5", "--mode", "conjunctive"]
+        )
+        == 0
+    )
+    c = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # every phrase match contains both terms ⇒ subset of conjunctive corpus;
+    # identical BM25 scoring on shared docs
+    conj = {h["docid"]: h["score"] for h in c["hits"]}
+    for h in q["hits"]:
+        if h["docid"] in conj:
+            assert abs(conj[h["docid"]] - h["score"]) < 1e-9
+
+
 def test_package_pyfiles(tmp_path):
     import subprocess
     import sys

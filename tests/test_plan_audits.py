@@ -1,0 +1,85 @@
+"""Physical-plan audits — the scale properties BENCH.md §4 claims, locked
+in as tests so a regression (lost pushdown, lost broadcast, lost map-side
+combine, blob column read in a metadata phase) fails CI instead of
+silently costing 100× at production scale."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_es_spark.operators.query import term_buckets_of
+from mysql_es_spark.sources import tables as tbl
+from tests.conftest import TEST_CFG
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_postings_metadata_read_prunes_everything(spark, built_index):
+    """Phase-0 metadata reads must engage partition-dir pruning
+    (term_bucket), row-group pruning (term), and column pruning (no blob)."""
+    terms = ["w0", "w3"]
+    buckets = sorted(set(term_buckets_of(spark, terms, TEST_CFG.term_buckets).values()))
+    meta = (
+        tbl.read(spark, built_index, "postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", "salt", "n", "max_tf", "min_dl")
+    )
+    plan = plan_of(meta)
+    assert "PushedFilters" in plan and "In(term" in plan
+    assert "term_bucket" in plan.split("PartitionFilters")[1].splitlines()[0]
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "blob" not in read_schema
+    assert "text" not in read_schema
+
+
+def test_q1_shape_has_mapside_partial_agg(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+    plan = plan_of(q)
+    assert "partial_sum" in plan and "partial_count" in plan  # map-side combine
+    assert plan.count("Exchange (") == 1  # exactly one shuffle
+    # AQE's pre-execution formatted plan carries no WholeStageCodegen
+    # annotation; the codegen claim is audited in BENCH.md from a live run
+    assert "LessThanOrEqual(l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_dim_joins_broadcast_not_shuffle(spark):
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    r = spark.read.parquet(f"{sf}/region.parquet")
+    q = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    plan = plan_of(q)
+    assert plan.count("BroadcastHashJoin Inner BuildRight") == 3  # tree lines
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_projection_reaches_scan(spark):
+    """A two-column projection must not read the other columns."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.select("l_orderkey", "l_quantity")
+    read_schema = plan_of(q).split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
