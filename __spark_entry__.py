@@ -29,6 +29,7 @@ from mysql_es_spark.operators.query import (
     bm25_topk_conjunctive,
     direct_bm25,
     phrase_topk,
+    prefix_topk,
 )
 from mysql_es_spark.operators.relations import propagate_parent_update
 from mysql_es_spark.plans.build import build_index
@@ -579,6 +580,22 @@ def q_phrase_via_index(spark, sf):
     )
 
 
+def q_prefix_via_index(spark, sf):
+    """Index-backed prefix search: term_dict range scan (StartsWith
+    pushdown) + best-expansion BM25; re-keyed to doc_id for the oracle."""
+    ix = _index_for_documents(spark, sf)
+    top = prefix_topk(
+        spark, ix, "sca", k=60, cfg=_docs_index_cfg(), max_expansions=50, with_keys=True
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(30)
+    )
+
+
 def q_emb_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -678,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_via_index": q_bm25_index,
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_phrase_via_index": q_phrase_via_index,
+        "bm25_prefix_via_index": q_prefix_via_index,
         "emb_cosine_topk": q_emb_topk,
         "emb_near_dups": q_emb_near_dups,
         "doc_minhash_lsh_pairs": q_minhash,
@@ -998,6 +1016,30 @@ def oracle_sql() -> dict[str, str]:
         "bm25_direct_q2": _bm25_sql(BM25_Q2, 15),
         "bm25_via_index": _bm25_sql(BM25_Q1, 20),
         "bm25_conjunctive": _bm25_conj_sql(BM25_Q1, 20),
+        "bm25_prefix_via_index": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term LIKE 'sca%'
+  GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+  ORDER BY df DESC, term ASC LIMIT 50
+),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, round(max(c), 4) AS score FROM contrib
+GROUP BY doc_id
+ORDER BY round(max(c), 4) DESC, doc_id ASC LIMIT 30
+""",
         "bm25_phrase_via_index": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
 dl AS (SELECT doc_id, len(tl) AS dl FROM toks),

@@ -363,6 +363,80 @@ def bm25_topk_conjunctive(
     return _with_keys(spark, index_dir, scored) if with_keys else scored
 
 
+def prefix_topk(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    max_expansions: int = 50,
+    with_keys: bool = False,
+) -> DataFrame:
+    """Top-k BM25 for a term *prefix* — ES prefix / search-as-you-type
+    served from the term dictionary (no edge-ngram index needed).
+
+    Phase 0 is a term_dict range scan: ``term LIKE 'prefix%'`` pushes down
+    as a StartsWith filter (Parquet row-group pruning on term min/max —
+    the dictionary is the only table scanned). The ``max_expansions``
+    highest-df expansions are then scored as a disjunctive BM25 query,
+    with each doc's score taken from its best matching expansion (ES
+    prefix-query semantics: constant-ish scoring per term, we keep real
+    BM25 per term and MAX across expansions so "spark" ranks above a doc
+    matching only the rarer "sparkle").
+    """
+    cfg = cfg or IndexConfig()
+    prefix = "".join(tokenize_text(prefix)[:1])  # analyzer-normalize, one token
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    if not prefix:
+        return empty
+    expansions = (
+        spark.read.parquet(tbl.p(index_dir, "term_dict"))
+        .filter(F.col("term").startswith(prefix))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+        .collect()
+    )
+    if not expansions:
+        return empty
+    n_docs = stats["n_docs"]
+    idf = {
+        r["term"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+        for r in expansions
+    }
+    terms = list(idf)
+    bucket_of = term_buckets_of(spark, terms, cfg.term_buckets)
+    blocks = _matching_blocks(
+        spark, index_dir, terms, sorted(set(bucket_of.values()))
+    )
+    k1, b = cfg.k1, cfg.b
+    avgdl = stats["avgdl"]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_all, contrib_all = [], []
+            for term, n, blob in zip(pdf["term"], pdf["n"], pdf["blob"]):
+                ids, tfs, dls = decode_block(blob, int(n))
+                tfs = tfs.astype(np.float64)
+                norm = tfs / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
+                ids_all.append(ids)
+                contrib_all.append(idf[term] * norm)
+            if ids_all:
+                yield pd.DataFrame(
+                    {"docid": np.concatenate(ids_all), "contrib": np.concatenate(contrib_all)}
+                )
+
+    scored = (
+        blocks.select("term", "n", "blob")
+        .mapInPandas(decode, schema="docid long, contrib double")
+        .groupBy("docid")
+        .agg(F.max("contrib").alias("score"))  # best expansion per doc
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
 def phrase_topk(
     spark: SparkSession,
     index_dir: str,
