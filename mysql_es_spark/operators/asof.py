@@ -55,7 +55,12 @@ def asof_join(
             right.select(F.struct(*[F.col(c) for c in payload]).alias("_p")).schema["_p"].dataType
         ).alias("_p"),
     )
-    r = right.select(
+    # SQL as-of semantics: a NULL key or NULL time on the build side can
+    # never match (NULL = NULL and t <= NULL are both false) — drop such
+    # rows here, or the window's last() would hand them to probe rows
+    r = right.filter(
+        F.col(right_key).isNotNull() & F.col(right_time).isNotNull()
+    ).select(
         F.col(right_key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),

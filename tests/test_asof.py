@@ -46,6 +46,28 @@ def test_asof_backward_semantics(spark, frames):
     assert out.count() == left.count()  # left join: every probe survives
 
 
+def test_asof_null_keys_and_times_never_match(spark):
+    left = spark.createDataFrame(
+        [
+            (1, None, _ts("2020-06-01 00:00:00")),  # null probe key
+            (2, 10, None),  # null probe time: t <= NULL is false
+            (3, 10, _ts("2020-06-01 00:00:00")),
+        ],
+        schema="event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (None, _ts("2020-01-01 00:00:00"), "nullkey"),
+            (10, None, "nulltime"),
+            (10, _ts("2020-01-01 00:00:00"), "good"),
+        ],
+        schema="k long, rts timestamp, tag string",
+    )
+    out = asof_join(left, right, "k", "k", "ts", "rts", ["tag"])
+    got = {r.event_id: r.tag for r in out.collect()}
+    assert got == {1: None, 2: None, 3: "good"}
+
+
 def test_asof_keeps_left_columns_and_types(spark, frames):
     left, right = frames
     out = asof_join(left, right, "k", "k", "ts", "rts", ["val"])
