@@ -290,6 +290,7 @@ def near_dup_clusters(
         .persist()
     )
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    converged = False
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.dst == labels.id)
@@ -307,8 +308,17 @@ def near_dup_clusters(
         changed = new.filter(F.col("chg")).limit(1).count()
         labels = new.select("id", "lbl")
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # an unconverged exit would silently report one component as
+        # several clusters — fail loudly; callers raise max_iter for
+        # unusually deep (chain-shaped) near-dup graphs
+        raise RuntimeError(
+            f"near_dup_clusters did not converge within max_iter={max_iter} "
+            "rounds (component diameter exceeds it); raise max_iter"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 

@@ -132,9 +132,15 @@ def _matching_blocks(
     )
 
 
-def _decode_scores(blocks: DataFrame, idf: dict[str, float], cfg: IndexConfig, avgdl: float) -> DataFrame:
-    """Block rows → per-(doc, term) contributions → per-doc scores."""
+def _decode_contribs(
+    blocks: DataFrame, idf: dict[str, float], cfg: IndexConfig, avgdl: float
+) -> DataFrame:
+    """Block rows → one (docid, contrib) row per (doc, term) posting —
+    contrib = idf(term) · BM25 tf-norm. The single decode kernel behind
+    every scored query mode; callers pick the per-doc aggregation (sum =
+    disjunctive, sum+count = conjunctive, max = best prefix expansion)."""
     k1, b = cfg.k1, cfg.b
+    idf_l = dict(idf)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -144,7 +150,7 @@ def _decode_scores(blocks: DataFrame, idf: dict[str, float], cfg: IndexConfig, a
                 tfs = tfs.astype(np.float64)
                 norm = tfs / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
                 ids_all.append(ids)
-                contrib_all.append(idf[term] * norm)
+                contrib_all.append(idf_l[term] * norm)
             if ids_all:
                 yield pd.DataFrame(
                     {
@@ -153,10 +159,18 @@ def _decode_scores(blocks: DataFrame, idf: dict[str, float], cfg: IndexConfig, a
                     }
                 )
 
-    per_posting = blocks.select("term", "n", "blob").mapInPandas(
+    return blocks.select("term", "n", "blob").mapInPandas(
         decode, schema="docid long, contrib double"
     )
-    return per_posting.groupBy("docid").agg(F.sum("contrib").alias("score"))
+
+
+def _decode_scores(blocks: DataFrame, idf: dict[str, float], cfg: IndexConfig, avgdl: float) -> DataFrame:
+    """Block rows → per-doc disjunctive BM25 scores."""
+    return (
+        _decode_contribs(blocks, idf, cfg, avgdl)
+        .groupBy("docid")
+        .agg(F.sum("contrib").alias("score"))
+    )
 
 
 def _with_keys(spark: SparkSession, index_dir: str, scored: DataFrame) -> DataFrame:
@@ -333,26 +347,8 @@ def bm25_topk_conjunctive(
     )
     survivors = blocks.join(F.broadcast(live_salts), "salt")
 
-    k1, b = cfg.k1, cfg.b
-    avgdl = stats["avgdl"]
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids_all, contrib_all = [], []
-            for term, n, blob in zip(pdf["term"], pdf["n"], pdf["blob"]):
-                ids, tfs, dls = decode_block(blob, int(n))
-                tfs = tfs.astype(np.float64)
-                norm = tfs / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
-                ids_all.append(ids)
-                contrib_all.append(idf[term] * norm)
-            if ids_all:
-                yield pd.DataFrame(
-                    {"docid": np.concatenate(ids_all), "contrib": np.concatenate(contrib_all)}
-                )
-
     scored = (
-        survivors.select("term", "n", "blob")
-        .mapInPandas(decode, schema="docid long, contrib double")
+        _decode_contribs(survivors, idf, cfg, stats["avgdl"])
         .groupBy("docid")
         .agg(F.sum("contrib").alias("score"), F.count(F.lit(1)).alias("nt"))
         .filter(F.col("nt") == len(terms))
@@ -409,26 +405,8 @@ def prefix_topk(
     blocks = _matching_blocks(
         spark, index_dir, terms, sorted(set(bucket_of.values()))
     )
-    k1, b = cfg.k1, cfg.b
-    avgdl = stats["avgdl"]
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids_all, contrib_all = [], []
-            for term, n, blob in zip(pdf["term"], pdf["n"], pdf["blob"]):
-                ids, tfs, dls = decode_block(blob, int(n))
-                tfs = tfs.astype(np.float64)
-                norm = tfs / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
-                ids_all.append(ids)
-                contrib_all.append(idf[term] * norm)
-            if ids_all:
-                yield pd.DataFrame(
-                    {"docid": np.concatenate(ids_all), "contrib": np.concatenate(contrib_all)}
-                )
-
     scored = (
-        blocks.select("term", "n", "blob")
-        .mapInPandas(decode, schema="docid long, contrib double")
+        _decode_contribs(blocks, idf, cfg, stats["avgdl"])
         .groupBy("docid")
         .agg(F.max("contrib").alias("score"))  # best expansion per doc
         .orderBy(F.col("score").desc(), F.col("docid").asc())

@@ -175,8 +175,14 @@ def prefix_search(
     indexing name/phone fields (template.json:74-96). Here it's a pure JVM
     expression (tokenize → filter → size); against the built index the same
     query is a term-dictionary range scan over [prefix, prefix+0xFF)."""
+    from ..functions.analyze import tokenize_text
+
+    toks = tokenize_text(prefix)
+    norm = toks[0] if toks else ""
     t = with_tokens(df, text_col)
-    hits = F.size(F.expr(f"filter(toks, x -> startswith(x, '{prefix}'))"))
+    # column-lambda filter: the prefix is passed as a literal, never
+    # interpolated into SQL text (quotes in user input must not parse)
+    hits = F.size(F.filter(F.col("toks"), lambda x: x.startswith(F.lit(norm))))
     return (
         t.select(F.col(id_col), hits.cast("long").alias("n_hits"))
         .filter(F.col("n_hits") > 0)
