@@ -249,6 +249,25 @@ def q_e3(spark, sf):
     )
 
 
+def q_event_seq(spark, sf):
+    """Ordered per-user reassembly — the reference's Record.mix() doc
+    flatten (Record.java:263-289) re-expressed for event streams: one
+    row per user with the time-ordered event-type sequence. collect_list
+    + array_sort on a (ts, event_id) struct keeps the op a single
+    hash-aggregate (no window, no second shuffle)."""
+    ev = _t(spark, sf, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+            ),
+            lambda x: x["event_type"],
+        ),
+        " ",
+    )
+    return ev.groupBy("user_id").agg(seq.alias("event_seq"))
+
+
 def q_a1(spark, sf):
     return (
         _t(spark, sf, "events")
@@ -655,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_column_alias": q_p3,
         "e1_intersect": q_e1,
         "e3_except": q_e3,
+        "user_event_sequence": q_event_seq,
         "a1_counts_by_type": q_a1,
         "a3_distinct": q_a3,
         "q1_pricing_summary": q_tpch_q1,
@@ -773,6 +793,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey AS custkey FROM orders
             EXCEPT
             SELECT user_id AS custkey FROM events
+        """,
+        "user_event_sequence": """
+            SELECT user_id,
+                   string_agg(event_type, ' ' ORDER BY ts, event_id) AS event_seq
+            FROM events GROUP BY user_id
         """,
         "a1_counts_by_type": """
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
