@@ -201,6 +201,47 @@ def ivf_assign(
     )
 
 
+def write_ivf_table(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: vectors partitioned by ``cell`` dirs —
+    the same partition-pruning contract as the postings ``term_bucket``
+    dirs. Built once; every query then reads n_probe/n_cells of the files.
+    Centroids are persisted alongside so queries need no retraining."""
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    np.save(f"{path}/_centroids.npy", centroids)
+
+
+def ivf_topk_from_table(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k against a written cell-partitioned table: probe selection
+    is driver-side math on the stored centroids; the scan reads only the
+    probed cell directories (partition pruning — verified by plan audit)."""
+    centroids = np.load(f"{path}/_centroids.npy")
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(c) for c in np.argsort(-(centroids @ qn))[:n_probe]]
+    assigned = spark.read.option("basePath", path).parquet(path)
+    cand = assigned.filter(F.col("cell").isin(probes))
+    scored = (
+        cand.withColumn("__q", _query_lit(query_vec))
+        .withColumn("cos", F.round(cosine_expr("v", "__q"), 4))
+        .select(id_col, "cos")
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],

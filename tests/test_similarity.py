@@ -96,3 +96,32 @@ def test_ivf_full_probe_equals_exact(spark, emb_df):
         for r in similarity.ivf_topk(df, q, k=10, centroids=cents, n_probe=8).collect()
     ]
     assert got == exact  # probing every cell degenerates to brute force
+
+
+def test_ivf_written_table_matches_inline(spark, tmp_path):
+    import numpy as np
+    from mysql_es_spark.operators.similarity import (
+        ivf_centroids, ivf_topk, ivf_topk_from_table, write_ivf_table,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    C = ivf_centroids(emb, n_cells=8, seed=3)
+    path = str(tmp_path / "ivf")
+    write_ivf_table(emb, C, path)
+    a = [(r.vec_id, r.cos) for r in
+         ivf_topk_from_table(spark, path, qv, k=10, n_probe=3).collect()]
+    b = [(r.vec_id, r.cos) for r in
+         ivf_topk(emb, qv, k=10, n_probe=3, centroids=C).collect()]
+    assert a == b
+
+    # partition pruning engages: the probed cells appear in PartitionFilters
+    import contextlib, io
+    from pyspark.sql import functions as F
+    assigned = spark.read.option("basePath", path).parquet(path)
+    plan_df = assigned.filter(F.col("cell").isin([0, 1]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "cell" in plan.split("PartitionFilters")[1].splitlines()[0]
