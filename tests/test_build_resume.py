@@ -52,3 +52,19 @@ def test_lineage_metrics(spark, built_index):
     n_fwd = spark.read.parquet(f"{built_index}/forward").count()
     assert total_docs == n_fwd
     assert all(r["n_blocks"] > 0 and r["n_postings"] > 0 for r in rows)
+
+
+def test_empty_corpus_builds_valid_index(spark, tmp_path):
+    """Zero-row input must yield a valid, queryable (empty) index — the
+    explicit-schema wave read-backs cover fully empty buckets too."""
+    from mysql_es_spark.config import IndexConfig
+    from mysql_es_spark.corpus import TRANSCRIPT_SCHEMA
+    from mysql_es_spark.operators.query import bm25_topk
+    from mysql_es_spark.plans.build import build_index
+
+    cfg = IndexConfig(n_buckets=2, wave_size=2, salt_docs=64, term_buckets=2)
+    df = spark.createDataFrame([], schema=TRANSCRIPT_SCHEMA)
+    ix = str(tmp_path / "empty_ix")
+    m = build_index(spark, df, ix, cfg)
+    assert m["n_docs_built"] == 0
+    assert bm25_topk(spark, ix, "w0", k=5, cfg=cfg).count() == 0
