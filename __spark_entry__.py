@@ -628,6 +628,12 @@ def q_emb_near_dups(spark, sf):
 # --- rows-only (no SQL oracle: internal hash functions / approx / stubs) ---
 
 
+def q_winnow(spark, sf):
+    return dedup.winnow_overlap_pairs(
+        _t(spark, sf, "documents"), k=4, window=4, min_shared=2, max_fp_df=50
+    )
+
+
 def q_minhash(spark, sf):
     return dedup.minhash_lsh_pairs(
         _t(spark, sf, "documents"), n=2, num_perm=64, bands=16, threshold=0.15
@@ -718,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix_via_index": q_prefix_via_index,
         "emb_cosine_topk": q_emb_topk,
         "emb_near_dups": q_emb_near_dups,
+        "doc_winnow_overlap": q_winnow,
         "doc_minhash_lsh_pairs": q_minhash,
         "doc_simhash_near_dups": q_simhash,
         "emb_ann_lsh_topk": q_ann,

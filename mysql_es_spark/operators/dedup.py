@@ -401,6 +401,96 @@ def simhash_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# winnowing (rolling-hash document fingerprints, Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+_WINNOW_BASE = np.uint64(1_000_003)
+_WINNOW_SHIFT = 13
+
+
+def _token_hashes(toks: np.ndarray) -> np.ndarray:
+    return pd.util.hash_array(toks.astype(object)).astype(np.uint64)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, fp) — winnowing fingerprints: rolling polynomial hash over
+    token k-grams, then the minimum hash of every ``window`` consecutive
+    k-grams (rightmost-min tie-break), deduplicated. Guarantees every
+    shared token run of length ≥ k + window − 1 contributes at least one
+    *identical* fingerprint to both docs — the partial-overlap/containment
+    detector (quote/boilerplate/plagiarism), where whole-doc md5 and
+    set-Jaccard both fail. One Arrow pass; per-doc numpy (sliding-window
+    min via stride tricks), no per-token Python.
+    """
+    from ..functions.analyze import tokenize_series
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = tokenize_series(pdf[text_col])
+            out_ids, out_fps = [], []
+            for did, ts in zip(pdf[id_col].to_numpy(), toks.to_numpy()):
+                ts = np.asarray(ts, dtype=object)
+                if len(ts) < k:
+                    continue
+                h = _token_hashes(ts)
+                # rolling polynomial k-gram hash, vectorized as a sum of
+                # shifted-and-scaled lanes (k is small)
+                m = len(h) - k + 1
+                kg = np.zeros(m, dtype=np.uint64)
+                for j in range(k):
+                    kg = kg * _WINNOW_BASE + h[j : j + m]
+                kg ^= kg >> np.uint64(_WINNOW_SHIFT)
+                if m <= window:
+                    sel = np.array([kg.min()], dtype=np.uint64)
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(kg, window)
+                    sel = win.min(axis=1)
+                fps = np.unique(sel).astype(np.int64)
+                out_ids.append(np.full(len(fps), did, dtype=np.int64))
+                out_fps.append(fps)
+            if out_ids:
+                yield pd.DataFrame(
+                    {id_col: np.concatenate(out_ids), "fp": np.concatenate(out_fps)}
+                )
+
+    return df.select(id_col, text_col).mapInPandas(batch, schema=f"{id_col} long, fp long")
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, n_shared) — doc pairs sharing ≥ min_shared winnowing
+    fingerprints. Candidate generation is an equi-join on the fingerprint
+    (short key, shuffle-friendly); ``max_fp_df`` drops boilerplate
+    fingerprints before pairing (same fan-out cap as shingles/LSH)."""
+    fp = winnow_fingerprints(df, k, window, id_col, text_col).persist()
+    if max_fp_df is not None:
+        freq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("fdf"))
+        fp = fp.join(freq.filter(F.col("fdf") <= max_fp_df), "fp", "left_semi")
+    a = fp.select(F.col(id_col).alias("id_a"), "fp")
+    b = fp.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

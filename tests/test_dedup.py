@@ -108,3 +108,40 @@ def test_embedding_near_dups(spark):
     pairs = {(r.id_a, r.id_b): r.cos for r in dedup.embedding_near_dups(df, 0.95).collect()}
     assert set(pairs) == {(0, 1), (2, 3)}
     assert pairs[(0, 1)] > 0.99
+
+
+def test_winnow_guarantee_and_overlap(spark):
+    """Winnowing guarantee: any shared token run of length >= k+window-1
+    yields >= 1 identical fingerprint; disjoint-vocab docs share none."""
+    from mysql_es_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8-token run
+    docs = [
+        (0, f"intro words here {shared} closing remarks"),
+        (1, f"{shared} completely different tail part"),
+        (2, "nothing in common with others at all whatsoever"),
+        (3, f"intro words here {shared} closing remarks"),  # exact dup of 0
+    ]
+    df = spark.createDataFrame(docs, schema="doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in dedup.winnow_overlap_pairs(df, k=4, window=4, min_shared=1).collect()
+    }
+    assert (0, 1) in pairs  # partial overlap found
+    assert (0, 3) in pairs  # exact dup found
+    assert not any(2 in p for p in pairs)  # disjoint doc pairs with nobody
+    # exact duplicates share every fingerprint
+    fps = dedup.winnow_fingerprints(df, k=4, window=4)
+    f0 = {r.fp for r in fps.filter("doc_id = 0").collect()}
+    f3 = {r.fp for r in fps.filter("doc_id = 3").collect()}
+    assert f0 == f3 and len(f0) > 0
+
+
+def test_winnow_short_docs(spark):
+    from mysql_es_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(0, "one two three"), (1, ""), (2, None)], schema="doc_id long, text string"
+    )
+    # < k tokens -> no fingerprints, no crash
+    assert dedup.winnow_fingerprints(df, k=4, window=4).count() == 0
