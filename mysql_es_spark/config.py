@@ -55,6 +55,12 @@ class IndexConfig:
     # top-k (phase 1 scores the highest-upper-bound ranges covering
     # >= candidate_factor*k docs to establish a threshold).
     candidate_factor: int = 8
+    # pruned-query salt selection: when the corpus has more salt ranges
+    # than this (predicted as n_docs/salt_docs, no extra job), the
+    # per-salt upper-bound ranking runs distributed (TakeOrdered + joins)
+    # instead of a driver-side collect — at 10^12 docs a head term spans
+    # ~10^7 salts, far past any sane collect.
+    max_driver_salts: int = 65536
 
     def with_(self, **kw) -> "IndexConfig":
         return replace(self, **kw)

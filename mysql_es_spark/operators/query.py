@@ -225,6 +225,13 @@ def bm25_topk(
         F.col("max_tf")
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("min_dl") / F.lit(stats["avgdl"]))
     )
+    # a head term touches every salt, so the per-(term,salt) metadata is
+    # O(n_docs/salt_docs) rows — collectable at test scale, not at 10^12
+    # docs. Predicted salt count costs no job (corpus stats are cached).
+    predicted_salts = stats["n_docs"] // max(1, cfg.salt_docs) + 1
+    if predicted_salts > cfg.max_driver_salts:
+        scored = _pruned_topk_distributed(spark, blocks, terms, stats, cfg, k, tf_bound)
+        return _with_keys(spark, index_dir, scored) if with_keys else scored
     meta_rows = (
         blocks.select("term", "salt", "n", tf_bound.alias("tfb"))
         .groupBy("term", "salt")
@@ -299,6 +306,101 @@ def bm25_topk(
     )[:k]
     out = tbl.local_rows_df(spark, merged, "docid long, score double")
     return _with_keys(spark, index_dir, out) if with_keys else out
+
+
+def _pruned_topk_distributed(
+    spark: SparkSession,
+    blocks: DataFrame,
+    terms: list[str],
+    stats: dict,
+    cfg: IndexConfig,
+    k: int,
+    tf_bound,
+) -> DataFrame:
+    """Block-max pruned top-k with NO driver-side pass over salt metadata —
+    the 10^12-doc path (a head term spans n_docs/salt_docs ≈ 10^7 ranges).
+
+    Same three phases as the driver-side variant, all selection staying in
+    DataFrames: per-salt upper bounds are a groupBy; the phase-1 prefix is
+    a TakeOrdered with geometric growth of K until it covers
+    candidate_factor·k docs (deterministic (ub desc, salt asc) order, so
+    re-evaluating the limit yields the same rows); phase filters are joins
+    against the selected-salt frames, never `isin` literal lists. Only
+    per-term df (≤ |query| rows) and the two top-k row sets ever reach the
+    driver. Result-identical to the driver-side path (CI forces this path
+    via max_driver_salts and compares)."""
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    meta = (
+        blocks.select("term", "salt", "n", tf_bound.alias("tfb"))
+        .groupBy("term", "salt")
+        .agg(F.max("tfb").alias("tfb"), F.sum("n").alias("n_t"))
+        .persist()
+    )
+    salts = None
+    try:
+        df_rows = meta.groupBy("term").agg(F.sum("n_t").alias("df")).collect()
+        if not df_rows:
+            return empty
+        n_docs = stats["n_docs"]
+        idf = {
+            r["term"]: float(np.log(1.0 + (n_docs - int(r["df"]) + 0.5) / (int(r["df"]) + 0.5)))
+            for r in df_rows
+        }
+        idf_col = F.element_at(
+            F.create_map(*[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))]),
+            F.col("term"),
+        )
+        salts = (
+            meta.withColumn("ub_t", idf_col * F.col("tfb"))
+            .groupBy("salt")
+            .agg(F.sum("ub_t").alias("ub"), F.max("n_t").alias("n_cand"))
+            .persist()
+        )
+        order = [F.col("score").desc(), F.col("docid").asc()]
+        sel_order = [F.col("ub").desc(), F.col("salt").asc()]
+        target = cfg.candidate_factor * k
+        K = 64
+        while True:
+            head = salts.orderBy(*sel_order).limit(K)
+            agg = head.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("n_cand"), F.lit(0)).alias("cov"),
+            ).collect()[0]
+            if int(agg["n"]) < K:
+                # limit not binding ⇒ every salt selected ⇒ single pass
+                scored = (
+                    _decode_scores(blocks, idf, cfg, stats["avgdl"]).orderBy(*order).limit(k)
+                )
+                return scored
+            if int(agg["cov"]) >= target:
+                break
+            K *= 4
+        phase1 = salts.orderBy(*sel_order).limit(K).select("salt")
+        top1 = (
+            _decode_scores(blocks.join(phase1, "salt"), idf, cfg, stats["avgdl"])
+            .orderBy(*order)
+            .limit(k)
+            .collect()
+        )
+        tau = top1[-1]["score"] if len(top1) >= k else float("-inf")
+        phase2 = (
+            salts.filter(F.col("ub") > tau).select("salt").join(phase1, "salt", "left_anti")
+        )
+        top2 = (
+            _decode_scores(blocks.join(phase2, "salt"), idf, cfg, stats["avgdl"])
+            .orderBy(*order)
+            .limit(k)
+            .collect()
+        )
+        merged = sorted(
+            ((r["docid"], r["score"]) for r in [*top1, *top2]),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        return tbl.local_rows_df(spark, merged, "docid long, score double")
+    finally:
+        meta.unpersist()
+        if salts is not None:
+            salts.unpersist()
 
 
 def bm25_topk_conjunctive(

@@ -116,3 +116,26 @@ def test_doc_lens_and_corpus_stats(spark, built_index, oracle_ix):
     stats = spark.read.parquet(f"{built_index}/corpus_stats").collect()[0]
     assert stats["n_docs"] == oracle_ix.n_docs
     assert math.isclose(stats["sum_dl"] / stats["n_docs"], oracle_ix.avgdl, rel_tol=1e-12)
+
+
+@pytest.mark.parametrize("q", [QUERY_SET[0], QUERY_SET[10], QUERY_SET[35]])
+def test_distributed_salt_selection_equals_simple(spark, built_index, q):
+    """Force the 10^12-doc salt-selection path (no driver-side metadata
+    pass) and require result identity with the exhaustive path."""
+    cfg = TEST_CFG.with_(max_driver_salts=0)
+    simple = [
+        (r.docid, round(r.score, 9))
+        for r in bm25_topk(spark, built_index, q, k=25, cfg=TEST_CFG, mode="simple").collect()
+    ]
+    dist = [
+        (r.docid, round(r.score, 9))
+        for r in bm25_topk(spark, built_index, q, k=25, cfg=cfg, mode="pruned").collect()
+    ]
+    assert simple == dist
+
+
+def test_distributed_path_edge_probes(spark, built_index):
+    cfg = TEST_CFG.with_(max_driver_salts=0)
+    assert bm25_topk(spark, built_index, "zzznope", cfg=cfg, mode="pruned").count() == 0
+    big = bm25_topk(spark, built_index, "w0", k=10**6, cfg=cfg, mode="pruned")
+    assert big.count() > 0
