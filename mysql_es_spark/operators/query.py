@@ -447,7 +447,11 @@ def bm25_topk_conjunctive(
         .filter(F.col("nt") == len(terms))
         .select("salt")
     )
-    survivors = blocks.join(F.broadcast(live_salts), "salt")
+    # broadcast only while the salt universe is broadcast-sized; past that
+    # (10^12-doc corpora) let Catalyst/AQE pick the join strategy
+    if stats["n_docs"] // max(1, cfg.salt_docs) + 1 <= cfg.max_driver_salts:
+        live_salts = F.broadcast(live_salts)
+    survivors = blocks.join(live_salts, "salt")
 
     scored = (
         _decode_contribs(survivors, idf, cfg, stats["avgdl"])
@@ -564,8 +568,10 @@ def phrase_topk(
         .filter(F.col("nt") == len(uniq))
         .select("salt")
     )
+    if stats["n_docs"] // max(1, cfg.salt_docs) + 1 <= cfg.max_driver_salts:
+        live_salts = F.broadcast(live_salts)
     surv = (
-        blocks.join(F.broadcast(live_salts), "salt")
+        blocks.join(live_salts, "salt")
         .select("salt", "term", "n", "blob", "pos_blob")
         .repartition("salt")
         .sortWithinPartitions("salt", "term", "start_docid")
