@@ -66,8 +66,14 @@ def _documents_as_transcripts(docs: DataFrame) -> DataFrame:
 
 
 def _index_for_documents(spark: SparkSession, sf_dir: str, positions: bool = False) -> str:
-    """Build (once per sf_dir per machine) a full index over documents."""
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    """Build (once per sf_dir per machine) a full index over documents.
+
+    Cache key covers the source file's identity (path + size + mtime), so
+    regenerated testdata never hits a stale cached index."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    ident = f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
     if positions:
         key += "-pos"
     ix = f"/tmp/mysql_es_spark_ixcache/{key}"
