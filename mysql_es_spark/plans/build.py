@@ -222,9 +222,16 @@ def finalize(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> None:
 
     invalidate_stats_cache(index_dir)
     ts = tbl.read(spark, index_dir, "term_stats")
+    # range-partitioned + sorted by term: Parquet row-group min/max stats
+    # then prune term-equality and StartsWith (prefix_topk) scans to the
+    # few files/row-groups covering the lexicographic range — at a
+    # 10^8-term production vocabulary a prefix query must not read the
+    # whole dictionary
     (
         ts.groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+        .repartitionByRange(max(1, cfg.term_buckets // 2), "term")
+        .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(tbl.p(index_dir, "term_dict"))
     )

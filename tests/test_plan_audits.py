@@ -83,3 +83,17 @@ def test_projection_reaches_scan(spark):
     read_schema = plan_of(q).split("ReadSchema")[1].splitlines()[0]
     assert "l_orderkey" in read_schema and "l_quantity" in read_schema
     assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_term_dict_prefix_scan_pushes_startswith(spark, built_index):
+    """prefix_topk's dictionary range scan: StartsWith reaches the parquet
+    scan (row-group pruning over the range-sorted term_dict)."""
+    q = (
+        spark.read.parquet(f"{built_index}/term_dict")
+        .filter(F.col("term").startswith("w1"))
+        .select("term", "df")
+    )
+    plan = plan_of(q)
+    assert "StringStartsWith(term,w1" in plan.split("PushedFilters")[1].splitlines()[0]
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "ttf" not in read_schema
