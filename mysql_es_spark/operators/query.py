@@ -173,10 +173,21 @@ def _decode_scores(blocks: DataFrame, idf: dict[str, float], cfg: IndexConfig, a
     )
 
 
-def _with_keys(spark: SparkSession, index_dir: str, scored: DataFrame) -> DataFrame:
+def _with_keys(
+    spark: SparkSession,
+    index_dir: str,
+    scored: DataFrame,
+    docids: list[int] | None = None,
+) -> DataFrame:
     fwd = tbl.read(spark, index_dir, "forward").select(
         "docid", "doc_key", "conv_id", "turn_idx", "text"
     )
+    if docids is not None:
+        # the top-k ids are already driver-side (≤ k values): push them
+        # into the scan as an In filter — forward files are docid-ordered
+        # per bucket, so parquet row-group stats prune the fetch to the
+        # few groups holding the winners instead of a full-table scan
+        fwd = fwd.filter(F.col("docid").isin([int(d) for d in docids]))
     # re-sort: the join would otherwise destroy the top-k ordering
     return scored.join(fwd, "docid", "inner").orderBy(
         F.col("score").desc(), F.col("docid").asc()
@@ -305,7 +316,9 @@ def bm25_topk(
         key=lambda t: (-t[1], t[0]),
     )[:k]
     out = tbl.local_rows_df(spark, merged, "docid long, score double")
-    return _with_keys(spark, index_dir, out) if with_keys else out
+    if with_keys:
+        return _with_keys(spark, index_dir, out, docids=[d for d, _ in merged])
+    return out
 
 
 def _pruned_topk_distributed(
