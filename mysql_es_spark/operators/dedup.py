@@ -93,7 +93,11 @@ def ngram_jaccard_pairs(
     docs before pairing (fan-out cap — see module docstring)."""
     # the shingle set feeds both join sides and the size agg — persist it
     # or the tokenize+explode subtree runs three times (Spark reuses plan
-    # *nodes*, not computed results, across self-join branches)
+    # *nodes*, not computed results, across self-join branches). The cache
+    # is reclaimed by the ContextCleaner once the returned frame (and with
+    # it this reference) is GC'd; callers looping over many corpora in one
+    # long-lived session should materialize each result promptly rather
+    # than accumulating unevaluated frames.
     sh = shingles(df, n, id_col, text_col).persist()
     if max_shingle_df is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
@@ -238,7 +242,8 @@ def exact_jaccard_for_pairs(
     against id_b's) — NOT the all-co-occurring-pairs self-join, which is
     quadratic in the df of every common shingle. This is the verify stage
     for every LSH-style candidate generator."""
-    # persisted: referenced by both join sides and the size agg (3×)
+    # persisted: referenced by both join sides and the size agg (3×);
+    # reclaimed by the ContextCleaner when the returned frame is GC'd
     sh = shingles(df, n, id_col, text_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -474,7 +479,9 @@ def winnow_overlap_pairs(
     """(id_a, id_b, n_shared) — doc pairs sharing ≥ min_shared winnowing
     fingerprints. Candidate generation is an equi-join on the fingerprint
     (short key, shuffle-friendly); ``max_fp_df`` drops boilerplate
-    fingerprints before pairing (same fan-out cap as shingles/LSH)."""
+    fingerprints before pairing (same fan-out cap as shingles/LSH).
+    The persisted fingerprint frame is reclaimed by the ContextCleaner
+    when the returned frame is GC'd (see ngram_jaccard_pairs note)."""
     fp = winnow_fingerprints(df, k, window, id_col, text_col).persist()
     if max_fp_df is not None:
         freq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("fdf"))
@@ -509,17 +516,95 @@ def cosine_expr(a: str, b: str):
 
 
 def embedding_near_dups(
-    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+    broadcast: bool = False,
 ) -> DataFrame:
-    """(id_a, id_b, cos) pairs with cosine ≥ threshold.
+    """(id_a, id_b, cos) pairs with cosine ≥ threshold — **exact** all-pairs.
 
-    Exact all-pairs via a broadcast right-hand matrix: each partition's
-    block of vectors is multiplied against the full normalized matrix with
-    one numpy matmul (BLAS), emitting only pairs over threshold. Right for
-    corpora whose embedding matrix fits an executor (~10^6 × 768 floats).
-    At 10^11+ vectors, pair *within LSH buckets* instead — reuse
-    similarity.hyperplane_buckets as the candidate generator, then this
-    matmul per bucket."""
+    Default path is fully distributed (no driver-side pass over the
+    vectors): ids hash into ``n_blocks`` blocks; each of the
+    n·(n+1)/2 unordered block pairs (i ≤ j) becomes one task key; each
+    vector is shipped to the tasks its block participates in (×n_blocks
+    replication — the classic triangle join); within a task one BLAS
+    matmul scores the block pair and only over-threshold pairs are
+    emitted. Exactness is structural: every unordered id pair lands in
+    exactly one task. Size ``n_blocks`` ≈ √(cluster cores) so one task ≈
+    two executor-RAM-sized matrices.
+
+    ``broadcast=True`` is the small-data opt-in (≤ ~10^6 × 768): collect +
+    broadcast the full normalized matrix, one matmul per input partition,
+    no shuffle at all. Exact quadratic work is inherent to the *semantics*
+    either way; for 10^11-vector corpora use the approximate candidates
+    (similarity.hyperplane_buckets / ann_topk) instead of an exact join.
+    """
+    if broadcast:
+        return _embedding_near_dups_broadcast(emb, threshold, id_col, vec_col)
+    thr = float(threshold)
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    v = v.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
+    spark = emb.sparkSession
+    from ..sources.tables import local_rows_df
+
+    tasks = local_rows_df(
+        spark,
+        [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
+        "bi int, bj int",
+    )
+    # side A of task (i,j) = block i; side B = block j (same block twice
+    # when i == j — the within-block triangle)
+    side_a = v.join(F.broadcast(tasks), v.blk == tasks.bi).select(
+        "bi", "bj", F.lit(0).alias("side"), "id", "v"
+    )
+    side_b = v.join(F.broadcast(tasks), v.blk == tasks.bj).select(
+        "bi", "bj", F.lit(1).alias("side"), "id", "v"
+    )
+
+    def score(key, pdf):  # (tuple, pd.DataFrame) -> pd.DataFrame
+        bi, bj = int(key[0]), int(key[1])
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1] if bi != bj else a
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cos": np.float64}
+            )
+        ids_a = a["id"].to_numpy(dtype=np.int64)
+        ids_b = b["id"].to_numpy(dtype=np.int64)
+        A = np.stack(a["v"].map(np.asarray).to_numpy()).astype(np.float64)
+        B = np.stack(b["v"].map(np.asarray).to_numpy()).astype(np.float64)
+        A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        cos = np.round(A @ B.T, 4)
+        # orient every pair id_a < id_b; the (i,j) task is the unique owner
+        # of its id pairs, so no cross-task dedup is ever needed
+        mask = (ids_a[:, None] < ids_b[None, :]) & (cos >= thr)
+        ai, bj_ix = np.nonzero(mask)
+        lo, hi = ids_a[ai], ids_b[bj_ix]
+        if bi != bj:
+            rmask = (ids_b[None, :] < ids_a[:, None]) & (cos >= thr)
+            rai, rbj = np.nonzero(rmask)
+            lo = np.concatenate([lo, ids_b[rbj]])
+            hi = np.concatenate([hi, ids_a[rai]])
+            cvals = np.concatenate([cos[ai, bj_ix], cos[rai, rbj]])
+        else:
+            cvals = cos[ai, bj_ix]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cvals})
+
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("bi", "bj")
+        .applyInPandas(score, schema="id_a long, id_b long, cos double")
+    )
+
+
+def _embedding_near_dups_broadcast(
+    emb: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Small-data exact path: broadcast the full normalized matrix, one
+    matmul per input partition (no shuffle). Opt-in via broadcast=True."""
     spark = emb.sparkSession
     rows = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>")).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)

@@ -79,11 +79,49 @@ def corpus_stats(spark: SparkSession, index_dir: str) -> dict:
     return stats
 
 
+# persisted build-time config per index_dir (see tables.INDEX_META_SCHEMA)
+_CFG_CACHE: dict[str, IndexConfig] = {}
+
+# fields that are physical facts about a built index — query-time values
+# MUST match the writer's or results are silently wrong (term_buckets
+# drives partition pruning, salt_docs the pruned-salt/phrase math, ...)
+_PHYSICAL_FIELDS = (
+    "k1", "b", "edge_ngram", "edge_ngram_min", "edge_ngram_max",
+    "with_positions", "block_size", "n_buckets", "wave_size",
+    "salt_docs", "term_buckets",
+)
+
+
+def effective_config(
+    spark: SparkSession, index_dir: str, cfg: IndexConfig | None
+) -> IndexConfig:
+    """The config to query ``index_dir`` with: physical layout fields come
+    from the index's persisted ``index_meta`` (ground truth — a caller
+    re-supplying stale build flags would otherwise get empty/wrong results
+    with no error); query-time knobs (candidate_factor, max_driver_salts)
+    come from the caller's ``cfg``. Pre-meta indexes fall back to the
+    caller's cfg unchanged."""
+    stored = _CFG_CACHE.get(index_dir)
+    if stored is None:
+        if not tbl.exists(index_dir, "index_meta"):
+            return cfg or IndexConfig()
+        row = spark.read.parquet(tbl.p(index_dir, "index_meta")).collect()[0]
+        stored = IndexConfig(**{f: row[f] for f in _PHYSICAL_FIELDS})
+        _CFG_CACHE[index_dir] = stored
+    if cfg is None:
+        return stored
+    return stored.with_(
+        candidate_factor=cfg.candidate_factor, max_driver_salts=cfg.max_driver_salts
+    )
+
+
 def invalidate_stats_cache(index_dir: str | None = None) -> None:
     if index_dir is None:
         _STATS_CACHE.clear()
+        _CFG_CACHE.clear()
     else:
         _STATS_CACHE.pop(index_dir, None)
+        _CFG_CACHE.pop(index_dir, None)
 
 
 def term_meta(
@@ -204,7 +242,7 @@ def bm25_topk(
     with_keys: bool = False,
 ) -> DataFrame:
     """Top-k BM25 over the built index. Returns (docid, score[, keys…])."""
-    cfg = cfg or IndexConfig()
+    cfg = effective_config(spark, index_dir, cfg)
     terms = query_terms(query)
     stats = corpus_stats(spark, index_dir)
     empty = tbl.local_rows_df(spark, [], "docid long, score double")
@@ -300,7 +338,10 @@ def bm25_topk(
     )
     tau = top1[-1]["score"] if len(top1) >= k else float("-inf")
 
-    phase2 = [s for s, ub, _n in salts if s not in p1_set and ub > tau]
+    # >= not >: a doc can score exactly its range's upper bound (degenerate
+    # uniform tf/dl), and at score == tau the (score desc, docid asc)
+    # tiebreak can still prefer it over the phase-1 kth row
+    phase2 = [s for s, ub, _n in salts if s not in p1_set and ub >= tau]
     top2 = []
     if phase2:
         top2 = (
@@ -397,7 +438,7 @@ def _pruned_topk_distributed(
         )
         tau = top1[-1]["score"] if len(top1) >= k else float("-inf")
         phase2 = (
-            salts.filter(F.col("ub") > tau).select("salt").join(phase1, "salt", "left_anti")
+            salts.filter(F.col("ub") >= tau).select("salt").join(phase1, "salt", "left_anti")
         )
         top2 = (
             _decode_scores(blocks.join(phase2, "salt"), idf, cfg, stats["avgdl"])
@@ -442,7 +483,7 @@ def bm25_topk_conjunctive(
     docid appears in exactly one block row, so rows-per-doc = matched
     terms).
     """
-    cfg = cfg or IndexConfig()
+    cfg = effective_config(spark, index_dir, cfg)
     terms = query_terms(query)
     stats = corpus_stats(spark, index_dir)
     idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
@@ -499,7 +540,7 @@ def prefix_topk(
     BM25 per term and MAX across expansions so "spark" ranks above a doc
     matching only the rarer "sparkle").
     """
-    cfg = cfg or IndexConfig()
+    cfg = effective_config(spark, index_dir, cfg)
     prefix = "".join(tokenize_text(prefix)[:1])  # analyzer-normalize, one token
     stats = corpus_stats(spark, index_dir)
     empty = tbl.local_rows_df(spark, [], "docid long, score double")
@@ -560,7 +601,7 @@ def phrase_topk(
 
     Output: (docid, score, n_hits) — n_hits = phrase occurrence count.
     """
-    cfg = cfg or IndexConfig()
+    cfg = effective_config(spark, index_dir, cfg)
     seq = tokenize_text(phrase)  # ordered, duplicates preserved
     uniq = list(dict.fromkeys(seq))
     stats = corpus_stats(spark, index_dir)

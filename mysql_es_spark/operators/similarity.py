@@ -157,6 +157,8 @@ def ivf_centroids(
     if n > sample_rows:
         frac_df = frac_df.sample(fraction=min(1.0, sample_rows / n * 1.2), seed=seed)
     rows = frac_df.limit(sample_rows).collect()
+    if not rows:
+        raise ValueError("ivf_centroids: input embedding table is empty")
     M = np.array([r["v"] for r in rows], dtype=np.float64)
     M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -164,14 +166,19 @@ def ivf_centroids(
     for _ in range(iters):
         sim = M @ C.T
         assign = np.argmax(sim, axis=1)
+        # worst-assigned points, masked as they're consumed, so multiple
+        # empty cells in one iteration respawn on DISTINCT points instead
+        # of all cloning the same farthest vector
+        own_sim = sim[np.arange(len(M)), assign].copy()
         for c in range(len(C)):
             members = M[assign == c]
             if len(members):
                 mean = members.mean(axis=0)
                 C[c] = mean / max(np.linalg.norm(mean), 1e-12)
             else:
-                worst = np.argmin(sim[np.arange(len(M)), assign])
+                worst = int(np.argmin(own_sim))
                 C[c] = M[worst]
+                own_sim[worst] = np.inf
     return C
 
 

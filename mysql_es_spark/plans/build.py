@@ -246,3 +246,15 @@ def finalize(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> None:
         [(int(stats["n_docs"]), int(stats["sum_dl"]), int(n_terms), cfg.n_buckets)],
         tbl.CORPUS_STATS_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(tbl.p(index_dir, "corpus_stats"))
+    # persist the build-time config: the index is self-describing, so
+    # query-time salt math / partition pruning can never silently drift
+    # from the writer's layout (the analog of ES storing its mapping)
+    tbl.local_rows_df(
+        spark,
+        [(
+            cfg.k1, cfg.b, cfg.edge_ngram, cfg.edge_ngram_min, cfg.edge_ngram_max,
+            cfg.with_positions, cfg.block_size, cfg.n_buckets, cfg.wave_size,
+            cfg.salt_docs, cfg.term_buckets,
+        )],
+        tbl.INDEX_META_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(tbl.p(index_dir, "index_meta"))

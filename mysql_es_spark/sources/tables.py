@@ -29,6 +29,14 @@ LINEAGE_SCHEMA = (
     "wall_sec double, status string, built_at timestamp"
 )
 CORPUS_STATS_SCHEMA = "n_docs long, sum_dl long, n_terms long, n_buckets int"
+# the build-time IndexConfig, persisted so query-time partition pruning /
+# salt math can never drift from the writer's physical layout (the index
+# is self-describing; callers need not re-supply build flags)
+INDEX_META_SCHEMA = (
+    "k1 double, b double, edge_ngram boolean, edge_ngram_min int, edge_ngram_max int, "
+    "with_positions boolean, block_size int, n_buckets int, wave_size int, "
+    "salt_docs long, term_buckets int"
+)
 
 
 def p(index_dir: str, *parts: str) -> str:
@@ -44,8 +52,9 @@ def local_rows_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFr
     cores). The pandas path converts through Arrow into a JVM
     LocalRelation: no Python stage ever again, ~0.4s."""
     import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
 
-    names = [f.split()[0] for f in schema.split(",")]
+    names = _parse_datatype_string(schema).fieldNames()
     return spark.createDataFrame(pd.DataFrame(rows, columns=names), schema=schema)
 
 

@@ -55,7 +55,11 @@ def incremental_update(
     cfg: IndexConfig | None = None,
 ) -> dict:
     """Rebuild only the waves whose buckets contain changed conversations."""
-    cfg = cfg or IndexConfig()
+    from ..operators.query import effective_config
+
+    # the index already exists: its persisted layout is the ground truth a
+    # rebuild wave must match (bucket hash, salts, positions, ...)
+    cfg = effective_config(spark, index_dir, cfg)
     buckets = affected_buckets(changed_conv_ids, cfg)
     if not buckets:
         return {"waves_rebuilt": [], "buckets": []}

@@ -110,6 +110,41 @@ def test_embedding_near_dups(spark):
     assert pairs[(0, 1)] > 0.99
 
 
+def test_embedding_near_dups_distributed_matches_broadcast(spark):
+    """The default (triangle-block-join) path is exact: identical output to
+    the broadcast-matmul path on a real embedding table, across block
+    counts (including n_blocks=1 and n_blocks > distinct blocks)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = sorted(
+        ((r.id_a, r.id_b, r.cos) for r in
+         dedup.embedding_near_dups(emb, 0.3, broadcast=True).collect())
+    )
+    assert want  # the fixture must actually contain near-dup pairs
+    for nb in (1, 3, 8):
+        got = sorted(
+            ((r.id_a, r.id_b, r.cos) for r in
+             dedup.embedding_near_dups(emb, 0.3, n_blocks=nb).collect())
+        )
+        assert got == want, f"n_blocks={nb}"
+
+
+def test_embedding_near_dups_no_driver_collect(spark, monkeypatch):
+    """Constructing the default plan must never pull the vector table to
+    the driver (the 100 TB contract): DataFrame.collect is poisoned while
+    the plan is built."""
+    from pyspark.sql import DataFrame
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def boom(self):
+        raise AssertionError("driver-side collect during plan construction")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    plan = dedup.embedding_near_dups(emb, 0.3)  # must not collect
+    monkeypatch.undo()
+    assert plan.count() > 0
+
+
 def test_winnow_guarantee_and_overlap(spark):
     """Winnowing guarantee: any shared token run of length >= k+window-1
     yields >= 1 identical fingerprint; disjoint-vocab docs share none."""
