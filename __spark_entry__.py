@@ -232,6 +232,52 @@ def q_j6(spark, sf):
     )
 
 
+WITHS_RELATIONS = {
+    "orders": {
+        "cust": {
+            "table": "customer", "local": "o_custkey", "foreign": "c_custkey",
+            "columns": ["c_name", "c_mktsegment"],
+            "column_alias": {"c_name": "name", "c_mktsegment": "segment"},
+        }
+    },
+    "customer": {
+        "nation": {
+            "table": "nation", "local": "c_nationkey", "foreign": "n_nationkey",
+            "columns": ["n_name"], "column_alias": {"n_name": "name"},
+        }
+    },
+    "nation": {
+        "region": {
+            "table": "region", "local": "n_regionkey", "foreign": "r_regionkey",
+            "columns": ["r_name"], "column_alias": {"r_name": "name"},
+        }
+    },
+}
+
+
+def q_withs_3hop(spark, sf):
+    """Config-driven relation planner (the reference's relations/withs,
+    River.java:184-228): orders ⟕ customer ⟕ nation ⟕ region declared as a
+    dict, compiled to chained broadcast left joins. The customer dim is
+    filtered so the chain has genuine misses → null-padded rows."""
+    from mysql_es_spark.operators.relations import apply_withs
+
+    o = _t(spark, sf, "orders")
+    tables = {
+        "customer": _t(spark, sf, "customer").filter(F.col("c_custkey") < 1000),
+        "nation": _t(spark, sf, "nation"),
+        "region": _t(spark, sf, "region"),
+    }
+    return apply_withs(
+        o, "orders", ["cust", "cust.nation", "cust.nation.region"],
+        WITHS_RELATIONS, tables,
+    ).select(
+        "o_orderkey", "cust_name", "cust_segment",
+        F.col("cust_nation_name").alias("nation_name"),
+        F.col("cust_nation_region_name").alias("region_name"),
+    )
+
+
 def q_p3(spark, sf):
     """P3 column rename — the reference declared column_alias but left it
     TODO (River.java:470-471, Emiter.java:248-256); here it's one call."""
@@ -722,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_parent_propagation": q_j6,
         "asof_join_events_orders": q_asof,
         "range_join_attribution": q_range_join,
+        "withs_3hop": q_withs_3hop,
         # --- windows / aggregation ---
         "user_event_sequence": q_event_seq,
         "w1_last_writer_wins": q_w1,
@@ -966,6 +1013,18 @@ def oracle_sql() -> dict[str, str]:
             e AS (SELECT t.doc_id, u.term FROM t, unnest(t.toks) AS u(term))
             SELECT term, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
             FROM e GROUP BY term ORDER BY n_occurrences DESC, term ASC LIMIT 20
+        """,
+        "withs_3hop": """
+            SELECT o_orderkey,
+                   c.c_name AS cust_name,
+                   c.c_mktsegment AS cust_segment,
+                   n.n_name AS nation_name,
+                   r.r_name AS region_name
+            FROM orders o
+            LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 1000) c
+              ON o.o_custkey = c.c_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
         """,
         "range_join_attribution": """
             SELECT o_orderkey, count(*) AS n_fast_ships

@@ -103,6 +103,118 @@ def mix_flatten(df: DataFrame, sep: str = "_") -> DataFrame:
     return df.select(*cols)
 
 
+def apply_withs(
+    base: DataFrame,
+    base_table: str,
+    withs: list[str],
+    relations: dict[str, dict[str, dict]],
+    tables: dict[str, DataFrame],
+    nested: bool = False,
+    sep: str = "_",
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Config-driven multi-hop relation planner — the reference's
+    ``relations``/``withs`` contract (River.java:184-228
+    setCalledToAssociate, RelationRecords.java:51-60 relateBySubAssociate)
+    compiled to chained Spark left-outer joins.
+
+    ``relations`` declares, per table, named one-to-one lookups::
+
+        {"comments": {"user":  {"table": "users",      "local": "uid",
+                                "foreign": "id", "columns": ["*"],
+                                "column_alias": {"nickname": "nick"}}},
+         "users":    {"extra": {"table": "user_infos", "local": "id",
+                                "foreign": "id"}}}
+
+    ``withs`` lists dotted paths to attach to ``base`` ("user",
+    "user.extra", ...). Exactly like the reference, each listed path
+    contributes its LEAF table's columns, prefixed with the path
+    (``user.extra`` alone adds user_extra_* columns but not user_*), and a
+    missed key null-pads the attached columns (Record.createNull,
+    Record.java:48-57). Shared path prefixes are resolved once
+    (RelationRecords.loadedRelations memoization): "user" and
+    "user.extra" probe the users table a single time.
+
+    Scale: every hop is a lookup join against a dim table — broadcast by
+    default (dims are small next to a 10^12-row fact table; set
+    ``broadcast_dims=False`` to let AQE pick for large dims). The fact
+    side is never shuffled on the broadcast path. ``nested=True``
+    reassembles the path tree into struct columns (ES nested-doc parity);
+    the flat default emits the reference's dotted columns with ``sep``.
+    """
+    for path in withs:
+        head = path.split(".", 1)[0]
+        if head not in relations.get(base_table, {}):
+            raise KeyError(f"with '{path}': no relation '{head}' declared on '{base_table}'")
+
+    # resolved path -> table at the leaf; parents before children, so every
+    # needed prefix of a with is joined exactly once — silently (emitting
+    # no user-visible columns) when the prefix is not itself listed
+    resolved: dict[str, str] = {"": base_table}
+    hidden: list[str] = []
+    out = base
+    need = sorted({".".join(w.split(".")[:i]) for w in withs
+                   for i in range(1, w.count(".") + 2)},
+                  key=lambda s: (s.count("."), s))
+    listed = set(withs)
+    for path in need:
+        parent, _, leaf = path.rpartition(".")
+        rel = relations.get(resolved[parent], {}).get(leaf)
+        if rel is None:
+            raise KeyError(f"with '{path}': no relation '{leaf}' declared on '{resolved[parent]}'")
+        prefix = path.replace(".", sep)
+        local = rel["local"] if parent == "" else f"__h{sep}{parent.replace('.', sep)}{sep}{rel['local']}"
+        dim = tables[rel["table"]]
+        cols = rel.get("columns", ["*"])
+        if cols == ["*"] or "*" in cols:
+            cols = dim.columns
+        alias = rel.get("column_alias", {})
+        # one probe per unique prefix carries BOTH this path's visible
+        # columns (if listed) and, hidden, the local keys any child relation
+        # declared on the leaf table will join through
+        child_locals = sorted({r["local"] for r in relations.get(rel["table"], {}).values()})
+        key_col = f"__k{sep}{prefix}"
+        sel = [F.col(rel["foreign"]).alias(key_col)]
+        sel += [F.col(c).alias(f"__h{sep}{prefix}{sep}{c}") for c in child_locals]
+        hidden += [key_col] + [f"__h{sep}{prefix}{sep}{c}" for c in child_locals]
+        if path in listed:
+            sel += [F.col(c).alias(f"{prefix}{sep}{alias.get(c, c)}") for c in cols]
+        rhs = dim.select(*sel).dropDuplicates([key_col])
+        if broadcast_dims:
+            rhs = F.broadcast(rhs)
+        out = out.join(rhs, F.col(local) == F.col(key_col), "left")
+        resolved[path] = rel["table"]
+    out = out.drop(*hidden)
+    if nested:
+        out = _nest_withs(out, base.columns, withs, sep)
+    return out
+
+
+def _nest_withs(df: DataFrame, base_cols: list[str], withs: list[str], sep: str) -> DataFrame:
+    """Regroup flat path-prefixed columns into per-top-segment structs
+    (user_extra_city → user.extra.city), the ES nested-document shape."""
+    tree: dict = {}
+    for w in sorted(withs):
+        node = tree
+        for seg in w.split("."):
+            node = node.setdefault(seg, {})
+
+    def build(node: dict, prefix: str):
+        fields = []
+        flat = f"{prefix.replace('.', sep)}{sep}"
+        for c in df.columns:
+            if c.startswith(flat) and not any(
+                c.startswith(f"{flat}{k}{sep}") for k in node
+            ):
+                fields.append(F.col(c).alias(c[len(flat):]))
+        for k, sub in node.items():
+            fields.append(build(sub, f"{prefix}.{k}" if prefix else k))
+        return F.struct(*fields).alias(prefix.split(".")[-1])
+
+    structs = [build(tree[top], top) for top in tree]
+    return df.select(*base_cols, *structs)
+
+
 def propagate_parent_update(
     docs: DataFrame, changed_parents: DataFrame, key: str, update_cols: list[str]
 ) -> DataFrame:
