@@ -709,9 +709,11 @@ def q_ivf(spark, sf):
 
 
 def q_mm_features(spark, sf):
-    return multimodal.extract_features(multimodal.synth_media(spark, 48)).select(
-        "media_id", "kind", "n_bytes"
-    )
+    """Real decode: WAV samples and PNG/PPM pixels are actually parsed
+    (functions/media_codecs.py); only video rows use digest features."""
+    return multimodal.extract_features(
+        multimodal.synth_media(spark, 48), real=True, on_video="fake"
+    ).select("media_id", "kind", "n_bytes")
 
 
 def q_mm_frames(spark, sf):

@@ -28,9 +28,45 @@ def test_extract_features_shapes_and_determinism(spark, media):
         assert r.feature == by_id2[i].feature  # deterministic fake decode
 
 
-def test_real_decode_is_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_features(media, real=True)
+def test_real_decode_wav_png_ppm(spark, media):
+    """real=True computes features from actual pixels/samples (WAV via
+    stdlib wave, PNG via zlib+filters, PPM by header) — deterministic,
+    full-width, and different from the digest-fake features."""
+    real = {
+        r.media_id: r
+        for r in multimodal.extract_features(
+            media, dim=16, real=True, on_video="fake"
+        ).collect()
+    }
+    fake = {
+        r.media_id: r for r in multimodal.extract_features(media, dim=16).collect()
+    }
+    assert len(real) == 30
+    metas = {r.media_id: (r.kind, r.meta) for r in media.collect()}
+    for i, r in real.items():
+        kind, meta = metas[i]
+        assert len(r.feature) == 16
+        if kind == "image":
+            # feature head = [w/1e3, h/1e3, channels, mean, std]
+            assert abs(r.feature[0] - meta.width / 1e3) < 1e-6
+            assert abs(r.feature[1] - meta.height / 1e3) < 1e-6
+            assert r.feature[2] == 3.0
+            assert 0.2 < r.feature[3] < 0.8  # gradient+noise image mean
+            assert r.feature != fake[i].feature
+        elif kind == "audio":
+            # head = [duration, rate/1e5, channels, rms, zcr]; synth is a
+            # 0.5-amplitude sine + small noise -> rms ~ 0.5/sqrt(2)
+            assert abs(r.feature[0] - meta.duration_s) < 0.01
+            assert abs(r.feature[1] - 1600 / 1e5) < 1e-6
+            assert abs(r.feature[3] - 0.3536) < 0.02
+            assert r.feature != fake[i].feature
+        else:  # video fell back to the digest features
+            assert r.feature == fake[i].feature
+
+
+def test_real_decode_video_errors_by_default(spark, media):
+    with pytest.raises(Exception, match="PyAV|demuxer"):
+        multimodal.extract_features(media, real=True).collect()
 
 
 def test_frame_sample(spark, media):
