@@ -681,8 +681,12 @@ def q_emb_near_dups(spark, sf):
 
 
 def q_winnow(spark, sf):
+    """base_hash='md5' makes the whole winnowing pipeline reproducible in
+    the DuckDB oracle (md5_number_upper == little-endian first 8 digest
+    bytes), upgrading this entry from rows-only to a full tri-match."""
     return dedup.winnow_overlap_pairs(
-        _t(spark, sf, "documents"), k=4, window=4, min_shared=2, max_fp_df=50
+        _t(spark, sf, "documents"), k=4, window=4, min_shared=2, max_fp_df=50,
+        base_hash="md5",
     )
 
 
@@ -693,7 +697,12 @@ def q_minhash(spark, sf):
 
 
 def q_simhash(spark, sf):
-    return dedup.simhash_near_dups(_t(spark, sf, "documents"), max_hamming=10)
+    """max_hamming=3 (the banding completeness bound) + md5 base hash: the
+    oracle recomputes SimHash brute-force in SQL, so this also proves the
+    4x16 band candidate generation loses nothing at k<=3."""
+    return dedup.simhash_near_dups(
+        _t(spark, sf, "documents"), max_hamming=3, base_hash="md5"
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_ann(spark, sf):
@@ -1124,6 +1133,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(i * 1.0 / (za.sz + zb.sz - i), 4) AS jaccard
             FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
             WHERE round(i * 1.0 / (za.sz + zb.sz - i), 4) >= 0.15
+        """,
+        "doc_winnow_overlap": f"""
+            WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+            g AS (SELECT doc_id,
+                    [ md5_number_upper(list_aggregate(toks[i:i+3], 'string_agg', ' '))
+                      FOR i IN range(1, len(toks) - 2) ] AS kgs
+                  FROM t WHERE len(toks) >= 4),
+            w AS (SELECT doc_id,
+                    CASE WHEN len(kgs) <= 4 THEN [list_min(kgs)]
+                         ELSE [ list_min(kgs[i:i+3]) FOR i IN range(1, len(kgs) - 2) ]
+                    END AS sels
+                  FROM g),
+            f AS (SELECT DISTINCT doc_id, fp FROM w, unnest(sels) AS u(fp)),
+            fd AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
+            ff AS (SELECT f.doc_id, f.fp FROM f JOIN fd USING (fp))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "doc_simhash_near_dups": f"""
+            WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+            e AS (SELECT doc_id, term FROM t, unnest(toks) AS u(term)),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM e GROUP BY 1, 2),
+            th AS (SELECT doc_id, tf, md5_number_upper(term) AS h FROM tf),
+            bv AS (SELECT doc_id, b,
+                     sum(tf * (CASE WHEN ((h >> CAST(b AS UBIGINT)) & 1) = 1
+                               THEN 1 ELSE -1 END)) AS v
+                   FROM th, (SELECT unnest(range(64)) AS b) GROUP BY 1, 2),
+            shu AS (SELECT doc_id,
+                      sum(CASE WHEN v > 0 THEN (1::HUGEINT << CAST(b AS INTEGER))
+                          ELSE 0::HUGEINT END) AS shh
+                    FROM bv GROUP BY 1),
+            sh AS (SELECT d.doc_id,
+                     CAST(coalesce(s.shh -
+                       CASE WHEN s.shh >= 9223372036854775808::HUGEINT
+                            THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END,
+                       0) AS BIGINT) AS sim
+                   FROM documents d LEFT JOIN shu s ON d.doc_id = s.doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
         """,
         "bm25_direct": _bm25_sql(BM25_Q1, 20),
         "bm25_direct_q2": _bm25_sql(BM25_Q2, 15),

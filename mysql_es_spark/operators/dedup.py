@@ -3,8 +3,11 @@
 Exact (hash-groupBy), n-gram Jaccard (shingle self-join), MinHash+LSH
 (shingle → signature → band-bucket join), SimHash (64-bit, banded), and
 embedding-cosine near-dup. Exact and Jaccard are DuckDB-oracle-checkable;
-MinHash/SimHash are verified against Python oracles in tests (their
-internal hash functions aren't SQL-portable).
+MinHash is verified against a Python oracle in tests (xxhash64 isn't
+SQL-portable). SimHash and winnowing take ``base_hash``: the default
+"stable" pandas siphash is the fast path, "md5" (first 8 digest bytes,
+little-endian == DuckDB ``md5_number_upper``) makes the whole pipeline
+reproducible in ANSI SQL so the driver gate tri-checks the pair output.
 
 Scale design notes (100 TB):
 - every candidate generator is a *join on a short key* (fingerprint,
@@ -332,11 +335,31 @@ def near_dup_clusters(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def _md5_hash_array(terms: np.ndarray) -> np.ndarray:
+    """uint64 hash = first 8 md5 digest bytes, little-endian — identical
+    to DuckDB ``md5_number_upper``, so SQL oracles can reproduce it."""
+    import hashlib
+
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(str(t).encode()).digest()[:8], "little")
+            for t in terms
+        ],
+        dtype=np.uint64,
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base_hash: str = "stable",
+) -> DataFrame:
     """(id, simhash long) — 64-bit SimHash over tf-weighted analyzer tokens.
 
     Vectorized: one tokenize pass, term hashes via pandas hash_array
-    (stable siphash), bit votes as a (terms × 64) numpy reduction."""
+    (stable siphash; ``base_hash="md5"`` for the SQL-reproducible
+    variant), bit votes as a (terms × 64) numpy reduction."""
     from ..functions.analyze import tokenize_series
 
     def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -352,7 +375,10 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
                 terms = np.concatenate([t for t in toks.to_numpy() if len(t)])
                 lf = pd.DataFrame({"id": rep, "term": terms})
                 tf = lf.groupby(["id", "term"], sort=False).size().reset_index(name="tf")
-                h = pd.util.hash_array(tf["term"].to_numpy(dtype=object))
+                if base_hash == "md5":
+                    h = _md5_hash_array(tf["term"].to_numpy(dtype=object))
+                else:
+                    h = pd.util.hash_array(tf["term"].to_numpy(dtype=object))
                 votes = (((h[:, None] >> bits) & np.uint64(1)).astype(np.int64) * 2 - 1) * tf[
                     "tf"
                 ].to_numpy()[:, None]
@@ -373,13 +399,17 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 
 def simhash_near_dups(
-    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base_hash: str = "stable",
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with SimHash Hamming distance ≤ k.
 
     Candidates via 4×16-bit band join (any identical quarter ⇒ candidate —
     guaranteed complete for k ≤ 3 by pigeonhole), then exact popcount."""
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col, base_hash=base_hash)
     banded = sh.select(
         F.col(id_col),
         F.col("simhash"),
@@ -423,6 +453,7 @@ def winnow_fingerprints(
     window: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    base_hash: str = "stable",
 ) -> DataFrame:
     """(id, fp) — winnowing fingerprints: rolling polynomial hash over
     token k-grams, then the minimum hash of every ``window`` consecutive
@@ -443,14 +474,26 @@ def winnow_fingerprints(
                 ts = np.asarray(ts, dtype=object)
                 if len(ts) < k:
                     continue
-                h = _token_hashes(ts)
-                # rolling polynomial k-gram hash, vectorized as a sum of
-                # shifted-and-scaled lanes (k is small)
-                m = len(h) - k + 1
-                kg = np.zeros(m, dtype=np.uint64)
-                for j in range(k):
-                    kg = kg * _WINNOW_BASE + h[j : j + m]
-                kg ^= kg >> np.uint64(_WINNOW_SHIFT)
+                if base_hash == "md5":
+                    # hash the joined k-gram string directly — exactly
+                    # reproducible in SQL (md5_number_upper over
+                    # string_agg of the token slice); slower than the
+                    # rolling hash, used for cross-engine verification
+                    m = len(ts) - k + 1
+                    kg = _md5_hash_array(
+                        np.array(
+                            [" ".join(ts[i : i + k]) for i in range(m)], dtype=object
+                        )
+                    )
+                else:
+                    h = _token_hashes(ts)
+                    # rolling polynomial k-gram hash, vectorized as a sum
+                    # of shifted-and-scaled lanes (k is small)
+                    m = len(h) - k + 1
+                    kg = np.zeros(m, dtype=np.uint64)
+                    for j in range(k):
+                        kg = kg * _WINNOW_BASE + h[j : j + m]
+                    kg ^= kg >> np.uint64(_WINNOW_SHIFT)
                 if m <= window:
                     sel = np.array([kg.min()], dtype=np.uint64)
                 else:
@@ -475,6 +518,7 @@ def winnow_overlap_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_fp_df: int | None = None,
+    base_hash: str = "stable",
 ) -> DataFrame:
     """(id_a, id_b, n_shared) — doc pairs sharing ≥ min_shared winnowing
     fingerprints. Candidate generation is an equi-join on the fingerprint
@@ -482,7 +526,7 @@ def winnow_overlap_pairs(
     fingerprints before pairing (same fan-out cap as shingles/LSH).
     The persisted fingerprint frame is reclaimed by the ContextCleaner
     when the returned frame is GC'd (see ngram_jaccard_pairs note)."""
-    fp = winnow_fingerprints(df, k, window, id_col, text_col).persist()
+    fp = winnow_fingerprints(df, k, window, id_col, text_col, base_hash=base_hash).persist()
     if max_fp_df is not None:
         freq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("fdf"))
         fp = fp.join(freq.filter(F.col("fdf") <= max_fp_df), "fp", "left_semi")

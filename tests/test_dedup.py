@@ -170,6 +170,35 @@ def test_winnow_guarantee_and_overlap(spark):
     f0 = {r.fp for r in fps.filter("doc_id = 0").collect()}
     f3 = {r.fp for r in fps.filter("doc_id = 3").collect()}
     assert f0 == f3 and len(f0) > 0
+    # the guarantee is hash-agnostic: the SQL-reproducible md5 mode finds
+    # the same overlap structure (fingerprint values differ, pairs don't)
+    md5_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.winnow_overlap_pairs(
+            df, k=4, window=4, min_shared=1, base_hash="md5"
+        ).collect()
+    }
+    assert {(0, 1), (0, 3)} <= md5_pairs and not any(2 in p for p in md5_pairs)
+
+
+def test_simhash_md5_mode_matches_reference_hash(spark):
+    """base_hash='md5' must equal int.from_bytes(md5(term)[:8], 'little')
+    semantics (== DuckDB md5_number_upper) — checked via a hand-computed
+    single-term doc whose simhash is exactly its term hash's sign bits."""
+    import hashlib
+
+    import numpy as np
+
+    from mysql_es_spark.operators import dedup
+
+    df = spark.createDataFrame([(0, "hello"), (1, "hello")], "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in dedup.simhash(df, base_hash="md5").collect()}
+    h = int.from_bytes(hashlib.md5(b"hello").digest()[:8], "little")
+    # single positive-tf term: every set bit votes +1, every clear bit -1
+    want = np.uint64(h).astype(np.int64)
+    assert got[0] == got[1] == want
+    pairs = dedup.simhash_near_dups(df, max_hamming=0, base_hash="md5").collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(0, 1, 0)]
 
 
 def test_winnow_short_docs(spark):
