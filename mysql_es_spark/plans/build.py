@@ -75,6 +75,8 @@ def build_wave(
     wave_id: int,
     wave_buckets: list[int],
     cfg: IndexConfig,
+    source: str = "build",
+    batch_id: int = -1,
 ) -> tuple:
     """Build one wave's tables; returns the lineage row (not yet written).
 
@@ -156,7 +158,32 @@ def build_wave(
     agg = blk.agg(
         F.coalesce(F.sum("n"), F.lit(0)).alias("np"), F.count(F.lit(1)).alias("nb")
     ).collect()[0]
-    mark("metrics_read", t)
+    # empty-text docs (dl == 0) from the tiny doc_lens table — the
+    # data-quality counter the reference only ever logged (ST8); a
+    # two-column scan of per-doc ints, never the text blobs
+    dla = (
+        spark.read.schema("docid long, dl int")
+        .parquet(tbl.wave_dir(index_dir, "doc_lens", wave_id))
+        .agg(F.coalesce(F.sum((F.col("dl") == 0).cast("long")), F.lit(0)).alias("ne"))
+        .collect()[0]
+    )
+    t = mark("metrics_read", t)
+    from .metrics import append_metrics
+
+    append_metrics(
+        spark,
+        index_dir,
+        source,
+        {
+            "docs_indexed": int(n_docs),
+            "postings_written": int(agg["np"]),
+            "blocks_written": int(agg["nb"]),
+            "empty_docs": int(dla["ne"]),
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+        },
+        wave=wave_id,
+        batch_id=batch_id,
+    )
     return (
         wave_id,
         wave_buckets,

@@ -29,6 +29,15 @@ LINEAGE_SCHEMA = (
     "wall_sec double, status string, built_at timestamp"
 )
 CORPUS_STATS_SCHEMA = "n_docs long, sum_dl long, n_terms long, n_buckets int"
+# append-only observability counters (the durable analog of the
+# reference's Statistic + ReportAction 15-second log line,
+# ReportAction.java:14-41): one narrow row per (source, batch, wave,
+# counter) so per-partition error/data-quality counts are queryable
+# after the fact, not just logged (SURVEY.md §2.10 ST8 / §2.1 S13)
+METRICS_SCHEMA = (
+    "source string, batch_id long, wave int, metric string, value long, "
+    "recorded_at timestamp"
+)
 # the build-time IndexConfig, persisted so query-time partition pruning /
 # salt math can never drift from the writer's physical layout (the index
 # is self-describing; callers need not re-supply build flags)

@@ -53,8 +53,13 @@ def incremental_update(
     changed_conv_ids: DataFrame,
     index_dir: str,
     cfg: IndexConfig | None = None,
+    batch_id: int = -1,
 ) -> dict:
-    """Rebuild only the waves whose buckets contain changed conversations."""
+    """Rebuild only the waves whose buckets contain changed conversations.
+    Each rebuilt wave appends its counters to the durable metrics table
+    under source='incremental' with this ``batch_id`` (the CDC stream
+    passes its epoch), so per-batch ingest volume is queryable after the
+    fact — the reference's Statistic counters, persisted."""
     from ..operators.query import effective_config
 
     # the index already exists: its persisted layout is the ground truth a
@@ -69,7 +74,10 @@ def incremental_update(
     for wave_id, wave_buckets in enumerate(waves_of(cfg)):
         if not bucket_set.intersection(wave_buckets):
             continue
-        row = build_wave(spark, df, index_dir, wave_id, wave_buckets, cfg)
+        row = build_wave(
+            spark, df, index_dir, wave_id, wave_buckets, cfg,
+            source="incremental", batch_id=batch_id,
+        )
         commit_lineage(spark, index_dir, row)
         rebuilt.append(wave_id)
     finalize(spark, index_dir, cfg)
@@ -94,7 +102,9 @@ def start_cdc_stream(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         changed = batch_df.select("conv_id").distinct()
-        incremental_update(spark, snapshot(), changed, index_dir, cfg)
+        incremental_update(
+            spark, snapshot(), changed, index_dir, cfg, batch_id=int(epoch_id)
+        )
 
     return (
         stream.writeStream.foreachBatch(handle)
