@@ -63,6 +63,31 @@ def edge_ngrams(tokens: list[str], lo: int, hi: int) -> list[str]:
     return out
 
 
+def edge_ngrams_with_positions(
+    tokens: list[str], lo: int, hi: int
+) -> tuple[list[str], list[int]]:
+    """Front edge-ngram expansion keeping source-token positions.
+
+    Lucene's EdgeNGramTokenFilter emits every gram at the position of the
+    token it came from, and ES documents that phrase queries over ngram
+    fields require the ``unique`` filter to run ``only_on_same_position``
+    (the stream-wide variant drops repeat occurrences and silently breaks
+    adjacency). Grams of one token are distinct prefixes, so
+    only-on-same-position dedup is a no-op — we keep every occurrence.
+    Returns (grams, base_token_ordinal) aligned lists; the position of a
+    gram is the ordinal of its source token in the analyzed stream, so
+    phrase adjacency over the ngram index means "source tokens were
+    consecutive", exactly Lucene's behavior (template.json:30-36 analog).
+    """
+    grams: list[str] = []
+    pos: list[int] = []
+    for i, t in enumerate(tokens):
+        gs = [t[:n] for n in range(lo, min(len(t), hi) + 1)] if len(t) >= lo else [t]
+        grams.extend(gs)
+        pos.extend([i] * len(gs))
+    return grams, pos
+
+
 def fold_series(s: pd.Series) -> pd.Series:
     """Vectorized fold: NFKD → strip combining marks → lower."""
     filled = s.fillna("")

@@ -61,8 +61,6 @@ def tokenized(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     ngrams), which pyarrow can't express cleanly.
     """
     if cfg.edge_ngram:
-        if cfg.with_positions:
-            raise ValueError("with_positions is not supported with edge_ngram")
         return _tokenized_pandas(df, cfg)
     with_pos = cfg.with_positions
 
@@ -165,8 +163,22 @@ def tokenized(df: DataFrame, cfg: IndexConfig) -> DataFrame:
 
 
 def _tokenized_pandas(df: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """pandas fallback supporting the edge-ngram index analyzer (T1)."""
+    """pandas fallback supporting the edge-ngram index analyzer (T1).
+
+    Two analyzer variants, matching ES's documented contracts:
+
+    - positionless (default): grams pass through the stream-wide
+      ``unique`` filter (template.json's chain) — dl counts distinct
+      grams; tf is 0/1.
+    - with_positions: ``unique`` runs only_on_same_position (the ES
+      recommendation for phrase queries over ngram fields), so every
+      occurrence survives; each gram's position is its source token's
+      ordinal (Lucene EdgeNGramTokenFilter), dl is the full gram-stream
+      length, and phrase adjacency means consecutive *source* tokens.
+    """
     ngram, lo, hi = cfg.edge_ngram, cfg.edge_ngram_min, cfg.edge_ngram_max
+    if ngram and cfg.with_positions:
+        return _tokenized_pandas_ngram_pos(df, lo, hi)
 
     def explode_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -195,6 +207,53 @@ def _tokenized_pandas(df: DataFrame, cfg: IndexConfig) -> DataFrame:
                 yield doc_rows
 
     return df.select("docid", "text").mapInPandas(explode_tokens, schema=TOKENIZED_SCHEMA)
+
+
+def _tokenized_pandas_ngram_pos(df: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Edge-ngram T1 analyzer with positions (see _tokenized_pandas)."""
+    from ..functions.analyze import edge_ngrams_with_positions
+
+    def explode_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            base = tokenize_series(pdf["text"])  # source tokens, no ngram
+            docids = pdf["docid"].to_numpy(dtype=np.int64)
+            all_grams: list[str] = []
+            all_pos: list[int] = []
+            dl = np.zeros(len(pdf), dtype=np.int32)
+            counts = np.zeros(len(pdf), dtype=np.int64)
+            for i, toks in enumerate(base.to_numpy()):
+                grams, gpos = edge_ngrams_with_positions(toks, lo, hi)
+                all_grams.extend(grams)
+                all_pos.extend(gpos)
+                dl[i] = counts[i] = len(grams)
+            doc_rows = pd.DataFrame(
+                {"docid": docids, "term": None, "tf": np.int32(0), "dl": dl, "pos": None}
+            )
+            if not all_grams:
+                yield doc_rows
+                continue
+            long_form = pd.DataFrame(
+                {
+                    "docid": np.repeat(docids, counts),
+                    "term": all_grams,
+                    "dl": np.repeat(dl, counts),
+                    "pos": np.asarray(all_pos, dtype=np.int32),
+                }
+            )
+            # emission order is stream order, so each group's pos list is
+            # already ascending — the block encoder's contract
+            tf = (
+                long_form.groupby(["docid", "term"], sort=False)
+                .agg(tf=("term", "size"), dl=("dl", "first"), pos=("pos", list))
+                .reset_index()
+            )
+            tf["tf"] = tf["tf"].astype(np.int32)
+            tf["dl"] = tf["dl"].astype(np.int32)
+            yield pd.concat(
+                [doc_rows, tf[["docid", "term", "tf", "dl", "pos"]]], ignore_index=True
+            )
+
+    return df.select("docid", "text").mapInPandas(explode_tokens, schema=TOKENIZED_POS_SCHEMA)
 
 
 def _encode_batches(
