@@ -47,10 +47,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _docs_index_cfg(positions: bool = False) -> IndexConfig:
+def _docs_index_cfg(positions: bool = False, ngram: bool = False) -> IndexConfig:
     return IndexConfig(
         n_buckets=4, wave_size=4, salt_docs=1 << 20, term_buckets=8,
-        with_positions=positions,
+        with_positions=positions, edge_ngram=ngram,
     )
 
 
@@ -65,28 +65,59 @@ def _documents_as_transcripts(docs: DataFrame) -> DataFrame:
     )
 
 
-def _index_for_documents(spark: SparkSession, sf_dir: str, positions: bool = False) -> str:
-    """Build (once per sf_dir per machine) a full index over documents.
-
-    Cache key covers the source file's identity (path + size + mtime), so
-    regenerated testdata never hits a stale cached index."""
+def _ixcache_dir(sf_dir: str, variant: str) -> tuple[str, str]:
+    """Cache dir + completion marker for an index over this sf_dir's
+    documents. The key covers the source file's identity (path + size +
+    mtime), so regenerated testdata never hits a stale cached index."""
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     ident = f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}"
-    key = hashlib.md5(ident.encode()).hexdigest()[:16]
-    if positions:
-        key += "-pos"
+    key = hashlib.md5(ident.encode()).hexdigest()[:16] + variant
     ix = f"/tmp/mysql_es_spark_ixcache/{key}"
-    marker = os.path.join(ix, "_COMPLETE")
+    return ix, os.path.join(ix, "_COMPLETE")
+
+
+def _index_for_documents(
+    spark: SparkSession, sf_dir: str, positions: bool = False, ngram: bool = False
+) -> str:
+    """Build (once per sf_dir per machine) a full index over documents."""
+    variant = ("-pos" if positions else "") + ("-ng" if ngram else "")
+    ix, marker = _ixcache_dir(sf_dir, variant)
     if not os.path.exists(marker):
         import shutil
 
         shutil.rmtree(ix, ignore_errors=True)
         docs = _documents_as_transcripts(_t(spark, sf_dir, "documents"))
-        build_index(spark, docs, ix, _docs_index_cfg(positions))
+        build_index(spark, docs, ix, _docs_index_cfg(positions, ngram))
         with open(marker, "w") as f:
             f.write("ok")
     return ix
+
+
+ROUTED_CFG = IndexConfig(n_buckets=2, wave_size=2, salt_docs=1 << 20, term_buckets=4)
+
+
+def _routed_index_for_documents(spark: SparkSession, sf_dir: str) -> str:
+    """Date-routed layout (W3): documents dated by a deterministic
+    synthetic timestamp (doc_id % 10 days from 2026-01-01 — the testdata
+    documents table has no ts column), one sub-index per day."""
+    from mysql_es_spark.plans.date_routed import build_date_routed
+
+    root, marker = _ixcache_dir(sf_dir, "-routed")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        docs = _documents_as_transcripts(_t(spark, sf_dir, "documents")).withColumn(
+            "ts",
+            F.expr(
+                "CAST(date_add(DATE'2026-01-01', CAST(CAST(conv_id AS LONG) % 10 AS INT)) AS TIMESTAMP)"
+            ),
+        )
+        build_date_routed(spark, docs, root, ROUTED_CFG)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
 
 
 def _bm25_conj_sql(terms: list[str], k: int) -> str:
@@ -667,6 +698,48 @@ def q_prefix_via_index(spark, sf):
     )
 
 
+def q_ngram_phrase_via_index(spark, sf):
+    """Phrase over an edge-ngram index WITH positions (round-2 analyzer):
+    'ro sca' is a *prefix phrase* — grams of consecutive source tokens —
+    so it hits 'row scan' (search-as-you-type phrase, the ES
+    only_on_same_position contract)."""
+    ix = _index_for_documents(spark, sf, positions=True, ngram=True)
+    top = phrase_topk(
+        spark, ix, "ro sca", k=60, cfg=_docs_index_cfg(True, True), with_keys=True
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(40)
+    )
+
+
+def q_bm25_date_routed(spark, sf):
+    """Time-bounded search over the date-routed layout (W3): only the
+    in-range period sub-indexes are read; each period scores with its OWN
+    corpus statistics (ES query_then_fetch), then merges."""
+    from mysql_es_spark.plans.date_routed import bm25_topk_routed
+
+    root = _routed_index_for_documents(spark, sf)
+    top = bm25_topk_routed(
+        spark, root, " ".join(BM25_Q1), k=60,
+        start="2026-01-03", end="2026-01-07", cfg=ROUTED_CFG, with_keys=True,
+    )
+    return (
+        top.select(
+            "period",
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
 def q_emb_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -743,6 +816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix_via_index": q_prefix_via_index,
         "emb_cosine_topk": q_emb_topk,
         "emb_near_dups": q_emb_near_dups,
+        # --- round-2 features ---
+        "bm25_ngram_phrase_via_index": q_ngram_phrase_via_index,
+        "bm25_date_routed": q_bm25_date_routed,
         # --- round-1 hash fixes ---
         "a2_runlength_groups": q_a2,
         "sessionize": q_sessionize,
@@ -1227,6 +1303,75 @@ scores AS (
 )
 SELECT doc_id, round(s, 4) AS score FROM scores
 ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 40
+""",
+        # positions-bearing edge-ngram analyzer: every gram of a source
+        # token carries the token's ordinal; dl is the expanded stream
+        # length; phrase terms match grams of consecutive source tokens
+        "bm25_ngram_phrase_via_index": f"""
+WITH t AS (SELECT doc_id, {TOK} AS tl FROM documents),
+tok AS (
+  SELECT t.doc_id, r.i AS pos, t.tl[r.i] AS tok
+  FROM t, unnest(range(1, len(t.tl) + 1)) AS r(i)
+),
+g AS (
+  SELECT doc_id, pos,
+         unnest(CASE WHEN length(tok) < 2 THEN [tok]
+                ELSE [tok[1:n] FOR n IN range(2, least(length(tok), 25) + 1)]
+                END) AS gram
+  FROM tok
+),
+gc AS (SELECT doc_id, count(*) AS c FROM g GROUP BY 1),
+dl AS (SELECT t.doc_id, coalesce(gc.c, 0) AS dl FROM t LEFT JOIN gc USING (doc_id)),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+hits AS (
+  SELECT a.doc_id, count(*) AS n_hits
+  FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.gram = 'ro' AND b.gram = 'sca'
+  GROUP BY 1
+),
+tf AS (SELECT doc_id, gram, count(*) AS tf FROM g
+       WHERE gram IN ('ro', 'sca') GROUP BY 1, 2),
+dfreq AS (SELECT gram, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (gram) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM hits)
+  GROUP BY 1
+)
+SELECT h.doc_id, h.n_hits::BIGINT AS n_hits, round(s.s, 4) AS score
+FROM hits h JOIN scores s USING (doc_id)
+ORDER BY round(s.s, 4) DESC, h.doc_id ASC LIMIT 40
+""",
+        # per-period corpus statistics (ES query_then_fetch): n/avgdl/df
+        # all computed within each day's sub-index, merged top-k after
+        "bm25_date_routed": f"""
+WITH d AS (
+  SELECT doc_id,
+         strftime(DATE '2026-01-01' + (doc_id % 10)::INT, '%Y-%m-%d') AS period,
+         {TOK} AS tl
+  FROM documents),
+dl AS (SELECT doc_id, period, len(tl) AS dl FROM d),
+stats AS (SELECT period, count(*) AS n, avg(dl) AS avgdl FROM dl GROUP BY 1),
+tf AS (
+  SELECT d.doc_id, d.period, u.term, count(*) AS tf
+  FROM d, unnest(d.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2, 3),
+dfreq AS (SELECT period, term, count(*) AS df FROM tf GROUP BY 1, 2),
+scores AS (
+  SELECT tf.doc_id, tf.period,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf
+  JOIN dfreq ON dfreq.period = tf.period AND dfreq.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN stats ON stats.period = tf.period
+  WHERE tf.period BETWEEN '2026-01-03' AND '2026-01-07'
+  GROUP BY 1, 2)
+SELECT period, doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 25
 """,
         "emb_cosine_topk": """
             SELECT vec_id,

@@ -114,19 +114,28 @@ def bm25_topk_routed(
     end: str | None = None,
     cfg: IndexConfig | None = None,
     mode: str = "pruned",
+    with_keys: bool = False,
 ) -> DataFrame:
     """Time-bounded BM25 over the routed layout: per-period top-k (each
     scored with its own sub-index statistics — the ES query_then_fetch
     contract), merged to a global (score desc, docid asc) top-k. Output:
-    (period, docid, score). Only in-range period directories are read."""
+    (period, docid, score), plus the forward keys when ``with_keys``.
+    Only in-range period directories are read."""
     from ..operators.query import bm25_topk
 
     chosen = select_periods(root, start, end)
     if not chosen:
-        return tbl.local_rows_df(spark, [], "period string, docid long, score double")
+        schema = "period string, docid long, score double"
+        if with_keys:
+            schema += ", conv_id string"
+        return tbl.local_rows_df(spark, [], schema)
+    cols = ["docid", "score"] + (["conv_id"] if with_keys else [])
     parts = [
-        bm25_topk(spark, _period_dir(root, p), query, k=k, cfg=cfg, mode=mode)
-        .select(F.lit(p).alias("period"), "docid", "score")
+        bm25_topk(
+            spark, _period_dir(root, p), query, k=k, cfg=cfg, mode=mode,
+            with_keys=with_keys,
+        )
+        .select(F.lit(p).alias("period"), *cols)
         for p in chosen
     ]
     out = parts[0]
