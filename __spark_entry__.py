@@ -25,6 +25,7 @@ from mysql_es_spark.config import IndexConfig
 from mysql_es_spark.operators import dedup, multimodal, sampling, similarity, textstats
 from mysql_es_spark.operators.asof import asof_join
 from mysql_es_spark.operators.query import (
+    bm25_bool_topk,
     bm25_topk,
     bm25_topk_conjunctive,
     direct_bm25,
@@ -740,6 +741,23 @@ def q_bm25_date_routed(spark, sf):
     )
 
 
+def q_bool_query(spark, sf):
+    """ES bool DSL over the index: must=spark, should 1-of-3 scorers,
+    must_not=batch excluded in filter context (Query.java DSL analog)."""
+    ix = _index_for_documents(spark, sf)
+    top = bm25_bool_topk(
+        spark, ix, must="spark", should="join query window", must_not="batch",
+        minimum_should_match=1, k=60, cfg=_docs_index_cfg(), with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
 def q_emb_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -819,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-2 features ---
         "bm25_ngram_phrase_via_index": q_ngram_phrase_via_index,
         "bm25_date_routed": q_bm25_date_routed,
+        "bm25_bool_query": q_bool_query,
         # --- round-1 hash fixes ---
         "a2_runlength_groups": q_a2,
         "sessionize": q_sessionize,
@@ -1303,6 +1322,37 @@ scores AS (
 )
 SELECT doc_id, round(s, 4) AS score FROM scores
 ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 40
+""",
+        # bool semantics: must all present, >=1 of the should terms, none
+        # of the must_not terms; score sums BM25 over must+should matches
+        "bm25_bool_query": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query', 'window', 'batch')
+  GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+flags AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS has_must,
+         sum(CASE WHEN term IN ('join', 'query', 'window') THEN 1 ELSE 0 END) AS n_should,
+         max(CASE WHEN term = 'batch' THEN 1 ELSE 0 END) AS has_not
+  FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum(CASE WHEN tf.term <> 'batch' THEN
+               ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+             ELSE 0 END) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1)
+SELECT s.doc_id, round(s.s, 4) AS score
+FROM scores s JOIN flags f USING (doc_id)
+WHERE f.has_must = 1 AND f.n_should >= 1 AND f.has_not = 0
+ORDER BY round(s.s, 4) DESC, s.doc_id ASC LIMIT 25
 """,
         # positions-bearing edge-ngram analyzer: every gram of a source
         # token carries the token's ordinal; dl is the expanded stream

@@ -171,35 +171,47 @@ def _matching_blocks(
 
 
 def _decode_contribs(
-    blocks: DataFrame, idf: dict[str, float], cfg: IndexConfig, avgdl: float
+    blocks: DataFrame,
+    idf: dict[str, float],
+    cfg: IndexConfig,
+    avgdl: float,
+    clause_of: dict[str, str] | None = None,
 ) -> DataFrame:
     """Block rows → one (docid, contrib) row per (doc, term) posting —
     contrib = idf(term) · BM25 tf-norm. The single decode kernel behind
     every scored query mode; callers pick the per-doc aggregation (sum =
-    disjunctive, sum+count = conjunctive, max = best prefix expansion)."""
+    disjunctive, sum+count = conjunctive, max = best prefix expansion).
+
+    ``clause_of`` (term → tag) adds a ``clause`` column so a caller can
+    count matched terms per bool clause in the same aggregation."""
     k1, b = cfg.k1, cfg.b
     idf_l = dict(idf)
+    tags = dict(clause_of) if clause_of is not None else None
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids_all, contrib_all = [], []
+            ids_all, contrib_all, tag_all = [], [], []
             for term, n, blob in zip(pdf["term"], pdf["n"], pdf["blob"]):
                 ids, tfs, dls = decode_block(blob, int(n))
                 tfs = tfs.astype(np.float64)
                 norm = tfs / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
                 ids_all.append(ids)
                 contrib_all.append(idf_l[term] * norm)
+                if tags is not None:
+                    tag_all.append(np.full(len(ids), tags[term], dtype=object))
             if ids_all:
-                yield pd.DataFrame(
-                    {
-                        "docid": np.concatenate(ids_all),
-                        "contrib": np.concatenate(contrib_all),
-                    }
-                )
+                out = {
+                    "docid": np.concatenate(ids_all),
+                    "contrib": np.concatenate(contrib_all),
+                }
+                if tags is not None:
+                    out["clause"] = np.concatenate(tag_all)
+                yield pd.DataFrame(out)
 
-    return blocks.select("term", "n", "blob").mapInPandas(
-        decode, schema="docid long, contrib double"
-    )
+    schema = "docid long, contrib double"
+    if tags is not None:
+        schema += ", clause string"
+    return blocks.select("term", "n", "blob").mapInPandas(decode, schema=schema)
 
 
 def _decode_scores(blocks: DataFrame, idf: dict[str, float], cfg: IndexConfig, avgdl: float) -> DataFrame:
@@ -516,6 +528,136 @@ def bm25_topk_conjunctive(
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
+def _decode_docids(blocks: DataFrame) -> DataFrame:
+    """Block rows → distinct (docid) — presence only, no scoring math."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [decode_block(blob, int(n))[0] for n, blob in zip(pdf["n"], pdf["blob"])]
+            if ids:
+                yield pd.DataFrame({"docid": np.concatenate(ids)})
+
+    return (
+        blocks.select("n", "blob")
+        .mapInPandas(decode, schema="docid long")
+        .distinct()
+    )
+
+
+def bm25_bool_topk(
+    spark: SparkSession,
+    index_dir: str,
+    must: str = "",
+    should: str = "",
+    must_not: str = "",
+    k: int = 10,
+    minimum_should_match: int | None = None,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``bool`` query over the posting index: ``must`` terms are all
+    required, ``should`` terms are optional scorers of which at least
+    ``minimum_should_match`` must hit, ``must_not`` terms exclude in
+    filter context (no score contribution) — Query.java routes exactly
+    this DSL to ES; scoring is BM25 summed over matched must+should terms.
+
+    ``minimum_should_match`` defaults the ES way: 1 when there is no must
+    clause and a should clause exists, else 0.
+
+    Scale shape: phase 0 is metadata-only — a salt (disjoint docid range)
+    survives only if every must term has a block there AND at least msm
+    distinct should terms do (all of a doc's postings share its salt, so
+    this is lossless). Only surviving ranges are decoded, for the scoring
+    clauses and the must_not exclusion set alike; the exclusion is a
+    docid-presence decode (no scoring math) anti-joined at the end.
+
+    Degenerate forms keep ES semantics: only-must == conjunctive query;
+    only-should with msm=1 == disjunctive; only-must_not matches the rest
+    of the corpus with score 0 (filter context) ordered by docid.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    terms_m = query_terms(must)
+    # a should term repeated from must is already required: drop it rather
+    # than double-count (we index distinct-term postings, not ES clauses)
+    terms_s = [t for t in query_terms(should) if t not in set(terms_m)]
+    terms_x = query_terms(must_not)
+    msm = (
+        minimum_should_match
+        if minimum_should_match is not None
+        else (1 if not terms_m and terms_s else 0)
+    )
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+
+    if not terms_m and not terms_s:
+        if not terms_x:
+            return empty
+        # pure filter context: everything except the excluded docs, score 0
+        idf_x, buckets_x = term_meta(spark, index_dir, terms_x, stats["n_docs"], cfg)
+        excluded = _decode_docids(
+            _matching_blocks(spark, index_dir, list(idf_x), buckets_x)
+        )
+        scored = (
+            spark.read.schema("docid long, dl int")
+            .parquet(tbl.p(index_dir, "doc_lens"))
+            .select("docid")
+            .join(excluded, "docid", "left_anti")
+            .withColumn("score", F.lit(0.0))
+            .orderBy(F.col("docid").asc())
+            .limit(k)
+        )
+        return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+    idf, buckets = term_meta(
+        spark, index_dir, terms_m + terms_s, stats["n_docs"], cfg
+    )
+    if len([t for t in terms_m if t in idf]) < len(terms_m):
+        return empty  # a required term absent from the corpus
+    live_s = [t for t in terms_s if t in idf]
+    if msm > len(live_s):
+        return empty  # fewer matchable should clauses than required hits
+
+    clause_of = {t: "m" for t in terms_m} | {t: "s" for t in live_s}
+    blocks = _matching_blocks(spark, index_dir, list(clause_of), buckets)
+    # phase 0: structural salt pruning on block METADATA only (blob unread)
+    is_m = F.col("term").isin(terms_m) if terms_m else F.lit(False)
+    live_salts = (
+        blocks.select("term", "salt")
+        .groupBy("salt")
+        .agg(
+            F.count_distinct(F.when(is_m, F.col("term"))).alias("nm"),
+            F.count_distinct(F.when(~is_m, F.col("term"))).alias("ns"),
+        )
+        .filter((F.col("nm") == len(terms_m)) & (F.col("ns") >= msm))
+        .select("salt")
+    )
+    if stats["n_docs"] // max(1, cfg.salt_docs) + 1 <= cfg.max_driver_salts:
+        live_salts = F.broadcast(live_salts)
+    survivors = blocks.join(live_salts, "salt")
+
+    scored = (
+        _decode_contribs(survivors, idf, cfg, stats["avgdl"], clause_of=clause_of)
+        .groupBy("docid")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.sum(F.when(F.col("clause") == "m", 1).otherwise(0)).alias("nm"),
+            F.sum(F.when(F.col("clause") == "s", 1).otherwise(0)).alias("ns"),
+        )
+        .filter((F.col("nm") == len(terms_m)) & (F.col("ns") >= msm))
+        .select("docid", "score")
+    )
+    if terms_x:
+        idf_x, buckets_x = term_meta(spark, index_dir, terms_x, stats["n_docs"], cfg)
+        if idf_x:
+            xblocks = _matching_blocks(spark, index_dir, list(idf_x), buckets_x)
+            # the exclusion set only matters inside surviving salts
+            scored = scored.join(
+                _decode_docids(xblocks.join(live_salts, "salt")), "docid", "left_anti"
+            )
+    scored = scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
     return _with_keys(spark, index_dir, scored) if with_keys else scored
 
 
