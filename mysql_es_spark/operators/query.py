@@ -24,6 +24,7 @@ JVM expressions). This is the DuckDB-oracle-checkable form of the scorer.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import numpy as np
@@ -711,6 +712,113 @@ def prefix_topk(
         _decode_contribs(blocks, idf, cfg, stats["avgdl"])
         .groupBy("docid")
         .agg(F.max("contrib").alias("score"))  # best expansion per doc
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
+def _auto_fuzziness(term: str) -> int:
+    """ES AUTO: 0 edits below 3 chars, 1 for 3-5, 2 above."""
+    return 0 if len(term) < 3 else (1 if len(term) <= 5 else 2)
+
+
+def fuzzy_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    fuzziness: int | str = "auto",
+    prefix_length: int = 0,
+    max_expansions: int = 50,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``fuzzy`` / ``match … fuzziness`` — typo-tolerant search served
+    from the term dictionary (Query.java routes the same DSL key to ES).
+
+    Phase 0 expands each query term against term_dict: candidates within
+    ``fuzziness`` Levenshtein edits (int, or "auto" = ES AUTO by term
+    length), cheap-filtered by length difference first and by a shared
+    ``prefix_length`` (Lucene's parameter — with it > 0 the scan becomes
+    a StartsWith range scan, like prefix_topk). Both the length guard and
+    ``levenshtein()`` are JVM expressions over the dictionary only — the
+    corpus is never scanned for expansion. Per query term the
+    ``max_expansions`` best candidates survive, ordered (distance asc,
+    df desc, term asc) — Lucene's closest-first contract, made
+    deterministic.
+
+    Scoring mirrors prefix_topk's best-expansion contract per clause:
+    score(doc) = Σ over query terms of MAX over that term's expansions of
+    idf(expansion)·tf-norm. An expansion reachable from several query
+    terms is attributed to the closest one (ties → first in query order).
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    terms = query_terms(query)
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    if not terms:
+        return empty
+    fuzz_of = {
+        t: (_auto_fuzziness(t) if fuzziness == "auto" else int(fuzziness))
+        for t in terms
+    }
+
+    # ONE dictionary scan serves every query term: per-term distance
+    # columns, kept if any term is within its edit budget
+    td = spark.read.parquet(tbl.p(index_dir, "term_dict"))
+    if prefix_length > 0:
+        pfx = sorted({t[:prefix_length] for t in terms})
+        td = td.filter(
+            functools.reduce(
+                lambda a, b: a | b, [F.col("term").startswith(p) for p in pfx]
+            )
+        )
+    dist_cols = [
+        F.when(
+            F.abs(F.length("term") - len(t)) <= fuzz_of[t],
+            F.levenshtein(F.col("term"), F.lit(t)),
+        )
+        .otherwise(F.lit(999))
+        .alias(f"d{i}")
+        for i, t in enumerate(terms)
+    ]
+    keep = functools.reduce(
+        lambda a, b: a | b,
+        [F.col(f"d{i}") <= fuzz_of[t] for i, t in enumerate(terms)],
+    )
+    cand = (
+        td.select("term", "df", *dist_cols).filter(keep).collect()
+    )  # bounded: terms within d edits of the query — a vocabulary sliver
+    if not cand:
+        return empty
+
+    # attribute each candidate to its closest query term, then keep the
+    # max_expansions best per clause
+    by_clause: dict[str, list[tuple[int, int, str]]] = {t: [] for t in terms}
+    for r in cand:
+        dists = [(r[f"d{i}"], i) for i, t in enumerate(terms) if r[f"d{i}"] <= fuzz_of[t]]
+        d, i = min(dists)
+        by_clause[terms[i]].append((d, -int(r["df"]), r["term"]))
+    n_docs = stats["n_docs"]
+    idf: dict[str, float] = {}
+    clause_of: dict[str, str] = {}
+    for t, lst in by_clause.items():
+        for _d, negdf, term in sorted(lst)[:max_expansions]:
+            df = -negdf
+            clause_of[term] = t
+            idf[term] = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+    exp_terms = list(clause_of)
+    bucket_of = term_buckets_of(spark, exp_terms, cfg.term_buckets)
+    blocks = _matching_blocks(
+        spark, index_dir, exp_terms, sorted(set(bucket_of.values()))
+    )
+    scored = (
+        _decode_contribs(blocks, idf, cfg, stats["avgdl"], clause_of=clause_of)
+        .groupBy("docid", "clause")
+        .agg(F.max("contrib").alias("best"))  # best expansion per clause
+        .groupBy("docid")
+        .agg(F.sum("best").alias("score"))
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )
