@@ -32,6 +32,7 @@ from mysql_es_spark.operators.query import (
     fuzzy_topk,
     phrase_topk,
     prefix_topk,
+    wildcard_topk,
 )
 from mysql_es_spark.operators.relations import propagate_parent_update
 from mysql_es_spark.plans.build import build_index
@@ -775,6 +776,20 @@ def q_fuzzy_query(spark, sf):
     )
 
 
+def q_wildcard_query(spark, sf):
+    """ES wildcard query: 'sc*n' range-scans the dictionary on its
+    literal prefix, regex-matches the rest, best-expansion BM25."""
+    ix = _index_for_documents(spark, sf)
+    top = wildcard_topk(spark, ix, "sc*n", k=60, cfg=_docs_index_cfg(), with_keys=True)
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(30)
+    )
+
+
 def q_emb_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -856,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_date_routed": q_bm25_date_routed,
         "bm25_bool_query": q_bool_query,
         "bm25_fuzzy_query": q_fuzzy_query,
+        "bm25_wildcard_query": q_wildcard_query,
         # --- round-1 hash fixes ---
         "a2_runlength_groups": q_a2,
         "sessionize": q_sessionize,
@@ -1340,6 +1356,28 @@ scores AS (
 )
 SELECT doc_id, round(s, 4) AS score FROM scores
 ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 40
+""",
+        # wildcard expansion: anchored 'sc.*n' over the vocabulary,
+        # df-desc cutoff at 50, best-expansion BM25 per doc
+        "bm25_wildcard_query": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+vocab AS (SELECT u.term, count(DISTINCT toks.doc_id) AS df
+          FROM toks, unnest(toks.tl) AS u(term) GROUP BY 1),
+exp AS (SELECT term, df FROM vocab
+        WHERE regexp_full_match(term, 'sc.*n')
+        ORDER BY df DESC, term ASC LIMIT 50),
+tf AS (SELECT toks.doc_id, u.term, count(*) AS tf
+       FROM toks, unnest(toks.tl) AS u(term)
+       WHERE u.term IN (SELECT term FROM exp) GROUP BY 1, 2),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - exp.df + 0.5) / (exp.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN exp USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, round(max(c), 4) AS score FROM contrib
+GROUP BY doc_id ORDER BY round(max(c), 4) DESC, doc_id ASC LIMIT 30
 """,
         # fuzzy expansion: vocabulary terms within 1 edit of 'qury'
         # (length-guarded), closest-first / df-desc / term-asc cutoff at

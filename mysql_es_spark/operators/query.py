@@ -25,6 +25,7 @@ JVM expressions). This is the DuckDB-oracle-checkable form of the scorer.
 from __future__ import annotations
 
 import functools
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -712,6 +713,65 @@ def prefix_topk(
         _decode_contribs(blocks, idf, cfg, stats["avgdl"])
         .groupBy("docid")
         .agg(F.max("contrib").alias("score"))  # best expansion per doc
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
+def wildcard_topk(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    max_expansions: int = 50,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``wildcard`` query: ``*`` = any run, ``?`` = any one char,
+    anchored over the whole term. Expansion is a term_dict scan like
+    prefix_topk — and like Lucene, the pattern's literal prefix (chars
+    before the first wildcard) is pushed down as a StartsWith range
+    filter so ``ro*`` never scans the whole dictionary; only the regex
+    match runs on the surviving row-groups. The ``max_expansions``
+    highest-df expansions are scored best-expansion BM25 (the
+    prefix_topk contract). A leading-wildcard pattern (``*ing``) works
+    but scans the full dictionary — same caveat ES documents.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    # analyzer-fold the literal chars but keep wildcard metachars intact
+    lowered = pattern.strip().lower()
+    regex = "".join(
+        ".*" if ch == "*" else ("." if ch == "?" else re.escape(ch)) for ch in lowered
+    )
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    if not lowered:
+        return empty
+    td = spark.read.parquet(tbl.p(index_dir, "term_dict"))
+    lit_prefix = re.split(r"[*?]", lowered, maxsplit=1)[0]
+    if lit_prefix:
+        td = td.filter(F.col("term").startswith(lit_prefix))
+    expansions = (
+        td.filter(F.col("term").rlike(f"^{regex}$"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+        .collect()
+    )
+    if not expansions:
+        return empty
+    n_docs = stats["n_docs"]
+    idf = {
+        r["term"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+        for r in expansions
+    }
+    terms = list(idf)
+    bucket_of = term_buckets_of(spark, terms, cfg.term_buckets)
+    blocks = _matching_blocks(spark, index_dir, terms, sorted(set(bucket_of.values())))
+    scored = (
+        _decode_contribs(blocks, idf, cfg, stats["avgdl"])
+        .groupBy("docid")
+        .agg(F.max("contrib").alias("score"))
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )
