@@ -776,6 +776,24 @@ def q_fuzzy_query(spark, sf):
     )
 
 
+def q_phrase_slop(spark, sf):
+    """Ordered proximity (match_phrase slop=2): 'row … scan' within two
+    interleaving tokens, in order; BM25-scored like the exact phrase."""
+    ix = _index_for_documents(spark, sf, positions=True)
+    top = phrase_topk(
+        spark, ix, "row scan", k=60, cfg=_docs_index_cfg(True), with_keys=True, slop=2
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(40)
+    )
+
+
 def q_wildcard_query(spark, sf):
     """ES wildcard query: 'sc*n' range-scans the dictionary on its
     literal prefix, regex-matches the rest, best-expansion BM25."""
@@ -872,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool_query": q_bool_query,
         "bm25_fuzzy_query": q_fuzzy_query,
         "bm25_wildcard_query": q_wildcard_query,
+        "bm25_phrase_slop": q_phrase_slop,
         # --- round-1 hash fixes ---
         "a2_runlength_groups": q_a2,
         "sessionize": q_sessionize,
@@ -1356,6 +1375,36 @@ scores AS (
 )
 SELECT doc_id, round(s, 4) AS score FROM scores
 ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 40
+""",
+        # ordered proximity: end positions of 'scan' with a 'row' strictly
+        # before within a 2-token stretch; scored BM25 over the two terms
+        "bm25_phrase_slop": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+tokp AS (SELECT toks.doc_id, r.i AS pos, toks.tl[r.i] AS term
+         FROM toks, unnest(range(1, len(toks.tl) + 1)) AS r(i)),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+a AS (SELECT doc_id, pos FROM tokp WHERE term = 'row'),
+b AS (SELECT doc_id, pos FROM tokp WHERE term = 'scan'),
+hits AS (
+  SELECT b.doc_id, count(*) AS n_hits FROM b
+  WHERE EXISTS (SELECT 1 FROM a WHERE a.doc_id = b.doc_id
+                AND a.pos < b.pos AND b.pos - a.pos - 1 <= 2)
+  GROUP BY 1),
+tf AS (SELECT toks.doc_id, u.term, count(*) AS tf
+       FROM toks, unnest(toks.tl) AS u(term)
+       WHERE u.term IN ('row', 'scan') GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM hits)
+  GROUP BY 1)
+SELECT h.doc_id, h.n_hits::BIGINT AS n_hits, round(s.s, 4) AS score
+FROM hits h JOIN scores s USING (doc_id)
+ORDER BY round(s.s, 4) DESC, h.doc_id ASC LIMIT 40
 """,
         # wildcard expansion: anchored 'sc.*n' over the vocabulary,
         # df-desc cutoff at 50, best-expansion BM25 per doc

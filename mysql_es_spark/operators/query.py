@@ -892,6 +892,7 @@ def phrase_topk(
     k: int = 10,
     cfg: IndexConfig | None = None,
     with_keys: bool = False,
+    slop: int = 0,
 ) -> DataFrame:
     """Top-k BM25 over docs containing ``phrase`` as consecutive analyzer
     tokens — ES ``match_phrase`` served from the index. Requires an index
@@ -909,7 +910,16 @@ def phrase_topk(
     3. global TakeOrdered(k). A salt is a disjoint docid range, so no
        cross-partition doc ever needs merging.
 
-    Output: (docid, score, n_hits) — n_hits = phrase occurrence count.
+    ``slop > 0`` relaxes step 2 to **ordered proximity** (Lucene
+    SpanNear with inOrder=true): the terms must appear in phrase order at
+    strictly increasing positions q1 < … < qm with total stretch
+    ``(qm - q1) - (m - 1) <= slop``; slop=0 degenerates to the exact
+    phrase. Matching runs as a monotone DP over the same sorted composite
+    keys — for each occurrence of term j, the latest possible chain
+    start — one searchsorted per term, no per-occurrence Python.
+
+    Output: (docid, score, n_hits) — n_hits = phrase occurrence count
+    (for slop > 0: end positions admitting a valid chain).
     """
     cfg = effective_config(spark, index_dir, cfg)
     seq = tokenize_text(phrase)  # ordered, duplicates preserved
@@ -944,6 +954,7 @@ def phrase_topk(
     k1, b = cfg.k1, cfg.b
     avgdl, salt_docs = stats["avgdl"], cfg.salt_docs
     seq_l, uniq_l, idf_l = list(seq), list(uniq), dict(idf)
+    slop_l = int(slop)
 
     def match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # a salt's rows may straddle Arrow batch boundaries: concatenate
@@ -982,11 +993,34 @@ def phrase_topk(
             for t, (ids, tfs, _dls, pos) in per_term.items():
                 rep = np.repeat(ids - np.int64(int(salt) * salt_docs), tfs)
                 keys[t] = rep * shift + pos
-            cur = keys[seq_l[0]]
-            for t in seq_l[1:]:
-                if not len(cur):
-                    break
-                cur = np.intersect1d(cur + 1, keys[t], assume_unique=True)
+            if slop_l == 0:
+                cur = keys[seq_l[0]]
+                for t in seq_l[1:]:
+                    if not len(cur):
+                        break
+                    cur = np.intersect1d(cur + 1, keys[t], assume_unique=True)
+            else:
+                # ordered-proximity DP: prev_m[i] = latest chain start key
+                # reachable at prev_keys[i]; both arrays stay sorted /
+                # non-decreasing, so "best prior occurrence" is just the
+                # rightmost same-doc key strictly below q (searchsorted)
+                prev_keys = keys[seq_l[0]]
+                prev_m = prev_keys
+                for t in seq_l[1:]:
+                    if not len(prev_keys):
+                        break
+                    qk = keys[t]
+                    idx = np.searchsorted(prev_keys, qk) - 1
+                    ok = idx >= 0
+                    safe = np.maximum(idx, 0)
+                    ok &= (prev_keys[safe] // shift) == (qk // shift)
+                    prev_keys = qk[ok]
+                    prev_m = prev_m[safe[ok]]
+                if len(prev_keys):
+                    stretch = (prev_keys % shift) - (prev_m % shift) - (len(seq_l) - 1)
+                    cur = prev_keys[stretch <= slop_l]
+                else:
+                    cur = prev_keys
             if not len(cur):
                 continue
             # phrase start offset is len(seq)-1 behind cur; same doc either way
