@@ -553,6 +553,29 @@ def q_fp(spark, sf):
     return textstats.fingerprint(_t(spark, sf, "documents"))
 
 
+def q_gopher(spark, sf):
+    return textstats.gopher_quality(_t(spark, sf, "documents"))
+
+
+def q_pii_scrub(spark, sf):
+    # the synthetic corpus has no PII, so append deterministic
+    # doc_id-derived email/IP/phone text in BOTH engines — the scrub then
+    # has real replacements to prove, not a no-op pass-through
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org from 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".9 or call +1 (555) 010-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    return textstats.pii_scrub(d)
+
+
 def q_term_freq(spark, sf):
     return textstats.term_freq_topn(_t(spark, sf, "documents"), 20)
 
@@ -902,6 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_lang,
         "doc_quality": q_quality,
         "doc_fingerprint": q_fp,
+        "doc_gopher_quality": q_gopher,
+        "doc_pii_scrub": q_pii_scrub,
         "doc_term_freq_top20": q_term_freq,
         "doc_bpe_token_estimate": q_bpe_tokens,
         "t1_edge_ngram_tokens": q_t1_edge_ngram,
@@ -1166,6 +1191,55 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, md5(array_to_string({TOK}, ' ')) AS fp FROM documents
+        """,
+        "doc_gopher_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text, {TOK} AS toks,
+                     list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+              FROM documents
+            ), m AS (
+              SELECT doc_id, len(toks) AS n_tok,
+                     coalesce(list_sum(list_transform(toks, x -> length(x))), 0) * 1.0
+                       / greatest(len(toks), 1) AS mean_wl,
+                     list_max(list_transform(list_distinct(toks),
+                                             d -> len(list_filter(toks, x -> x = d)))) * 1.0
+                       / greatest(len(toks), 1) AS top_frac,
+                     (len(lines) - len(list_distinct(lines))) * 1.0
+                       / greatest(len(lines), 1) AS dup_frac
+              FROM t
+            )
+            SELECT doc_id, n_tok AS n_tokens,
+                   round(mean_wl, 4) AS mean_word_len,
+                   round(coalesce(top_frac, 0.0), 4) AS top_unigram_frac,
+                   round(dup_frac, 4) AS dup_line_frac,
+                   (n_tok >= 10 AND mean_wl >= 2 AND mean_wl <= 12
+                    AND top_frac <= 0.2 AND dup_frac <= 0.3) AS keep
+            FROM m
+        """,
+        "doc_pii_scrub": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+                     '@mail.example.org from 192.168.' || CAST(doc_id % 256 AS VARCHAR) ||
+                     '.9 or call +1 (555) 010-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t0
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                     regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+              FROM base
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+                     regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS t2
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_email, n_ip,
+                     len(regexp_extract_all(t2, '\+?[0-9][0-9() -]{6,}[0-9]')) AS n_phone,
+                     regexp_replace(t2, '\+?[0-9][0-9() -]{6,}[0-9]', '[PHONE]', 'g') AS t3
+              FROM s2
+            )
+            SELECT doc_id, t3 AS scrubbed, n_email, n_ip, n_phone FROM s3
         """,
         "doc_term_freq_top20": f"""
             WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),

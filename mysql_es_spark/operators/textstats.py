@@ -125,6 +125,75 @@ def bpe_token_estimate(
     )
 
 
+# PII scrubbing patterns — shared Java-regex/RE2 subset so Spark and the
+# DuckDB oracle replace byte-identically. Order matters: emails first
+# (their local part may contain digits), then IPv4 (dots break the phone
+# pattern anyway), then phone-like digit runs.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"\+?[0-9][0-9() -]{6,}[0-9]", "[PHONE]"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, scrubbed, n_email, n_ip, n_phone) — regex redaction of emails,
+    IPv4 addresses and phone-like digit runs, the standard pre-training
+    scrub pass. Pure JVM regexp_replace/regexp_count chain; patterns are
+    deliberately in the Java-regex ∩ RE2 subset so the DuckDB oracle
+    reproduces the replacement byte-for-byte."""
+    s = F.col(text_col)
+    exprs = []
+    for name, pat, repl in PII_PATTERNS:
+        # count on the progressively-scrubbed text so overlapping classes
+        # (an email's digits re-matching as a phone) are not double-counted
+        exprs.append(
+            F.size(F.regexp_extract_all(s, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        s = F.regexp_replace(s, pat, repl)
+    return df.select(F.col(id_col), s.alias("scrubbed"), *exprs)
+
+
+def gopher_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition + shape filters, one row per doc:
+    (id, n_tokens, mean_word_len, top_unigram_frac, dup_line_frac, keep).
+
+    keep = 10 ≤ n_tokens, 2 ≤ mean_word_len ≤ 12, top_unigram_frac ≤ 0.2,
+    dup_line_frac ≤ 0.3 — the Gopher-rules shape at demo thresholds.
+    Everything is a JVM array expression over one tokenize pass (the
+    per-row top-unigram scan is O(distinct·n) on short documents, still
+    JVM-side); the DuckDB oracle mirrors each expression list-for-list."""
+    t = with_tokens(df, text_col)
+    n_tok = F.size("toks")
+    mean_wl = F.expr(
+        "aggregate(toks, 0L, (a, x) -> a + length(x))"
+    ) / F.greatest(n_tok, F.lit(1))
+    top_frac = F.expr(
+        "array_max(transform(array_distinct(toks), d -> size(filter(toks, x -> x = d))))"
+    ) / F.greatest(n_tok, F.lit(1))
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != "")
+    dup_frac = (F.size(lines) - F.size(F.array_distinct(lines))) / F.greatest(
+        F.size(lines), F.lit(1)
+    )
+    keep = (
+        (n_tok >= 10)
+        & (mean_wl >= 2)
+        & (mean_wl <= 12)
+        & (top_frac <= 0.2)
+        & (dup_frac <= 0.3)
+    )
+    return t.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(F.coalesce(top_frac, F.lit(0.0)), 4).alias("top_unigram_frac"),
+        F.round(dup_frac, 4).alias("dup_line_frac"),
+        keep.alias("keep"),
+    )
+
+
 def duckdb_tokens(text_col: str = "text") -> str:
     """The DuckDB expression equal to with_tokens() for Latin-script text."""
     return f"regexp_extract_all(lower(strip_accents({text_col})), '[0-9a-z]+')"

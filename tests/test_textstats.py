@@ -95,3 +95,43 @@ def test_term_freq_topn(spark, docs_df):
     rows = textstats.term_freq_topn(docs_df, 3).collect()
     assert rows[0].term == "la"  # 3 occurrences (es ×2, fr ×1)
     assert rows[0].n_occurrences == 3 and rows[0].n_docs == 2
+
+
+def test_pii_scrub(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail john.doe+x@foo.co or ops@a.b.example.org, host 10.1.2.3, call +44 20 7946 0958"),
+            (1, "digit-heavy email a12345678901@x.com only"),
+            (2, "nothing sensitive here"),
+        ],
+        schema="doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textstats.pii_scrub(df).collect()}
+    assert got[0].n_email == 2 and got[0].n_ip == 1 and got[0].n_phone == 1
+    assert got[0].scrubbed == "mail [EMAIL] or [EMAIL], host [IP], call [PHONE]"
+    # the email's digit run must not be double-counted as a phone
+    assert got[1].n_email == 1 and got[1].n_phone == 0
+    assert got[1].scrubbed == "digit-heavy email [EMAIL] only"
+    assert got[2].scrubbed == "nothing sensitive here"
+    assert got[2].n_email == got[2].n_ip == got[2].n_phone == 0
+
+
+def test_gopher_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+            (1, "spam spam spam spam spam spam spam spam spam ham filler words here"),
+            (2, "tiny doc"),
+            (3, "one two three four five six seven eight nine ten\none two three four five six seven eight nine ten\nunique line"),
+        ],
+        schema="doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textstats.gopher_quality(df).collect()}
+    assert got[0].n_tokens == 12 and got[0].keep  # clean doc passes
+    assert got[1].top_unigram_frac > 0.2 and not got[1].keep  # repetition fails
+    assert got[2].n_tokens < 10 and not got[2].keep  # too short
+    # duplicate line: 3 non-empty lines, 2 distinct -> dup_frac 1/3 > 0.3
+    assert abs(got[3].dup_line_frac - round(1 / 3, 4)) < 1e-9 and not got[3].keep
+    # mean word length is exact: sum(len)/n
+    toks0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split()
+    assert got[0].mean_word_len == round(sum(map(len, toks0)) / len(toks0), 4)
