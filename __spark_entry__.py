@@ -26,10 +26,12 @@ from mysql_es_spark.operators import dedup, multimodal, sampling, similarity, te
 from mysql_es_spark.operators.asof import asof_join
 from mysql_es_spark.operators.query import (
     bm25_bool_topk,
+    bm25_filtered_topk,
     bm25_topk,
     bm25_topk_conjunctive,
     direct_bm25,
     fuzzy_topk,
+    match_aggregate,
     phrase_topk,
     prefix_topk,
     wildcard_topk,
@@ -58,12 +60,14 @@ def _docs_index_cfg(positions: bool = False, ngram: bool = False) -> IndexConfig
 
 
 def _documents_as_transcripts(docs: DataFrame) -> DataFrame:
+    # lang/source ride along as role/tool so the index's forward table has
+    # real per-doc metadata for filter-context search and facet aggs
     return docs.select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
-        F.lit("user").alias("role"),
+        F.col("lang").alias("role"),
         F.col("text"),
-        F.lit(None).cast("string").alias("tool"),
+        F.col("source").alias("tool"),
         F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
     )
 
@@ -74,7 +78,9 @@ def _ixcache_dir(sf_dir: str, variant: str) -> tuple[str, str]:
     mtime), so regenerated testdata never hits a stale cached index."""
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    ident = f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}"
+    # v2: forward carries lang/source as role/tool — older cached indexes
+    # (constant role='user') must not satisfy filter-context queries
+    ident = f"v2:{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16] + variant
     ix = f"/tmp/mysql_es_spark_ixcache/{key}"
     return ix, os.path.join(ix, "_COMPLETE")
@@ -831,6 +837,37 @@ def q_wildcard_query(spark, sf):
     )
 
 
+def q_bm25_filtered(spark, sf):
+    """Filter-context search (ES bool{must, filter}): BM25 over the index,
+    candidates masked by a structural predicate on the forward table
+    (lang rides as `role`, source as `tool`); scores stay corpus-global."""
+    ix = _index_for_documents(spark, sf)
+    top = bm25_filtered_topk(
+        spark, ix, " ".join(BM25_Q1),
+        doc_filter="role = 'en' AND tool <> 'src3'",
+        k=60, cfg=_docs_index_cfg(), with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def q_match_aggs(spark, sf):
+    """ES aggs: terms facet over ALL docs matching the query (not top-k) —
+    per-lang match count and mean analyzed length via the index."""
+    ix = _index_for_documents(spark, sf)
+    out = match_aggregate(spark, ix, " ".join(BM25_Q1), ["role"], cfg=_docs_index_cfg())
+    return out.select(
+        F.col("role").alias("lang"),
+        F.col("n_docs"),
+        F.round("avg_dl", 4).alias("avg_dl"),
+    )
+
+
 def q_emb_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -914,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy_query": q_fuzzy_query,
         "bm25_wildcard_query": q_wildcard_query,
         "bm25_phrase_slop": q_phrase_slop,
+        "bm25_filtered": q_bm25_filtered,
+        "match_aggs_by_lang": q_match_aggs,
         # --- round-1 hash fixes ---
         "a2_runlength_groups": q_a2,
         "sessionize": q_sessionize,
@@ -1401,6 +1440,40 @@ def oracle_sql() -> dict[str, str]:
         "bm25_direct": _bm25_sql(BM25_Q1, 20),
         "bm25_direct_q2": _bm25_sql(BM25_Q2, 15),
         "bm25_via_index": _bm25_sql(BM25_Q1, 20),
+        "bm25_filtered": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT s.doc_id, round(s.s, 4) AS score
+FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+WHERE d.lang = 'en' AND d.source <> 'src3'
+ORDER BY round(s.s, 4) DESC, s.doc_id ASC LIMIT 20
+""",
+        "match_aggs_by_lang": f"""
+WITH toks AS (SELECT doc_id, lang, {TOK} AS tl FROM documents),
+matched AS (
+  SELECT DISTINCT toks.doc_id
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+)
+SELECT t.lang AS lang, count(*) AS n_docs, round(avg(len(t.tl)), 4) AS avg_dl
+FROM matched m JOIN toks t ON t.doc_id = m.doc_id
+GROUP BY t.lang
+""",
         "bm25_conjunctive": _bm25_conj_sql(BM25_Q1, 20),
         "bm25_prefix_via_index": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),

@@ -533,6 +533,59 @@ def bm25_topk_conjunctive(
     return _with_keys(spark, index_dir, scored) if with_keys else scored
 
 
+def bm25_filtered_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_filter,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES filter-context search: top-k BM25 restricted to docs whose
+    forward-table row satisfies ``doc_filter`` (a Column or SQL string
+    over the forward columns, e.g. ``"role = 'en' AND tool <> 'src3'"``).
+
+    Semantics follow ES ``bool{must: match, filter: …}`` (the reference's
+    docs land in ES where exactly this query shape serves faceted search,
+    template.json field typing: keyword subfields exist *for* filtering):
+    the filter never contributes to the score — idf/avgdl stay
+    corpus-global — it only masks candidates.
+
+    Plan shape at scale: the predicate is evaluated on the columnar
+    forward table (filter + column pruning reach the parquet scan; only
+    ``docid`` and the filter's columns are read), the query terms' decoded
+    postings — query-proportional, not corpus-proportional — aggregate to
+    (docid, score), and the two sides meet in a docid semi-join that AQE
+    can convert to a runtime-filtered scan. Block-max salt pruning is
+    deliberately NOT applied under a filter: a pruned salt could hold the
+    k-th *surviving* doc, so the single-pass decode of the query terms'
+    postings is both the safe and the cheap plan (Lucene likewise scores
+    the full filtered conjunction rather than WAND-pruning non-scoring
+    clauses).
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    terms = query_terms(query)
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    if not terms:
+        return empty
+    idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return empty
+    blocks = _matching_blocks(spark, index_dir, terms, buckets)
+    cond = F.expr(doc_filter) if isinstance(doc_filter, str) else doc_filter
+    allowed = tbl.read(spark, index_dir, "forward").filter(cond).select("docid")
+    scored = (
+        _decode_scores(blocks, idf, cfg, stats["avgdl"])
+        .join(allowed, "docid", "left_semi")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
 def _decode_docids(blocks: DataFrame) -> DataFrame:
     """Block rows → distinct (docid) — presence only, no scoring math."""
 
@@ -546,6 +599,51 @@ def _decode_docids(blocks: DataFrame) -> DataFrame:
         blocks.select("n", "blob")
         .mapInPandas(decode, schema="docid long")
         .distinct()
+    )
+
+
+def match_aggregate(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    group_cols: list[str],
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES search-with-aggregations: a terms aggregation over **all** docs
+    matching the query (disjunctive match), not just the top-k — the
+    ``aggs`` half of an ES search request (the reference's sync target
+    serves exactly this for dashboards/facet counts).
+
+    Returns one row per group: (*group_cols, n_docs, avg_dl). The matching
+    docid set comes from the query terms' postings via the presence-only
+    decode (no scoring math, blobs of non-query terms never read thanks to
+    partition + row-group pruning), then joins the forward table for the
+    group columns. Both sides shuffle on docid once; the aggregation
+    itself is a map-side-combining hash agg on the group keys. No
+    driver-side materialization at any size.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    terms = query_terms(query)
+    stats = corpus_stats(spark, index_dir)
+    schema = ", ".join(f"{c} string" for c in group_cols) + ", n_docs long, avg_dl double"
+    if not terms:
+        return tbl.local_rows_df(spark, [], schema)
+    idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return tbl.local_rows_df(spark, [], schema)
+    blocks = _matching_blocks(spark, index_dir, terms, buckets)
+    matched = _decode_docids(blocks)
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", *group_cols)
+    dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
+    return (
+        matched.join(fwd, "docid", "inner")
+        .join(dls, "docid", "inner")
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avg_dl"),
+        )
     )
 
 

@@ -97,3 +97,25 @@ def test_term_dict_prefix_scan_pushes_startswith(spark, built_index):
     assert "StringStartsWith(term,w1" in plan.split("PushedFilters")[1].splitlines()[0]
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "ttf" not in read_schema
+
+
+def test_filtered_search_forward_scan_prunes(spark, built_index):
+    """bm25_filtered_topk's forward-table side must push the structural
+    predicate into the parquet scan and read only docid + the filter's
+    columns — never text/blob — so the filter side stays a narrow
+    columnar scan at 10^12 docs."""
+    from mysql_es_spark.operators.query import bm25_filtered_topk
+
+    df = bm25_filtered_topk(
+        spark, built_index, "w0 w3", "role = 'assistant'", k=5, cfg=TEST_CFG
+    )
+    plan = plan_of(df)
+    # the forward scan: the one whose pushed filters mention role
+    fwd_scans = [
+        seg for seg in plan.split("PushedFilters")[1:] if "role" in seg.splitlines()[0]
+    ]
+    assert fwd_scans, plan
+    assert "EqualTo(role,assistant)" in fwd_scans[0].splitlines()[0]
+    read_schema = fwd_scans[0].split("ReadSchema")[1].splitlines()[0]
+    assert "text" not in read_schema and "blob" not in read_schema
+    assert "docid" in read_schema and "role" in read_schema
