@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from mysql_es_spark.config import IndexConfig
-from mysql_es_spark.operators import dedup, multimodal, sampling, similarity, textstats
+from mysql_es_spark.operators import dedup, multimodal, packing, sampling, similarity, textstats
 from mysql_es_spark.operators.asof import asof_join
 from mysql_es_spark.operators.query import (
     bm25_bool_topk,
@@ -563,6 +563,12 @@ def q_gopher(spark, sf):
     return textstats.gopher_quality(_t(spark, sf, "documents"))
 
 
+def q_pack(spark, sf):
+    return packing.pack_sequences(
+        _t(spark, sf, "documents"), budget=512, n_shards=8
+    )
+
+
 def q_pii_scrub(spark, sf):
     # the synthetic corpus has no PII, so append deterministic
     # doc_id-derived email/IP/phone text in BOTH engines — the scrub then
@@ -966,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fp,
         "doc_gopher_quality": q_gopher,
         "doc_pii_scrub": q_pii_scrub,
+        "doc_pack_sequences": q_pack,
         "doc_term_freq_top20": q_term_freq,
         "doc_bpe_token_estimate": q_bpe_tokens,
         "t1_edge_ngram_tokens": q_t1_edge_ngram,
@@ -1231,6 +1238,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": f"""
             SELECT doc_id, md5(array_to_string({TOK}, ' ')) AS fp FROM documents
         """,
+        "doc_pack_sequences": packing.duckdb_pack_sequences(budget=512, n_shards=8),
         "doc_gopher_quality": f"""
             WITH t AS (
               SELECT doc_id, text, {TOK} AS toks,

@@ -1,0 +1,100 @@
+"""Sequence packing for LLM training pipelines (concat-and-chunk).
+
+Pretraining consumes fixed-length token windows, not documents: the
+corpus is concatenated in a deterministic order and chunked into
+``budget``-token sequences (docs may straddle a chunk boundary — the
+GPT-style "packed" layout). This operator computes, per document, where
+it lands in that layout WITHOUT materializing token streams: everything
+is arithmetic over per-doc token counts.
+
+Scale design: a single global concatenation order would funnel the whole
+corpus through one window partition, so the corpus is first sharded by a
+content hash of the id (each shard is packed independently — exactly how
+a multi-worker tokenizer job lays out its output files). Within a shard
+the window is ``sum() over (order by id)``, a single shuffle by shard;
+shard count is the parallelism knob. The md5-derived shard matches
+operators/sampling.py's cross-engine hash contract so the driver's
+DuckDB oracle reproduces the layout bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import duckdb_hash_bucket, hash_bucket
+from .textstats import with_tokens
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 16,
+    sep_tokens: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, shard, pack_id, pack_offset) — the packed-layout
+    coordinates of each document.
+
+    A doc occupies ``n_tokens + sep_tokens`` slots (the separator models
+    the EOS token appended after every doc). ``pack_id`` is the chunk its
+    FIRST token falls in; ``pack_offset`` the position within that chunk.
+    Deterministic under any input partitioning or row order.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    t = with_tokens(df, text_col)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.size("toks").cast("long")
+    return (
+        t.select(
+            F.col(id_col),
+            n_tok.alias("n_tokens"),
+            hash_bucket(id_col, n_shards).alias("shard"),
+        )
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum(F.col("n_tokens") + F.lit(sep_tokens)).over(w), F.lit(0)),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "shard",
+            (F.col("cum_before") / budget).cast("long").alias("pack_id"),
+            (F.col("cum_before") % budget).alias("pack_offset"),
+        )
+    )
+
+
+def duckdb_pack_sequences(
+    budget: int = 2048,
+    n_shards: int = 16,
+    sep_tokens: int = 1,
+    id_col: str = "doc_id",
+    toks_expr: str = "regexp_extract_all(lower(strip_accents(text)), '[0-9a-z]+')",
+    table: str = "documents",
+) -> str:
+    """The DuckDB query equal to :func:`pack_sequences`."""
+    shard = duckdb_hash_bucket(id_col, n_shards)
+    return f"""
+WITH t AS (
+  SELECT {id_col}, len({toks_expr}) AS n_tokens,
+         {shard} AS shard
+  FROM {table}
+), c AS (
+  SELECT {id_col}, n_tokens, shard,
+         coalesce(sum(n_tokens + {sep_tokens}) OVER (
+           PARTITION BY shard ORDER BY {id_col} ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT {id_col}, n_tokens, CAST(shard AS BIGINT) AS shard,
+       CAST(floor(cum_before / {budget}) AS BIGINT) AS pack_id,
+       CAST(cum_before % {budget} AS BIGINT) AS pack_offset
+FROM c
+"""
