@@ -103,6 +103,23 @@ def _index_for_documents(
     return ix
 
 
+def _compacted_index_for_documents(spark: SparkSession, sf_dir: str) -> str:
+    """Segment-merge the (multi-wave) documents index into one optimized
+    wave; queries over it must match the same oracle as the source."""
+    from mysql_es_spark.plans.compact import compact_index
+
+    src = _index_for_documents(spark, sf_dir)
+    dst, marker = _ixcache_dir(sf_dir, "-compact")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(dst, ignore_errors=True)
+        compact_index(spark, src, dst)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return dst
+
+
 ROUTED_CFG = IndexConfig(n_buckets=2, wave_size=2, salt_docs=1 << 20, term_buckets=4)
 
 
@@ -874,6 +891,23 @@ def q_match_aggs(spark, sf):
     )
 
 
+def q_bm25_compacted(spark, sf):
+    """Segment compaction (ES _forcemerge analog): decode → re-encode the
+    multi-wave index into one packed wave; ranking must be unchanged."""
+    ix = _compacted_index_for_documents(spark, sf)
+    top = bm25_topk(
+        spark, ix, " ".join(BM25_Q2), k=60, cfg=_docs_index_cfg(), mode="pruned",
+        with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(15)
+    )
+
+
 def q_emb_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -959,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop": q_phrase_slop,
         "bm25_filtered": q_bm25_filtered,
         "match_aggs_by_lang": q_match_aggs,
+        "bm25_via_compacted": q_bm25_compacted,
         # --- round-1 hash fixes ---
         "a2_runlength_groups": q_a2,
         "sessionize": q_sessionize,
@@ -1448,6 +1483,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_direct": _bm25_sql(BM25_Q1, 20),
         "bm25_direct_q2": _bm25_sql(BM25_Q2, 15),
         "bm25_via_index": _bm25_sql(BM25_Q1, 20),
+        "bm25_via_compacted": _bm25_sql(BM25_Q2, 15),
         "bm25_filtered": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
 dl AS (SELECT doc_id, len(tl) AS dl FROM toks),

@@ -1,0 +1,171 @@
+"""Segment compaction — merge a many-wave index into one optimized wave.
+
+Every build wave and every incremental batch (streaming/incremental.py)
+writes its own wave directory. Queries stay correct over any number of
+waves — buckets own disjoint docid ranges, so a (term, salt) group never
+spans waves — but the layout degrades operationally as waves accumulate:
+file listings multiply (waves × term_bucket dirs), per-wave doc_lens /
+term_stats partials pile up, and Arrow-batch boundaries inside a wave
+leave short split block runs. Lucene solves the same problem with
+background segment merging (forceMerge); ES exposes it as `_forcemerge`
+— the reference relies on it implicitly by delegating storage to ES.
+What compaction buys here is I/O shape, not semantics: one wave, packed
+blocks (Arrow-split runs re-merged), one doc_lens/term_stats file set,
+single-row lineage.
+
+``compact_index`` is that operation for this engine: decode every
+posting block back to (docid, term, tf, dl[, pos]) rows — never
+re-tokenizing, the expensive part of a build — and re-run the standard
+encode path into a single wave of fully-packed, globally-sorted blocks.
+One shuffle by (term_bucket, term, salt), same as a build wave; the
+forward/doc_lens/term_stats tables are columnar copies/re-aggregations.
+The result is a brand-new index directory: the source stays live for
+queries until the caller swaps paths (the atomic-rename step an
+orchestrator would do), which also makes compaction trivially resumable
+— a crashed compaction is just a directory to delete.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from ..functions.codecs import decode_block, decode_positions
+from ..operators.postings import (
+    TOKENIZED_POS_SCHEMA,
+    TOKENIZED_SCHEMA,
+    posting_blocks,
+)
+from ..operators.query import effective_config, invalidate_stats_cache
+from ..sources import tables as tbl
+from .build import FORWARD_COLS, finalize
+from .metrics import append_metrics
+
+
+def decoded_postings(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> DataFrame:
+    """All posting blocks decoded back to exploded (docid, term, tf, dl
+    [, pos]) rows — the inverse of the encode stage, vectorized per block."""
+    with_pos = cfg.with_positions
+    cols = ["term", "n", "blob"] + (["pos_blob"] if with_pos else [])
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms_out, ids_out, tfs_out, dls_out, pos_out = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                ids, tfs, dls = decode_block(row.blob, int(row.n))
+                terms_out.append(np.full(len(ids), row.term, dtype=object))
+                ids_out.append(ids)
+                tfs_out.append(tfs)
+                dls_out.append(dls)
+                if with_pos:
+                    flat = decode_positions(row.pos_blob, tfs)
+                    bounds = np.cumsum(tfs)[:-1]
+                    pos_out.extend(np.split(flat.astype(np.int32), bounds))
+            if not ids_out:
+                continue
+            out = {
+                "docid": np.concatenate(ids_out),
+                "term": np.concatenate(terms_out),
+                "tf": np.concatenate(tfs_out).astype(np.int32),
+                "dl": np.concatenate(dls_out).astype(np.int32),
+            }
+            if with_pos:
+                out["pos"] = pos_out
+            yield pd.DataFrame(out)
+
+    schema = TOKENIZED_POS_SCHEMA if with_pos else TOKENIZED_SCHEMA
+    return (
+        tbl.read(spark, index_dir, "postings")
+        .select(*cols)
+        .mapInPandas(dec, schema=schema)
+    )
+
+
+def compact_index(
+    spark: SparkSession, src_dir: str, dst_dir: str, cfg: IndexConfig | None = None
+) -> dict:
+    """Rewrite ``src_dir`` as a single-wave optimized index at ``dst_dir``.
+
+    Query results over ``dst_dir`` are byte-identical to ``src_dir``
+    (same docids, scores, positions); only the physical layout changes.
+    Returns {blocks_before, blocks_after, n_docs}.
+    """
+    t0 = time.monotonic()
+    cfg = effective_config(spark, src_dir, cfg)
+
+    width = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "64")),
+        spark.sparkContext.defaultParallelism,
+    )
+
+    # postings: decode → standard encode path → one wave, packed blocks
+    tok = decoded_postings(spark, src_dir, cfg)
+    posting_blocks(tok, cfg).write.partitionBy("term_bucket").mode("overwrite").parquet(
+        tbl.wave_dir(dst_dir, "postings", 0)
+    )
+
+    # doc_lens / term_stats: re-aggregate the per-wave partials
+    tbl.read(spark, src_dir, "doc_lens").select("docid", "dl").coalesce(
+        max(1, width // 4)
+    ).write.mode("overwrite").parquet(tbl.wave_dir(dst_dir, "doc_lens", 0))
+    (
+        tbl.read(spark, src_dir, "term_stats")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+        .write.mode("overwrite")
+        .parquet(tbl.wave_dir(dst_dir, "term_stats", 0))
+    )
+
+    # forward: columnar copy, re-sorted so parquet row-group stats keep
+    # pruning docid point-fetches (_with_keys) and bucket scans
+    (
+        tbl.read(spark, src_dir, "forward")
+        .select(*FORWARD_COLS)
+        .repartition(width, "bucket")
+        .sortWithinPartitions("docid")
+        .write.mode("overwrite")
+        .parquet(tbl.wave_dir(dst_dir, "forward", 0))
+    )
+
+    # lineage: one row covering every bucket — resume over the compacted
+    # index sees a complete build
+    buckets = list(range(cfg.n_buckets))
+    n_docs = spark.read.parquet(tbl.wave_dir(dst_dir, "doc_lens", 0)).count()
+    before = tbl.read(spark, src_dir, "postings").count()
+    after = spark.read.parquet(tbl.wave_dir(dst_dir, "postings", 0)).count()
+    npost = int(
+        spark.read.parquet(tbl.wave_dir(dst_dir, "postings", 0))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)))
+        .collect()[0][0]
+    )
+    tbl.local_rows_df(
+        spark,
+        [(0, buckets, int(n_docs), npost, int(after), time.monotonic() - t0,
+          "complete", datetime.now(timezone.utc))],
+        tbl.LINEAGE_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(tbl.p(dst_dir, "lineage"))
+
+    invalidate_stats_cache(dst_dir)
+    finalize(spark, dst_dir, cfg)
+    append_metrics(
+        spark,
+        dst_dir,
+        "compact",
+        {
+            "docs_indexed": int(n_docs),
+            "postings_written": npost,
+            "blocks_written": int(after),
+            "blocks_before": int(before),
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+        },
+        wave=0,
+        batch_id=-1,
+    )
+    return {"blocks_before": int(before), "blocks_after": int(after), "n_docs": int(n_docs)}
