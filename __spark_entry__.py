@@ -994,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered": q_bm25_filtered,
         "match_aggs_by_lang": q_match_aggs,
         "bm25_via_compacted": q_bm25_compacted,
+        "withs_3hop": q_withs_3hop,
         # --- round-1 hash fixes ---
         "a2_runlength_groups": q_a2,
         "sessionize": q_sessionize,
@@ -1033,7 +1034,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_parent_propagation": q_j6,
         "asof_join_events_orders": q_asof,
         "range_join_attribution": q_range_join,
-        "withs_3hop": q_withs_3hop,
         # --- windows / aggregation ---
         "user_event_sequence": q_event_seq,
         "w1_last_writer_wins": q_w1,
