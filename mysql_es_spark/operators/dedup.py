@@ -147,13 +147,17 @@ def minhash_signatures(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<long>) — MinHash over the doc's shingle set.
 
     Base shingle hash is JVM xxhash64 (stable, no Python in the explode);
-    the num_perm universal-hash mins are one numpy reduction per group."""
+    the num_perm universal-hash mins are one numpy reduction per group.
+    ``shingles_df`` (from :func:`shingles`) lets a pipeline that needs the
+    shingle set elsewhere (e.g. the exact-verify stage) compute it once."""
     a, b = _perm_params(num_perm, seed)
-    sh = shingles(df, n, id_col, text_col).withColumn("h", F.xxhash64("shingle"))
+    base = shingles_df if shingles_df is not None else shingles(df, n, id_col, text_col)
+    sh = base.withColumn("h", F.xxhash64("shingle"))
 
     def to_sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -209,7 +213,12 @@ def minhash_lsh_pairs(
     exact shingle Jaccard filters to ≥ threshold."""
     assert num_perm % bands == 0
     rows = num_perm // bands
-    sig = minhash_signatures(df, n, num_perm, seed, id_col, text_col)
+    # ONE shingle pass feeds both the signature build and the exact-verify
+    # stage (tokenize+explode is the dominant cost; Spark reuses plan
+    # nodes, not computed results, across the two subtrees). Reclaimed by
+    # the ContextCleaner when the returned frame is GC'd.
+    sh = shingles(df, n, id_col, text_col).persist()
+    sig = minhash_signatures(df, n, num_perm, seed, id_col, text_col, shingles_df=sh)
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -227,7 +236,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return exact_jaccard_for_pairs(df, cand, n, id_col, text_col).filter(
+    return exact_jaccard_for_pairs(df, cand, n, id_col, text_col, shingles_df=sh).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -238,16 +247,22 @@ def exact_jaccard_for_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle Jaccard for a given (id_a, id_b) candidate set only.
 
     Cost is |pairs| × avg-shingles (fan out id_a's shingles, semi-match
     against id_b's) — NOT the all-co-occurring-pairs self-join, which is
     quadratic in the df of every common shingle. This is the verify stage
-    for every LSH-style candidate generator."""
+    for every LSH-style candidate generator. ``shingles_df`` reuses a
+    caller's (persisted) shingle frame instead of recomputing it."""
     # persisted: referenced by both join sides and the size agg (3×);
     # reclaimed by the ContextCleaner when the returned frame is GC'd
-    sh = shingles(df, n, id_col, text_col).persist()
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingles(df, n, id_col, text_col).persist()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
