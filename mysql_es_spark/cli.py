@@ -1,4 +1,4 @@
-"""spark-submit entry point — build / resume / query / gen.
+"""spark-submit entry point — build / resume / query / compact / gen.
 
 The north rule requires the engine to "run via spark-submit --py-files on a
 multi-executor cluster". This module is that entry point; package the
@@ -90,13 +90,30 @@ def cmd_build(args) -> dict:
     return metrics
 
 
+def cmd_compact(args) -> dict:
+    from .plans.compact import compact_index
+
+    spark = _session(args)
+    t0 = time.monotonic()
+    stats = compact_index(spark, args.index_dir, args.out)
+    stats["compact_sec"] = round(time.monotonic() - t0, 2)
+    return stats
+
+
 def cmd_query(args) -> dict:
-    from .operators.query import bm25_topk, bm25_topk_conjunctive, phrase_topk
+    from .operators.query import (
+        bm25_filtered_topk,
+        bm25_topk,
+        bm25_topk_conjunctive,
+        phrase_topk,
+    )
 
     spark = _session(args)
     t0 = time.monotonic()
     common = dict(k=args.k, cfg=_cfg(args), with_keys=args.with_keys)
-    if args.mode == "phrase":
+    if getattr(args, "filter", None):
+        df = bm25_filtered_topk(spark, args.index_dir, args.query, args.filter, **common)
+    elif args.mode == "phrase":
         df = phrase_topk(spark, args.index_dir, args.query, **common)
     elif args.mode == "conjunctive":
         df = bm25_topk_conjunctive(spark, args.index_dir, args.query, **common)
@@ -159,7 +176,18 @@ def main(argv: list[str] | None = None) -> int:
         "--mode", choices=["simple", "pruned", "conjunctive", "phrase"], default="pruned"
     )
     q.add_argument("--with-keys", action="store_true")
+    q.add_argument(
+        "--filter",
+        default=None,
+        help="filter-context SQL predicate over the forward columns "
+        "(non-scoring, e.g. \"role = 'assistant'\")",
+    )
     q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser("compact", help="segment-merge an index into one optimized wave")
+    c.add_argument("--index-dir", required=True, help="source index")
+    c.add_argument("--out", required=True, help="destination for the compacted index")
+    c.set_defaults(fn=cmd_compact)
 
     args = ap.parse_args(argv)
     print(json.dumps(args.fn(args), default=str))

@@ -123,3 +123,38 @@ def test_package_pyfiles(tmp_path):
         names = z.namelist()
     assert "mysql_es_spark/cli.py" in names
     assert "mysql_es_spark/plans/build.py" in names
+
+
+def test_cli_compact_and_filter(spark, tmp_path, capsys):
+    corpus_dir = str(tmp_path / "corpus")
+    ix = str(tmp_path / "ix")
+    dst = str(tmp_path / "ix_compact")
+    common = ["--n-buckets", "4", "--wave-size", "2", "--salt-docs", "256"]
+
+    assert cli_main(["gen", "--out", corpus_dir, "--turns", "600", "--seed", "13"]) == 0
+    capsys.readouterr()
+    assert (
+        cli_main(
+            [*common, "build", "--input", f"{corpus_dir}/transcripts", "--index-dir", ix]
+        )
+        == 0
+    )
+    capsys.readouterr()
+
+    assert cli_main(["compact", "--index-dir", ix, "--out", dst]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["blocks_after"] <= st["blocks_before"] and st["n_docs"] > 0
+
+    # compacted index answers, and the filter-context path works via CLI
+    # (cfg comes from the index's persisted index_meta, no flags needed)
+    assert (
+        cli_main(
+            ["query", "--index-dir", dst, "--query", "w0 w1", "-k", "5",
+             "--filter", "role = 'assistant'", "--with-keys"]
+        )
+        == 0
+    )
+    q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < len(q["hits"]) <= 5
+    scores = [h["score"] for h in q["hits"]]
+    assert scores == sorted(scores, reverse=True)
