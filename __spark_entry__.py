@@ -586,6 +586,18 @@ def q_pack(spark, sf):
     )
 
 
+def q_contamination(spark, sf):
+    """Decontamination pass: every 97th doc plays the eval set; report
+    train docs sharing a 3-gram with any probe (broadcast probe join)."""
+    docs = _t(spark, sf, "documents")
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    return dedup.contamination_pairs(
+        docs.filter(F.col("doc_id") % 97 != 0), probes, n=3
+    )
+
+
 def q_pii_scrub(spark, sf):
     # the synthetic corpus has no PII, so append deterministic
     # doc_id-derived email/IP/phone text in BOTH engines — the scrub then
@@ -1009,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_quality": q_gopher,
         "doc_pii_scrub": q_pii_scrub,
         "doc_pack_sequences": q_pack,
+        "doc_contamination": q_contamination,
         "doc_term_freq_top20": q_term_freq,
         "doc_bpe_token_estimate": q_bpe_tokens,
         "t1_edge_ngram_tokens": q_t1_edge_ngram,
@@ -1274,6 +1287,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(array_to_string({TOK}, ' ')) AS fp FROM documents
         """,
         "doc_pack_sequences": packing.duckdb_pack_sequences(budget=512, n_shards=8),
+        "doc_contamination": f"""
+            WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct(
+                     [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      FOR i IN range(1, len(toks) - 1)])) AS shingle
+                   FROM t WHERE len(toks) >= 3),
+            probe AS (SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id % 97 = 0),
+            corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+            SELECT corp.doc_id, probe.probe_id, count(*) AS n_shared
+            FROM corp JOIN probe USING (shingle)
+            GROUP BY 1, 2
+        """,
         "doc_gopher_quality": f"""
             WITH t AS (
               SELECT doc_id, text, {TOK} AS toks,

@@ -694,3 +694,40 @@ def _embedding_near_dups_broadcast(
     return emb.select(id_col, vec_col).mapInPandas(
         block, schema="id_a long, id_b long, cos double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination (train vs eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def contamination_pairs(
+    df: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """(id, probe_id, n_shared) — corpus docs sharing ≥1 length-``n`` token
+    shingle with a probe (benchmark/eval) document: the standard
+    decontamination pass run before training, so eval answers leaking into
+    the training set are dropped rather than memorized.
+
+    Shape at scale: the probe side is a benchmark suite — thousands of
+    docs against a 100 TB corpus — so its shingle set broadcasts and the
+    corpus side stays a map-only scan + hash-probe (no shuffle of corpus
+    shingles). Set ``broadcast_probes=False`` for a probe set too large to
+    broadcast; the join then shuffles both sides on the shingle key, with
+    fan-out bounded by probe-shingle df exactly like ngram_jaccard_pairs.
+    """
+    doc_sh = shingles(df, n, id_col, text_col)
+    pr_sh = shingles(probes, n, probe_id_col, text_col)
+    if broadcast_probes:
+        pr_sh = F.broadcast(pr_sh)
+    return (
+        doc_sh.join(pr_sh, "shingle")
+        .groupBy(id_col, probe_id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -209,3 +209,34 @@ def test_winnow_short_docs(spark):
     )
     # < k tokens -> no fingerprints, no crash
     assert dedup.winnow_fingerprints(df, k=4, window=4).count() == 0
+
+
+def test_contamination_pairs(spark):
+    corpus_df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a totally unrelated document about spark shuffles"),
+            (3, "quick brown fox but then it diverges completely"),
+        ],
+        schema="doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "What does the quick brown fox jump over?")],
+        schema="probe_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.probe_id): r.n_shared
+        for r in dedup.contamination_pairs(corpus_df, probes, n=3).collect()
+    }
+    # doc 1 shares "the quick brown", "quick brown fox" with the probe;
+    # doc 3 shares only "quick brown fox"; doc 2 shares nothing
+    assert got == {(1, 100): 2, (3, 100): 1}
+
+    # broadcast off must give identical results (same join, shuffled)
+    got2 = {
+        (r.doc_id, r.probe_id): r.n_shared
+        for r in dedup.contamination_pairs(
+            corpus_df, probes, n=3, broadcast_probes=False
+        ).collect()
+    }
+    assert got2 == got
