@@ -32,6 +32,7 @@ from mysql_es_spark.operators.query import (
     direct_bm25,
     fuzzy_topk,
     match_aggregate,
+    more_like_this_topk,
     phrase_topk,
     prefix_topk,
     wildcard_topk,
@@ -920,6 +921,28 @@ def q_bm25_compacted(spark, sf):
     )
 
 
+def q_more_like_this(spark, sf):
+    """ES more_like_this: top tf·idf terms of doc 42 become a BM25 query;
+    the source doc is excluded from the hits."""
+    ix = _index_for_documents(spark, sf)
+    src = (
+        spark.read.parquet(f"{ix}/forward")
+        .filter(F.col("conv_id") == "42")
+        .select("docid")
+        .collect()[0][0]
+    )
+    top = more_like_this_topk(
+        spark, ix, src, k=15, max_query_terms=5, cfg=_docs_index_cfg(), with_keys=True
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(15)
+    )
+
+
 def q_emb_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -1006,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered": q_bm25_filtered,
         "match_aggs_by_lang": q_match_aggs,
         "bm25_via_compacted": q_bm25_compacted,
+        "bm25_more_like_this": q_more_like_this,
         "withs_3hop": q_withs_3hop,
         # --- round-1 hash fixes ---
         "a2_runlength_groups": q_a2,
@@ -1509,6 +1533,44 @@ def oracle_sql() -> dict[str, str]:
         "bm25_direct_q2": _bm25_sql(BM25_Q2, 15),
         "bm25_via_index": _bm25_sql(BM25_Q1, 20),
         "bm25_via_compacted": _bm25_sql(BM25_Q2, 15),
+        "bm25_more_like_this": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+src AS (
+  SELECT u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term) WHERE toks.doc_id = 42 GROUP BY 1
+),
+alldf AS (
+  SELECT u.term, count(DISTINCT toks.doc_id) AS df
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN (SELECT term FROM src)
+  GROUP BY 1
+),
+qterms AS (
+  SELECT src.term
+  FROM src JOIN alldf USING (term) CROSS JOIN stats
+  ORDER BY round(src.tf * ln(1 + (stats.n - alldf.df + 0.5) / (alldf.df + 0.5)), 6) DESC,
+           src.term ASC
+  LIMIT 5
+),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN (SELECT term FROM qterms)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores WHERE doc_id <> 42
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 15
+""",
         "bm25_filtered": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
 dl AS (SELECT doc_id, len(tl) AS dl FROM toks),

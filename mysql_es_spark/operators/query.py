@@ -602,6 +602,63 @@ def _decode_docids(blocks: DataFrame) -> DataFrame:
     )
 
 
+def more_like_this_topk(
+    spark: SparkSession,
+    index_dir: str,
+    docid: int,
+    k: int = 10,
+    max_query_terms: int = 5,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``more_like_this``: find docs similar to a given one by turning
+    its most characteristic terms into a disjunctive BM25 query.
+
+    Term selection follows the MLT contract: re-analyze the source doc's
+    text (ES does the same unless term vectors are stored), score each
+    term by tf·idf against corpus-global df, keep the top
+    ``max_query_terms`` (score rounded to 6 dp before ranking so the
+    ordering is reproducible across float libraries; ties break by term).
+    The source doc is excluded from the hits.
+
+    Driver-side cost is O(1) in corpus size: one row-group-pruned point
+    fetch of the source doc's text from the forward table, a tiny
+    term_dict lookup for the idf of its distinct terms, then the standard
+    distributed BM25 path over ≤ max_query_terms posting lists.
+    """
+    from collections import Counter
+
+    from ..functions.analyze import tokenize_text
+
+    cfg = effective_config(spark, index_dir, cfg)
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    src = (
+        tbl.read(spark, index_dir, "forward")
+        .filter(F.col("docid") == int(docid))
+        .select("text")
+        .collect()
+    )
+    if not src or src[0]["text"] is None:
+        return empty
+    tf = Counter(tokenize_text(src[0]["text"]))
+    idf, _ = term_meta(spark, index_dir, sorted(tf), stats["n_docs"], cfg)
+    ranked = sorted(
+        ((round(tf[t] * idf[t], 6), t) for t in tf if t in idf),
+        key=lambda x: (-x[0], x[1]),
+    )
+    terms = [t for _, t in ranked[:max_query_terms]]
+    if not terms:
+        return empty
+    out = (
+        bm25_topk(spark, index_dir, " ".join(terms), k=k + 1, cfg=cfg, mode="simple")
+        .filter(F.col("docid") != int(docid))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, out) if with_keys else out
+
+
 def match_aggregate(
     spark: SparkSession,
     index_dir: str,
