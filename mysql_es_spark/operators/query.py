@@ -246,6 +246,24 @@ def _with_keys(
     )
 
 
+_CURSOR_EPS = 1e-9
+
+
+def _cursor_filter(scored: DataFrame, after: tuple[float, int] | None) -> DataFrame:
+    """ES ``search_after`` predicate for the (score desc, docid asc) sort:
+    keep rows strictly after the cursor. Float sums over shuffled
+    partitions can wobble at the ulp level between jobs, so score equality
+    uses an absolute ±1e-9 band — far below any real score gap — making
+    page boundaries stable across re-execution."""
+    if after is None:
+        return scored
+    s, d = float(after[0]), int(after[1])
+    same = (F.col("score") >= F.lit(s - _CURSOR_EPS)) & (
+        F.col("score") <= F.lit(s + _CURSOR_EPS)
+    )
+    return scored.filter((F.col("score") < F.lit(s - _CURSOR_EPS)) | (same & (F.col("docid") > d)))
+
+
 def bm25_topk(
     spark: SparkSession,
     index_dir: str,
@@ -254,8 +272,14 @@ def bm25_topk(
     cfg: IndexConfig | None = None,
     mode: str = "simple",
     with_keys: bool = False,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
-    """Top-k BM25 over the built index. Returns (docid, score[, keys…])."""
+    """Top-k BM25 over the built index. Returns (docid, score[, keys…]).
+
+    ``after=(score, docid)`` is ES ``search_after`` pagination: return the
+    next k hits strictly after that cursor in (score desc, docid asc)
+    order. Deep pagination stays O(k) driver-side — the cursor is a filter
+    on scored rows, never an offset materialization."""
     cfg = effective_config(spark, index_dir, cfg)
     terms = query_terms(query)
     stats = corpus_stats(spark, index_dir)
@@ -270,7 +294,11 @@ def bm25_topk(
         if not terms:
             return empty
         blocks = _matching_blocks(spark, index_dir, terms, buckets)
-        scored = _decode_scores(blocks, idf, cfg, stats["avgdl"]).orderBy(*order).limit(k)
+        scored = (
+            _cursor_filter(_decode_scores(blocks, idf, cfg, stats["avgdl"]), after)
+            .orderBy(*order)
+            .limit(k)
+        )
         return _with_keys(spark, index_dir, scored) if with_keys else scored
 
     if mode != "pruned":
@@ -293,7 +321,7 @@ def bm25_topk(
     # docs. Predicted salt count costs no job (corpus stats are cached).
     predicted_salts = stats["n_docs"] // max(1, cfg.salt_docs) + 1
     if predicted_salts > cfg.max_driver_salts:
-        scored = _pruned_topk_distributed(spark, blocks, terms, stats, cfg, k, tf_bound)
+        scored = _pruned_topk_distributed(spark, blocks, terms, stats, cfg, k, tf_bound, after)
         return _with_keys(spark, index_dir, scored) if with_keys else scored
     meta_rows = (
         blocks.select("term", "salt", "n", tf_bound.alias("tfb"))
@@ -337,15 +365,26 @@ def bm25_topk(
     if len(phase1) == len(salts):
         # adaptive shortcut: phase 1 would decode every range anyway, so
         # the threshold/second-pass machinery buys nothing — single pass.
-        scored = _decode_scores(blocks, idf, cfg, stats["avgdl"]).orderBy(*order).limit(k)
+        scored = (
+            _cursor_filter(_decode_scores(blocks, idf, cfg, stats["avgdl"]), after)
+            .orderBy(*order)
+            .limit(k)
+        )
         return _with_keys(spark, index_dir, scored) if with_keys else scored
 
     # Each salt is a disjoint docid range, so a doc's entire score lives in
     # exactly one phase; global top-k = top-k of the per-phase top-ks. That
     # lets both phases collect only k rows to the driver — no persist, no
     # third union/sort job.
+    # cursor filtering composes with block-max pruning: the per-salt ub
+    # bounds every doc's UNFILTERED score, and cursor-surviving docs are a
+    # subset, so "ub >= tau" (tau from the filtered phase-1 top-k) still
+    # covers every possible filtered winner in unexplored salts.
     top1 = (
-        _decode_scores(blocks.filter(F.col("salt").isin(phase1)), idf, cfg, stats["avgdl"])
+        _cursor_filter(
+            _decode_scores(blocks.filter(F.col("salt").isin(phase1)), idf, cfg, stats["avgdl"]),
+            after,
+        )
         .orderBy(*order)
         .limit(k)
         .collect()
@@ -359,8 +398,11 @@ def bm25_topk(
     top2 = []
     if phase2:
         top2 = (
-            _decode_scores(
-                blocks.filter(F.col("salt").isin(phase2)), idf, cfg, stats["avgdl"]
+            _cursor_filter(
+                _decode_scores(
+                    blocks.filter(F.col("salt").isin(phase2)), idf, cfg, stats["avgdl"]
+                ),
+                after,
             )
             .orderBy(*order)
             .limit(k)
@@ -384,6 +426,7 @@ def _pruned_topk_distributed(
     cfg: IndexConfig,
     k: int,
     tf_bound,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Block-max pruned top-k with NO driver-side pass over salt metadata —
     the 10^12-doc path (a head term spans n_docs/salt_docs ≈ 10^7 ranges).
@@ -437,7 +480,9 @@ def _pruned_topk_distributed(
             if int(agg["n"]) < K:
                 # limit not binding ⇒ every salt selected ⇒ single pass
                 scored = (
-                    _decode_scores(blocks, idf, cfg, stats["avgdl"]).orderBy(*order).limit(k)
+                    _cursor_filter(_decode_scores(blocks, idf, cfg, stats["avgdl"]), after)
+                    .orderBy(*order)
+                    .limit(k)
                 )
                 return scored
             if int(agg["cov"]) >= target:
@@ -445,7 +490,9 @@ def _pruned_topk_distributed(
             K *= 4
         phase1 = salts.orderBy(*sel_order).limit(K).select("salt")
         top1 = (
-            _decode_scores(blocks.join(phase1, "salt"), idf, cfg, stats["avgdl"])
+            _cursor_filter(
+                _decode_scores(blocks.join(phase1, "salt"), idf, cfg, stats["avgdl"]), after
+            )
             .orderBy(*order)
             .limit(k)
             .collect()
@@ -455,7 +502,9 @@ def _pruned_topk_distributed(
             salts.filter(F.col("ub") >= tau).select("salt").join(phase1, "salt", "left_anti")
         )
         top2 = (
-            _decode_scores(blocks.join(phase2, "salt"), idf, cfg, stats["avgdl"])
+            _cursor_filter(
+                _decode_scores(blocks.join(phase2, "salt"), idf, cfg, stats["avgdl"]), after
+            )
             .orderBy(*order)
             .limit(k)
             .collect()
