@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from mysql_es_spark.config import IndexConfig
+from mysql_es_spark.operators import aggs as esaggs
 from mysql_es_spark.operators import dedup, multimodal, packing, sampling, similarity, textstats
 from mysql_es_spark.operators.asof import asof_join
 from mysql_es_spark.operators.query import (
@@ -69,7 +70,12 @@ def _documents_as_transcripts(docs: DataFrame) -> DataFrame:
         F.col("lang").alias("role"),
         F.col("text"),
         F.col("source").alias("tool"),
-        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        # deterministic day spread (doc_id % 10 days from 2026-01-01, the
+        # same convention as the date-routed variant) so date_histogram
+        # aggs over the main index have real calendar buckets
+        F.date_add(F.lit("2026-01-01").cast("date"), (F.col("doc_id") % 10).cast("int"))
+        .cast("timestamp")
+        .alias("ts"),
     )
 
 
@@ -79,9 +85,9 @@ def _ixcache_dir(sf_dir: str, variant: str) -> tuple[str, str]:
     mtime), so regenerated testdata never hits a stale cached index."""
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    # v2: forward carries lang/source as role/tool — older cached indexes
-    # (constant role='user') must not satisfy filter-context queries
-    ident = f"v2:{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}"
+    # v3: forward ts is day-spread (doc_id % 10) for date_histogram aggs —
+    # older cached indexes (constant ts) must not satisfy them
+    ident = f"v3:{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16] + variant
     ix = f"/tmp/mysql_es_spark_ixcache/{key}"
     return ix, os.path.join(ix, "_COMPLETE")
@@ -904,6 +910,62 @@ def q_match_aggs(spark, sf):
     )
 
 
+def q_agg_date_histogram(spark, sf):
+    """ES date_histogram agg: per-day bucket counts of ALL docs matching
+    the query, bucketed on the forward ts (day-spread by doc_id % 10)."""
+    ix = _index_for_documents(spark, sf)
+    return esaggs.date_histogram(spark, ix, " ".join(BM25_Q1), cfg=_docs_index_cfg())
+
+
+def q_agg_extended_stats(spark, sf):
+    """ES extended_stats agg over the matched docs' analyzed length:
+    count/min/max/sum/avg + population variance/stddev (ES reports the
+    population moments)."""
+    ix = _index_for_documents(spark, sf)
+    s = esaggs.extended_stats(spark, ix, " ".join(BM25_Q1), cfg=_docs_index_cfg())
+    return s.select(
+        "n_docs", "min_dl", "max_dl", "sum_dl",
+        F.round("avg_dl", 4).alias("avg_dl"),
+        F.round("var_dl", 4).alias("var_dl"),
+        F.round("std_dl", 4).alias("std_dl"),
+    )
+
+
+def q_agg_cardinality(spark, sf):
+    """ES cardinality agg: distinct sources (tool field) among matching
+    docs — exact two-level distinct here; the HLL++ variant (the literal
+    ES algorithm) is exercised by pytest."""
+    ix = _index_for_documents(spark, sf)
+    return esaggs.cardinality(spark, ix, " ".join(BM25_Q1), "tool", cfg=_docs_index_cfg())
+
+
+def q_agg_top_hits(spark, sf):
+    """ES terms+top_hits agg: the 3 best BM25 hits per language bucket —
+    a per-bucket rank window over the full matched set, never top-k."""
+    ix = _index_for_documents(spark, sf)
+    th = esaggs.top_hits(
+        spark, ix, " ".join(BM25_Q1), "role", size=3, cfg=_docs_index_cfg(), order_round=4
+    )
+    fwd = spark.read.parquet(f"{ix}/forward").select("docid", "conv_id")
+    return th.join(fwd, "docid", "inner").select(
+        F.col("role").alias("lang"),
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_agg_significant_terms(spark, sf):
+    """ES significant_terms agg (JLH): terms over-represented in the
+    matched set vs the corpus; foreground df from one tokenize pass over
+    matched docs, background df free from the index's term_dict."""
+    ix = _index_for_documents(spark, sf)
+    st = esaggs.significant_terms(
+        spark, ix, " ".join(BM25_Q1), size=12, min_doc_count=3, cfg=_docs_index_cfg()
+    )
+    return st.select("term", "fg_df", "bg_df", F.round("jlh", 6).alias("jlh"))
+
+
 def q_bm25_compacted(spark, sf):
     """Segment compaction (ES _forcemerge analog): decode → re-encode the
     multi-wave index into one packed wave; ranking must be unchanged."""
@@ -1028,6 +1090,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop": q_phrase_slop,
         "bm25_filtered": q_bm25_filtered,
         "match_aggs_by_lang": q_match_aggs,
+        "agg_date_histogram": q_agg_date_histogram,
+        "agg_extended_stats": q_agg_extended_stats,
+        "agg_cardinality": q_agg_cardinality,
+        "agg_top_hits": q_agg_top_hits,
+        "agg_significant_terms": q_agg_significant_terms,
         "bm25_via_compacted": q_bm25_compacted,
         "bm25_more_like_this": q_more_like_this,
         "withs_3hop": q_withs_3hop,
@@ -1529,6 +1596,85 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sim, b.sim)) <= 3
         """,
+        "agg_date_histogram": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+matched AS (SELECT doc_id FROM toks WHERE list_has_any(tl, ['spark','join','query']))
+SELECT strftime(DATE '2026-01-01' + (doc_id % 10)::INT, '%Y-%m-%d') AS period,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM matched GROUP BY 1 ORDER BY 1
+""",
+        "agg_extended_stats": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+matched AS (SELECT doc_id, len(tl) AS dl FROM toks
+            WHERE list_has_any(tl, ['spark','join','query']))
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(dl) AS BIGINT) AS min_dl,
+       CAST(max(dl) AS BIGINT) AS max_dl,
+       CAST(sum(dl) AS BIGINT) AS sum_dl,
+       round(avg(dl), 4) AS avg_dl,
+       round(var_pop(dl), 4) AS var_dl,
+       round(stddev_pop(dl), 4) AS std_dl
+FROM matched
+""",
+        "agg_cardinality": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+matched AS (SELECT doc_id FROM toks WHERE list_has_any(tl, ['spark','join','query']))
+SELECT CAST(count(DISTINCT d.source) AS BIGINT) AS n_values
+FROM matched m JOIN documents d USING (doc_id)
+""",
+        "agg_top_hits": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+ranked AS (
+  SELECT d.lang, s.doc_id, round(s.s, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY d.lang
+                                 ORDER BY round(s.s, 4) DESC, s.doc_id ASC) AS INT) AS rank
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT lang, doc_id, score, rank FROM ranked WHERE rank <= 3
+""",
+        "agg_significant_terms": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+n_bg AS (SELECT count(*) AS n FROM toks),
+matched AS (SELECT doc_id, tl FROM toks WHERE list_has_any(tl, ['spark','join','query'])),
+n_fg AS (SELECT count(*) AS n FROM matched),
+fg AS (
+  SELECT u.term, CAST(count(*) AS BIGINT) AS fg_df
+  FROM matched, unnest(list_distinct(matched.tl)) AS u(term)
+  GROUP BY 1 HAVING count(*) >= 3
+),
+bg AS (
+  SELECT u.term, CAST(count(*) AS BIGINT) AS bg_df
+  FROM toks, unnest(list_distinct(toks.tl)) AS u(term)
+  WHERE u.term IN (SELECT term FROM fg)
+  GROUP BY 1
+),
+scored AS (
+  SELECT fg.term, fg.fg_df, bg.bg_df,
+         (fg.fg_df / CAST(n_fg.n AS DOUBLE) - bg.bg_df / CAST(n_bg.n AS DOUBLE))
+           * ((fg.fg_df / CAST(n_fg.n AS DOUBLE)) / (bg.bg_df / CAST(n_bg.n AS DOUBLE)))
+           AS jlh
+  FROM fg JOIN bg USING (term) CROSS JOIN n_fg CROSS JOIN n_bg
+  WHERE fg.fg_df / CAST(n_fg.n AS DOUBLE) > bg.bg_df / CAST(n_bg.n AS DOUBLE)
+)
+SELECT term, fg_df, bg_df, round(jlh, 6) AS jlh FROM scored
+ORDER BY round(jlh, 9) DESC, term ASC LIMIT 12
+""",
         "bm25_direct": _bm25_sql(BM25_Q1, 20),
         "bm25_direct_q2": _bm25_sql(BM25_Q2, 15),
         "bm25_via_index": _bm25_sql(BM25_Q1, 20),

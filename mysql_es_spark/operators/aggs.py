@@ -1,0 +1,267 @@
+"""ES search aggregations over the posting index — the ``aggs`` DSL.
+
+The reference syncs MySQL rows into ES indexes whose whole purpose is to
+serve search requests that carry an ``aggs`` block next to the ``query``
+block (/root/reference/etc/template.json keyword/date subfields exist
+*for* bucketing; Es.java:79-126 creates the index those dashboards hit).
+This module re-expresses the core ES aggregation families over our own
+index tables as pure DataFrame plans:
+
+- ``date_histogram``       calendar buckets of matching docs
+- ``histogram``            fixed-interval numeric buckets (over doc length)
+- ``extended_stats``       count/min/max/sum/avg/variance/stddev
+- ``cardinality``          distinct count of a keyword field
+- ``top_hits``             per-bucket top-N scored hits
+- ``significant_terms``    terms over-represented in the matched set (JLH)
+
+Every aggregation runs over **all** docs matching the query — never the
+top-k — exactly like ES, where the agg phase consumes the full hit
+iterator. Plan shape at scale: the matched docid set is decoded from the
+query terms' postings only (query-proportional, partition + row-group
+pruned), the dimension columns come from a column-pruned forward /
+doc_lens scan, the two meet in one docid shuffle, and the aggregation
+itself is a map-side-combining hash agg. Nothing is ever collected to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..config import IndexConfig
+from ..sources import tables as tbl
+from .query import (
+    _decode_docids,
+    _decode_scores,
+    _matching_blocks,
+    corpus_stats,
+    effective_config,
+    query_terms,
+    term_meta,
+)
+
+
+def _matched_docids(
+    spark: SparkSession, index_dir: str, query: str, cfg: IndexConfig
+) -> DataFrame | None:
+    """Distinct docids of docs matching ``query`` (disjunctive), or None
+    for an empty/unknown-terms query. Presence-only decode: blobs of
+    non-query terms are never read (partition + row-group pruning)."""
+    terms = query_terms(query)
+    if not terms:
+        return None
+    stats = corpus_stats(spark, index_dir)
+    idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return None
+    blocks = _matching_blocks(spark, index_dir, terms, buckets)
+    return _decode_docids(blocks)
+
+
+def date_histogram(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    interval: str = "day",
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``date_histogram`` over matching docs: one row per calendar
+    ``interval`` bucket of the forward ``ts`` column with its doc count.
+    Empty buckets are omitted (ES ``min_doc_count: 1``)."""
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(spark, [], "period string, n_docs long")
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", "ts")
+    return (
+        matched.join(fwd, "docid", "inner")
+        .groupBy(F.date_format(F.date_trunc(interval, "ts"), "yyyy-MM-dd").alias("period"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("period")
+    )
+
+
+def histogram(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    interval: int = 20,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES numeric ``histogram`` with fixed ``interval`` over the analyzed
+    doc length (the one numeric the index itself owns): one row per
+    ``floor(dl / interval) * interval`` bucket with its doc count."""
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(spark, [], "bucket long, n_docs long")
+    dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
+    return (
+        matched.join(dls, "docid", "inner")
+        .groupBy((F.floor(F.col("dl") / interval) * interval).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+def extended_stats(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``extended_stats`` of the analyzed doc length over matching
+    docs: count, min, max, sum, avg, population variance and stddev (ES
+    reports the population moments, not the sample ones)."""
+    cfg = effective_config(spark, index_dir, cfg)
+    schema = (
+        "n_docs long, min_dl long, max_dl long, sum_dl long, "
+        "avg_dl double, var_dl double, std_dl double"
+    )
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(spark, [], schema)
+    dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
+    return matched.join(dls, "docid", "inner").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("dl").alias("min_dl"),
+        F.max("dl").alias("max_dl"),
+        F.sum("dl").alias("sum_dl"),
+        F.avg("dl").alias("avg_dl"),
+        F.var_pop("dl").alias("var_dl"),
+        F.stddev_pop("dl").alias("std_dl"),
+    )
+
+
+def cardinality(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    field: str,
+    cfg: IndexConfig | None = None,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """ES ``cardinality`` agg: distinct count of a forward keyword field
+    over matching docs. ``exact=True`` is a two-level hash agg (partial
+    distinct map-side); ``exact=False`` is HyperLogLog++ with relative
+    standard deviation ``rsd`` — the literal ES algorithm — and never
+    shuffles more than the sketch."""
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(spark, [], "n_values long")
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", field)
+    joined = matched.join(fwd, "docid", "inner")
+    agg = (
+        F.countDistinct(field) if exact else F.approx_count_distinct(field, rsd)
+    ).alias("n_values")
+    return joined.agg(agg)
+
+
+def top_hits(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    group_col: str,
+    size: int = 3,
+    cfg: IndexConfig | None = None,
+    order_round: int | None = None,
+) -> DataFrame:
+    """ES ``terms`` agg with a ``top_hits`` sub-agg: for every value of
+    ``group_col``, the ``size`` best BM25 hits for ``query``.
+
+    ES computes this by keeping a per-bucket priority queue while the hit
+    iterator streams; the distributed equivalent is a rank window
+    partitioned by the bucket key — the scored rows shuffle once on the
+    key and each partition keeps its local top ``size`` (no global sort,
+    no driver materialization). Ties break (score desc, docid asc) like
+    every other ranking in the engine. ``order_round`` ranks on the score
+    rounded to that many decimals — the cross-engine determinism contract
+    used by the driver oracle (both engines then rank identical keys).
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    terms = query_terms(query)
+    schema = f"{group_col} string, docid long, score double, rank int"
+    stats = corpus_stats(spark, index_dir)
+    if not terms:
+        return tbl.local_rows_df(spark, [], schema)
+    idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return tbl.local_rows_df(spark, [], schema)
+    blocks = _matching_blocks(spark, index_dir, terms, buckets)
+    scored = _decode_scores(blocks, idf, cfg, stats["avgdl"])
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", group_col)
+    key = F.round("score", order_round) if order_round is not None else F.col("score")
+    w = W.partitionBy(group_col).orderBy(key.desc(), F.col("docid").asc())
+    return (
+        scored.join(fwd, "docid", "inner")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= size)
+        .select(group_col, "docid", "score", "rank")
+    )
+
+
+def significant_terms(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    size: int = 10,
+    min_doc_count: int = 3,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``significant_terms``: terms over-represented in the matched
+    docs relative to the whole corpus, scored with ES's JLH heuristic
+
+        jlh = (fg% - bg%) * (fg% / bg%)
+
+    where fg% = df_matched / n_matched and bg% = df_corpus / n_corpus,
+    keeping only terms with fg% > bg% and df_matched >= min_doc_count
+    (ES defaults to a min doc count for exactly this noise reason).
+
+    The foreground frequencies come from one tokenize pass over the
+    matched docs' forward text (query-proportional — ES likewise re-reads
+    the matched docs' term vectors); the background frequencies are free:
+    they are the index's own ``term_dict.df``. The fg-tokenize output
+    joins term_dict on the term — a short-key equi-join, never a scan of
+    the postings — so the whole agg is two narrow shuffles regardless of
+    corpus size.
+    """
+    from .postings import tokenized
+
+    cfg = effective_config(spark, index_dir, cfg)
+    schema = "term string, fg_df long, bg_df long, jlh double"
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(spark, [], schema)
+    stats = corpus_stats(spark, index_dir)
+    n_bg = int(stats["n_docs"])
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", "text")
+    matched_docs = matched.join(fwd, "docid", "inner")
+    n_fg = matched_docs.count()
+    if n_fg == 0:
+        return tbl.local_rows_df(spark, [], schema)
+    # tokenized() emits one row per (doc, distinct term) + a null-term dl
+    # row per doc — the non-null rows ARE the foreground doc frequencies
+    base = IndexConfig(k1=cfg.k1, b=cfg.b)  # plain analyzer: no ngram expansion
+    fg = (
+        tokenized(matched_docs, base)
+        .filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+        .filter(F.col("fg_df") >= int(min_doc_count))
+    )
+    bg = tbl.read(spark, index_dir, "term_dict").select("term", F.col("df").alias("bg_df"))
+    fg_pct = F.col("fg_df") / F.lit(float(n_fg))
+    bg_pct = F.col("bg_df") / F.lit(float(n_bg))
+    return (
+        fg.join(bg, "term", "inner")
+        .withColumn("jlh", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+        .filter(fg_pct > bg_pct)
+        .orderBy(F.round("jlh", 9).desc(), F.col("term").asc())
+        .limit(size)
+    )

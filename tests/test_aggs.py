@@ -1,0 +1,131 @@
+"""ES aggregations over the index — verified against a Python oracle.
+
+Every agg must cover ALL docs matching the query (never top-k), mirror
+ES's formulas (population moments, JLH), and tie-break deterministically.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from mysql_es_spark.functions.analyze import tokenize_text
+from mysql_es_spark.operators import aggs
+from mysql_es_spark.operators.query import query_terms
+from mysql_es_spark.oracle import build_oracle_index, score_query
+from tests.conftest import TEST_CFG
+
+Q = "w0 w3"
+
+
+@pytest.fixture(scope="module")
+def fwd(spark, built_index):
+    rows = (
+        spark.read.parquet(f"{built_index}/forward")
+        .select("docid", "role", "tool", "ts", "text")
+        .collect()
+    )
+    return {r.docid: r for r in rows}
+
+
+@pytest.fixture(scope="module")
+def matched(fwd):
+    qt = set(query_terms(Q))
+    return {d for d, r in fwd.items() if qt & set(tokenize_text(r.text))}
+
+
+def test_date_histogram(spark, built_index, fwd, matched):
+    want = Counter(fwd[d].ts.strftime("%Y-%m-%d") for d in matched)
+    got = {
+        r.period: r.n_docs
+        for r in aggs.date_histogram(spark, built_index, Q, cfg=TEST_CFG).collect()
+    }
+    assert got == dict(want)
+
+
+def test_histogram_dl(spark, built_index, fwd, matched):
+    want = Counter((len(tokenize_text(fwd[d].text)) // 5) * 5 for d in matched)
+    got = {
+        r.bucket: r.n_docs
+        for r in aggs.histogram(spark, built_index, Q, interval=5, cfg=TEST_CFG).collect()
+    }
+    assert got == dict(want)
+
+
+def test_extended_stats(spark, built_index, fwd, matched):
+    dls = np.array([len(tokenize_text(fwd[d].text)) for d in matched], dtype=np.float64)
+    row = aggs.extended_stats(spark, built_index, Q, cfg=TEST_CFG).collect()[0]
+    assert row.n_docs == len(dls)
+    assert row.min_dl == int(dls.min()) and row.max_dl == int(dls.max())
+    assert row.sum_dl == int(dls.sum())
+    assert math.isclose(row.avg_dl, dls.mean(), rel_tol=1e-12)
+    assert math.isclose(row.var_dl, dls.var(), rel_tol=1e-9)  # population
+    assert math.isclose(row.std_dl, dls.std(), rel_tol=1e-9)
+
+
+def test_cardinality_exact_and_approx(spark, built_index, fwd, matched):
+    # ES cardinality skips missing values, as does count(DISTINCT col)
+    want = len({fwd[d].tool for d in matched if fwd[d].tool is not None})
+    got = aggs.cardinality(spark, built_index, Q, "tool", cfg=TEST_CFG).collect()[0]
+    assert got.n_values == want
+    approx = aggs.cardinality(
+        spark, built_index, Q, "tool", cfg=TEST_CFG, exact=False, rsd=0.02
+    ).collect()[0]
+    assert abs(approx.n_values - want) <= max(2, int(0.1 * want))
+
+
+def test_top_hits_per_role(spark, built_index, fwd):
+    oix = build_oracle_index([(d, r.text) for d, r in fwd.items()])
+    full = score_query(oix, Q, k=len(fwd))
+    want: dict[str, list[int]] = {}
+    for d, _s in full:  # already (score desc, docid asc)
+        want.setdefault(fwd[d].role, []).append(d)
+    want = {role: ids[:2] for role, ids in want.items()}
+    out = aggs.top_hits(spark, built_index, Q, "role", size=2, cfg=TEST_CFG).collect()
+    got: dict[str, list[int]] = {}
+    for r in sorted(out, key=lambda r: (r.role, r.rank)):
+        got.setdefault(r.role, []).append(r.docid)
+    assert got == want
+    scores = {(r.role, r.docid): r.score for r in out}
+    exact = dict(full)
+    for (role, d), s in scores.items():
+        assert math.isclose(s, exact[d], abs_tol=1e-9)
+
+
+def test_significant_terms_jlh(spark, built_index, fwd, matched):
+    n_fg, n_bg = len(matched), len(fwd)
+    fg_df: Counter = Counter()
+    bg_df: Counter = Counter()
+    for d, r in fwd.items():
+        for t in set(tokenize_text(r.text)):
+            bg_df[t] += 1
+            if d in matched:
+                fg_df[t] += 1
+    want = []
+    for t, f in fg_df.items():
+        if f < 3:
+            continue
+        fgp, bgp = f / n_fg, bg_df[t] / n_bg
+        if fgp > bgp:
+            want.append((t, f, bg_df[t], (fgp - bgp) * (fgp / bgp)))
+    want.sort(key=lambda x: (-round(x[3], 9), x[0]))
+    got = aggs.significant_terms(spark, built_index, Q, size=8, cfg=TEST_CFG).collect()
+    assert [(r.term, r.fg_df, r.bg_df) for r in got] == [w[:3] for w in want[:8]]
+    for r, w in zip(got, want):
+        assert math.isclose(r.jlh, w[3], rel_tol=1e-9)
+    # the query's own terms must rank at/near the top — they define the set
+    assert {"w0", "w3"} & {r.term for r in got}
+
+
+def test_empty_query_schemas(spark, built_index):
+    assert aggs.date_histogram(spark, built_index, "", cfg=TEST_CFG).count() == 0
+    assert aggs.extended_stats(spark, built_index, "zzznope", cfg=TEST_CFG).count() == 0
+    assert aggs.top_hits(spark, built_index, "", "role", cfg=TEST_CFG).columns == [
+        "role",
+        "docid",
+        "score",
+        "rank",
+    ]
