@@ -966,6 +966,29 @@ def q_agg_significant_terms(spark, sf):
     return st.select("term", "fg_df", "bg_df", F.round("jlh", 6).alias("jlh"))
 
 
+def q_bm25_highlight(spark, sf):
+    """ES highlight block: top-k BM25 via the index, every query-term
+    occurrence in the stored text wrapped in <em></em> (whole-field mode,
+    number_of_fragments=0) — pure JVM regexp on the k fetched rows."""
+    from mysql_es_spark.operators.highlight import highlight_terms
+
+    ix = _index_for_documents(spark, sf)
+    top = bm25_topk(
+        spark, ix, " ".join(BM25_Q1), k=60, cfg=_docs_index_cfg(), mode="pruned",
+        with_keys=True,
+    )
+    return (
+        highlight_terms(top, BM25_Q1)
+        .select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+            F.col("highlight"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 def q_bm25_compacted(spark, sf):
     """Segment compaction (ES _forcemerge analog): decode → re-encode the
     multi-wave index into one packed wave; ranking must be unchanged."""
@@ -1090,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop": q_phrase_slop,
         "bm25_filtered": q_bm25_filtered,
         "match_aggs_by_lang": q_match_aggs,
+        "bm25_highlight": q_bm25_highlight,
         "agg_date_histogram": q_agg_date_histogram,
         "agg_extended_stats": q_agg_extended_stats,
         "agg_cardinality": q_agg_cardinality,
@@ -1596,6 +1620,30 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sim, b.sim)) <= 3
         """,
+        "bm25_highlight": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT s.doc_id, round(s.s, 4) AS score,
+       regexp_replace(d.text, '\\b(query|spark|join)\\b', '<em>\\1</em>', 'gi')
+         AS highlight
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY round(s.s, 4) DESC, s.doc_id ASC LIMIT 20
+""",
         "agg_date_histogram": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
 matched AS (SELECT doc_id FROM toks WHERE list_has_any(tl, ['spark','join','query']))
