@@ -1028,6 +1028,90 @@ def q_more_like_this(spark, sf):
     )
 
 
+def _deleted_index_for_documents(spark: SparkSession, sf_dir: str) -> str:
+    """Copy of the base documents index with docs containing 'batch'
+    soft-deleted via delete_by_query (the ES _delete_by_query analog)."""
+    from mysql_es_spark.plans.deletes import delete_by_query
+
+    base = _index_for_documents(spark, sf_dir)
+    ix, marker = _ixcache_dir(sf_dir, "-del")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(ix, ignore_errors=True)
+        shutil.copytree(base, ix)
+        os.remove(os.path.join(ix, "_COMPLETE"))  # copied base marker
+        delete_by_query(spark, ix, "batch", cfg=_docs_index_cfg())
+        with open(marker, "w") as f:
+            f.write("ok")
+    return ix
+
+
+def _purged_index_for_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The soft-deleted index physically merged (forcemerge analog):
+    deleted docs purged, term_dict/corpus_stats recomputed."""
+    from mysql_es_spark.plans.compact import compact_index
+
+    src = _deleted_index_for_documents(spark, sf_dir)
+    dst, marker = _ixcache_dir(sf_dir, "-purged")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(dst, ignore_errors=True)
+        compact_index(spark, src, dst)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return dst
+
+
+def q_bm25_deleted(spark, sf):
+    """Soft deletes (ES pre-merge): docs containing 'batch' are deleted
+    and vanish from the hits, but idf/avgdl still count them — surviving
+    docs keep their exact pre-delete scores."""
+    ix = _deleted_index_for_documents(spark, sf)
+    top = bm25_topk(
+        spark, ix, " ".join(BM25_Q2), k=60, cfg=_docs_index_cfg(), mode="pruned",
+        with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def q_bm25_purged(spark, sf):
+    """Post-merge (forcemerge purge): the deleted docs are physically
+    gone, so scores equal a from-scratch index over the survivors —
+    idf/avgdl shift exactly as ES scores shift after a merge."""
+    ix = _purged_index_for_documents(spark, sf)
+    top = bm25_topk(
+        spark, ix, " ".join(BM25_Q2), k=60, cfg=_docs_index_cfg(), mode="pruned",
+        with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+STRATA_FR = {"en": 0.5, "es": 0.25, "fr": 0.1}
+
+
+def q_doc_stratified(spark, sf):
+    """Deterministic stratified sampling: per-lang keep rates decided by
+    a content hash (integer threshold compare — reproducible on any
+    engine, invariant under partitioning), never a seeded RNG."""
+    return sampling.stratified_sample(
+        _t(spark, sf, "documents"), "lang", STRATA_FR, default=0.02
+    ).select("doc_id", "lang")
+
+
 def q_emb_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -1113,6 +1197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop": q_phrase_slop,
         "bm25_filtered": q_bm25_filtered,
         "match_aggs_by_lang": q_match_aggs,
+        "doc_stratified_sample": q_doc_stratified,
+        "bm25_delete_by_query": q_bm25_deleted,
+        "bm25_purged_compact": q_bm25_purged,
         "bm25_highlight": q_bm25_highlight,
         "agg_date_histogram": q_agg_date_histogram,
         "agg_extended_stats": q_agg_extended_stats,
@@ -1620,6 +1707,58 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sim, b.sim)) <= 3
         """,
+        "doc_stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 4294967296)
+      < (CASE lang WHEN 'en' THEN 2147483648 WHEN 'es' THEN 1073741824
+                   WHEN 'fr' THEN 429496730 ELSE 85899346 END)
+""",
+        "bm25_delete_by_query": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('window', 'agg', 'batch', 'scan')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+WHERE doc_id NOT IN (SELECT doc_id FROM toks WHERE list_contains(tl, 'batch'))
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
+""",
+        "bm25_purged_compact": f"""
+WITH toks AS (
+  SELECT doc_id, tl FROM (SELECT doc_id, {TOK} AS tl FROM documents)
+  WHERE NOT list_contains(tl, 'batch')
+),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('window', 'agg', 'batch', 'scan')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
+""",
         "bm25_highlight": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
 dl AS (SELECT doc_id, len(tl) AS dl FROM toks),

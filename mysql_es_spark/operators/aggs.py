@@ -35,8 +35,10 @@ from ..sources import tables as tbl
 from .query import (
     _decode_docids,
     _decode_scores,
+    _mask_deleted,
     _matching_blocks,
     corpus_stats,
+    deleted_docids,
     effective_config,
     query_terms,
     term_meta,
@@ -58,7 +60,7 @@ def _matched_docids(
     if not terms:
         return None
     blocks = _matching_blocks(spark, index_dir, terms, buckets)
-    return _decode_docids(blocks)
+    return _mask_deleted(_decode_docids(blocks), deleted_docids(spark, index_dir))
 
 
 def date_histogram(
@@ -194,7 +196,9 @@ def top_hits(
     if not terms:
         return tbl.local_rows_df(spark, [], schema)
     blocks = _matching_blocks(spark, index_dir, terms, buckets)
-    scored = _decode_scores(blocks, idf, cfg, stats["avgdl"])
+    scored = _decode_scores(
+        blocks, idf, cfg, stats["avgdl"], deleted_docids(spark, index_dir)
+    )
     fwd = tbl.read(spark, index_dir, "forward").select("docid", group_col)
     key = F.round("score", order_round) if order_round is not None else F.col("score")
     w = W.partitionBy(group_col).orderBy(key.desc(), F.col("docid").asc())

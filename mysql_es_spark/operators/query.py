@@ -216,12 +216,44 @@ def _decode_contribs(
     return blocks.select("term", "n", "blob").mapInPandas(decode, schema=schema)
 
 
-def _decode_scores(blocks: DataFrame, idf: dict[str, float], cfg: IndexConfig, avgdl: float) -> DataFrame:
-    """Block rows → per-doc disjunctive BM25 scores."""
-    return (
+def deleted_docids(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Soft-deleted docids (the ES/Lucene live-docs bitset analog), or
+    None when the index has no ``deletes`` table. Written by
+    plans/deletes.delete_by_query; purged physically by compaction."""
+    if not tbl.exists(index_dir, "deletes"):
+        return None
+    return tbl.read(spark, index_dir, "deletes").select("docid").distinct()
+
+
+def _mask_deleted(df: DataFrame, dels: DataFrame | None) -> DataFrame:
+    """Drop soft-deleted docs from a docid-keyed frame. Applied BEFORE any
+    top-k/tau selection so block-max pruning stays exact: the per-salt
+    upper bounds cover a superset of the live docs, and a tau computed
+    from live-only scores is <= the unmasked tau, so pruned salt
+    selection can only widen — never lose a live winner. Corpus stats
+    (idf, avgdl) deliberately still count deleted docs: ES scores exactly
+    this way until a merge purges them."""
+    if dels is None:
+        return df
+    # the deletes table is tiny relative to the corpus and has file-size
+    # stats, so Catalyst broadcasts it; at pathological delete volumes AQE
+    # falls back to a shuffled anti-join on its own
+    return df.join(dels, "docid", "left_anti")
+
+
+def _decode_scores(
+    blocks: DataFrame,
+    idf: dict[str, float],
+    cfg: IndexConfig,
+    avgdl: float,
+    dels: DataFrame | None = None,
+) -> DataFrame:
+    """Block rows → per-doc disjunctive BM25 scores (live docs only)."""
+    return _mask_deleted(
         _decode_contribs(blocks, idf, cfg, avgdl)
         .groupBy("docid")
-        .agg(F.sum("contrib").alias("score"))
+        .agg(F.sum("contrib").alias("score")),
+        dels,
     )
 
 
@@ -283,6 +315,7 @@ def bm25_topk(
     cfg = effective_config(spark, index_dir, cfg)
     terms = query_terms(query)
     stats = corpus_stats(spark, index_dir)
+    dels = deleted_docids(spark, index_dir)
     empty = tbl.local_rows_df(spark, [], "docid long, score double")
     if not terms:
         return empty
@@ -295,7 +328,7 @@ def bm25_topk(
             return empty
         blocks = _matching_blocks(spark, index_dir, terms, buckets)
         scored = (
-            _cursor_filter(_decode_scores(blocks, idf, cfg, stats["avgdl"]), after)
+            _cursor_filter(_decode_scores(blocks, idf, cfg, stats["avgdl"], dels), after)
             .orderBy(*order)
             .limit(k)
         )
@@ -321,7 +354,9 @@ def bm25_topk(
     # docs. Predicted salt count costs no job (corpus stats are cached).
     predicted_salts = stats["n_docs"] // max(1, cfg.salt_docs) + 1
     if predicted_salts > cfg.max_driver_salts:
-        scored = _pruned_topk_distributed(spark, blocks, terms, stats, cfg, k, tf_bound, after)
+        scored = _pruned_topk_distributed(
+            spark, blocks, terms, stats, cfg, k, tf_bound, after, dels
+        )
         return _with_keys(spark, index_dir, scored) if with_keys else scored
     meta_rows = (
         blocks.select("term", "salt", "n", tf_bound.alias("tfb"))
@@ -366,7 +401,7 @@ def bm25_topk(
         # adaptive shortcut: phase 1 would decode every range anyway, so
         # the threshold/second-pass machinery buys nothing — single pass.
         scored = (
-            _cursor_filter(_decode_scores(blocks, idf, cfg, stats["avgdl"]), after)
+            _cursor_filter(_decode_scores(blocks, idf, cfg, stats["avgdl"], dels), after)
             .orderBy(*order)
             .limit(k)
         )
@@ -382,7 +417,9 @@ def bm25_topk(
     # covers every possible filtered winner in unexplored salts.
     top1 = (
         _cursor_filter(
-            _decode_scores(blocks.filter(F.col("salt").isin(phase1)), idf, cfg, stats["avgdl"]),
+            _decode_scores(
+                blocks.filter(F.col("salt").isin(phase1)), idf, cfg, stats["avgdl"], dels
+            ),
             after,
         )
         .orderBy(*order)
@@ -400,7 +437,7 @@ def bm25_topk(
         top2 = (
             _cursor_filter(
                 _decode_scores(
-                    blocks.filter(F.col("salt").isin(phase2)), idf, cfg, stats["avgdl"]
+                    blocks.filter(F.col("salt").isin(phase2)), idf, cfg, stats["avgdl"], dels
                 ),
                 after,
             )
@@ -427,6 +464,7 @@ def _pruned_topk_distributed(
     k: int,
     tf_bound,
     after: tuple[float, int] | None = None,
+    dels: DataFrame | None = None,
 ) -> DataFrame:
     """Block-max pruned top-k with NO driver-side pass over salt metadata —
     the 10^12-doc path (a head term spans n_docs/salt_docs ≈ 10^7 ranges).
@@ -480,7 +518,9 @@ def _pruned_topk_distributed(
             if int(agg["n"]) < K:
                 # limit not binding ⇒ every salt selected ⇒ single pass
                 scored = (
-                    _cursor_filter(_decode_scores(blocks, idf, cfg, stats["avgdl"]), after)
+                    _cursor_filter(
+                        _decode_scores(blocks, idf, cfg, stats["avgdl"], dels), after
+                    )
                     .orderBy(*order)
                     .limit(k)
                 )
@@ -491,7 +531,8 @@ def _pruned_topk_distributed(
         phase1 = salts.orderBy(*sel_order).limit(K).select("salt")
         top1 = (
             _cursor_filter(
-                _decode_scores(blocks.join(phase1, "salt"), idf, cfg, stats["avgdl"]), after
+                _decode_scores(blocks.join(phase1, "salt"), idf, cfg, stats["avgdl"], dels),
+                after,
             )
             .orderBy(*order)
             .limit(k)
@@ -503,7 +544,8 @@ def _pruned_topk_distributed(
         )
         top2 = (
             _cursor_filter(
-                _decode_scores(blocks.join(phase2, "salt"), idf, cfg, stats["avgdl"]), after
+                _decode_scores(blocks.join(phase2, "salt"), idf, cfg, stats["avgdl"], dels),
+                after,
             )
             .orderBy(*order)
             .limit(k)
@@ -571,11 +613,14 @@ def bm25_topk_conjunctive(
     survivors = blocks.join(live_salts, "salt")
 
     scored = (
-        _decode_contribs(survivors, idf, cfg, stats["avgdl"])
-        .groupBy("docid")
-        .agg(F.sum("contrib").alias("score"), F.count(F.lit(1)).alias("nt"))
-        .filter(F.col("nt") == len(terms))
-        .drop("nt")
+        _mask_deleted(
+            _decode_contribs(survivors, idf, cfg, stats["avgdl"])
+            .groupBy("docid")
+            .agg(F.sum("contrib").alias("score"), F.count(F.lit(1)).alias("nt"))
+            .filter(F.col("nt") == len(terms))
+            .drop("nt"),
+            deleted_docids(spark, index_dir),
+        )
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )
@@ -627,7 +672,7 @@ def bm25_filtered_topk(
     cond = F.expr(doc_filter) if isinstance(doc_filter, str) else doc_filter
     allowed = tbl.read(spark, index_dir, "forward").filter(cond).select("docid")
     scored = (
-        _decode_scores(blocks, idf, cfg, stats["avgdl"])
+        _decode_scores(blocks, idf, cfg, stats["avgdl"], deleted_docids(spark, index_dir))
         .join(allowed, "docid", "left_semi")
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
@@ -739,7 +784,7 @@ def match_aggregate(
     if not terms:
         return tbl.local_rows_df(spark, [], schema)
     blocks = _matching_blocks(spark, index_dir, terms, buckets)
-    matched = _decode_docids(blocks)
+    matched = _mask_deleted(_decode_docids(blocks), deleted_docids(spark, index_dir))
     fwd = tbl.read(spark, index_dir, "forward").select("docid", *group_cols)
     dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
     return (
@@ -807,9 +852,12 @@ def bm25_bool_topk(
             _matching_blocks(spark, index_dir, list(idf_x), buckets_x)
         )
         scored = (
-            spark.read.schema("docid long, dl int")
-            .parquet(tbl.p(index_dir, "doc_lens"))
-            .select("docid")
+            _mask_deleted(
+                spark.read.schema("docid long, dl int")
+                .parquet(tbl.p(index_dir, "doc_lens"))
+                .select("docid"),
+                deleted_docids(spark, index_dir),
+            )
             .join(excluded, "docid", "left_anti")
             .withColumn("score", F.lit(0.0))
             .orderBy(F.col("docid").asc())
@@ -863,7 +911,11 @@ def bm25_bool_topk(
             scored = scored.join(
                 _decode_docids(xblocks.join(live_salts, "salt")), "docid", "left_anti"
             )
-    scored = scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+    scored = (
+        _mask_deleted(scored, deleted_docids(spark, index_dir))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
     return _with_keys(spark, index_dir, scored) if with_keys else scored
 
 
@@ -914,9 +966,12 @@ def prefix_topk(
         spark, index_dir, terms, sorted(set(bucket_of.values()))
     )
     scored = (
-        _decode_contribs(blocks, idf, cfg, stats["avgdl"])
-        .groupBy("docid")
-        .agg(F.max("contrib").alias("score"))  # best expansion per doc
+        _mask_deleted(
+            _decode_contribs(blocks, idf, cfg, stats["avgdl"])
+            .groupBy("docid")
+            .agg(F.max("contrib").alias("score")),  # best expansion per doc
+            deleted_docids(spark, index_dir),
+        )
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )
@@ -973,9 +1028,12 @@ def wildcard_topk(
     bucket_of = term_buckets_of(spark, terms, cfg.term_buckets)
     blocks = _matching_blocks(spark, index_dir, terms, sorted(set(bucket_of.values())))
     scored = (
-        _decode_contribs(blocks, idf, cfg, stats["avgdl"])
-        .groupBy("docid")
-        .agg(F.max("contrib").alias("score"))
+        _mask_deleted(
+            _decode_contribs(blocks, idf, cfg, stats["avgdl"])
+            .groupBy("docid")
+            .agg(F.max("contrib").alias("score")),
+            deleted_docids(spark, index_dir),
+        )
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )
@@ -1078,11 +1136,14 @@ def fuzzy_topk(
         spark, index_dir, exp_terms, sorted(set(bucket_of.values()))
     )
     scored = (
-        _decode_contribs(blocks, idf, cfg, stats["avgdl"], clause_of=clause_of)
-        .groupBy("docid", "clause")
-        .agg(F.max("contrib").alias("best"))  # best expansion per clause
-        .groupBy("docid")
-        .agg(F.sum("best").alias("score"))
+        _mask_deleted(
+            _decode_contribs(blocks, idf, cfg, stats["avgdl"], clause_of=clause_of)
+            .groupBy("docid", "clause")
+            .agg(F.max("contrib").alias("best"))  # best expansion per clause
+            .groupBy("docid")
+            .agg(F.sum("best").alias("score")),
+            deleted_docids(spark, index_dir),
+        )
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )
@@ -1250,7 +1311,10 @@ def phrase_topk(
             )
 
     scored = (
-        surv.mapInPandas(match, schema="docid long, score double, n_hits long")
+        _mask_deleted(
+            surv.mapInPandas(match, schema="docid long, score double, n_hits long"),
+            deleted_docids(spark, index_dir),
+        )
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )

@@ -39,3 +39,54 @@ def hash_split(
 def duckdb_hash_bucket(id_col: str, n_buckets: int = 100) -> str:
     """The DuckDB expression equal to :func:`hash_bucket`."""
     return f"(('0x' || substr(md5({id_col}::VARCHAR), 1, 8))::UBIGINT % {n_buckets})"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep each row of stratum ``s``
+    with probability ``fractions[s]`` (``default`` for unlisted strata),
+    decided purely by a content hash of its id — never by a seeded RNG.
+
+    ``df.sampleBy`` draws per-partition random numbers, so its output
+    changes with seed, partitioning, and engine; a training pipeline
+    needs the same rows selected on every engine and at every scale.
+    Here row selection is ``md5(id) mod 2^32 < round(frac * 2^32)`` — an
+    integer comparison (no float-boundary ambiguity) reproducible in
+    Spark, DuckDB, and plain Python, and a pure projection+filter: no
+    shuffle, no state, trivially pushed down next to the scan.
+    """
+    if not fractions and not default:
+        raise ValueError("stratified_sample needs fractions and/or a default > 0")
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction out of range for stratum {s!r}: {f}")
+    h = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(2**32)
+    )
+    thr_map = F.create_map(
+        *[x for s, f in sorted(fractions.items()) for x in (F.lit(s), F.lit(int(round(f * 2**32))))]
+    )
+    thr = F.coalesce(
+        thr_map.getItem(F.col(strata_col)), F.lit(int(round(default * 2**32)))
+    )
+    return df.filter(h < thr)
+
+
+def duckdb_stratified_predicate(
+    strata_col: str, fractions: dict[str, float], id_col: str = "doc_id", default: float = 0.0
+) -> str:
+    """The DuckDB WHERE clause equal to :func:`stratified_sample`."""
+    whens = "".join(
+        f"WHEN '{s}' THEN {int(round(f * 2**32))} " for s, f in sorted(fractions.items())
+    )
+    return (
+        f"(('0x' || substr(md5({id_col}::VARCHAR), 1, 8))::UBIGINT % 4294967296) "
+        f"< (CASE {strata_col} {whens}ELSE {int(round(default * 2**32))} END)"
+    )

@@ -43,7 +43,7 @@ from ..operators.postings import (
     TOKENIZED_SCHEMA,
     posting_blocks,
 )
-from ..operators.query import effective_config, invalidate_stats_cache
+from ..operators.query import deleted_docids, effective_config, invalidate_stats_cache
 from ..sources import tables as tbl
 from .build import FORWARD_COLS, finalize
 from .metrics import append_metrics
@@ -89,45 +89,72 @@ def decoded_postings(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> D
 
 
 def compact_index(
-    spark: SparkSession, src_dir: str, dst_dir: str, cfg: IndexConfig | None = None
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    cfg: IndexConfig | None = None,
+    purge_deletes: bool = True,
 ) -> dict:
     """Rewrite ``src_dir`` as a single-wave optimized index at ``dst_dir``.
 
-    Query results over ``dst_dir`` are byte-identical to ``src_dir``
-    (same docids, scores, positions); only the physical layout changes.
-    Returns {blocks_before, blocks_after, n_docs}.
+    With no soft deletes (or ``purge_deletes=False``) query results over
+    ``dst_dir`` are byte-identical to ``src_dir`` (same docids, scores,
+    positions); only the physical layout changes. With ``purge_deletes``
+    and a ``deletes`` table present, the merge physically drops the
+    deleted docs — postings/forward/doc_lens are rewritten without them
+    and term_dict/corpus_stats recomputed from the survivors, so idf and
+    avgdl shift exactly as ES/Lucene scores shift after a merge. The
+    compacted index carries no deletes table.
+    Returns {blocks_before, blocks_after, n_docs, docs_purged}.
     """
     t0 = time.monotonic()
     cfg = effective_config(spark, src_dir, cfg)
+    dels = deleted_docids(spark, src_dir) if purge_deletes else None
+    docs_purged = int(dels.count()) if dels is not None else 0
+    if docs_purged == 0:
+        dels = None
+
+    def live(df: DataFrame) -> DataFrame:
+        return df if dels is None else df.join(dels, "docid", "left_anti")
 
     width = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "64")),
         spark.sparkContext.defaultParallelism,
     )
 
-    # postings: decode → standard encode path → one wave, packed blocks
-    tok = decoded_postings(spark, src_dir, cfg)
+    # postings: decode → (purge) → standard encode path → one packed wave
+    tok = live(decoded_postings(spark, src_dir, cfg))
     posting_blocks(tok, cfg).write.partitionBy("term_bucket").mode("overwrite").parquet(
         tbl.wave_dir(dst_dir, "postings", 0)
     )
 
-    # doc_lens / term_stats: re-aggregate the per-wave partials
-    tbl.read(spark, src_dir, "doc_lens").select("docid", "dl").coalesce(
+    # doc_lens / term_stats: re-aggregate the per-wave partials; under a
+    # purge the partials still count deleted docs, so term_stats must be
+    # recomputed from the surviving exploded postings instead
+    live(tbl.read(spark, src_dir, "doc_lens").select("docid", "dl")).coalesce(
         max(1, width // 4)
     ).write.mode("overwrite").parquet(tbl.wave_dir(dst_dir, "doc_lens", 0))
-    (
-        tbl.read(spark, src_dir, "term_stats")
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
-        .write.mode("overwrite")
-        .parquet(tbl.wave_dir(dst_dir, "term_stats", 0))
-    )
+    if dels is None:
+        (
+            tbl.read(spark, src_dir, "term_stats")
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+            .write.mode("overwrite")
+            .parquet(tbl.wave_dir(dst_dir, "term_stats", 0))
+        )
+    else:
+        (
+            live(decoded_postings(spark, src_dir, cfg))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf"))
+            .write.mode("overwrite")
+            .parquet(tbl.wave_dir(dst_dir, "term_stats", 0))
+        )
 
     # forward: columnar copy, re-sorted so parquet row-group stats keep
     # pruning docid point-fetches (_with_keys) and bucket scans
     (
-        tbl.read(spark, src_dir, "forward")
-        .select(*FORWARD_COLS)
+        live(tbl.read(spark, src_dir, "forward").select(*FORWARD_COLS))
         .repartition(width, "bucket")
         .sortWithinPartitions("docid")
         .write.mode("overwrite")
@@ -152,6 +179,13 @@ def compact_index(
         tbl.LINEAGE_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(tbl.p(dst_dir, "lineage"))
 
+    if dels is None and tbl.exists(src_dir, "deletes"):
+        # not purging (or nothing recorded): the live-docs mask must ride
+        # along or soft-deleted docs would resurface in the new index
+        tbl.read(spark, src_dir, "deletes").coalesce(1).write.mode("overwrite").parquet(
+            tbl.p(dst_dir, "deletes")
+        )
+
     invalidate_stats_cache(dst_dir)
     finalize(spark, dst_dir, cfg)
     append_metrics(
@@ -163,9 +197,15 @@ def compact_index(
             "postings_written": npost,
             "blocks_written": int(after),
             "blocks_before": int(before),
+            "docs_purged": docs_purged,
             "wall_ms": int((time.monotonic() - t0) * 1000),
         },
         wave=0,
         batch_id=-1,
     )
-    return {"blocks_before": int(before), "blocks_after": int(after), "n_docs": int(n_docs)}
+    return {
+        "blocks_before": int(before),
+        "blocks_after": int(after),
+        "n_docs": int(n_docs),
+        "docs_purged": docs_purged,
+    }

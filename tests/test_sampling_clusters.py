@@ -56,3 +56,68 @@ def test_near_dup_clusters_chain_needs_iterations(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup.near_dup_clusters(ids, pairs).collect()}
     assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_stratified_sample_matches_python_oracle(spark):
+    import hashlib
+
+    from mysql_es_spark.operators.sampling import (
+        duckdb_stratified_predicate,
+        stratified_sample,
+    )
+    from mysql_es_spark.sources.tables import local_rows_df
+
+    rows = [(i, ["en", "es", "fr", "de"][i % 4]) for i in range(2000)]
+    df = local_rows_df(spark, rows, "doc_id long, lang string")
+    fr = {"en": 0.5, "es": 0.25, "fr": 0.1}
+    got = {r.doc_id for r in stratified_sample(df, "lang", fr, default=0.02).collect()}
+
+    def u(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    want = {
+        i for i, lang in rows if u(i) < round(fr.get(lang, 0.02) * 2**32)
+    }
+    assert got == want
+    # per-stratum rates in the right ballpark (hash uniformity sanity)
+    n_en = sum(1 for i in got if i % 4 == 0)
+    assert 0.35 < n_en / 500 < 0.65
+
+    # DuckDB predicate selects the identical row set
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, lang VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    pred = duckdb_stratified_predicate("lang", fr, default=0.02)
+    dd = {r[0] for r in con.sql(f"SELECT doc_id FROM t WHERE {pred}").fetchall()}
+    assert dd == want
+
+
+def test_stratified_sample_invariant_under_repartition(spark):
+    from mysql_es_spark.operators.sampling import stratified_sample
+    from mysql_es_spark.sources.tables import local_rows_df
+
+    rows = [(i, "en" if i % 2 else "es") for i in range(500)]
+    df = local_rows_df(spark, rows, "doc_id long, lang string")
+    a = {r.doc_id for r in stratified_sample(df, "lang", {"en": 0.3, "es": 0.6}).collect()}
+    b = {
+        r.doc_id
+        for r in stratified_sample(
+            df.repartition(13, "lang"), "lang", {"en": 0.3, "es": 0.6}
+        ).collect()
+    }
+    assert a == b
+
+
+def test_stratified_sample_validation(spark):
+    import pytest as _pytest
+
+    from mysql_es_spark.operators.sampling import stratified_sample
+    from mysql_es_spark.sources.tables import local_rows_df
+
+    df = local_rows_df(spark, [(1, "en")], "doc_id long, lang string")
+    with _pytest.raises(ValueError):
+        stratified_sample(df, "lang", {})
+    with _pytest.raises(ValueError):
+        stratified_sample(df, "lang", {"en": 1.5})
