@@ -1100,6 +1100,46 @@ def q_bm25_purged(spark, sf):
     )
 
 
+def q_bm25_search_after(spark, sf):
+    """ES search_after pagination: page 2 of the Q1 ranking — the page-1
+    tail (score, docid) becomes a cursor filter on scored rows, so deep
+    pages stay O(k) driver-side (never offset materialization)."""
+    ix = _index_for_documents(spark, sf)
+    p1 = bm25_topk(spark, ix, " ".join(BM25_Q1), k=20, cfg=_docs_index_cfg(), mode="pruned").collect()
+    cursor = (float(p1[-1]["score"]), int(p1[-1]["docid"]))
+    top = bm25_topk(
+        spark, ix, " ".join(BM25_Q1), k=15, cfg=_docs_index_cfg(), mode="pruned",
+        after=cursor, with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(15)
+    )
+
+
+def q_lm_dirichlet(spark, sf):
+    """Pluggable similarity: Dirichlet-smoothed query likelihood (Lucene
+    LMDirichletSimilarity, ES similarity:LMDirichlet) over the same
+    posting index — only term_dict.ttf and corpus token count are extra."""
+    from mysql_es_spark.operators.query import lm_dirichlet_topk
+
+    ix = _index_for_documents(spark, sf)
+    top = lm_dirichlet_topk(
+        spark, ix, " ".join(BM25_Q1), k=60, mu=2000.0, cfg=_docs_index_cfg(),
+        with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 STRATA_FR = {"en": 0.5, "es": 0.25, "fr": 0.1}
 
 
@@ -1197,6 +1237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop": q_phrase_slop,
         "bm25_filtered": q_bm25_filtered,
         "match_aggs_by_lang": q_match_aggs,
+        "bm25_search_after": q_bm25_search_after,
+        "lm_dirichlet_topk": q_lm_dirichlet,
         "doc_stratified_sample": q_doc_stratified,
         "bm25_delete_by_query": q_bm25_deleted,
         "bm25_purged_compact": q_bm25_purged,
@@ -1232,9 +1274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash_split": q_hash_split,
         "doc_dedup_exact": q_dedup_exact,
         "doc_ngram_jaccard_pairs": q_jaccard,
-        "doc_dedup_clusters": q_dedup_clusters,
         "doc_winnow_overlap": q_winnow,
         "doc_simhash_near_dups": q_simhash,
+        "doc_dedup_clusters": q_dedup_clusters,
         "doc_minhash_lsh_pairs": q_minhash,
         # --- ANN / multimodal (rows-only by design) ---
         "emb_ann_lsh_topk": q_ann,
@@ -1707,6 +1749,54 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sim, b.sim)) <= 3
         """,
+        "bm25_search_after": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 15 OFFSET 20
+""",
+        "lm_dirichlet_topk": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+coll AS (SELECT sum(dl) AS c FROM dl),
+ttf AS (
+  SELECT u.term, count(*) AS ttf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1
+),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( greatest(0.0,
+              ln(1 + tf.tf / (2000.0 * (ttf.ttf / coll.c)))
+              + ln(2000.0 / (dl.dl + 2000.0)) ) ) AS s
+  FROM tf JOIN ttf USING (term) JOIN dl USING (doc_id) CROSS JOIN coll
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
+""",
         "doc_stratified_sample": """
 SELECT doc_id, lang FROM documents
 WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 4294967296)

@@ -1323,6 +1323,96 @@ def phrase_topk(
 
 # ---------------------------------------------------------------------------
 # Index-free declarative BM25 (DuckDB-oracle-checkable form)
+def _decode_lm_contribs(
+    blocks: DataFrame, pc_of: dict[str, float], mu: float
+) -> DataFrame:
+    """Block rows → one (docid, contrib) row per posting under the
+    Dirichlet-smoothed query-likelihood language model (Lucene
+    LMDirichletSimilarity):
+
+        contrib(t, d) = max(0, ln(1 + tf/(mu·p_c(t))) + ln(mu/(dl + mu)))
+
+    with p_c(t) = ttf(t)/|C| the collection unigram probability. The
+    max(0, ·) clamp is Lucene's (scores must be non-negative); it bites
+    only for docs much longer than the collection average."""
+    pc_l = dict(pc_of)
+    mu_f = float(mu)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_all, contrib_all = [], []
+            for term, n, blob in zip(pdf["term"], pdf["n"], pdf["blob"]):
+                ids, tfs, dls = decode_block(blob, int(n))
+                tfs = tfs.astype(np.float64)
+                dls = dls.astype(np.float64)
+                c = np.log(1.0 + tfs / (mu_f * pc_l[term])) + np.log(mu_f / (dls + mu_f))
+                ids_all.append(ids)
+                contrib_all.append(np.maximum(c, 0.0))
+            if ids_all:
+                yield pd.DataFrame(
+                    {"docid": np.concatenate(ids_all), "contrib": np.concatenate(contrib_all)}
+                )
+
+    return blocks.select("term", "n", "blob").mapInPandas(
+        decode, schema="docid long, contrib double"
+    )
+
+
+def lm_dirichlet_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    mu: float = 2000.0,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """Top-k under the Dirichlet-smoothed unigram language model — the
+    pluggable-similarity contract (ES ``similarity: LMDirichlet``; the
+    reference's template.json could select it per field instead of BM25).
+
+    Same plan shape as ``bm25_topk(mode='simple')``: the only extra state
+    is each query term's collection frequency ``ttf`` — already in
+    term_dict — and the collection token count — already in corpus_stats.
+    Missing-term contributions are constant per doc under the clamp and
+    drop out of the ranking, so postings of the query terms remain the
+    only thing decoded.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    terms = query_terms(query)
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    if not terms or not stats["sum_dl"]:
+        return empty
+    rows = (
+        spark.read.parquet(tbl.p(index_dir, "term_dict"))
+        .filter(F.col("term").isin(terms))
+        .select(
+            "term",
+            "ttf",
+            F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int").alias("b"),
+        )
+        .collect()
+    )
+    if not rows:
+        return empty
+    coll = float(stats["sum_dl"])
+    pc_of = {r["term"]: float(r["ttf"]) / coll for r in rows}
+    buckets = sorted({int(r["b"]) for r in rows})
+    blocks = _matching_blocks(spark, index_dir, list(pc_of), buckets)
+    scored = (
+        _mask_deleted(
+            _decode_lm_contribs(blocks, pc_of, mu)
+            .groupBy("docid")
+            .agg(F.sum("contrib").alias("score")),
+            deleted_docids(spark, index_dir),
+        )
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
 # ---------------------------------------------------------------------------
 
 def direct_bm25(
