@@ -1100,6 +1100,35 @@ def q_bm25_purged(spark, sf):
     )
 
 
+def q_term_suggest(spark, sf):
+    """ES term suggester: closest dictionary terms to the typo 'qury',
+    Lucene DirectSpellChecker ranking (distance, df desc, term)."""
+    from mysql_es_spark.operators.query import suggest_terms
+
+    ix = _index_for_documents(spark, sf)
+    return suggest_terms(
+        spark, ix, "jin prt stram", size=5, max_edits=2, cfg=_docs_index_cfg()
+    )
+
+
+def q_bm25_explain(spark, sf):
+    """ES _explain: the per-term BM25 factor breakdown for the top-1 hit
+    of Q1 — (term, tf, dl, df, idf, tf_norm, contrib) rows that sum to
+    the ranked score."""
+    from mysql_es_spark.operators.query import explain_score
+
+    ix = _index_for_documents(spark, sf)
+    top = bm25_topk(spark, ix, " ".join(BM25_Q1), k=1, cfg=_docs_index_cfg(), mode="pruned")
+    target = int(top.collect()[0]["docid"])
+    out = explain_score(spark, ix, " ".join(BM25_Q1), target, cfg=_docs_index_cfg())
+    return out.select(
+        "term", "tf", "dl", "df",
+        F.round("idf", 6).alias("idf"),
+        F.round("tf_norm", 6).alias("tf_norm"),
+        F.round("contrib", 6).alias("contrib"),
+    )
+
+
 def q_bm25_search_after(spark, sf):
     """ES search_after pagination: page 2 of the Q1 ranking — the page-1
     tail (score, docid) becomes a cursor filter on scored rows, so deep
@@ -1276,7 +1305,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard_pairs": q_jaccard,
         "doc_winnow_overlap": q_winnow,
         "doc_simhash_near_dups": q_simhash,
+        # --- below the driver gate's 50-entry window: r01-green entries,
+        # rows-only designs, and extras locally oracle-checked ---
         "doc_dedup_clusters": q_dedup_clusters,
+        "bm25_explain": q_bm25_explain,
+        "term_suggest": q_term_suggest,
         "doc_minhash_lsh_pairs": q_minhash,
         # --- ANN / multimodal (rows-only by design) ---
         "emb_ann_lsh_topk": q_ann,
@@ -1749,6 +1782,53 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sim, b.sim)) <= 3
         """,
+        "term_suggest": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+terms AS (
+  SELECT u.term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(tl)) AS term FROM toks) u
+  GROUP BY 1
+),
+inputs AS (SELECT unnest(['jin', 'prt', 'stram']) AS input_term),
+ranked AS (
+  SELECT i.input_term, t.term AS suggestion,
+         CAST(levenshtein(t.term, i.input_term) AS INT) AS distance, t.df,
+         row_number() OVER (
+           PARTITION BY i.input_term
+           ORDER BY levenshtein(t.term, i.input_term) ASC, t.df DESC, t.term ASC
+         ) AS rk
+  FROM inputs i JOIN terms t
+    ON t.term <> i.input_term AND levenshtein(t.term, i.input_term) <= 2
+)
+SELECT input_term, suggestion, distance, df FROM ranked WHERE rk <= 5
+""",
+        "bm25_explain": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+top1 AS (SELECT doc_id FROM scores ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 1)
+SELECT tf.term, tf.tf, dl.dl, dfreq.df,
+       round(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6) AS idf,
+       round(tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6) AS tf_norm,
+       round(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6) AS contrib
+FROM tf JOIN top1 USING (doc_id) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+CROSS JOIN stats
+""",
         "bm25_search_after": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
 dl AS (SELECT doc_id, len(tl) AS dl FROM toks),

@@ -95,9 +95,75 @@ def cmd_compact(args) -> dict:
 
     spark = _session(args)
     t0 = time.monotonic()
-    stats = compact_index(spark, args.index_dir, args.out)
+    stats = compact_index(spark, args.index_dir, args.out, purge_deletes=not args.no_purge)
     stats["compact_sec"] = round(time.monotonic() - t0, 2)
     return stats
+
+
+def cmd_delete(args) -> dict:
+    from .plans.deletes import delete_by_query
+
+    spark = _session(args)
+    t0 = time.monotonic()
+    n = delete_by_query(
+        spark, args.index_dir, query=args.query or "", doc_filter=args.filter, cfg=_cfg(args)
+    )
+    return {"docs_deleted": n, "latency_sec": round(time.monotonic() - t0, 3)}
+
+
+def cmd_suggest(args) -> dict:
+    from .operators.query import suggest_terms
+
+    spark = _session(args)
+    rows = suggest_terms(
+        spark, args.index_dir, args.text, size=args.size, max_edits=args.max_edits,
+        cfg=_cfg(args),
+    ).collect()
+    return {
+        "suggestions": [
+            {"input": r["input_term"], "term": r["suggestion"],
+             "distance": r["distance"], "df": r["df"]}
+            for r in rows
+        ]
+    }
+
+
+def cmd_explain(args) -> dict:
+    from .operators.query import explain_score
+
+    spark = _session(args)
+    rows = explain_score(spark, args.index_dir, args.query, args.docid, cfg=_cfg(args)).collect()
+    return {
+        "docid": args.docid,
+        "score": round(sum(r["contrib"] for r in rows), 6),
+        "terms": [
+            {"term": r["term"], "tf": r["tf"], "dl": r["dl"], "df": r["df"],
+             "idf": round(r["idf"], 6), "tf_norm": round(r["tf_norm"], 6),
+             "contrib": round(r["contrib"], 6)}
+            for r in rows
+        ],
+    }
+
+
+def cmd_aggs(args) -> dict:
+    from .operators import aggs as esaggs
+
+    spark = _session(args)
+    cfg = _cfg(args)
+    kind = args.agg
+    if kind == "date_histogram":
+        df = esaggs.date_histogram(spark, args.index_dir, args.query, cfg=cfg)
+    elif kind == "histogram":
+        df = esaggs.histogram(spark, args.index_dir, args.query, interval=args.interval, cfg=cfg)
+    elif kind == "extended_stats":
+        df = esaggs.extended_stats(spark, args.index_dir, args.query, cfg=cfg)
+    elif kind == "cardinality":
+        df = esaggs.cardinality(spark, args.index_dir, args.query, args.field, cfg=cfg)
+    elif kind == "top_hits":
+        df = esaggs.top_hits(spark, args.index_dir, args.query, args.field, size=args.size, cfg=cfg)
+    else:
+        df = esaggs.significant_terms(spark, args.index_dir, args.query, size=args.size, cfg=cfg)
+    return {"agg": kind, "buckets": [r.asDict() for r in df.collect()]}
 
 
 def cmd_query(args) -> dict:
@@ -187,7 +253,45 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="segment-merge an index into one optimized wave")
     c.add_argument("--index-dir", required=True, help="source index")
     c.add_argument("--out", required=True, help="destination for the compacted index")
+    c.add_argument(
+        "--no-purge",
+        action="store_true",
+        help="carry soft deletes along instead of physically purging them",
+    )
     c.set_defaults(fn=cmd_compact)
+
+    d = sub.add_parser("delete", help="soft-delete docs by query and/or forward predicate")
+    d.add_argument("--index-dir", required=True)
+    d.add_argument("--query", default=None, help="fulltext match (disjunctive)")
+    d.add_argument("--filter", default=None, help="SQL predicate over forward columns")
+    d.set_defaults(fn=cmd_delete)
+
+    sg = sub.add_parser("suggest", help="term suggester (did-you-mean) from the dictionary")
+    sg.add_argument("--index-dir", required=True)
+    sg.add_argument("--text", required=True)
+    sg.add_argument("--size", type=int, default=5)
+    sg.add_argument("--max-edits", type=int, default=2, dest="max_edits")
+    sg.set_defaults(fn=cmd_suggest)
+
+    e = sub.add_parser("explain", help="per-term BM25 breakdown for one doc")
+    e.add_argument("--index-dir", required=True)
+    e.add_argument("--query", required=True)
+    e.add_argument("--docid", type=int, required=True)
+    e.set_defaults(fn=cmd_explain)
+
+    a = sub.add_parser("aggs", help="ES-style aggregations over matching docs")
+    a.add_argument("--index-dir", required=True)
+    a.add_argument("--query", required=True)
+    a.add_argument(
+        "--agg",
+        choices=["date_histogram", "histogram", "extended_stats", "cardinality",
+                 "top_hits", "significant_terms"],
+        required=True,
+    )
+    a.add_argument("--field", default="role", help="group/target field where applicable")
+    a.add_argument("--interval", type=int, default=20, help="histogram bucket width")
+    a.add_argument("--size", type=int, default=10)
+    a.set_defaults(fn=cmd_aggs)
 
     args = ap.parse_args(argv)
     print(json.dumps(args.fn(args), default=str))

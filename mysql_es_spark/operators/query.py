@@ -1323,6 +1323,168 @@ def phrase_topk(
 
 # ---------------------------------------------------------------------------
 # Index-free declarative BM25 (DuckDB-oracle-checkable form)
+def explain_score(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    docid: int,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``_explain``: the per-term BM25 breakdown of one document's
+    score for ``query`` — one row per matching query term with every
+    factor of the formula, so a relevance engineer can see exactly why a
+    doc ranked where it did:
+
+        (term, tf, dl, df, idf, tf_norm, contrib)
+
+    where contrib = idf · tf_norm and score(doc) = Σ contrib. Deleted
+    docs explain to zero rows (they can't be hits). Cost is
+    O(query terms): the doc's postings rows are reached through the same
+    partition/row-group pruning as a search, filtered to one docid."""
+    cfg = effective_config(spark, index_dir, cfg)
+    terms = query_terms(query)
+    stats = corpus_stats(spark, index_dir)
+    schema = (
+        "term string, tf long, dl long, df long, idf double, "
+        "tf_norm double, contrib double"
+    )
+    if not terms:
+        return tbl.local_rows_df(spark, [], schema)
+    dels = deleted_docids(spark, index_dir)
+    if dels is not None and dels.filter(F.col("docid") == int(docid)).count():
+        return tbl.local_rows_df(spark, [], schema)
+    # df straight from term_dict (one tiny pruned read, as term_meta does)
+    rows = (
+        spark.read.parquet(tbl.p(index_dir, "term_dict"))
+        .filter(F.col("term").isin(terms))
+        .select(
+            "term",
+            "df",
+            F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int").alias("b"),
+        )
+        .collect()
+    )
+    if not rows:
+        return tbl.local_rows_df(spark, [], schema)
+    n = stats["n_docs"]
+    df_of = {r["term"]: int(r["df"]) for r in rows}
+    idf = {t: float(np.log(1.0 + (n - d + 0.5) / (d + 0.5))) for t, d in df_of.items()}
+    buckets = sorted({int(r["b"]) for r in rows})
+    blocks = _matching_blocks(spark, index_dir, list(idf), buckets)
+    # only blocks whose docid range can hold the target are decoded: the
+    # salt pins the range, start_docid prunes later blocks within it
+    blocks = blocks.filter(
+        (F.col("salt") == int(docid) // cfg.salt_docs)
+        & (F.col("start_docid") <= int(docid))
+    )
+    tf_dl = _decode_tf_dl(blocks).filter(F.col("docid") == int(docid))
+    df_col = F.element_at(
+        F.create_map(*[x for t, d in df_of.items() for x in (F.lit(t), F.lit(d))]),
+        F.col("term"),
+    )
+    idf_col = F.element_at(
+        F.create_map(*[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))]),
+        F.col("term"),
+    )
+    tf_norm = F.col("tf") / (
+        F.col("tf")
+        + F.lit(cfg.k1)
+        * (F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("dl") / F.lit(stats["avgdl"]))
+    )
+    return (
+        tf_dl.select(
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("dl").cast("long").alias("dl"),
+            df_col.cast("long").alias("df"),
+            idf_col.alias("idf"),
+            tf_norm.alias("tf_norm"),
+            (idf_col * tf_norm).alias("contrib"),
+        )
+        .orderBy(F.col("contrib").desc(), F.col("term").asc())
+    )
+
+
+def _decode_tf_dl(blocks: DataFrame) -> DataFrame:
+    """Block rows → (docid, term, tf, dl) — raw payloads, no scoring."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_all, tf_all, dl_all, term_all = [], [], [], []
+            for term, n, blob in zip(pdf["term"], pdf["n"], pdf["blob"]):
+                ids, tfs, dls = decode_block(blob, int(n))
+                ids_all.append(ids)
+                tf_all.append(tfs)
+                dl_all.append(dls)
+                term_all.append(np.full(len(ids), term, dtype=object))
+            if ids_all:
+                yield pd.DataFrame(
+                    {
+                        "docid": np.concatenate(ids_all),
+                        "term": np.concatenate(term_all),
+                        "tf": np.concatenate(tf_all),
+                        "dl": np.concatenate(dl_all),
+                    }
+                )
+
+    return blocks.select("term", "n", "blob").mapInPandas(
+        decode, schema="docid long, term string, tf long, dl long"
+    )
+
+
+def suggest_terms(
+    spark: SparkSession,
+    index_dir: str,
+    text: str,
+    size: int = 5,
+    max_edits: int = 2,
+    prefix_length: int = 0,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES term suggester ("did you mean"): for every analyzed token of
+    ``text``, the ``size`` closest dictionary terms within ``max_edits``
+    Levenshtein edits, ranked the Lucene DirectSpellChecker way —
+    distance asc, then df desc (popular corrections first), then term.
+    The input term itself is never suggested (ES suggests alternatives).
+
+    Pure dictionary work: a length-guarded ``levenshtein()`` scan of
+    term_dict (StartsWith-pruned when ``prefix_length`` > 0) — the corpus
+    is never touched, so cost is vocabulary-, not collection-sized.
+    Returns (input_term, suggestion, distance, df)."""
+    terms = query_terms(text)
+    schema = "input_term string, suggestion string, distance int, df long"
+    if not terms:
+        return tbl.local_rows_df(spark, [], schema)
+    td = spark.read.parquet(tbl.p(index_dir, "term_dict"))
+    if prefix_length > 0:
+        pfx = sorted({t[:prefix_length] for t in terms})
+        td = td.filter(
+            functools.reduce(lambda a, b: a | b, [F.col("term").startswith(p) for p in pfx])
+        )
+    outs = []
+    for t in terms:
+        cand = (
+            td.filter(F.abs(F.length("term") - len(t)) <= int(max_edits))
+            .filter(F.col("term") != t)
+            .select(
+                F.lit(t).alias("input_term"),
+                F.col("term").alias("suggestion"),
+                F.levenshtein(F.col("term"), F.lit(t)).cast("int").alias("distance"),
+                F.col("df"),
+            )
+            .filter(F.col("distance") <= int(max_edits))
+            .orderBy(
+                F.col("distance").asc(), F.col("df").desc(), F.col("suggestion").asc()
+            )
+            .limit(int(size))
+        )
+        outs.append(cand)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def _decode_lm_contribs(
     blocks: DataFrame, pc_of: dict[str, float], mu: float
 ) -> DataFrame:

@@ -158,3 +158,53 @@ def test_cli_compact_and_filter(spark, tmp_path, capsys):
     assert 0 < len(q["hits"]) <= 5
     scores = [h["score"] for h in q["hits"]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_delete_suggest_explain_aggs(spark, tmp_path, capsys):
+    corpus_dir = str(tmp_path / "corpus2")
+    ix = str(tmp_path / "ix2")
+    common = ["--n-buckets", "4", "--wave-size", "2", "--salt-docs", "256"]
+    assert cli_main(["gen", "--out", corpus_dir, "--turns", "600", "--seed", "11"]) == 0
+    capsys.readouterr()
+    assert (
+        cli_main(
+            [*common, "build", "--input", f"{corpus_dir}/transcripts", "--index-dir", ix]
+        )
+        == 0
+    )
+    capsys.readouterr()
+
+    # aggs over the match set
+    assert cli_main(["aggs", "--index-dir", ix, "--query", "w0 w3",
+                     "--agg", "extended_stats"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_before = stats["buckets"][0]["n_docs"]
+    assert n_before > 0
+
+    # explain the top doc
+    assert cli_main(["query", "--index-dir", ix, "--query", "w0 w3", "-k", "1"]) == 0
+    hit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["hits"][0]
+    assert cli_main(["explain", "--index-dir", ix, "--query", "w0 w3",
+                     "--docid", str(hit["docid"])]) == 0
+    exp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(exp["score"] - round(hit["score"], 6)) < 1e-4 and exp["terms"]
+
+    # suggest
+    assert cli_main(["suggest", "--index-dir", ix, "--text", "w00", "--max-edits", "1"]) == 0
+    sugg = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sugg["suggestions"]
+
+    # delete docs containing w0; match count must shrink
+    assert cli_main(["delete", "--index-dir", ix, "--query", "w0"]) == 0
+    dele = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert dele["docs_deleted"] > 0
+    assert cli_main(["aggs", "--index-dir", ix, "--query", "w0 w3",
+                     "--agg", "extended_stats"]) == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["buckets"][0]["n_docs"] < n_before
+
+    # purge on compact drops them physically
+    out = str(tmp_path / "ix2_compacted")
+    assert cli_main(["compact", "--index-dir", ix, "--out", out]) == 0
+    comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert comp["docs_purged"] == dele["docs_deleted"]
