@@ -1129,6 +1129,27 @@ def q_bm25_explain(spark, sf):
     )
 
 
+MSEARCH_QS = {"q1": " ".join(BM25_Q1), "q2": " ".join(BM25_Q2), "q3": "stream merge sort"}
+
+
+def q_bm25_msearch(spark, sf):
+    """ES _msearch as ONE plan: top-10 per query for a batch of queries —
+    the union of all terms' postings is scanned/decoded once, shared
+    terms fan out via a broadcast (term→qid) join, and a per-qid rank
+    window keeps each query's top-k distributed."""
+    from mysql_es_spark.operators.query import bm25_topk_multi
+
+    ix = _index_for_documents(spark, sf)
+    out = bm25_topk_multi(spark, ix, MSEARCH_QS, k=10, cfg=_docs_index_cfg(), order_round=4)
+    fwd = spark.read.parquet(f"{ix}/forward").select("docid", "conv_id")
+    return out.join(fwd, "docid", "inner").select(
+        "qid",
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_bm25_search_after(spark, sf):
     """ES search_after pagination: page 2 of the Q1 ranking — the page-1
     tail (score, docid) becomes a cursor filter on scored rows, so deep
@@ -1266,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop": q_phrase_slop,
         "bm25_filtered": q_bm25_filtered,
         "match_aggs_by_lang": q_match_aggs,
+        "bm25_msearch": q_bm25_msearch,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "doc_stratified_sample": q_doc_stratified,
@@ -1287,7 +1309,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_direct": q_bm25_direct,
         "bm25_direct_q2": q_bm25_direct2,
         # --- documents / training-data pipeline ---
-        "doc_token_count": q_tok_count,
         "doc_lang_id": q_lang,
         "doc_quality": q_quality,
         "doc_fingerprint": q_fp,
@@ -1308,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- below the driver gate's 50-entry window: r01-green entries,
         # rows-only designs, and extras locally oracle-checked ---
         "doc_dedup_clusters": q_dedup_clusters,
+        "doc_token_count": q_tok_count,
         "bm25_explain": q_bm25_explain,
         "term_suggest": q_term_suggest,
         "doc_minhash_lsh_pairs": q_minhash,
@@ -1828,6 +1850,38 @@ SELECT tf.term, tf.tf, dl.dl, dfreq.df,
              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6) AS contrib
 FROM tf JOIN top1 USING (doc_id) JOIN dfreq USING (term) JOIN dl USING (doc_id)
 CROSS JOIN stats
+""",
+        "bm25_msearch": f"""
+WITH qmap(qid, term) AS (VALUES
+  ('q1','spark'),('q1','join'),('q1','query'),
+  ('q2','window'),('q2','agg'),('q2','batch'),('q2','scan'),
+  ('q3','stream'),('q3','merge'),('q3','sort')
+),
+toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN (SELECT DISTINCT term FROM qmap)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN qmap q USING (term) JOIN dfreq USING (term)
+          JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id, round(s, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY round(s, 4) DESC, doc_id ASC) AS INT) AS rank
+  FROM scores
+)
+SELECT qid, doc_id, score, rank FROM ranked WHERE rank <= 10
 """,
         "bm25_search_after": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),

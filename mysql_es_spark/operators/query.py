@@ -31,6 +31,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..config import IndexConfig
@@ -1429,6 +1430,94 @@ def _decode_tf_dl(blocks: DataFrame) -> DataFrame:
 
     return blocks.select("term", "n", "blob").mapInPandas(
         decode, schema="docid long, term string, tf long, dl long"
+    )
+
+
+def bm25_topk_multi(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[str, str],
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    order_round: int | None = None,
+) -> DataFrame:
+    """Batch search — ES ``_msearch`` as ONE distributed plan: top-k BM25
+    for every query in ``queries`` (qid → query string) simultaneously.
+
+    This is the primitive a retrieval/training pipeline actually needs
+    ("given 10^5 queries, the top-k docs for each"): running them one at
+    a time costs a scan per query, while here the posting blocks for the
+    UNION of all query terms are scanned and decoded exactly once. A
+    shared term (e.g. a head term in many queries) is decoded once and
+    fanned out to its queries by a broadcast (term → qid) join; scoring
+    then aggregates per (qid, docid) and a rank window partitioned by qid
+    keeps each query's local top-k — per-query state never meets the
+    driver, so the batch can be as large as a DataFrame.
+
+    tf-normalization runs JVM-side from the decoded (tf, dl) payloads —
+    whole-stage codegen, no Python in the scoring loop. ``order_round``
+    ranks on the rounded score (cross-engine determinism, as top_hits).
+    Returns (qid, docid, score, rank), rank 1..k per qid.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    stats = corpus_stats(spark, index_dir)
+    schema = "qid string, docid long, score double, rank int"
+    term_qids: list[tuple[str, str]] = []
+    for qid, q in queries.items():
+        for t in query_terms(q):
+            term_qids.append((t, str(qid)))
+    if not term_qids:
+        return tbl.local_rows_df(spark, [], schema)
+    terms = sorted({t for t, _ in term_qids})
+    rows = (
+        spark.read.parquet(tbl.p(index_dir, "term_dict"))
+        .filter(F.col("term").isin(terms))
+        .select(
+            "term",
+            "df",
+            F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int").alias("b"),
+        )
+        .collect()
+    )
+    if not rows:
+        return tbl.local_rows_df(spark, [], schema)
+    n = stats["n_docs"]
+    idf = {r["term"]: float(np.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))) for r in rows}
+    live_terms = [t for t in terms if t in idf]
+    buckets = sorted({int(r["b"]) for r in rows})
+    blocks = _matching_blocks(spark, index_dir, live_terms, buckets)
+
+    # one decode of the shared postings; scoring math in JVM expressions
+    tf_dl = _decode_tf_dl(blocks)
+    idf_col = F.element_at(
+        F.create_map(*[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))]),
+        F.col("term"),
+    )
+    contrib = idf_col * F.col("tf") / (
+        F.col("tf")
+        + F.lit(cfg.k1)
+        * (F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("dl") / F.lit(stats["avgdl"]))
+    )
+    mapping = F.broadcast(
+        tbl.local_rows_df(
+            spark,
+            [(t, q) for t, q in term_qids if t in idf],
+            "term string, qid string",
+        )
+    )
+    scored = _mask_deleted(
+        tf_dl.select("docid", "term", contrib.alias("contrib"))
+        .join(mapping, "term")
+        .groupBy("qid", "docid")
+        .agg(F.sum("contrib").alias("score")),
+        deleted_docids(spark, index_dir),
+    )
+    key = F.round("score", order_round) if order_round is not None else F.col("score")
+    w = Window.partitionBy("qid").orderBy(key.desc(), F.col("docid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("qid", "docid", "score", "rank")
     )
 
 
