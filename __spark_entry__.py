@@ -1129,6 +1129,27 @@ def q_bm25_explain(spark, sf):
     )
 
 
+def q_bm25_function_score(spark, sf):
+    """ES function_score: BM25 multiplied by a gauss recency decay on the
+    forward ts (origin 2026-01-05, scale 3 days, decay 0.5). Pruning is
+    off by contract (an upper bound on BM25 says nothing about BM25·f);
+    every matched doc is scored once and re-ranked."""
+    from mysql_es_spark.operators.query import function_score_topk, gauss_decay
+
+    ix = _index_for_documents(spark, sf)
+    top = function_score_topk(
+        spark, ix, " ".join(BM25_Q1), gauss_decay("ts", "2026-01-05", 3.0),
+        k=60, cfg=_docs_index_cfg(), with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 MSEARCH_QS = {"q1": " ".join(BM25_Q1), "q2": " ".join(BM25_Q2), "q3": "stream merge sort"}
 
 
@@ -1287,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop": q_phrase_slop,
         "bm25_filtered": q_bm25_filtered,
         "match_aggs_by_lang": q_match_aggs,
+        "bm25_function_score": q_bm25_function_score,
         "bm25_msearch": q_bm25_msearch,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
@@ -1307,7 +1329,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         # --- direct-scoring baselines ---
         "bm25_direct": q_bm25_direct,
-        "bm25_direct_q2": q_bm25_direct2,
         # --- documents / training-data pipeline ---
         "doc_lang_id": q_lang,
         "doc_quality": q_quality,
@@ -1330,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only designs, and extras locally oracle-checked ---
         "doc_dedup_clusters": q_dedup_clusters,
         "doc_token_count": q_tok_count,
+        "bm25_direct_q2": q_bm25_direct2,
         "bm25_explain": q_bm25_explain,
         "term_suggest": q_term_suggest,
         "doc_minhash_lsh_pairs": q_minhash,
@@ -1850,6 +1872,34 @@ SELECT tf.term, tf.tf, dl.dl, dfreq.df,
              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6) AS contrib
 FROM tf JOIN top1 USING (doc_id) JOIN dfreq USING (term) JOIN dl USING (doc_id)
 CROSS JOIN stats
+""",
+        "bm25_function_score": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+boosted AS (
+  SELECT doc_id,
+         s * pow(0.5, pow(abs(date_diff('day',
+                 DATE '2026-01-01' + (doc_id % 10)::INT, DATE '2026-01-05')) / 3.0,
+                 2.0)) AS s
+  FROM scores
+)
+SELECT doc_id, round(s, 4) AS score FROM boosted
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES

@@ -1521,6 +1521,81 @@ def bm25_topk_multi(
     )
 
 
+def gauss_decay(ts_col: str, origin: str, scale_days: float, decay: float = 0.5):
+    """ES ``gauss`` decay on a timestamp field as a JVM Column:
+    ``decay ** ((|ts - origin| / scale) ** 2)`` — 1.0 at the origin,
+    ``decay`` at ``scale_days`` away, Gaussian in between."""
+    delta = F.abs(F.datediff(F.col(ts_col), F.lit(origin).cast("date"))).cast("double")
+    return F.pow(F.lit(float(decay)), F.pow(delta / F.lit(float(scale_days)), F.lit(2.0)))
+
+
+def field_value_factor(col: str, factor: float = 1.0, modifier: str = "log1p"):
+    """ES ``field_value_factor``: ``modifier(factor * field)`` as a JVM
+    Column (modifiers: none, log1p, sqrt)."""
+    x = F.lit(float(factor)) * F.col(col).cast("double")
+    if modifier == "none":
+        return x
+    if modifier == "log1p":
+        return F.log(F.lit(1.0) + x)
+    if modifier == "sqrt":
+        return F.sqrt(x)
+    raise ValueError(f"unknown modifier {modifier!r}")
+
+
+def function_score_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    modifier,
+    k: int = 10,
+    boost_mode: str = "multiply",
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``function_score``: the BM25 relevance score combined with a
+    document-field function — recency decay, popularity boosts — per
+    ``boost_mode`` (multiply | sum | replace, the ES contract).
+
+    ``modifier`` is a Column (see :func:`gauss_decay`,
+    :func:`field_value_factor`) or a SQL string over the forward columns.
+    Like ES, the function part disables WAND-style pruning — an upper
+    bound on BM25 says nothing about BM25·f(doc) — so every matched doc
+    is scored once (single postings decode, single docid shuffle to meet
+    the column-pruned forward scan) and re-ranked. All math stays in
+    whole-stage codegen."""
+    if boost_mode not in ("multiply", "sum", "replace"):
+        raise ValueError(f"unknown boost_mode {boost_mode!r}")
+    cfg = effective_config(spark, index_dir, cfg)
+    terms = query_terms(query)
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    if not terms:
+        return empty
+    idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return empty
+    blocks = _matching_blocks(spark, index_dir, terms, buckets)
+    base = _decode_scores(
+        blocks, idf, cfg, stats["avgdl"], deleted_docids(spark, index_dir)
+    ).withColumnRenamed("score", "base_score")
+    fwd = tbl.read(spark, index_dir, "forward")
+    mod = F.expr(modifier) if isinstance(modifier, str) else modifier
+    joined = base.join(fwd, "docid", "inner").withColumn("fn", mod.cast("double"))
+    if boost_mode == "multiply":
+        final = F.col("base_score") * F.col("fn")
+    elif boost_mode == "sum":
+        final = F.col("base_score") + F.col("fn")
+    else:
+        final = F.col("fn")
+    scored = (
+        joined.select("docid", final.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
 def suggest_terms(
     spark: SparkSession,
     index_dir: str,

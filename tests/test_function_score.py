@@ -1,0 +1,89 @@
+"""function_score: BM25 combined with doc-field functions, vs a Python
+oracle; boost modes; pruning-off correctness (every matched doc re-ranked)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mysql_es_spark.functions.analyze import tokenize_text
+from mysql_es_spark.operators.query import (
+    field_value_factor,
+    function_score_topk,
+    gauss_decay,
+)
+from mysql_es_spark.oracle import build_oracle_index, score_query
+from tests.conftest import TEST_CFG
+
+Q = "w0 w3"
+
+
+@pytest.fixture(scope="module")
+def fwd(spark, built_index):
+    rows = (
+        spark.read.parquet(f"{built_index}/forward")
+        .select("docid", "text", "ts", "turn_idx")
+        .collect()
+    )
+    return {r.docid: r for r in rows}
+
+
+@pytest.fixture(scope="module")
+def base_scores(fwd):
+    oix = build_oracle_index([(d, r.text) for d, r in fwd.items()])
+    return dict(score_query(oix, Q, k=len(fwd)))
+
+
+def test_gauss_recency_multiply(spark, built_index, fwd, base_scores):
+    origin = "2026-01-05"
+    from datetime import date
+
+    def decay(d):
+        delta = abs((fwd[d].ts.date() - date(2026, 1, 5)).days)
+        return 0.5 ** ((delta / 3.0) ** 2)
+
+    want = sorted(
+        ((d, s * decay(d)) for d, s in base_scores.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = function_score_topk(
+        spark, built_index, Q, gauss_decay("ts", origin, 3.0), k=10, cfg=TEST_CFG
+    ).collect()
+    assert [r.docid for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r.score, s, rel_tol=1e-12)
+
+
+def test_field_value_factor_sum_and_replace(spark, built_index, fwd, base_scores):
+    fvf = lambda d: math.log(1.0 + 2.0 * fwd[d].turn_idx)
+    want = sorted(
+        ((d, s + fvf(d)) for d, s in base_scores.items()), key=lambda x: (-x[1], x[0])
+    )[:8]
+    got = function_score_topk(
+        spark, built_index, Q, field_value_factor("turn_idx", 2.0), k=8,
+        boost_mode="sum", cfg=TEST_CFG,
+    ).collect()
+    assert [r.docid for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r.score, s, rel_tol=1e-12)
+
+    rep = function_score_topk(
+        spark, built_index, Q, field_value_factor("turn_idx", 2.0), k=5,
+        boost_mode="replace", cfg=TEST_CFG,
+    ).collect()
+    want_rep = sorted(
+        ((d, fvf(d)) for d in base_scores), key=lambda x: (-x[1], x[0])
+    )[:5]
+    assert [r.docid for r in rep] == [d for d, _ in want_rep]
+
+
+def test_sql_string_modifier_and_validation(spark, built_index, base_scores):
+    got = function_score_topk(
+        spark, built_index, Q, "1.0", k=5, cfg=TEST_CFG
+    ).collect()
+    want = sorted(base_scores.items(), key=lambda x: (-x[1], x[0]))[:5]
+    assert [r.docid for r in got] == [d for d, _ in want]
+    with pytest.raises(ValueError):
+        function_score_topk(spark, built_index, Q, "1.0", boost_mode="max", cfg=TEST_CFG)
+    assert function_score_topk(spark, built_index, "", "1.0", cfg=TEST_CFG).count() == 0
