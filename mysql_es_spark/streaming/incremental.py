@@ -81,7 +81,35 @@ def incremental_update(
         commit_lineage(spark, index_dir, row)
         rebuilt.append(wave_id)
     finalize(spark, index_dir, cfg)
+    _clear_deletes_for_buckets(spark, index_dir, buckets, cfg)
     return {"waves_rebuilt": rebuilt, "buckets": buckets}
+
+
+def _clear_deletes_for_buckets(
+    spark: SparkSession, index_dir: str, buckets: list[int], cfg: IndexConfig
+) -> None:
+    """Snapshot truth wins: a rebuilt bucket was re-indexed from the
+    current snapshot, so soft-delete marks inside it are stale — in ES,
+    indexing an ``_id`` after a delete makes the doc live again. Docid →
+    bucket is pure math (static ranges, operators/docids.py), so this is
+    a filter of the tiny deletes table, rewritten via a temp dir (an
+    Iceberg deployment would make this a transactional REPLACE)."""
+    import shutil
+
+    from ..operators.docids import bucket_capacity
+    from ..sources import tables as tbl
+
+    if not buckets or not tbl.exists(index_dir, "deletes"):
+        return
+    cap = bucket_capacity(cfg.n_buckets)
+    path = tbl.p(index_dir, "deletes")
+    kept = tbl.read(spark, index_dir, "deletes").filter(
+        ~F.floor(F.col("docid") / F.lit(cap)).cast("int").isin([int(b) for b in buckets])
+    )
+    tmp = path + "._rewrite"
+    kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
 
 
 def start_cdc_stream(

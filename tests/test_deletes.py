@@ -138,3 +138,38 @@ def test_compact_without_purge_keeps_mask(spark, del_index, tmp_path_factory):
     want = [(doc, s) for doc, s in full if doc not in all_deleted][:10]
     top = bm25_topk(spark, dst, Q, k=10, cfg=TEST_CFG).collect()
     assert [r.docid for r in top] == [doc for doc, _ in want]
+
+
+def test_incremental_rebuild_clears_stale_deletes(spark, tmp_path_factory):
+    """CDC semantics: re-indexing a conversation makes its soft-deleted
+    turns live again (snapshot truth wins); deletes in untouched buckets
+    survive the batch."""
+    from mysql_es_spark.corpus import transcripts_df
+    from mysql_es_spark.operators.query import bm25_topk, deleted_docids
+    from mysql_es_spark.streaming.incremental import incremental_update
+    from mysql_es_spark.sources.tables import local_rows_df
+
+    d = str(tmp_path_factory.mktemp("cdc_del") / "ix")
+    snap = transcripts_df(spark, 600, seed=9).cache()
+    build_index(spark, snap, d, TEST_CFG)
+    fwd = spark.read.parquet(f"{d}/forward").select(
+        "docid", "conv_id", "bucket", "text"
+    ).collect()
+    # pick two docs in different buckets, delete both
+    by_bucket = {}
+    for r in fwd:
+        by_bucket.setdefault(r.bucket, r)
+    b1, b2 = sorted(by_bucket)[:2]
+    d1, d2 = by_bucket[b1], by_bucket[b2]
+    delete_by_query(spark, d, doc_filter=f"docid IN ({d1.docid}, {d2.docid})", cfg=TEST_CFG)
+    assert {r.docid for r in deleted_docids(spark, d).collect()} == {d1.docid, d2.docid}
+
+    # CDC batch touches only d1's conversation → only bucket b1 rebuilds
+    changed = local_rows_df(spark, [(d1.conv_id,)], "conv_id string")
+    res = incremental_update(spark, snap, changed, d, TEST_CFG, batch_id=7)
+    assert b1 in res["buckets"] and b2 not in res["buckets"]
+
+    left = {r.docid for r in deleted_docids(spark, d).collect()}
+    assert left == {d2.docid}  # d1 resurrected, d2 still masked
+    hits = {r.docid for r in bm25_topk(spark, d, "w0 w1 w2 w3", k=10_000, cfg=TEST_CFG).collect()}
+    assert d2.docid not in hits
