@@ -1129,6 +1129,27 @@ def q_bm25_explain(spark, sf):
     )
 
 
+def q_bm25_rescore(spark, sf):
+    """ES rescore: the BM25 top-40 window re-ranked by a match_phrase
+    rescorer ('row scan', weight 2, score_mode=total); positions are
+    decoded only for the window candidates' salt ranges."""
+    from mysql_es_spark.operators.query import rescore_topk
+
+    ix = _index_for_documents(spark, sf, positions=True)
+    top = rescore_topk(
+        spark, ix, " ".join(BM25_Q1), "row scan", k=15, window_size=40,
+        rescore_weight=2.0, score_mode="total", cfg=_docs_index_cfg(True),
+        with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(15)
+    )
+
+
 def q_bm25_function_score(spark, sf):
     """ES function_score: BM25 multiplied by a gauss recency decay on the
     forward ts (origin 2026-01-05, scale 3 days, decay 0.5). Pruning is
@@ -1308,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop": q_phrase_slop,
         "bm25_filtered": q_bm25_filtered,
         "match_aggs_by_lang": q_match_aggs,
+        "bm25_rescore": q_bm25_rescore,
         "bm25_function_score": q_bm25_function_score,
         "bm25_msearch": q_bm25_msearch,
         "bm25_search_after": q_bm25_search_after,
@@ -1327,8 +1349,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-1 hash fixes ---
         "a2_runlength_groups": q_a2,
         "sessionize": q_sessionize,
-        # --- direct-scoring baselines ---
-        "bm25_direct": q_bm25_direct,
         # --- documents / training-data pipeline ---
         "doc_lang_id": q_lang,
         "doc_quality": q_quality,
@@ -1351,6 +1371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only designs, and extras locally oracle-checked ---
         "doc_dedup_clusters": q_dedup_clusters,
         "doc_token_count": q_tok_count,
+        # --- direct-scoring baselines (r01-green) ---
+        "bm25_direct": q_bm25_direct,
         "bm25_direct_q2": q_bm25_direct2,
         "bm25_explain": q_bm25_explain,
         "term_suggest": q_term_suggest,
@@ -1872,6 +1894,51 @@ SELECT tf.term, tf.tf, dl.dl, dfreq.df,
              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6) AS contrib
 FROM tf JOIN top1 USING (doc_id) JOIN dfreq USING (term) JOIN dl USING (doc_id)
 CROSS JOIN stats
+""",
+        "bm25_rescore": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+win AS (SELECT doc_id, s FROM scores ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 40),
+ptf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('row', 'scan')
+  GROUP BY 1, 2
+),
+pdf AS (SELECT term, count(*) AS df FROM ptf GROUP BY 1),
+pscore AS (
+  SELECT ptf.doc_id,
+         sum( ln(1 + (stats.n - pdf.df + 0.5) / (pdf.df + 0.5))
+              * ptf.tf / (ptf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS ps
+  FROM ptf JOIN pdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE ptf.doc_id IN (
+    SELECT doc_id FROM toks
+    WHERE strpos(' ' || array_to_string(tl, ' ') || ' ', ' row scan ') > 0
+  )
+  GROUP BY 1
+),
+combined AS (
+  SELECT w.doc_id,
+         CASE WHEN p.ps IS NULL THEN w.s ELSE w.s + 2.0 * p.ps END AS s
+  FROM win w LEFT JOIN pscore p USING (doc_id)
+)
+SELECT doc_id, round(s, 4) AS score FROM combined
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 15
 """,
         "bm25_function_score": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),

@@ -1159,6 +1159,7 @@ def phrase_topk(
     cfg: IndexConfig | None = None,
     with_keys: bool = False,
     slop: int = 0,
+    candidates: list[int] | None = None,
 ) -> DataFrame:
     """Top-k BM25 over docs containing ``phrase`` as consecutive analyzer
     tokens — ES ``match_phrase`` served from the index. Requires an index
@@ -1201,6 +1202,11 @@ def phrase_topk(
     blocks = _matching_blocks(spark, index_dir, uniq, buckets)
     if "pos_blob" not in blocks.columns:
         raise ValueError("phrase_topk needs an index built with with_positions=True")
+    if candidates is not None:
+        # rescore-window restriction: only the candidates' salt ranges are
+        # ever decoded — positions I/O is window-, not corpus-proportional
+        cand_salts = sorted({int(d) // cfg.salt_docs for d in candidates})
+        blocks = blocks.filter(F.col("salt").isin(cand_salts))
     live_salts = (
         blocks.select("term", "salt")
         .groupBy("salt")
@@ -1311,14 +1317,13 @@ def phrase_topk(
                 }
             )
 
-    scored = (
-        _mask_deleted(
-            surv.mapInPandas(match, schema="docid long, score double, n_hits long"),
-            deleted_docids(spark, index_dir),
-        )
-        .orderBy(F.col("score").desc(), F.col("docid").asc())
-        .limit(k)
+    matched = _mask_deleted(
+        surv.mapInPandas(match, schema="docid long, score double, n_hits long"),
+        deleted_docids(spark, index_dir),
     )
+    if candidates is not None:
+        matched = matched.filter(F.col("docid").isin([int(d) for d in candidates]))
+    scored = matched.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
     return _with_keys(spark, index_dir, scored) if with_keys else scored
 
 
@@ -1519,6 +1524,70 @@ def bm25_topk_multi(
         .filter(F.col("rank") <= int(k))
         .select("qid", "docid", "score", "rank")
     )
+
+
+def rescore_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    rescore_phrase: str,
+    k: int = 10,
+    window_size: int = 100,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    score_mode: str = "total",
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``rescore``: re-rank the top ``window_size`` BM25 hits with a
+    more expensive ``match_phrase`` query, combining per ``score_mode``
+    (total | multiply | avg | max | min — the ES contract; weights apply
+    as ``query_weight``/``rescore_weight``). Docs in the window that do
+    not match the phrase keep ``query_weight * score`` (ES semantics).
+
+    This is the cheap-then-precise pattern Lucene users reach for when
+    full phrase scoring is too expensive corpus-wide: phase 1 is the
+    block-max pruned BM25 (positions never read), phase 2 decodes
+    positions ONLY for the window candidates' salt ranges (the
+    ``candidates`` restriction in :func:`phrase_topk`) — so the precise
+    pass costs O(window), not O(corpus), no matter the index size."""
+    if score_mode not in ("total", "multiply", "avg", "max", "min"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    cfg = effective_config(spark, index_dir, cfg)
+    window = bm25_topk(
+        spark, index_dir, query, k=window_size, cfg=cfg, mode="pruned"
+    ).collect()
+    if not window:
+        return tbl.local_rows_df(spark, [], "docid long, score double")
+    cand = [int(r["docid"]) for r in window]
+    base = tbl.local_rows_df(
+        spark,
+        [(int(r["docid"]), float(r["score"])) for r in window],
+        "docid long, base_score double",
+    )
+    ph = phrase_topk(
+        spark, index_dir, rescore_phrase, k=len(cand), cfg=cfg, candidates=cand
+    ).select("docid", F.col("score").alias("ph_score"))
+    q = F.lit(float(query_weight)) * F.col("base_score")
+    r = F.lit(float(rescore_weight)) * F.col("ph_score")
+    if score_mode == "total":
+        combined = q + r
+    elif score_mode == "multiply":
+        combined = q * r
+    elif score_mode == "avg":
+        combined = (q + r) / F.lit(2.0)
+    elif score_mode == "max":
+        combined = F.greatest(q, r)
+    else:
+        combined = F.least(q, r)
+    scored = (
+        base.join(ph, "docid", "left")
+        .withColumn("score", F.when(F.col("ph_score").isNull(), q).otherwise(combined))
+        .select("docid", "score")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
 
 
 def gauss_decay(ts_col: str, origin: str, scale_days: float, decay: float = 0.5):
