@@ -119,3 +119,62 @@ def test_filtered_search_forward_scan_prunes(spark, built_index):
     read_schema = fwd_scans[0].split("ReadSchema")[1].splitlines()[0]
     assert "text" not in read_schema and "blob" not in read_schema
     assert "docid" in read_schema and "role" in read_schema
+
+
+def test_function_score_forward_scan_prunes_columns(spark, built_index):
+    """function_score joins the forward table only for the modifier's
+    columns — a gauss(ts) modifier must not drag text/role/tool into the
+    scan (Catalyst column pruning through the join + expression)."""
+    from mysql_es_spark.operators.query import function_score_topk, gauss_decay
+
+    df = function_score_topk(
+        spark, built_index, "w0 w3", gauss_decay("ts", "2026-01-05", 3.0),
+        k=5, cfg=TEST_CFG,
+    )
+    plan = plan_of(df)
+    fwd_reads = [
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema")[1:]
+        if "ts" in seg.splitlines()[0]
+    ]
+    assert fwd_reads, plan
+    for rs in fwd_reads:
+        assert "text" not in rs and "role" not in rs and "doc_key" not in rs
+
+
+def test_msearch_broadcasts_term_qid_mapping(spark, built_index):
+    """The (term → qid) fan-out must be a broadcast join — the scored
+    postings never shuffle to meet a 10-row mapping."""
+    from mysql_es_spark.operators.query import bm25_topk_multi
+
+    df = bm25_topk_multi(
+        spark, built_index, {"a": "w0 w3", "b": "w1"}, k=5, cfg=TEST_CFG
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # and a single partial/final hash agg pair on (qid, docid)
+    assert "partial_sum" in plan
+
+
+def test_aggs_cardinality_reads_only_needed_forward_cols(spark, built_index):
+    from mysql_es_spark.operators import aggs
+
+    df = aggs.cardinality(spark, built_index, "w0 w3", "tool", cfg=TEST_CFG)
+    plan = plan_of(df)
+    fwd_reads = [
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema")[1:]
+        if "tool" in seg.splitlines()[0]
+    ]
+    assert fwd_reads, plan
+    for rs in fwd_reads:
+        assert "text" not in rs and "ts" not in rs
+
+
+def test_suggest_dictionary_scan_never_touches_postings(spark, built_index):
+    from mysql_es_spark.operators.query import suggest_terms
+
+    df = suggest_terms(spark, built_index, "w00", size=3, max_edits=1)
+    plan = plan_of(df)
+    assert "postings" not in plan and "forward" not in plan
+    assert "term_dict" in plan
