@@ -1129,6 +1129,35 @@ def q_bm25_explain(spark, sf):
     )
 
 
+def q_agg_percentiles(spark, sf):
+    """ES percentiles agg: linearly-interpolated dl percentiles over the
+    matched set (exact; the TDigest-style approx path is pytest-covered)."""
+    ix = _index_for_documents(spark, sf)
+    out = esaggs.percentiles(spark, ix, " ".join(BM25_Q1), [0.25, 0.5, 0.9], cfg=_docs_index_cfg())
+    return out.select("pct", F.round("value", 6).alias("value"))
+
+
+SYN_MAP = {"spark": ["stream"], "join": ["merge"], "query": ["filter"]}
+
+
+def q_bm25_synonyms(spark, sf):
+    """Query-time synonym expansion, dis-max per clause: spark|stream,
+    join|merge, query|filter — best expansion scores, never double-counts."""
+    from mysql_es_spark.operators.query import synonym_topk
+
+    ix = _index_for_documents(spark, sf)
+    top = synonym_topk(
+        spark, ix, " ".join(BM25_Q1), SYN_MAP, k=60, cfg=_docs_index_cfg(), with_keys=True
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 def q_bm25_rescore(spark, sf):
     """ES rescore: the BM25 top-40 window re-ranked by a match_phrase
     rescorer ('row scan', weight 2, score_mode=total); positions are
@@ -1376,6 +1405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_direct_q2": q_bm25_direct2,
         "bm25_explain": q_bm25_explain,
         "term_suggest": q_term_suggest,
+        "agg_percentiles": q_agg_percentiles,
+        "bm25_synonyms": q_bm25_synonyms,
         "doc_minhash_lsh_pairs": q_minhash,
         # --- ANN / multimodal (rows-only by design) ---
         "emb_ann_lsh_topk": q_ann,
@@ -1894,6 +1925,42 @@ SELECT tf.term, tf.tf, dl.dl, dfreq.df,
              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6) AS contrib
 FROM tf JOIN top1 USING (doc_id) JOIN dfreq USING (term) JOIN dl USING (doc_id)
 CROSS JOIN stats
+""",
+        "agg_percentiles": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+matched AS (SELECT doc_id, len(tl) AS dl FROM toks
+            WHERE list_has_any(tl, ['spark','join','query']))
+SELECT unnest([0.25, 0.5, 0.9]) AS pct,
+       round(unnest(CAST(quantile_cont(dl, [0.25, 0.5, 0.9]) AS DOUBLE[])), 6) AS value
+FROM matched
+""",
+        "bm25_synonyms": f"""
+WITH cmap(clause, term) AS (VALUES
+  ('spark','spark'),('spark','stream'),
+  ('join','join'),('join','merge'),
+  ('query','query'),('query','filter')
+),
+toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN (SELECT term FROM cmap)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT c.clause, tf.doc_id,
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS w
+  FROM tf JOIN cmap c USING (term) JOIN dfreq USING (term)
+          JOIN dl USING (doc_id) CROSS JOIN stats
+),
+best AS (SELECT clause, doc_id, max(w) AS w FROM contrib GROUP BY 1, 2),
+scores AS (SELECT doc_id, sum(w) AS s FROM best GROUP BY 1)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
 """,
         "bm25_rescore": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),

@@ -138,6 +138,42 @@ def extended_stats(
     )
 
 
+def percentiles(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    pcts: list[float] = (0.25, 0.5, 0.75, 0.95, 0.99),
+    cfg: IndexConfig | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """ES ``percentiles`` agg over the matched docs' analyzed length:
+    one row per requested percentile with its linearly-interpolated
+    value. ``exact=False`` switches to ``approx_percentile`` (Spark's
+    KLL-style sketch — the scale path ES's TDigest plays; the sketch,
+    not the values, crosses the shuffle)."""
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(spark, [], "pct double, value double")
+    dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
+    ps = [float(p) for p in pcts]
+    agg = (
+        F.percentile("dl", F.lit(ps))
+        if exact
+        else F.percentile_approx("dl", F.lit(ps), F.lit(int(accuracy)))
+    )
+    row = matched.join(dls, "docid", "inner").agg(agg.alias("vals"))
+    pairs = F.arrays_zip(
+        F.lit(ps).alias("pct"), F.col("vals").cast("array<double>").alias("value")
+    )
+    return (
+        row.select(F.explode(pairs).alias("z"))
+        .select(F.col("z.pct").alias("pct"), F.col("z.value").alias("value"))
+        .orderBy("pct")
+    )
+
+
 def cardinality(
     spark: SparkSession,
     index_dir: str,

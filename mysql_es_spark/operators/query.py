@@ -1526,6 +1526,59 @@ def bm25_topk_multi(
     )
 
 
+def synonym_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    synonyms: dict[str, list[str]],
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """Query-time synonym expansion (ES search-analyzer synonym filter,
+    dis-max scoring): each query term becomes a clause of
+    {term} ∪ synonyms[term]; a doc scores, per clause, the BEST matching
+    expansion's BM25 contribution (Lucene DisjunctionMaxQuery — a doc
+    containing both 'fast' and its synonym 'quick' is not double-counted),
+    summed over clauses. Each expansion keeps its own idf, the documented
+    alternative to SynonymQuery's blended statistics.
+
+    Plan shape = the fuzzy/prefix best-expansion path: one pruned
+    postings scan for the union of expansions, contribs tagged by clause,
+    two-level hash agg (max per clause → sum per doc). Zero extra I/O
+    over the unexpanded query beyond the synonym terms' own postings."""
+    cfg = effective_config(spark, index_dir, cfg)
+    terms = query_terms(query)
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    if not terms:
+        return empty
+    clause_of: dict[str, str] = {}
+    for t in terms:
+        for exp in [t, *[e.lower() for e in synonyms.get(t, [])]]:
+            clause_of.setdefault(exp, t)  # first clause wins a shared term
+    idf, buckets = term_meta(
+        spark, index_dir, sorted(clause_of), stats["n_docs"], cfg
+    )
+    clause_of = {t: c for t, c in clause_of.items() if t in idf}
+    if not clause_of:
+        return empty
+    blocks = _matching_blocks(spark, index_dir, list(clause_of), buckets)
+    scored = (
+        _mask_deleted(
+            _decode_contribs(blocks, idf, cfg, stats["avgdl"], clause_of=clause_of)
+            .groupBy("docid", "clause")
+            .agg(F.max("contrib").alias("best"))
+            .groupBy("docid")
+            .agg(F.sum("best").alias("score")),
+            deleted_docids(spark, index_dir),
+        )
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
 def rescore_topk(
     spark: SparkSession,
     index_dir: str,

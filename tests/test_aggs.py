@@ -129,3 +129,22 @@ def test_empty_query_schemas(spark, built_index):
         "score",
         "rank",
     ]
+
+
+def test_percentiles(spark, built_index, fwd, matched):
+    dls = sorted(len(tokenize_text(fwd[d].text)) for d in matched)
+
+    def interp(p):
+        # linear interpolation, the percentile()/quantile_cont contract
+        idx = p * (len(dls) - 1)
+        lo, hi = int(math.floor(idx)), int(math.ceil(idx))
+        return dls[lo] + (dls[hi] - dls[lo]) * (idx - lo)
+
+    got = aggs.percentiles(spark, built_index, Q, [0.25, 0.5, 0.9], cfg=TEST_CFG).collect()
+    assert [r.pct for r in got] == [0.25, 0.5, 0.9]
+    for r in got:
+        assert math.isclose(r.value, interp(r.pct), rel_tol=1e-12), r
+    approx = aggs.percentiles(
+        spark, built_index, Q, [0.5], cfg=TEST_CFG, exact=False
+    ).collect()[0]
+    assert abs(approx.value - interp(0.5)) <= max(2.0, 0.1 * interp(0.5))
