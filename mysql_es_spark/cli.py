@@ -100,6 +100,25 @@ def cmd_compact(args) -> dict:
     return stats
 
 
+def cmd_reindex(args) -> dict:
+    from .plans.deletes import reindex
+
+    spark = _session(args)
+    t0 = time.monotonic()
+    # only build a dst config when the user overrode physical flags;
+    # otherwise inherit the source's persisted layout
+    overrode = any(
+        getattr(args, n, None) is not None
+        for n in ("n_buckets", "wave_size", "salt_docs", "term_buckets", "block_size")
+    ) or args.edge_ngram or args.with_positions
+    stats = reindex(
+        spark, args.index_dir, args.out, query=args.query or "",
+        doc_filter=args.filter, dst_cfg=_cfg(args) if overrode else None,
+    )
+    stats["reindex_sec"] = round(time.monotonic() - t0, 2)
+    return stats
+
+
 def cmd_delete(args) -> dict:
     from .plans.deletes import delete_by_query
 
@@ -259,6 +278,13 @@ def main(argv: list[str] | None = None) -> int:
         help="carry soft deletes along instead of physically purging them",
     )
     c.set_defaults(fn=cmd_compact)
+
+    r = sub.add_parser("reindex", help="build a new index from the matching live subset")
+    r.add_argument("--index-dir", required=True, help="source index")
+    r.add_argument("--out", required=True, help="destination index")
+    r.add_argument("--query", default=None, help="fulltext match (disjunctive)")
+    r.add_argument("--filter", default=None, help="SQL predicate over forward columns")
+    r.set_defaults(fn=cmd_reindex)
 
     d = sub.add_parser("delete", help="soft-delete docs by query and/or forward predicate")
     d.add_argument("--index-dir", required=True)

@@ -36,6 +36,52 @@ from ..sources import tables as tbl
 from .metrics import append_metrics
 
 
+def reindex(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    query: str = "",
+    doc_filter: str | None = None,
+    dst_cfg: IndexConfig | None = None,
+) -> dict:
+    """ES ``_reindex``: build a brand-new index at ``dst_dir`` from the
+    subset of ``src_dir``'s live docs matching ``query`` (fulltext) and/or
+    ``doc_filter`` (forward predicate); no selector copies every live doc.
+    The destination may use a different physical config (``dst_cfg``) —
+    ES reindex-into-new-settings, e.g. turning positions on, changing
+    bucket counts — because the docs are re-tokenized from the stored
+    source, exactly like ES re-ingesting ``_source``.
+
+    Soft-deleted docs never cross (the mask applies to the source read),
+    so reindex doubles as a purge. Plan: one column-pruned forward scan +
+    (for a query) a docid semi-join against the query-proportional
+    matched set — then the standard wave build; nothing driver-side.
+    Returns the build metrics plus docs_selected."""
+    from .build import FORWARD_COLS, build_index
+
+    src_cfg = effective_config(spark, src_dir, None)
+    cols = [c for c in FORWARD_COLS if c not in ("docid", "doc_key", "bucket")]
+    fwd = tbl.read(spark, src_dir, "forward")
+    existing = deleted_docids(spark, src_dir)
+    if existing is not None:
+        fwd = fwd.join(existing, "docid", "left_anti")
+    if doc_filter is not None:
+        fwd = fwd.filter(F.expr(doc_filter))
+    if query:
+        matched = _matched_docids(spark, src_dir, query, src_cfg)
+        if matched is None:
+            fwd = fwd.filter(F.lit(False))
+        else:
+            fwd = fwd.join(matched, "docid", "left_semi")
+    docs = fwd.select(*cols)
+    stats = build_index(spark, docs, dst_dir, dst_cfg or src_cfg)
+    n = spark.read.parquet(tbl.p(dst_dir, "corpus_stats")).collect()[0]["n_docs"]
+    append_metrics(
+        spark, dst_dir, "reindex", {"docs_selected": int(n)}, wave=-1, batch_id=-1
+    )
+    return {**stats, "docs_selected": int(n)}
+
+
 def delete_by_query(
     spark: SparkSession,
     index_dir: str,

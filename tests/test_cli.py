@@ -208,3 +208,24 @@ def test_cli_delete_suggest_explain_aggs(spark, tmp_path, capsys):
     assert cli_main(["compact", "--index-dir", ix, "--out", out]) == 0
     comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert comp["docs_purged"] == dele["docs_deleted"]
+
+
+def test_cli_reindex(spark, tmp_path, capsys):
+    corpus_dir = str(tmp_path / "corpus3")
+    ix = str(tmp_path / "ix3")
+    out = str(tmp_path / "ix3_sub")
+    common = ["--n-buckets", "4", "--wave-size", "2", "--salt-docs", "256"]
+    assert cli_main(["gen", "--out", corpus_dir, "--turns", "500", "--seed", "3"]) == 0
+    capsys.readouterr()
+    assert cli_main([*common, "build", "--input", f"{corpus_dir}/transcripts",
+                     "--index-dir", ix]) == 0
+    capsys.readouterr()
+    assert cli_main([*common, "--with-positions", "reindex", "--index-dir", ix,
+                     "--out", out, "--query", "w0"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_selected"] > 0
+    # phrase works on the re-settings'd destination
+    assert cli_main(["query", "--index-dir", out, "--query", "w0 w1",
+                     "--mode", "phrase", "-k", "3"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["hits"]
+    assert isinstance(hits, list)
