@@ -1438,6 +1438,12 @@ def _decode_tf_dl(blocks: DataFrame) -> DataFrame:
     )
 
 
+# term-count ceiling for In()-literal term selection in bm25_topk_multi;
+# above it the plan switches to a broadcast semi-join (tests pin it low to
+# force the join path)
+_MSEARCH_ISIN_MAX = 1000
+
+
 def bm25_topk_multi(
     spark: SparkSession,
     index_dir: str,
@@ -1490,7 +1496,21 @@ def bm25_topk_multi(
     idf = {r["term"]: float(np.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))) for r in rows}
     live_terms = [t for t in terms if t in idf]
     buckets = sorted({int(r["b"]) for r in rows})
-    blocks = _matching_blocks(spark, index_dir, live_terms, buckets)
+    if len(live_terms) <= _MSEARCH_ISIN_MAX:
+        blocks = _matching_blocks(spark, index_dir, live_terms, buckets)
+    else:
+        # a 10^5-query batch would put 10^5 literals in an In() filter —
+        # plan bloat and useless row-group stats. Past a threshold, keep
+        # the bounded partition-dir pruning (buckets ≤ term_buckets) and
+        # select terms with a broadcast semi-join instead.
+        term_set = F.broadcast(
+            tbl.local_rows_df(spark, [(t,) for t in live_terms], "term string")
+        )
+        blocks = (
+            tbl.read(spark, index_dir, "postings")
+            .filter(F.col("term_bucket").isin(buckets))
+            .join(term_set, "term", "left_semi")
+        )
 
     # one decode of the shared postings; scoring math in JVM expressions
     tf_dl = _decode_tf_dl(blocks)

@@ -55,3 +55,21 @@ def test_multi_empty_inputs(spark, built_index):
     assert (
         bm25_topk_multi(spark, built_index, {"a": ""}, k=5, cfg=TEST_CFG).count() == 0
     )
+
+
+def test_multi_large_batch_join_path(spark, built_index, monkeypatch):
+    """Past the threshold, term selection flips from an In() filter to a
+    broadcast semi-join; results must be identical on both paths."""
+    import mysql_es_spark.operators.query as qmod
+
+    qs = {f"q{i}": f"zz{i} w{i % 12}" for i in range(40)}
+    isin = {
+        (r.qid, r.rank): r.docid
+        for r in qmod.bm25_topk_multi(spark, built_index, qs, k=3, cfg=TEST_CFG).collect()
+    }
+    monkeypatch.setattr(qmod, "_MSEARCH_ISIN_MAX", 1)  # force the join path
+    joined = {
+        (r.qid, r.rank): r.docid
+        for r in qmod.bm25_topk_multi(spark, built_index, qs, k=3, cfg=TEST_CFG).collect()
+    }
+    assert isin == joined and isin
