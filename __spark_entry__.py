@@ -1129,6 +1129,24 @@ def q_bm25_explain(spark, sf):
     )
 
 
+def q_bm25_span_near(spark, sf):
+    """Lucene SpanNear inOrder=false: 'scan row' in ANY order within a
+    1+slop window (slop=2); BM25-scored over the pair, via the
+    positional index's vectorized min-window sweep."""
+    ix = _index_for_documents(spark, sf, positions=True)
+    top = phrase_topk(
+        spark, ix, "scan row", k=200, cfg=_docs_index_cfg(True),
+        slop=2, ordered=False, with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(40)
+    )
+
+
 def q_agg_percentiles(spark, sf):
     """ES percentiles agg: linearly-interpolated dl percentiles over the
     matched set (exact; the TDigest-style approx path is pytest-covered)."""
@@ -1407,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest": q_term_suggest,
         "agg_percentiles": q_agg_percentiles,
         "bm25_synonyms": q_bm25_synonyms,
+        "bm25_span_near": q_bm25_span_near,
         "doc_minhash_lsh_pairs": q_minhash,
         # --- ANN / multimodal (rows-only by design) ---
         "emb_ann_lsh_topk": q_ann,
@@ -1925,6 +1944,39 @@ SELECT tf.term, tf.tf, dl.dl, dfreq.df,
              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6) AS contrib
 FROM tf JOIN top1 USING (doc_id) JOIN dfreq USING (term) JOIN dl USING (doc_id)
 CROSS JOIN stats
+""",
+        "bm25_span_near": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+pos AS (
+  SELECT doc_id, u.term, u.p
+  FROM toks, (SELECT unnest(tl) AS term, generate_subscripts(tl, 1) AS p) u
+  WHERE u.term IN ('scan', 'row')
+),
+m AS (
+  SELECT DISTINCT a.doc_id
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND a.term = 'scan' AND b.term = 'row'
+   AND abs(a.p - b.p) <= 3
+),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('scan', 'row')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM m)
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 40
 """,
         "agg_percentiles": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),

@@ -1160,6 +1160,7 @@ def phrase_topk(
     with_keys: bool = False,
     slop: int = 0,
     candidates: list[int] | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Top-k BM25 over docs containing ``phrase`` as consecutive analyzer
     tokens — ES ``match_phrase`` served from the index. Requires an index
@@ -1185,12 +1186,22 @@ def phrase_topk(
     keys — for each occurrence of term j, the latest possible chain
     start — one searchsorted per term, no per-occurrence Python.
 
+    ``ordered=False`` is Lucene SpanNear ``inOrder=false``: the terms
+    (required distinct) may appear in ANY order within a window of span
+    ``(m - 1) + slop``; matching is a vectorized minimum-covering-window
+    sweep over the merged positions (for each occurrence, the latest
+    same-doc occurrence of every other term via searchsorted — no per-doc
+    Python loop). n_hits counts the occurrences at which a valid window
+    ends.
+
     Output: (docid, score, n_hits) — n_hits = phrase occurrence count
     (for slop > 0: end positions admitting a valid chain).
     """
     cfg = effective_config(spark, index_dir, cfg)
     seq = tokenize_text(phrase)  # ordered, duplicates preserved
     uniq = list(dict.fromkeys(seq))
+    if not ordered and len(uniq) != len(seq):
+        raise ValueError("unordered span_near requires distinct terms")
     stats = corpus_stats(spark, index_dir)
     empty = tbl.local_rows_df(spark, [], "docid long, score double, n_hits long")
     if not seq:
@@ -1226,7 +1237,7 @@ def phrase_topk(
     k1, b = cfg.k1, cfg.b
     avgdl, salt_docs = stats["avgdl"], cfg.salt_docs
     seq_l, uniq_l, idf_l = list(seq), list(uniq), dict(idf)
-    slop_l = int(slop)
+    slop_l, ordered_l = int(slop), bool(ordered)
 
     def match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # a salt's rows may straddle Arrow batch boundaries: concatenate
@@ -1265,7 +1276,22 @@ def phrase_topk(
             for t, (ids, tfs, _dls, pos) in per_term.items():
                 rep = np.repeat(ids - np.int64(int(salt) * salt_docs), tfs)
                 keys[t] = rep * shift + pos
-            if slop_l == 0:
+            if not ordered_l:
+                # minimum covering window sweep: an occurrence K ends a
+                # valid unordered window iff every term has a same-doc
+                # occurrence within span (m-1)+slop at or before K
+                merged = np.sort(np.concatenate([keys[t] for t in uniq_l]))
+                ok = np.ones(len(merged), dtype=bool)
+                minlast = np.full(len(merged), np.iinfo(np.int64).max, dtype=np.int64)
+                for t in uniq_l:
+                    kt = keys[t]
+                    idx = np.searchsorted(kt, merged, side="right") - 1
+                    safe = np.maximum(idx, 0)
+                    ok &= (idx >= 0) & ((kt[safe] // shift) == (merged // shift))
+                    minlast = np.minimum(minlast, kt[safe])
+                span = (merged % shift) - (minlast % shift)
+                cur = merged[ok & (span <= len(uniq_l) - 1 + slop_l)]
+            elif slop_l == 0:
                 cur = keys[seq_l[0]]
                 for t in seq_l[1:]:
                     if not len(cur):
