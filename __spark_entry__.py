@@ -1129,6 +1129,26 @@ def q_bm25_explain(spark, sf):
     )
 
 
+def q_term_vectors(spark, sf):
+    """ES _termvectors for doc 42: (term, tf, positions) straight from
+    the positional index — salt-pruned block decode, no re-tokenize."""
+    from mysql_es_spark.operators.query import term_vectors
+
+    ix = _index_for_documents(spark, sf, positions=True)
+    docid = (
+        spark.read.parquet(f"{ix}/forward")
+        .filter(F.col("conv_id") == "42")
+        .select("docid")
+        .collect()[0][0]
+    )
+    out = term_vectors(spark, ix, int(docid), cfg=_docs_index_cfg(True))
+    return out.select(
+        "term",
+        "tf",
+        F.concat_ws(",", F.col("positions").cast("array<string>")).alias("positions"),
+    )
+
+
 def q_bm25_span_near(spark, sf):
     """Lucene SpanNear inOrder=false: 'scan row' in ANY order within a
     1+slop window (slop=2); BM25-scored over the pair, via the
@@ -1426,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": q_agg_percentiles,
         "bm25_synonyms": q_bm25_synonyms,
         "bm25_span_near": q_bm25_span_near,
+        "term_vectors": q_term_vectors,
         "doc_minhash_lsh_pairs": q_minhash,
         # --- ANN / multimodal (rows-only by design) ---
         "emb_ann_lsh_topk": q_ann,
@@ -1944,6 +1965,16 @@ SELECT tf.term, tf.tf, dl.dl, dfreq.df,
              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6) AS contrib
 FROM tf JOIN top1 USING (doc_id) JOIN dfreq USING (term) JOIN dl USING (doc_id)
 CROSS JOIN stats
+""",
+        "term_vectors": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents WHERE doc_id = 42),
+pos AS (
+  SELECT u.term, u.p - 1 AS p
+  FROM toks, (SELECT unnest(tl) AS term, generate_subscripts(tl, 1) AS p) u
+)
+SELECT term, CAST(count(*) AS BIGINT) AS tf,
+       array_to_string(list(p ORDER BY p), ',') AS positions
+FROM pos GROUP BY term ORDER BY term
 """,
         "bm25_span_near": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),

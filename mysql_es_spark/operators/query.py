@@ -1464,6 +1464,64 @@ def _decode_tf_dl(blocks: DataFrame) -> DataFrame:
     )
 
 
+def term_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    docid: int,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``_termvectors``: one doc's full (term, tf[, positions]) view,
+    served from the index — never by re-tokenizing the stored text.
+
+    The inverted index is term-major, so a doc-major read means touching
+    every term's postings — unless the layout already confines the doc:
+    every posting of a doc lives in its salt's blocks, so the scan prunes
+    to rows with ``salt = docid // salt_docs`` (plus block-level
+    ``start_docid <= docid``) across all term_buckets, decodes those, and
+    filters to the docid. Positions come along when the index stores them.
+    Deleted docs return zero rows. Cost is salt-proportional — O(corpus /
+    n_salts) blocks read — independent of total corpus size."""
+    cfg = effective_config(spark, index_dir, cfg)
+    with_pos = tbl.read(spark, index_dir, "postings").columns.__contains__("pos_blob")
+    schema = "term string, tf long" + (", positions array<int>" if with_pos else "")
+    dels = deleted_docids(spark, index_dir)
+    if dels is not None and dels.filter(F.col("docid") == int(docid)).count():
+        return tbl.local_rows_df(spark, [], schema)
+    blocks = (
+        tbl.read(spark, index_dir, "postings")
+        .filter(F.col("salt") == int(docid) // cfg.salt_docs)
+        .filter(F.col("start_docid") <= int(docid))
+    )
+    target = int(docid)
+
+    def decode(batches):
+        for pdf in batches:
+            terms_out, tf_out, pos_out = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids, tfs, _dls = decode_block(row.blob, int(row.n))
+                j = np.searchsorted(ids, target)
+                if j >= len(ids) or ids[j] != target:
+                    continue
+                terms_out.append(row.term)
+                tf_out.append(int(tfs[j]))
+                if with_pos:
+                    flat = decode_positions(row.pos_blob, tfs)
+                    start = int(tfs[:j].sum())
+                    pos_out.append(flat[start : start + int(tfs[j])].astype("int32"))
+            if terms_out:
+                out = {"term": terms_out, "tf": tf_out}
+                if with_pos:
+                    out["positions"] = pos_out
+                yield pd.DataFrame(out)
+
+    cols = ["term", "n", "blob"] + (["pos_blob"] if with_pos else [])
+    return (
+        blocks.select(*cols)
+        .mapInPandas(decode, schema=schema)
+        .orderBy(F.col("term").asc())
+    )
+
+
 # term-count ceiling for In()-literal term selection in bm25_topk_multi;
 # above it the plan switches to a broadcast semi-join (tests pin it low to
 # force the join path)

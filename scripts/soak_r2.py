@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""Round-2 correctness soak: randomized queries across the full query
+surface vs pure-Python oracles on a fresh corpus (never the test fixture).
+
+Covers: bm25 simple / pruned / distributed-forced pruned, conjunctive,
+phrase (ordered, slop, unordered span_near), synonyms (dis-max), LM
+Dirichlet, msearch batch, search_after pagination consistency.
+
+Usage: python scripts/soak_r2.py [--turns 6000] [--rounds 40] [--seed 777]
+Prints one JSON line: {"checks": N, "mismatches": 0, ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import random
+import shutil
+import sys
+import tempfile
+from collections import Counter
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=6000)
+    ap.add_argument("--rounds", type=int, default=40)
+    ap.add_argument("--seed", type=int, default=777)
+    ap.add_argument("--cores", type=int, default=16)
+    args = ap.parse_args()
+
+    from mysql_es_spark.config import IndexConfig
+    from mysql_es_spark.corpus import transcripts_df
+    from mysql_es_spark.functions.analyze import tokenize_text
+    from mysql_es_spark.operators.query import (
+        bm25_topk,
+        bm25_topk_conjunctive,
+        bm25_topk_multi,
+        lm_dirichlet_topk,
+        phrase_topk,
+        synonym_topk,
+    )
+    from mysql_es_spark.oracle import build_oracle_index, score_query
+    from mysql_es_spark.plans.build import build_index
+    from mysql_es_spark.session import get_spark
+
+    spark = get_spark("soak_r2", cores=args.cores, shuffle_partitions=16)
+    cfg = IndexConfig(
+        n_buckets=8, wave_size=4, salt_docs=512, term_buckets=8, block_size=32,
+        with_positions=True,
+    )
+    ix = os.path.join(tempfile.gettempdir(), "soak_r2_ix")
+    shutil.rmtree(ix, ignore_errors=True)
+    df = transcripts_df(spark, args.turns, seed=args.seed)
+    build_index(spark, df, ix, cfg)
+    fwd = spark.read.parquet(f"{ix}/forward").select("docid", "text").collect()
+    docs = {r.docid: r.text for r in fwd}
+    toks = {d: tokenize_text(t) for d, t in docs.items()}
+    oix = build_oracle_index(list(docs.items()))
+    vocab = sorted({t for ts in toks.values() for t in ts})
+    rng = random.Random(args.seed)
+
+    checks = mismatches = 0
+    fails: list[str] = []
+
+    def expect_rank(name, got_rows, want, tol=1e-9):
+        nonlocal checks, mismatches
+        checks += 1
+        g = [(r.docid, r.score) for r in got_rows]
+        if [d for d, _ in g] != [d for d, _ in want] or any(
+            not math.isclose(gs, ws, abs_tol=tol) for (_, gs), (_, ws) in zip(g, want)
+        ):
+            mismatches += 1
+            fails.append(f"{name}: got={g[:5]} want={want[:5]}")
+
+    for rnd in range(args.rounds):
+        q_terms = rng.sample(vocab, rng.randint(2, 4))
+        q = " ".join(q_terms)
+        k = rng.choice([5, 10, 25])
+
+        full = score_query(oix, q, k=len(docs))
+        want = full[:k]
+        expect_rank(f"r{rnd}-simple", bm25_topk(spark, ix, q, k=k, cfg=cfg).collect(), want)
+        expect_rank(
+            f"r{rnd}-pruned",
+            bm25_topk(spark, ix, q, k=k, cfg=cfg, mode="pruned").collect(),
+            want,
+        )
+        if rnd % 5 == 0:
+            dist_cfg = cfg.with_(max_driver_salts=0)
+            expect_rank(
+                f"r{rnd}-dist",
+                bm25_topk(spark, ix, q, k=k, cfg=dist_cfg, mode="pruned").collect(),
+                want,
+            )
+
+        # conjunctive: all terms present
+        conj_docs = {d for d, ts in toks.items() if all(t in ts for t in q_terms)}
+        want_c = [(d, s) for d, s in full if d in conj_docs][:k]
+        expect_rank(
+            f"r{rnd}-conj",
+            bm25_topk_conjunctive(spark, ix, q, k=k, cfg=cfg).collect(),
+            want_c,
+        )
+
+        # synonyms (dis-max): 2 clauses with random expansion
+        c1, c2 = rng.sample(vocab, 2)
+        syn = {c1: [rng.choice(vocab)], c2: []}
+        clauses = {c1: [c1, *syn[c1]], c2: [c2]}
+        sc = {}
+        n, avgdl = oix.n_docs, oix.avgdl
+        dfreq = Counter(t for ts in toks.values() for t in set(ts))
+        for d, ts in toks.items():
+            tf = Counter(ts)
+            s, hit = 0.0, False
+            for exps in clauses.values():
+                best = 0.0
+                for e in exps:
+                    if e in tf:
+                        w = float(np.log(1.0 + (n - dfreq[e] + 0.5) / (dfreq[e] + 0.5)))
+                        best = max(best, w * tf[e] / (tf[e] + 1.2 * (0.25 + 0.75 * len(ts) / avgdl)))
+                if best > 0:
+                    hit, s = True, s + best
+            if hit:
+                sc[d] = s
+        want_s = sorted(sc.items(), key=lambda x: (-x[1], x[0]))[:k]
+        expect_rank(
+            f"r{rnd}-syn",
+            synonym_topk(spark, ix, f"{c1} {c2}", syn, k=k, cfg=cfg).collect(),
+            want_s,
+        )
+
+        # phrase ordered / unordered on a sampled real bigram
+        src = rng.choice([d for d, ts in toks.items() if len(ts) >= 2])
+        i = rng.randrange(len(toks[src]) - 1)
+        a, b = toks[src][i], toks[src][i + 1]
+        ph_docs = {
+            d
+            for d, ts in toks.items()
+            if any(ts[j : j + 2] == [a, b] for j in range(len(ts) - 1))
+        }
+        ph_terms = list(dict.fromkeys([a, b]))
+        want_p = [(d, s) for d, s in score_query(oix, " ".join(ph_terms), k=len(docs)) if d in ph_docs][:k]
+        expect_rank(
+            f"r{rnd}-phrase",
+            phrase_topk(spark, ix, f"{a} {b}", k=k, cfg=cfg).collect(),
+            want_p,
+        )
+        if a != b:
+            span_docs = set()
+            for d, ts in toks.items():
+                pa = [j for j, x in enumerate(ts) if x == a]
+                pb = [j for j, x in enumerate(ts) if x == b]
+                if pa and pb and min(abs(x - y) for x in pa for y in pb) <= 2:
+                    span_docs.add(d)
+            want_u = [
+                (d, s) for d, s in score_query(oix, f"{a} {b}", k=len(docs)) if d in span_docs
+            ][:k]
+            expect_rank(
+                f"r{rnd}-span",
+                phrase_topk(spark, ix, f"{a} {b}", k=k, cfg=cfg, slop=1, ordered=False).collect(),
+                want_u,
+            )
+
+        # LM Dirichlet
+        coll = sum(len(ts) for ts in toks.values())
+        ttf = Counter(t for ts in toks.values() for t in ts)
+        mu = rng.choice([500.0, 2000.0])
+        lm = {}
+        for d, ts in toks.items():
+            tf = Counter(ts)
+            s, hit = 0.0, False
+            for t in dict.fromkeys(q_terms):
+                if t in tf and t in ttf:
+                    hit = True
+                    pc = ttf[t] / coll
+                    s += max(0.0, math.log(1 + tf[t] / (mu * pc)) + math.log(mu / (len(ts) + mu)))
+            if hit:
+                lm[d] = s
+        want_lm = sorted(lm.items(), key=lambda x: (-x[1], x[0]))[:k]
+        expect_rank(
+            f"r{rnd}-lm",
+            lm_dirichlet_topk(spark, ix, q, k=k, mu=mu, cfg=cfg).collect(),
+            want_lm,
+        )
+
+    # msearch: one batch covering 10 random queries == 10 single runs
+    batch = {f"q{i}": " ".join(rng.sample(vocab, 2)) for i in range(10)}
+    multi = bm25_topk_multi(spark, ix, batch, k=10, cfg=cfg).collect()
+    by_qid: dict[str, list] = {}
+    for r in sorted(multi, key=lambda r: (r.qid, r.rank)):
+        by_qid.setdefault(r.qid, []).append((r.docid, r.score))
+    for qid, qq in batch.items():
+        checks += 1
+        want = score_query(oix, qq, k=10)
+        got = by_qid.get(qid, [])
+        if [d for d, _ in got] != [d for d, _ in want] or any(
+            not math.isclose(g, w, abs_tol=1e-9) for (_, g), (_, w) in zip(got, want)
+        ):
+            mismatches += 1
+            fails.append(f"msearch-{qid}")
+
+    # search_after: pages 1+2 concatenated == top-2k, no overlap/gap
+    q = " ".join(rng.sample(vocab, 3))
+    p1 = bm25_topk(spark, ix, q, k=10, cfg=cfg, mode="pruned").collect()
+    cur = (float(p1[-1].score), int(p1[-1].docid))
+    p2 = bm25_topk(spark, ix, q, k=10, cfg=cfg, mode="pruned", after=cur).collect()
+    checks += 1
+    want = score_query(oix, q, k=20)
+    got = [(r.docid, r.score) for r in [*p1, *p2]]
+    if [d for d, _ in got] != [d for d, _ in want]:
+        mismatches += 1
+        fails.append("search_after")
+
+    print(
+        json.dumps(
+            {
+                "checks": checks,
+                "mismatches": mismatches,
+                "turns": args.turns,
+                "docs": len(docs),
+                "rounds": args.rounds,
+                "fails": fails[:5],
+            }
+        )
+    )
+    return 0 if mismatches == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
