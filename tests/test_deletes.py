@@ -173,3 +173,36 @@ def test_incremental_rebuild_clears_stale_deletes(spark, tmp_path_factory):
     assert left == {d2.docid}  # d1 resurrected, d2 still masked
     hits = {r.docid for r in bm25_topk(spark, d, "w0 w1 w2 w3", k=10_000, cfg=TEST_CFG).collect()}
     assert d2.docid not in hits
+
+
+def test_purge_on_compact_positional_index(spark, tiny_transcripts, tmp_path_factory):
+    """Purge must survive the positional layout: pos_blobs re-encode from
+    the surviving postings and phrase queries stay correct afterwards."""
+    from mysql_es_spark.operators.query import phrase_topk
+
+    cfg = IndexConfig(
+        n_buckets=4, wave_size=2, salt_docs=256, term_buckets=8, block_size=64,
+        with_positions=True,
+    )
+    d = str(tmp_path_factory.mktemp("posdel") / "ix")
+    shutil.rmtree(d, ignore_errors=True)
+    build_index(spark, tiny_transcripts, d, cfg)
+    rows = spark.read.parquet(f"{d}/forward").select("docid", "text").collect()
+    n = delete_by_query(spark, d, "w9", cfg=cfg)
+    assert n > 0
+    dst = str(tmp_path_factory.mktemp("posdel_c") / "ix")
+    stats = compact_index(spark, d, dst)
+    assert stats["docs_purged"] == n
+
+    deleted = {r.docid for r in rows if "w9" in set(tokenize_text(r.text))}
+    hits = {r.docid for r in phrase_topk(spark, dst, "w0 w1", k=10_000, cfg=cfg).collect()}
+    want = {
+        r.docid
+        for r in rows
+        if r.docid not in deleted
+        and any(
+            tokenize_text(r.text)[i : i + 2] == ["w0", "w1"]
+            for i in range(len(tokenize_text(r.text)) - 1)
+        )
+    }
+    assert hits == want
