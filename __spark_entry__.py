@@ -1129,6 +1129,23 @@ def q_bm25_explain(spark, sf):
     )
 
 
+def q_bm25_collapse(spark, sf):
+    """ES collapse: top-5 hits with at most one per language (role) —
+    groups ranked by their best-scoring doc."""
+    from mysql_es_spark.operators.query import bm25_collapse_topk
+
+    ix = _index_for_documents(spark, sf)
+    out = bm25_collapse_topk(
+        spark, ix, " ".join(BM25_Q1), "role", k=5, cfg=_docs_index_cfg(), order_round=4
+    )
+    fwd = spark.read.parquet(f"{ix}/forward").select("docid", "conv_id")
+    return out.join(fwd, "docid", "inner").select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.col("role").alias("lang"),
+    )
+
+
 def q_term_vectors(spark, sf):
     """ES _termvectors for doc 42: (term, tf, positions) straight from
     the positional index — salt-pruned block decode, no re-tokenize."""
@@ -1447,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonyms": q_bm25_synonyms,
         "bm25_span_near": q_bm25_span_near,
         "term_vectors": q_term_vectors,
+        "bm25_collapse": q_bm25_collapse,
         "doc_minhash_lsh_pairs": q_minhash,
         # --- ANN / multimodal (rows-only by design) ---
         "emb_ann_lsh_topk": q_ann,
@@ -1965,6 +1983,33 @@ SELECT tf.term, tf.tf, dl.dl, dfreq.df,
              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6) AS contrib
 FROM tf JOIN top1 USING (doc_id) JOIN dfreq USING (term) JOIN dl USING (doc_id)
 CROSS JOIN stats
+""",
+        "bm25_collapse": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+winners AS (
+  SELECT s.doc_id, round(s.s, 4) AS score, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY round(s.s, 4) DESC, s.doc_id ASC) AS rk
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, score, lang FROM winners WHERE rk = 1
+ORDER BY score DESC, doc_id ASC LIMIT 5
 """,
         "term_vectors": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents WHERE doc_id = 42),

@@ -100,6 +100,13 @@ def cmd_compact(args) -> dict:
     return stats
 
 
+def cmd_stats(args) -> dict:
+    from .operators.query import index_stats
+
+    spark = _session(args)
+    return index_stats(spark, args.index_dir)
+
+
 def cmd_reindex(args) -> dict:
     from .plans.deletes import reindex
 
@@ -278,6 +285,10 @@ def main(argv: list[str] | None = None) -> int:
         help="carry soft deletes along instead of physically purging them",
     )
     c.set_defaults(fn=cmd_compact)
+
+    st = sub.add_parser("stats", help="index observability: docs/terms/deletes/bytes")
+    st.add_argument("--index-dir", required=True)
+    st.set_defaults(fn=cmd_stats)
 
     r = sub.add_parser("reindex", help="build a new index from the matching live subset")
     r.add_argument("--index-dir", required=True, help="source index")

@@ -1464,6 +1464,87 @@ def _decode_tf_dl(blocks: DataFrame) -> DataFrame:
     )
 
 
+def bm25_collapse_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    collapse_field: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    order_round: int | None = None,
+) -> DataFrame:
+    """ES ``collapse``: the top-k hits with at most ONE hit per value of
+    ``collapse_field`` (dedupe-by-group in ranked order — "best turn per
+    conversation/source"). Exactly ES semantics: collapsing happens on
+    the final sort, the per-group winner is the group's best-scoring doc,
+    and groups are ranked by their winner's score.
+
+    Plan: score the matched docs once, join the column-pruned forward
+    scan for the collapse key, keep rank-1 per key with a window (one
+    shuffle on the key, per-partition top-1 — no driver state), then the
+    global top-k of the winners. ``order_round`` ranks on the rounded
+    score for cross-engine determinism. Returns (docid, score, <field>).
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    terms = query_terms(query)
+    stats = corpus_stats(spark, index_dir)
+    schema = f"docid long, score double, {collapse_field} string"
+    if not terms:
+        return tbl.local_rows_df(spark, [], schema)
+    idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return tbl.local_rows_df(spark, [], schema)
+    blocks = _matching_blocks(spark, index_dir, terms, buckets)
+    scored = _decode_scores(
+        blocks, idf, cfg, stats["avgdl"], deleted_docids(spark, index_dir)
+    )
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", collapse_field)
+    key = F.round("score", order_round) if order_round is not None else F.col("score")
+    w = Window.partitionBy(collapse_field).orderBy(key.desc(), F.col("docid").asc())
+    return (
+        scored.join(fwd, "docid", "inner")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .select("docid", "score", collapse_field)
+        .orderBy(key.desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
+def index_stats(spark: SparkSession, index_dir: str) -> dict:
+    """ES ``_stats`` / ``_cat/indices``: one observability dict per index —
+    doc/term/block counts, live vs deleted docs, waves, per-table bytes.
+    Metadata-only where possible (corpus_stats/term_dict footers, lineage
+    rows, directory sizes); the only data scan is the tiny deletes table."""
+    import os as _os
+
+    stats = corpus_stats(spark, index_dir)
+    out = {
+        "n_docs": stats["n_docs"],
+        "sum_dl": stats["sum_dl"],
+        "avgdl": round(stats["avgdl"], 4),
+    }
+    dels = deleted_docids(spark, index_dir)
+    out["n_deleted"] = int(dels.count()) if dels is not None else 0
+    out["n_live"] = out["n_docs"] - out["n_deleted"]
+    out["n_terms"] = int(spark.read.parquet(tbl.p(index_dir, "term_dict")).count())
+    lineage = spark.read.parquet(tbl.p(index_dir, "lineage")).collect()
+    out["waves"] = len({int(r["wave"]) for r in lineage})
+    out["n_blocks"] = int(sum(int(r["n_blocks"] or 0) for r in lineage))
+    for table in ("postings", "forward", "doc_lens", "term_dict"):
+        total = 0
+        for root, _dirs, files in _os.walk(tbl.p(index_dir, table)):
+            total += sum(
+                _os.path.getsize(_os.path.join(root, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        out[f"{table}_bytes"] = total
+    return out
+
+
 def term_vectors(
     spark: SparkSession,
     index_dir: str,
@@ -1744,7 +1825,9 @@ def rescore_topk(
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )
-    return _with_keys(spark, index_dir, scored) if with_keys else scored
+    # the window ids are already driver-side — push them into the forward
+    # fetch so row-group stats prune the key lookup (superset of winners)
+    return _with_keys(spark, index_dir, scored, docids=cand) if with_keys else scored
 
 
 def gauss_decay(ts_col: str, origin: str, scale_days: float, decay: float = 0.5):

@@ -93,7 +93,11 @@ def delete_by_query(
     and/or ``doc_filter`` (a SQL predicate over the forward columns).
     Both given = AND of the two (the ES request body's query+filter).
     Returns the number of newly deleted docs; already-deleted docs are
-    not re-recorded (idempotent re-runs append nothing)."""
+    not re-recorded (idempotent re-runs append nothing).
+
+    Scope: one index directory. A date-routed layout (plans/date_routed)
+    is a family of per-period indexes — delete per period, exactly like
+    ES deletes address one concrete index behind an alias."""
     if not query and doc_filter is None:
         raise ValueError("delete_by_query needs a query and/or a doc_filter")
     cfg = effective_config(spark, index_dir, cfg)

@@ -229,3 +229,18 @@ def test_cli_reindex(spark, tmp_path, capsys):
                      "--mode", "phrase", "-k", "3"]) == 0
     hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["hits"]
     assert isinstance(hits, list)
+
+
+def test_cli_stats(spark, tmp_path, capsys):
+    corpus_dir = str(tmp_path / "corpus4")
+    ix = str(tmp_path / "ix4")
+    common = ["--n-buckets", "4", "--wave-size", "2", "--salt-docs", "256"]
+    assert cli_main(["gen", "--out", corpus_dir, "--turns", "400", "--seed", "5"]) == 0
+    capsys.readouterr()
+    assert cli_main([*common, "build", "--input", f"{corpus_dir}/transcripts",
+                     "--index-dir", ix]) == 0
+    capsys.readouterr()
+    assert cli_main(["stats", "--index-dir", ix]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_docs"] > 0 and st["n_terms"] > 0 and st["postings_bytes"] > 0
+    assert st["n_deleted"] == 0 and st["n_live"] == st["n_docs"]
