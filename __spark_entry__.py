@@ -1213,6 +1213,26 @@ def q_bm25_synonyms(spark, sf):
     )
 
 
+def q_bm25_query_string(spark, sf):
+    """ES query_string: 'spark AND (join OR merge) -batch' — an arbitrary
+    boolean tree over analyzed terms, evaluated in one postings pass
+    (matched-term set per doc + positive-occurrence BM25 sum)."""
+    from mysql_es_spark.operators.query import query_string_topk
+
+    ix = _index_for_documents(spark, sf)
+    top = query_string_topk(
+        spark, ix, "spark AND (join OR merge) -batch", k=60, cfg=_docs_index_cfg(),
+        with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 def q_bm25_rescore(spark, sf):
     """ES rescore: the BM25 top-40 window re-ranked by a match_phrase
     rescorer ('row scan', weight 2, score_mode=total); positions are
@@ -1413,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop": q_phrase_slop,
         "bm25_filtered": q_bm25_filtered,
         "match_aggs_by_lang": q_match_aggs,
+        "bm25_query_string": q_bm25_query_string,
         "bm25_rescore": q_bm25_rescore,
         "bm25_function_score": q_bm25_function_score,
         "bm25_msearch": q_bm25_msearch,
@@ -1434,7 +1455,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_runlength_groups": q_a2,
         "sessionize": q_sessionize,
         # --- documents / training-data pipeline ---
-        "doc_lang_id": q_lang,
         "doc_quality": q_quality,
         "doc_fingerprint": q_fp,
         "doc_gopher_quality": q_gopher,
@@ -1455,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only designs, and extras locally oracle-checked ---
         "doc_dedup_clusters": q_dedup_clusters,
         "doc_token_count": q_tok_count,
+        "doc_lang_id": q_lang,
         # --- direct-scoring baselines (r01-green) ---
         "bm25_direct": q_bm25_direct,
         "bm25_direct_q2": q_bm25_direct2,
@@ -2087,6 +2108,34 @@ contrib AS (
 ),
 best AS (SELECT clause, doc_id, max(w) AS w FROM contrib GROUP BY 1, 2),
 scores AS (SELECT doc_id, sum(w) AS s FROM best GROUP BY 1)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
+""",
+        "bm25_query_string": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+m AS (
+  SELECT doc_id FROM toks
+  WHERE list_contains(tl, 'spark')
+    AND (list_contains(tl, 'join') OR list_contains(tl, 'merge'))
+    AND NOT list_contains(tl, 'batch')
+),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'merge')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM m)
+  GROUP BY 1
+)
 SELECT doc_id, round(s, 4) AS score FROM scores
 ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
 """,

@@ -1464,6 +1464,66 @@ def _decode_tf_dl(blocks: DataFrame) -> DataFrame:
     )
 
 
+def query_string_topk(
+    spark: SparkSession,
+    index_dir: str,
+    qs: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    default_and: bool = False,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``query_string``: an arbitrary boolean expression over analyzed
+    terms — ``spark AND (join OR merge) -batch`` — compiled onto the
+    index in ONE pass (functions/querystring.py owns the grammar).
+
+    Evaluation, Lucene-style: a doc's candidate row exists iff it matches
+    at least one of the expression's terms; per doc the matched-term set
+    and the BM25 sum over *positive* occurrences (prohibited clauses
+    never score) come out of a single groupBy over the decoded postings;
+    the boolean tree then compiles to a JVM ``array_contains`` expression
+    over the matched set — whole-stage codegen, no per-row Python, no
+    second pass over the postings. Pure-negative queries are rejected at
+    parse time (they need match_all; use bm25_bool_topk's filter context).
+    """
+    from ..functions.querystring import ast_terms, ast_to_column, parse_query_string
+
+    ast = parse_query_string(qs, default_and=default_and)
+    pos_terms, neg_terms = ast_terms(ast)
+    all_terms = sorted(pos_terms | neg_terms)
+    cfg = effective_config(spark, index_dir, cfg)
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    idf, buckets = term_meta(spark, index_dir, all_terms, stats["n_docs"], cfg)
+    if not idf:
+        return empty
+    blocks = _matching_blocks(spark, index_dir, sorted(idf), buckets)
+    contribs = _decode_contribs(
+        blocks, idf, cfg, stats["avgdl"], clause_of={t: t for t in idf}
+    )
+    pos_lit = [t for t in sorted(pos_terms) if t in idf]
+    per_doc = contribs.groupBy("docid").agg(
+        F.collect_set("clause").alias("matched"),
+        F.sum(
+            F.when(F.col("clause").isin(pos_lit) if pos_lit else F.lit(False), F.col("contrib")).otherwise(0.0)
+        ).alias("score"),
+    )
+
+    def contains(t: str):
+        # a term absent from the corpus can never be in the matched set
+        return F.array_contains(F.col("matched"), t) if t in idf else F.lit(False)
+
+    scored = (
+        _mask_deleted(
+            per_doc.filter(ast_to_column(ast, contains)).select("docid", "score"),
+            deleted_docids(spark, index_dir),
+        )
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
 def bm25_collapse_topk(
     spark: SparkSession,
     index_dir: str,
