@@ -207,8 +207,19 @@ def cmd_query(args) -> dict:
         df = bm25_filtered_topk(spark, args.index_dir, args.query, args.filter, **common)
     elif args.mode == "phrase":
         df = phrase_topk(spark, args.index_dir, args.query, **common)
+    elif args.mode == "span":
+        df = phrase_topk(spark, args.index_dir, args.query, ordered=False,
+                         slop=args.slop, **common)
     elif args.mode == "conjunctive":
         df = bm25_topk_conjunctive(spark, args.index_dir, args.query, **common)
+    elif args.mode == "qs":
+        from .operators.query import query_string_topk
+
+        df = query_string_topk(spark, args.index_dir, args.query, **common)
+    elif args.mode == "lm":
+        from .operators.query import lm_dirichlet_topk
+
+        df = lm_dirichlet_topk(spark, args.index_dir, args.query, **common)
     else:
         df = bm25_topk(spark, args.index_dir, args.query, mode=args.mode, **common)
     rows = df.collect()
@@ -265,8 +276,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--query", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument(
-        "--mode", choices=["simple", "pruned", "conjunctive", "phrase"], default="pruned"
+        "--mode",
+        choices=["simple", "pruned", "conjunctive", "phrase", "span", "qs", "lm"],
+        default="pruned",
     )
+    q.add_argument("--slop", type=int, default=1, help="span/phrase proximity slop")
     q.add_argument("--with-keys", action="store_true")
     q.add_argument(
         "--filter",
