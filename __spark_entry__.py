@@ -1146,6 +1146,21 @@ def q_bm25_collapse(spark, sf):
     )
 
 
+def q_conv_topk(spark, sf):
+    """has_child score_mode=sum: conversation ranking by member-turn
+    scores (documents are single-turn convs here; the multi-turn case is
+    pytest-covered on the transcripts corpus)."""
+    from mysql_es_spark.operators.query import conv_topk
+
+    ix = _index_for_documents(spark, sf)
+    out = conv_topk(spark, ix, " ".join(BM25_Q1), k=20, score_mode="sum", cfg=_docs_index_cfg())
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.col("n_hits"),
+    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+
 def q_term_vectors(spark, sf):
     """ES _termvectors for doc 42: (term, tf, positions) straight from
     the positional index — salt-pruned block decode, no re-tokenize."""
@@ -1486,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_span_near": q_bm25_span_near,
         "term_vectors": q_term_vectors,
         "bm25_collapse": q_bm25_collapse,
+        "conv_rollup_topk": q_conv_topk,
         "doc_minhash_lsh_pairs": q_minhash,
         # --- ANN / multimodal (rows-only by design) ---
         "emb_ann_lsh_topk": q_ann,
@@ -2004,6 +2020,27 @@ SELECT tf.term, tf.tf, dl.dl, dfreq.df,
              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6) AS contrib
 FROM tf JOIN top1 USING (doc_id) JOIN dfreq USING (term) JOIN dl USING (doc_id)
 CROSS JOIN stats
+""",
+        "conv_rollup_topk": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score, CAST(1 AS BIGINT) AS n_hits FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
 """,
         "bm25_collapse": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),

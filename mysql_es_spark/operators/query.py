@@ -1573,6 +1573,57 @@ def bm25_collapse_topk(
     )
 
 
+def conv_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    score_mode: str = "max",
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Parent-level ranking — ES ``has_child`` with ``score_mode``: rank
+    conversations by their turns' BM25 scores (max | sum | avg | min,
+    plus n_hits = matching turns). The reference nests child rows into
+    parent ES docs (its relations subsystem) to answer exactly this
+    "which conversation contains the best matching turn" question;
+    flat-indexed turns + one groupBy(conv_id) give the same answer
+    without denormalizing.
+
+    Plan: the standard masked disjunctive scoring, one join to the
+    column-pruned forward scan for conv_id, one map-side-combining hash
+    agg on conv_id, TakeOrdered(k). Returns (conv_id, score, n_hits)."""
+    if score_mode not in ("max", "sum", "avg", "min"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    cfg = effective_config(spark, index_dir, cfg)
+    terms = query_terms(query)
+    stats = corpus_stats(spark, index_dir)
+    schema = "conv_id string, score double, n_hits long"
+    if not terms:
+        return tbl.local_rows_df(spark, [], schema)
+    idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return tbl.local_rows_df(spark, [], schema)
+    blocks = _matching_blocks(spark, index_dir, terms, buckets)
+    scored = _decode_scores(
+        blocks, idf, cfg, stats["avgdl"], deleted_docids(spark, index_dir)
+    )
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", "conv_id")
+    agg = {
+        "max": F.max("score"),
+        "sum": F.sum("score"),
+        "avg": F.avg("score"),
+        "min": F.min("score"),
+    }[score_mode]
+    return (
+        scored.join(fwd, "docid", "inner")
+        .groupBy("conv_id")
+        .agg(agg.alias("score"), F.count(F.lit(1)).alias("n_hits"))
+        .orderBy(F.col("score").desc(), F.col("conv_id").asc())
+        .limit(k)
+    )
+
+
 def index_stats(spark: SparkSession, index_dir: str) -> dict:
     """ES ``_stats`` / ``_cat/indices``: one observability dict per index —
     doc/term/block counts, live vs deleted docs, waves, per-table bytes.
