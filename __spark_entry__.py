@@ -1387,8 +1387,14 @@ def q_winnow(spark, sf):
 
 
 def q_minhash(spark, sf):
+    """base_hash='md5' (DuckDB md5_number_upper) + inlined permutation
+    constants make the complete MinHash-LSH pipeline — shingle hash,
+    64 universal-hash mins, 16-way banding, candidate join, exact-verify
+    — reproducible in ANSI SQL, upgrading this from rows-only to a full
+    tri-match."""
     return dedup.minhash_lsh_pairs(
-        _t(spark, sf, "documents"), n=2, num_perm=64, bands=16, threshold=0.15
+        _t(spark, sf, "documents"), n=2, num_perm=64, bands=16, threshold=0.15,
+        base_hash="md5",
     )
 
 
@@ -1554,6 +1560,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _STOP_EN = "'the','a','of','and','to','in','is','that','it','for'"
 _STOP_ES = "'el','la','de','y','que','en','un','una','los','las'"
 _STOP_FR = "'le','la','de','et','que','en','un','une','les','des'"
+
+
+
+def _minhash_sql() -> str:
+    """The DuckDB equivalent of q_minhash: same md5 base hash, the same
+    64 (a, b) permutation constants inlined, wrap-mod-2^64 arithmetic via
+    HUGEINT, band keys joined on the literal 4-value slices."""
+    from mysql_es_spark.operators.dedup import _perm_params
+
+    a, b = _perm_params(64, 42)
+    perm_rows = ",".join(f"({j},{int(a[j])},{int(b[j])})" for j in range(64))
+    return f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, u.s AS shingle
+       FROM t, unnest([list_aggregate(toks[i:i+1], 'string_agg', ' ')
+                       FOR i IN range(1, len(toks))]) AS u(s)
+       WHERE len(toks) >= 2),
+perms(j, a, b) AS (VALUES {perm_rows}),
+hv AS (SELECT doc_id, shingle, md5_number_upper(shingle) AS h FROM sh),
+sig AS (
+  SELECT hv.doc_id, p.j,
+         min(CAST((((CAST(p.a AS HUGEINT) * CAST(hv.h AS HUGEINT))
+               % 18446744073709551616 + p.b) % 18446744073709551616)
+               % 2305843009213693951 AS BIGINT)) AS v
+  FROM hv CROSS JOIN perms p GROUP BY 1, 2
+),
+sigl AS (SELECT doc_id, list(v ORDER BY j) AS l FROM sig GROUP BY 1),
+banded AS (
+  SELECT doc_id, bb.b AS band_idx,
+         array_to_string(l[4 * bb.b + 1 : 4 * bb.b + 4], ',') AS key
+  FROM sigl, unnest(range(0, 16)) AS bb(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, round(i.n / (za.sz + zb.sz - i.n), 4) AS jaccard
+FROM inter i JOIN sizes za ON za.doc_id = i.id_a
+             JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE round(i.n / (za.sz + zb.sz - i.n), 4) >= 0.15
+"""
+
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1932,6 +1988,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
             WHERE round(i * 1.0 / (za.sz + zb.sz - i), 4) >= 0.15
         """,
+        "doc_minhash_lsh_pairs": _minhash_sql(),
         "doc_winnow_overlap": f"""
             WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
             g AS (SELECT doc_id,

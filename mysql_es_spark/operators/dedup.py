@@ -148,23 +148,32 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingles_df: DataFrame | None = None,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig array<long>) — MinHash over the doc's shingle set.
 
     Base shingle hash is JVM xxhash64 (stable, no Python in the explode);
-    the num_perm universal-hash mins are one numpy reduction per group.
-    ``shingles_df`` (from :func:`shingles`) lets a pipeline that needs the
-    shingle set elsewhere (e.g. the exact-verify stage) compute it once."""
+    ``base_hash="md5"`` computes first-8-bytes-little-endian md5 in the
+    signature kernel instead — equal to DuckDB ``md5_number_upper``, so
+    the whole LSH pipeline becomes reproducible in ANSI SQL (the same
+    trade the simhash/winnowing operators offer). The num_perm
+    universal-hash mins are one numpy reduction per group. ``shingles_df``
+    (from :func:`shingles`) lets a pipeline that needs the shingle set
+    elsewhere (e.g. the exact-verify stage) compute it once."""
     a, b = _perm_params(num_perm, seed)
+    use_md5 = base_hash == "md5"
     base = shingles_df if shingles_df is not None else shingles(df, n, id_col, text_col)
-    sh = base.withColumn("h", F.xxhash64("shingle"))
+    sh = base if use_md5 else base.withColumn("h", F.xxhash64("shingle"))
 
     def to_sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            h = pdf["h"].to_numpy().astype(np.uint64)
+            if use_md5:
+                h = _md5_hash_array(pdf["shingle"].to_numpy(dtype=object))
+            else:
+                h = pdf["h"].to_numpy().astype(np.uint64)
             # (num_perm, n_shingles) universal hashes mod Mersenne prime,
             # then a segment-min per doc (ids are sorted within the batch)
             vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
@@ -205,6 +214,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, verified with exact Jaccard.
 
@@ -218,7 +228,9 @@ def minhash_lsh_pairs(
     # nodes, not computed results, across the two subtrees). Reclaimed by
     # the ContextCleaner when the returned frame is GC'd.
     sh = shingles(df, n, id_col, text_col).persist()
-    sig = minhash_signatures(df, n, num_perm, seed, id_col, text_col, shingles_df=sh)
+    sig = minhash_signatures(
+        df, n, num_perm, seed, id_col, text_col, shingles_df=sh, base_hash=base_hash
+    )
     banded = sig.select(
         F.col(id_col),
         F.explode(
