@@ -1488,10 +1488,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_prefix_search": q_prefix_search,
         "doc_phrase_search": q_phrase_search,
         "doc_hash_split": q_hash_split,
-        "doc_dedup_exact": q_dedup_exact,
         "doc_ngram_jaccard_pairs": q_jaccard,
+        "doc_minhash_lsh_pairs": q_minhash,
         "doc_winnow_overlap": q_winnow,
         "doc_simhash_near_dups": q_simhash,
+        "doc_dedup_exact": q_dedup_exact,
         # --- below the driver gate's 50-entry window: r01-green entries,
         # rows-only designs, and extras locally oracle-checked ---
         "doc_dedup_clusters": q_dedup_clusters,
@@ -1508,7 +1509,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": q_term_vectors,
         "bm25_collapse": q_bm25_collapse,
         "conv_rollup_topk": q_conv_topk,
-        "doc_minhash_lsh_pairs": q_minhash,
         # --- ANN / multimodal (rows-only by design) ---
         "emb_ann_lsh_topk": q_ann,
         "emb_ann_ivf_topk": q_ivf,
