@@ -48,8 +48,24 @@ INDEX_META_SCHEMA = (
 )
 
 
+# an index directory may be an ALIAS: a dir holding only a pointer file
+# whose content is the real index path (ES alias analog — compaction and
+# reindex write a NEW directory, then the alias swaps atomically and
+# readers follow it on their next call; see plans/alias.py)
+ALIAS_FILE = "_ALIAS"
+
+
+def resolve(index_dir: str) -> str:
+    """Follow one level of alias indirection (non-chaining by contract)."""
+    f = os.path.join(index_dir, ALIAS_FILE)
+    if os.path.isfile(f):
+        with open(f) as fh:
+            return fh.read().strip()
+    return index_dir
+
+
 def p(index_dir: str, *parts: str) -> str:
-    return os.path.join(index_dir, *parts)
+    return os.path.join(resolve(index_dir), *parts)
 
 
 def local_rows_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:

@@ -1,0 +1,49 @@
+"""Index aliases: pointer resolution, atomic swap, cache invalidation."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_es_spark.config import IndexConfig
+from mysql_es_spark.operators.query import bm25_topk, index_stats
+from mysql_es_spark.plans.alias import get_alias, set_alias
+from mysql_es_spark.plans.build import build_index
+from mysql_es_spark.plans.deletes import reindex
+from tests.conftest import TEST_CFG
+
+
+def test_alias_swap(spark, tiny_transcripts, tmp_path_factory):
+    base = tmp_path_factory.mktemp("aliases")
+    ix_a = str(base / "ix_v1")
+    alias = str(base / "live")
+    build_index(spark, tiny_transcripts, ix_a, TEST_CFG)
+
+    set_alias(alias, ix_a)
+    assert get_alias(alias) is not None
+    full = bm25_topk(spark, alias, "w0 w3", k=5, cfg=TEST_CFG).collect()
+    direct = bm25_topk(spark, ix_a, "w0 w3", k=5, cfg=TEST_CFG).collect()
+    assert [(r.docid, r.score) for r in full] == [(r.docid, r.score) for r in direct]
+    n_v1 = index_stats(spark, alias)["n_docs"]
+
+    # build-aside (reindex to the docs containing w0 only), then swap
+    ix_b = str(base / "ix_v2")
+    reindex(spark, ix_a, ix_b, query="w0")
+    set_alias(alias, ix_b)
+    n_v2 = index_stats(spark, alias)["n_docs"]
+    assert 0 < n_v2 < n_v1  # the swap is visible (stats cache invalidated)
+    swapped = bm25_topk(spark, alias, "w0 w3", k=5, cfg=TEST_CFG).collect()
+    want = bm25_topk(spark, ix_b, "w0 w3", k=5, cfg=TEST_CFG).collect()
+    assert [(r.docid, r.score) for r in swapped] == [(r.docid, r.score) for r in want]
+
+
+def test_alias_validation(spark, tiny_transcripts, tmp_path_factory):
+    base = tmp_path_factory.mktemp("aliases2")
+    ix = str(base / "ix")
+    build_index(spark, tiny_transcripts, ix, TEST_CFG)
+    alias = str(base / "live")
+    set_alias(alias, ix)
+    with pytest.raises(ValueError):
+        set_alias(str(base / "other"), alias)  # no chains
+    with pytest.raises(ValueError):
+        set_alias(str(base / "x"), str(base / "does_not_exist"))
+    assert get_alias(ix) is None  # a real index is not an alias
