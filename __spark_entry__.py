@@ -814,6 +814,41 @@ def q_bm25_date_routed(spark, sf):
     )
 
 
+def q_bm25_date_routed_dfs(spark, sf):
+    """dfs_query_then_fetch over the routed layout: a metadata-only first
+    pass sums df/N/dl across the in-range periods, every period scores
+    with the GLOBAL stats — rank-identical to one monolithic index over
+    the date range."""
+    from mysql_es_spark.plans.date_routed import bm25_topk_routed_dfs
+
+    root = _routed_index_for_documents(spark, sf)
+    top = bm25_topk_routed_dfs(
+        spark, root, " ".join(BM25_Q1), k=25,
+        start="2026-01-03", end="2026-01-07", cfg=ROUTED_CFG,
+    )
+    fwd_parts = []
+    from mysql_es_spark.plans.date_routed import _period_dir, select_periods
+
+    for p in select_periods(root, "2026-01-03", "2026-01-07"):
+        fwd_parts.append(
+            spark.read.parquet(f"{_period_dir(root, p)}/forward")
+            .select(F.lit(p).alias("period"), "docid", "conv_id")
+        )
+    fwd = fwd_parts[0]
+    for f_ in fwd_parts[1:]:
+        fwd = fwd.unionByName(f_)
+    return (
+        top.join(fwd, ["period", "docid"], "inner")
+        .select(
+            "period",
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
 def q_bool_query(spark, sf):
     """ES bool DSL over the index: must=spark, should 1-of-3 scorers,
     must_not=batch excluded in filter context (Query.java DSL analog)."""
@@ -1448,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-2 features ---
         "bm25_ngram_phrase_via_index": q_ngram_phrase_via_index,
         "bm25_date_routed": q_bm25_date_routed,
+        "bm25_date_routed_dfs": q_bm25_date_routed_dfs,
         "bm25_bool_query": q_bool_query,
         "bm25_fuzzy_query": q_fuzzy_query,
         "bm25_wildcard_query": q_wildcard_query,
@@ -1488,13 +1524,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_prefix_search": q_prefix_search,
         "doc_phrase_search": q_phrase_search,
         "doc_hash_split": q_hash_split,
-        "doc_ngram_jaccard_pairs": q_jaccard,
         "doc_minhash_lsh_pairs": q_minhash,
         "doc_winnow_overlap": q_winnow,
         "doc_simhash_near_dups": q_simhash,
         "doc_dedup_exact": q_dedup_exact,
         # --- below the driver gate's 50-entry window: r01-green entries,
         # rows-only designs, and extras locally oracle-checked ---
+        "doc_ngram_jaccard_pairs": q_jaccard,
         "doc_dedup_clusters": q_dedup_clusters,
         "doc_token_count": q_tok_count,
         "doc_lang_id": q_lang,
@@ -2204,6 +2240,33 @@ best AS (SELECT clause, doc_id, max(w) AS w FROM contrib GROUP BY 1, 2),
 scores AS (SELECT doc_id, sum(w) AS s FROM best GROUP BY 1)
 SELECT doc_id, round(s, 4) AS score FROM scores
 ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
+""",
+        "bm25_date_routed_dfs": f"""
+WITH d AS (
+  SELECT doc_id,
+         strftime(DATE '2026-01-01' + (doc_id % 10)::INT, '%Y-%m-%d') AS period,
+         {TOK} AS tl
+  FROM documents
+  WHERE (doc_id % 10) BETWEEN 2 AND 6
+),
+dl AS (SELECT doc_id, period, len(tl) AS dl FROM d),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT d.doc_id, d.period, u.term, count(*) AS tf
+  FROM d, unnest(d.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id, tf.period,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT period, doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 25
 """,
         "bm25_query_string": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),

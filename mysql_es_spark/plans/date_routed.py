@@ -144,6 +144,84 @@ def bm25_topk_routed(
     return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
 
+def bm25_topk_routed_dfs(
+    spark: SparkSession,
+    root: str,
+    query: str,
+    k: int = 10,
+    start: str | None = None,
+    end: str | None = None,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``dfs_query_then_fetch`` over the routed layout: a first
+    metadata-only pass gathers GLOBAL statistics across the in-range
+    periods — Σ df per term (one pruned term_dict read per period), Σ
+    n_docs / Σ dl (cached corpus_stats rows) — then every period scores
+    with those global idf/avgdl. Result: rank-identical to one monolithic
+    index over the same date range, while keeping the routed layout's
+    build/retention/pruning wins. (ES pays the same extra round-trip for
+    the same exactness; the dfs pass here is O(periods) driver-side tiny
+    reads, no data scan.) Output: (period, docid, score); ties break
+    (score desc, period asc, docid asc) — docids are only unique per
+    period."""
+    import numpy as np
+
+    from ..operators.query import (
+        _decode_scores,
+        _matching_blocks,
+        corpus_stats,
+        deleted_docids,
+        effective_config,
+        query_terms,
+        term_buckets_of,
+    )
+
+    terms = query_terms(query)
+    chosen = select_periods(root, start, end)
+    empty = tbl.local_rows_df(spark, [], "period string, docid long, score double")
+    if not chosen or not terms:
+        return empty
+
+    # dfs pass: global N, avgdl, df(term)
+    n_docs = 0
+    sum_dl = 0
+    df_of: dict[str, int] = {}
+    for p in chosen:
+        d = _period_dir(root, p)
+        st = corpus_stats(spark, d)
+        n_docs += st["n_docs"]
+        sum_dl += st["sum_dl"]
+        for r in (
+            spark.read.parquet(tbl.p(d, "term_dict"))
+            .filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        ):
+            df_of[r["term"]] = df_of.get(r["term"], 0) + int(r["df"])
+    if not df_of or not n_docs:
+        return empty
+    avgdl = sum_dl / n_docs
+    idf = {
+        t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))) for t, d in df_of.items()
+    }
+    live = sorted(idf)
+
+    parts = []
+    for p in chosen:
+        d = _period_dir(root, p)
+        pcfg = effective_config(spark, d, cfg)
+        buckets = sorted(set(term_buckets_of(spark, live, pcfg.term_buckets).values()))
+        blocks = _matching_blocks(spark, d, live, buckets)
+        scored = _decode_scores(blocks, idf, pcfg, avgdl, deleted_docids(spark, d))
+        parts.append(scored.select(F.lit(p).alias("period"), "docid", "score"))
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out.orderBy(
+        F.desc("score"), F.asc("period"), F.asc("docid")
+    ).limit(k)
+
+
 def drop_periods_before(root: str, cutoff: str) -> list[str]:
     """Retention: delete every period strictly before ``cutoff``. The
     routed layout makes this a directory delete — no index rewrite, the

@@ -129,3 +129,46 @@ def test_retention_drop(spark, routed_root):
     assert [(r.docid, round(r.score, 9)) for r in after] == [
         (r.docid, round(r.score, 9)) for r in before
     ]
+
+
+def test_dfs_mode_rank_identical_to_monolithic(spark, routed_root):
+    """dfs_query_then_fetch over periods == one index over the same docs:
+    global df/avgdl make scores identical to the NumPy oracle on the
+    union corpus, unlike the per-period default."""
+    import math
+
+    from mysql_es_spark.oracle import build_oracle_index, score_query
+    from mysql_es_spark.plans.date_routed import (
+        _period_dir,
+        bm25_topk_routed_dfs,
+    )
+
+    keyed = {}
+    for p in list_periods(routed_root):
+        for r in (
+            spark.read.parquet(f"{_period_dir(routed_root, p)}/forward")
+            .select("docid", "text")
+            .collect()
+        ):
+            keyed[(p, r.docid)] = r.text
+    uid_of = {pd_: i for i, pd_ in enumerate(sorted(keyed))}
+    inv = {i: pd_ for pd_, i in uid_of.items()}
+    oix = build_oracle_index([(uid_of[pd_], t) for pd_, t in keyed.items()])
+    want_raw = score_query(oix, QUERY, k=len(keyed))
+    got = bm25_topk_routed_dfs(spark, routed_root, QUERY, k=12, cfg=TEST_CFG).collect()
+    for r, (_, ws) in zip(got, want_raw[:12]):
+        assert math.isclose(r.score, ws, abs_tol=1e-9)
+    # the doc sets agree (uid tiebreak order may differ within equal scores)
+    assert {(r.period, r.docid) for r in got} == {inv[d] for d, _ in want_raw[:12]}
+
+
+def test_dfs_respects_date_bounds(spark, routed_root):
+    from mysql_es_spark.plans.date_routed import bm25_topk_routed_dfs
+
+    got = bm25_topk_routed_dfs(
+        spark, routed_root, QUERY, k=50, start="2026-01-02", end="2026-01-02", cfg=TEST_CFG
+    ).collect()
+    assert got and {r.period for r in got} == {"2026-01-02"}
+    assert bm25_topk_routed_dfs(
+        spark, routed_root, "zzznope", k=5, cfg=TEST_CFG
+    ).count() == 0
