@@ -127,6 +127,27 @@ def _compacted_index_for_documents(spark: SparkSession, sf_dir: str) -> str:
     return dst
 
 
+MF_BOOSTS = {"text": 1.0, "tool": 2.0}  # tool column carries `source`
+
+
+def _multi_field_index_for_documents(spark: SparkSession, sf_dir: str) -> str:
+    """Per-field sub-indexes (Lucene: one inverted index per field) over
+    documents: `text` plus `source` (riding in the tool column), with
+    persisted query-time boosts."""
+    from mysql_es_spark.plans.multi_field import build_multi_field
+
+    root, marker = _ixcache_dir(sf_dir, "-mf")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        docs = _documents_as_transcripts(_t(spark, sf_dir, "documents"))
+        build_multi_field(spark, docs, root, MF_BOOSTS, _docs_index_cfg())
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
 ROUTED_CFG = IndexConfig(n_buckets=2, wave_size=2, salt_docs=1 << 20, term_buckets=4)
 
 
@@ -785,6 +806,49 @@ def q_ngram_phrase_via_index(spark, sf):
         top.select(
             F.col("conv_id").cast("long").alias("doc_id"),
             F.col("n_hits").cast("long").alias("n_hits"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(40)
+    )
+
+
+def q_multi_match(spark, sf):
+    """ES multi_match best_fields (tie_breaker=0.3) over per-field
+    sub-indexes: 'spark' lives in the text field, 'src3' only in the
+    source field (boost 2.0) — each field scored with its own stats."""
+    from mysql_es_spark.plans.multi_field import field_dir, multi_match_topk
+
+    root = _multi_field_index_for_documents(spark, sf)
+    top = multi_match_topk(
+        spark, root, "spark src3", k=60, mtype="best_fields", tie_breaker=0.3,
+        cfg=_docs_index_cfg(),
+    )
+    fwd = spark.read.parquet(f"{field_dir(root, 'text')}/forward").select(
+        "docid", F.col("conv_id").cast("long").alias("doc_id")
+    )
+    return (
+        top.join(fwd, "docid")
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(40)
+    )
+
+
+def q_phrase_prefix(spark, sf):
+    """ES match_phrase_prefix: 'row s' = exact token 'row' immediately
+    followed by any dictionary expansion of 's' (df-desc cutoff at 4);
+    per-doc score = exact-phrase BM25 of the best expansion."""
+    from mysql_es_spark.operators.query import phrase_prefix_topk
+
+    ix = _index_for_documents(spark, sf, positions=True)
+    top = phrase_prefix_topk(
+        spark, ix, "row s", k=60, cfg=_docs_index_cfg(True), max_expansions=4,
+        with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
             F.round("score", 4).alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -1482,6 +1546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups": q_emb_near_dups,
         # --- round-2 features ---
         "bm25_ngram_phrase_via_index": q_ngram_phrase_via_index,
+        "bm25_multi_match": q_multi_match,
+        "bm25_phrase_prefix": q_phrase_prefix,
         "bm25_date_routed": q_bm25_date_routed,
         "bm25_date_routed_dfs": q_bm25_date_routed_dfs,
         "bm25_bool_query": q_bool_query,
@@ -2874,6 +2940,84 @@ scores AS (
 SELECT h.doc_id, h.n_hits::BIGINT AS n_hits, round(s.s, 4) AS score
 FROM hits h JOIN scores s USING (doc_id)
 ORDER BY round(s.s, 4) DESC, h.doc_id ASC LIMIT 40
+""",
+        # multi_match best_fields (tie_breaker=0.3): each field scored with
+        # its OWN stats (df/avgdl/N over that field's corpus), boost 2.0 on
+        # source; combined = max + 0.3*(sum-max) per doc
+        "bm25_multi_match": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'src3')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+ftext AS (
+  SELECT tf.doc_id,
+         1.0 * sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS fs
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+stoks AS (SELECT doc_id,
+          regexp_extract_all(lower(strip_accents(source)), '[0-9a-z]+') AS tl
+          FROM documents),
+sdl AS (SELECT doc_id, len(tl) AS dl FROM stoks),
+sstats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM sdl),
+stf AS (
+  SELECT stoks.doc_id, u.term, count(*) AS tf
+  FROM stoks, unnest(stoks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'src3')
+  GROUP BY 1, 2
+),
+sdfreq AS (SELECT term, count(*) AS df FROM stf GROUP BY 1),
+fsrc AS (
+  SELECT stf.doc_id,
+         2.0 * sum( ln(1 + (sstats.n - sdfreq.df + 0.5) / (sdfreq.df + 0.5))
+              * stf.tf / (stf.tf + 1.2 * (0.25 + 0.75 * sdl.dl / sstats.avgdl)) ) AS fs
+  FROM stf JOIN sdfreq USING (term) JOIN sdl USING (doc_id) CROSS JOIN sstats
+  GROUP BY 1
+),
+allf AS (SELECT * FROM ftext UNION ALL SELECT * FROM fsrc),
+comb AS (SELECT doc_id, max(fs) + 0.3 * (sum(fs) - max(fs)) AS s
+         FROM allf GROUP BY 1)
+SELECT doc_id, round(s, 4) AS score FROM comb
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 40
+""",
+        # match_phrase_prefix: 'row' adjacent-followed by any of the 4
+        # highest-df 's%' dictionary terms; score = phrase BM25 with the
+        # expansion as last term, max over matching expansions
+        "bm25_phrase_prefix": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+tokp AS (SELECT toks.doc_id, r.i AS pos, toks.tl[r.i] AS term
+         FROM toks, unnest(range(1, len(toks.tl) + 1)) AS r(i)),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+vocab AS (SELECT u.term, count(DISTINCT toks.doc_id) AS df
+          FROM toks, unnest(toks.tl) AS u(term) GROUP BY 1),
+exp AS (SELECT term FROM vocab WHERE term LIKE 's%'
+        ORDER BY df DESC, term ASC LIMIT 4),
+hit AS (SELECT DISTINCT a.doc_id, b.term AS eterm
+        FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN exp ON b.term = exp.term
+        WHERE a.term = 'row'),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokp
+       WHERE term = 'row' OR term IN (SELECT term FROM exp)
+       GROUP BY 1, 2),
+alldf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+c AS (SELECT tf.doc_id, tf.term,
+        ln(1 + (stats.n - alldf.df + 0.5) / (alldf.df + 0.5))
+          * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS c
+      FROM tf JOIN alldf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+es AS (SELECT hit.doc_id, cr.c + ce.c AS s
+       FROM hit
+       JOIN c cr ON cr.doc_id = hit.doc_id AND cr.term = 'row'
+       JOIN c ce ON ce.doc_id = hit.doc_id AND ce.term = hit.eterm)
+SELECT doc_id, round(max(s), 4) AS score FROM es GROUP BY 1
+ORDER BY round(max(s), 4) DESC, doc_id ASC LIMIT 40
 """,
         # per-period corpus statistics (ES query_then_fetch): n/avgdl/df
         # all computed within each day's sub-index, merged top-k after

@@ -1355,6 +1355,200 @@ def phrase_topk(
 
 # ---------------------------------------------------------------------------
 # Index-free declarative BM25 (DuckDB-oracle-checkable form)
+def phrase_prefix_topk(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    max_expansions: int = 50,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``match_phrase_prefix``: the final query token is a PREFIX —
+    "row sc" matches docs where "row" is immediately followed by any
+    dictionary term starting with "sc" (search-as-you-type phrase
+    completion without an edge-ngram index). Requires positions.
+
+    Plan — ONE matching job for every expansion (not a phrase query per
+    expansion):
+    1. expand the prefix from the term dictionary (StartsWith pushdown,
+       row-group-pruned range scan), df-desc / term-asc cutoff at
+       ``max_expansions`` — the same expansion-ranking convention as
+       :func:`prefix_topk` / :func:`wildcard_topk`;
+    2. conjunctive salt pruning: a docid range survives iff every fixed
+       phrase term has a block there AND at least one expansion does
+       (metadata-only agg, no payload reads);
+    3. shuffle surviving block rows by salt; per salt decode each fixed
+       term ONCE, then chain the fixed phrase and intersect its
+       end-positions+1 against each expansion's occurrence keys —
+       expansions reuse the fixed chain instead of re-matching it;
+    4. per-doc score = exact-phrase BM25 with the expansion as last term
+       (each expansion with its own idf), MAX over matching expansions
+       (best-expansion, the repo's multi-term convention); a salt is a
+       disjoint docid range so the per-salt max IS the global per-doc max.
+
+    Output: (docid, score, n_hits) — n_hits = phrase occurrences of the
+    best-scoring expansion.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    seq = tokenize_text(phrase)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double, n_hits long")
+    if not seq:
+        return empty
+    fixed, prefix = seq[:-1], seq[-1]
+    uniq_fixed = list(dict.fromkeys(fixed))
+    stats = corpus_stats(spark, index_dir)
+    n_docs = stats["n_docs"]
+
+    exp_rows = (
+        spark.read.parquet(tbl.p(index_dir, "term_dict"))
+        .filter(F.col("term").startswith(prefix))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+        .collect()
+    )
+    exp_idf = {
+        r["term"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+        for r in exp_rows
+    }
+    if not exp_idf:
+        return empty
+    if uniq_fixed:
+        fixed_idf, _ = term_meta(spark, index_dir, uniq_fixed, n_docs, cfg)
+        if len(fixed_idf) < len(uniq_fixed):
+            return empty
+    else:
+        fixed_idf = {}
+
+    all_terms = list(dict.fromkeys(list(fixed_idf) + list(exp_idf)))
+    bucket_of = term_buckets_of(spark, all_terms, cfg.term_buckets)
+    blocks = _matching_blocks(spark, index_dir, all_terms, sorted(set(bucket_of.values())))
+    if "pos_blob" not in blocks.columns:
+        raise ValueError("phrase_prefix_topk needs an index built with with_positions=True")
+
+    # salt pruning: all fixed terms present AND >=1 expansion present
+    # a term can be BOTH a fixed phrase term and an expansion ("w0 w" with
+    # expansion w0) — classify by membership, not by exclusion
+    is_exp = F.col("term").isin(list(exp_idf))
+    is_fixed = F.col("term").isin(uniq_fixed) if uniq_fixed else F.lit(False)
+    live_salts = (
+        blocks.select("term", "salt")
+        .groupBy("salt")
+        .agg(
+            F.count_distinct(F.when(is_fixed, F.col("term"))).alias("nf"),
+            F.max(F.when(is_exp, F.lit(1)).otherwise(F.lit(0))).alias("ne"),
+        )
+        .filter((F.col("nf") == len(uniq_fixed)) & (F.col("ne") == 1))
+        .select("salt")
+    )
+    if n_docs // max(1, cfg.salt_docs) + 1 <= cfg.max_driver_salts:
+        live_salts = F.broadcast(live_salts)
+    surv = (
+        blocks.join(live_salts, "salt")
+        .select("salt", "term", "n", "blob", "pos_blob")
+        .repartition("salt")
+        .sortWithinPartitions("salt", "term", "start_docid")
+    )
+
+    k1, b = cfg.k1, cfg.b
+    avgdl, salt_docs = stats["avgdl"], cfg.salt_docs
+    fixed_l, idf_f, idf_e = list(fixed), dict(fixed_idf), dict(exp_idf)
+
+    def match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        out = []
+        for salt, grp in pdf.groupby("salt", sort=False):
+            per_term: dict[str, tuple] = {}
+            for term, tg in grp.groupby("term", sort=False):
+                ids_l, tfs_l, dls_l, pos_l = [], [], [], []
+                for n, blob, pblob in zip(tg["n"], tg["blob"], tg["pos_blob"]):
+                    ids, tfs, dls = decode_block(blob, int(n))
+                    pos = decode_positions(pblob, tfs)
+                    ids_l.append(ids)
+                    tfs_l.append(tfs)
+                    dls_l.append(dls)
+                    pos_l.append(pos)
+                per_term[term] = (
+                    np.concatenate(ids_l),
+                    np.concatenate(tfs_l),
+                    np.concatenate(dls_l),
+                    np.concatenate(pos_l),
+                )
+            fixed_here = [t for t in dict.fromkeys(fixed_l) if t in per_term]
+            if len(fixed_here) < len(dict.fromkeys(fixed_l)):
+                continue
+            max_pos = max(int(p.max()) if len(p) else 0 for _, _, _, p in per_term.values())
+            shift = np.int64(max_pos + 3 + len(fixed_l))
+            keys = {}
+            for t, (ids, tfs, _dls, pos) in per_term.items():
+                rep = np.repeat(ids - np.int64(int(salt) * salt_docs), tfs)
+                keys[t] = rep * shift + pos
+            # chain the fixed phrase once; expansions extend its end+1
+            if fixed_l:
+                cur = keys[fixed_l[0]]
+                for t in fixed_l[1:]:
+                    if not len(cur):
+                        break
+                    cur = np.intersect1d(cur + 1, keys[t], assume_unique=True)
+                if not len(cur):
+                    continue
+                chain_next = cur + 1
+            else:
+                chain_next = None  # single-token phrase: any occurrence
+
+            def contrib(t: str, idf_v: float, docs: np.ndarray) -> np.ndarray:
+                ids, tfs, dls, _pos = per_term[t]
+                idx = np.searchsorted(ids, docs)
+                tf = tfs[idx].astype(np.float64)
+                dl = dls[idx].astype(np.float64)
+                return idf_v * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+            best: dict[int, tuple[float, int]] = {}
+            for e in sorted(idf_e):
+                if e not in keys:
+                    continue
+                hit_keys = (
+                    keys[e]
+                    if chain_next is None
+                    else np.intersect1d(chain_next, keys[e], assume_unique=True)
+                )
+                if not len(hit_keys):
+                    continue
+                local_docs, hits = np.unique(hit_keys // shift, return_counts=True)
+                docs = local_docs + np.int64(int(salt) * salt_docs)
+                score = contrib(e, idf_e[e], docs)
+                for t in fixed_here:
+                    if t != e:  # a term is scored once (uniq-term BM25)
+                        score += contrib(t, idf_f[t], docs)
+                for d, s, h in zip(docs, score, hits):
+                    d = int(d)
+                    if d not in best or s > best[d][0]:
+                        best[d] = (float(s), int(h))
+            if best:
+                items = sorted(best.items())
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "docid": [d for d, _ in items],
+                            "score": [sv[0] for _, sv in items],
+                            "n_hits": [sv[1] for _, sv in items],
+                        }
+                    )
+                )
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    matched = _mask_deleted(
+        surv.mapInPandas(match, schema="docid long, score double, n_hits long"),
+        deleted_docids(spark, index_dir),
+    )
+    scored = matched.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
 def explain_score(
     spark: SparkSession,
     index_dir: str,

@@ -1,0 +1,143 @@
+"""Multi-field index + ES ``multi_match`` query.
+
+Lucene keeps one inverted index PER FIELD inside a segment — each field
+has its own term dictionary, postings and length norms — and ES
+``multi_match`` scores the query against several fields and combines the
+per-field scores per document (``best_fields`` = dis-max with an optional
+``tie_breaker``; ``most_fields`` = sum). The reference syncs every mapped
+column of a table into such per-field indexes (etc/template.json declares
+several analyzed fields; Writer.java:106-144 bulk docs carry all of them)
+and its users query them with multi_match.
+
+Spark-first realization: a field is a full self-describing sub-index under
+``root/field=<name>`` built by the ordinary wave builder. Because docids
+are a pure function of (conv_id, turn_idx) (operators/docids.py — static
+bucket ranges + deterministic in-bucket row_number), every sub-index
+assigns the SAME docid to the same row: cross-field combination is an
+equi-union on docid with no identity join. Per-field BM25 statistics
+(df, avgdl, N) come from the field's own sub-index, exactly like Lucene's
+per-field norms/term stats.
+
+Scale: each per-field scoring pass is the standard pruned/disjunctive
+postings path (partition-pruned metadata reads, postings-bounded work);
+the combine is one hash agg on docid over matched docs only. Nothing is
+ever driver-materialized.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from ..operators.query import (
+    _decode_scores,
+    _matching_blocks,
+    corpus_stats,
+    deleted_docids,
+    effective_config,
+    query_terms,
+    term_meta,
+)
+from ..sources import tables as tbl
+from .build import build_index
+
+FIELDS_META_SCHEMA = "field string, boost double"
+
+
+def field_dir(root: str, name: str) -> str:
+    return tbl.p(root, f"field={name}")
+
+
+def build_multi_field(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    fields: dict[str, float],
+    cfg: IndexConfig | None = None,
+    resume: bool = False,
+) -> dict:
+    """Build one sub-index per analyzed field (``fields`` maps column name
+    → query-time boost). Every sub-index is an ordinary resumable wave
+    build over ``df`` with the field's column as the analyzed text; the
+    boosts are persisted in a ``fields_meta`` table so queries are
+    self-describing (the same contract as index_meta).
+    """
+    if not fields:
+        raise ValueError("fields must name at least one column")
+    cfg = cfg or IndexConfig()
+    out: dict = {}
+    for name in fields:
+        fdf = df if name == "text" else df.withColumn("text", F.col(name).cast("string"))
+        out[name] = build_index(spark, fdf, field_dir(root, name), cfg, resume=resume)
+    tbl.local_rows_df(
+        spark, [(n, float(b)) for n, b in fields.items()], FIELDS_META_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(tbl.p(root, "fields_meta"))
+    return out
+
+
+def stored_fields(spark: SparkSession, root: str) -> dict[str, float]:
+    rows = spark.read.parquet(tbl.p(root, "fields_meta")).collect()
+    return {r["field"]: float(r["boost"]) for r in rows}
+
+
+def _field_scores(
+    spark: SparkSession, ix: str, query: str, cfg: IndexConfig | None
+) -> DataFrame | None:
+    """All matching docs' disjunctive BM25 scores for ONE field's
+    sub-index (no top-k cut: combination needs every field's score for a
+    doc, so truncating per field before the combine would be wrong)."""
+    cfgx = effective_config(spark, ix, cfg)
+    terms = query_terms(query)
+    if not terms:
+        return None
+    stats = corpus_stats(spark, ix)
+    idf, buckets = term_meta(spark, ix, terms, stats["n_docs"], cfgx)
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return None
+    blocks = _matching_blocks(spark, ix, terms, buckets)
+    return _decode_scores(blocks, idf, cfgx, stats["avgdl"], deleted_docids(spark, ix))
+
+
+def multi_match_topk(
+    spark: SparkSession,
+    root: str,
+    query: str,
+    k: int = 10,
+    mtype: str = "best_fields",
+    tie_breaker: float = 0.0,
+    fields: dict[str, float] | None = None,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``multi_match`` over a multi-field index.
+
+    ``best_fields``: score = max(field scores) + tie_breaker · (sum − max)
+    (ES dis_max; tie_breaker=1.0 degenerates to most_fields).
+    ``most_fields``: score = sum(field scores). Each field score is the
+    field's own-statistics BM25 disjunctive score times its boost.
+    Returns (docid, score) in (score desc, docid asc) order, limit k.
+    """
+    if mtype not in ("best_fields", "most_fields"):
+        raise ValueError(f"unknown multi_match type {mtype!r}")
+    fields = fields or stored_fields(spark, root)
+    per = []
+    for name, boost in fields.items():
+        s = _field_scores(spark, field_dir(root, name), query, cfg)
+        if s is not None:
+            per.append(s.select("docid", (F.col("score") * F.lit(float(boost))).alias("fs")))
+    if not per:
+        return tbl.local_rows_df(spark, [], "docid long, score double")
+    u = reduce(DataFrame.unionByName, per)
+    agg = u.groupBy("docid").agg(F.max("fs").alias("mx"), F.sum("fs").alias("sm"))
+    if mtype == "most_fields":
+        score = F.col("sm")
+    else:
+        score = F.col("mx") + F.lit(float(tie_breaker)) * (F.col("sm") - F.col("mx"))
+    return (
+        agg.select("docid", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )

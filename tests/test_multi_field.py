@@ -1,0 +1,100 @@
+"""Multi-field index + multi_match vs a per-field Python oracle.
+
+ES semantics under test (multi_match over per-field Lucene indexes,
+etc/template.json declares several analyzed fields per type):
+- each field scored with its OWN statistics (df, avgdl, N);
+- best_fields = max + tie_breaker * (sum - max); most_fields = sum;
+- boosts multiply the field score before combination;
+- sub-indexes agree on docids by construction (deterministic assignment).
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+
+import pytest
+
+from mysql_es_spark.oracle import build_oracle_index, score_query
+from mysql_es_spark.plans.multi_field import (
+    build_multi_field,
+    multi_match_topk,
+    stored_fields,
+)
+from tests.conftest import TEST_CFG
+
+Q = "w3 sql"
+BOOSTS = {"text": 1.0, "tool": 2.0}
+
+
+@pytest.fixture(scope="module")
+def mf_root(spark, tiny_transcripts, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mf") / "root")
+    shutil.rmtree(d, ignore_errors=True)
+    build_multi_field(spark, tiny_transcripts, d, BOOSTS, TEST_CFG)
+    return d
+
+
+@pytest.fixture(scope="module")
+def field_scores(spark, mf_root):
+    """Python-oracle per-field full score maps keyed by docid."""
+    out = {}
+    for name in BOOSTS:
+        rows = (
+            spark.read.parquet(f"{mf_root}/field={name}/forward")
+            .select("docid", "text")
+            .collect()
+        )
+        oix = build_oracle_index([(r.docid, r.text) for r in rows])
+        out[name] = dict(score_query(oix, Q, k=len(rows)))
+    return out
+
+
+def _combine(field_scores, mtype, tie_breaker, k):
+    docids = set()
+    for m in field_scores.values():
+        docids |= set(m)
+    out = []
+    for d in docids:
+        ss = [BOOSTS[f] * m[d] for f, m in field_scores.items() if d in m]
+        if mtype == "most_fields":
+            v = sum(ss)
+        else:
+            v = max(ss) + tie_breaker * (sum(ss) - max(ss))
+        out.append((d, v))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize(
+    "mtype,tie", [("best_fields", 0.0), ("best_fields", 0.3), ("most_fields", 0.0)]
+)
+def test_multi_match_matches_oracle(spark, mf_root, field_scores, mtype, tie):
+    want = _combine(field_scores, mtype, tie, 15)
+    got = multi_match_topk(
+        spark, mf_root, Q, k=15, mtype=mtype, tie_breaker=tie, cfg=TEST_CFG
+    ).collect()
+    assert [r.docid for r in got] == [d for d, _ in want], mtype
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r.score, s, abs_tol=1e-9)
+
+
+def test_both_fields_contribute(field_scores):
+    # the query genuinely exercises both fields: 'w3' only matches text,
+    # 'sql' only matches tool turns — and some docs match in both fields
+    text_only = set(field_scores["text"])
+    tool_only = set(field_scores["tool"])
+    assert text_only and tool_only
+    assert text_only & tool_only, "need docs matching in both fields"
+
+
+def test_stored_boosts_roundtrip(spark, mf_root):
+    assert stored_fields(spark, mf_root) == BOOSTS
+
+
+def test_validation(spark, mf_root):
+    with pytest.raises(ValueError):
+        multi_match_topk(spark, mf_root, Q, mtype="cross_fields", cfg=TEST_CFG)
+    with pytest.raises(ValueError):
+        build_multi_field(spark, None, mf_root, {}, TEST_CFG)
+    assert multi_match_topk(spark, mf_root, "", cfg=TEST_CFG).count() == 0
