@@ -1584,8 +1584,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_pii_scrub,
         "doc_pack_sequences": q_pack,
         "doc_contamination": q_contamination,
-        "doc_term_freq_top20": q_term_freq,
-        "doc_bpe_token_estimate": q_bpe_tokens,
         "t1_edge_ngram_tokens": q_t1_edge_ngram,
         "doc_prefix_search": q_prefix_search,
         "doc_phrase_search": q_phrase_search,
@@ -1598,6 +1596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only designs, and extras locally oracle-checked ---
         "doc_ngram_jaccard_pairs": q_jaccard,
         "doc_dedup_clusters": q_dedup_clusters,
+        "doc_term_freq_top20": q_term_freq,
+        "doc_bpe_token_estimate": q_bpe_tokens,
         "doc_token_count": q_tok_count,
         "doc_lang_id": q_lang,
         # --- direct-scoring baselines (r01-green) ---
