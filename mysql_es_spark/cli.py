@@ -107,6 +107,16 @@ def cmd_stats(args) -> dict:
     return index_stats(spark, args.index_dir)
 
 
+def cmd_snapshot(args) -> dict:
+    from .plans.snapshot import create_snapshot, list_snapshots, restore_snapshot
+
+    if args.snap_action == "create":
+        return create_snapshot(args.index_dir, args.repo, args.name)
+    if args.snap_action == "restore":
+        return restore_snapshot(args.repo, args.name, args.index_dir)
+    return {"snapshots": list_snapshots(args.repo)}
+
+
 def cmd_reindex(args) -> dict:
     from .plans.deletes import reindex
 
@@ -343,6 +353,16 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--interval", type=int, default=20, help="histogram bucket width")
     a.add_argument("--size", type=int, default=10)
     a.set_defaults(fn=cmd_aggs)
+
+    sn = sub.add_parser("snapshot", help="incremental snapshot repo (ES _snapshot)")
+    sn.add_argument("snap_action", choices=["create", "restore", "list"])
+    sn.add_argument("--repo", required=True, help="snapshot repository directory")
+    sn.add_argument("--name", default=None, help="snapshot name (create/restore)")
+    sn.add_argument(
+        "--index-dir", default=None,
+        help="index to snapshot (create) or restore target (restore)",
+    )
+    sn.set_defaults(fn=cmd_snapshot)
 
     args = ap.parse_args(argv)
     print(json.dumps(args.fn(args), default=str))

@@ -1,0 +1,126 @@
+"""Snapshot / restore — ES ``_snapshot`` repositories, for this layout.
+
+ES snapshots an index into a repository *incrementally*: segment files
+are content-addressed blobs, and a new snapshot re-uploads only files
+not already present, so daily snapshots of a slowly-changing index cost
+only the delta (the reference deployment relies on this for its ES
+cluster's backups). This module is the same contract for the parquet
+index tree:
+
+    repo/
+      blobs/<md5 of content>          one blob per unique file content
+      snapshots/<name>.json           manifest: relpath -> (blob, size)
+
+``create_snapshot`` walks the index directory, hashes each file, copies
+only blobs the repo lacks, then writes the manifest ATOMICALLY LAST
+(tmp + os.replace) — a crashed snapshot leaves unreferenced blobs, never
+a manifest pointing at missing data (the same commit-after-data ordering
+as the build's lineage). ``restore_snapshot`` materializes the tree into
+a fresh directory; queries over the restored index are byte-identical.
+
+Scale note: on a real deployment the blob pool is an object store and
+the per-file copy is a distributed PUT keyed by etag (what ES does);
+driver-side file I/O here is the local-FS stand-in for that — snapshot
+is operational tooling, never on the query or build data path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+
+def _file_md5(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _manifest_path(repo_dir: str, name: str) -> str:
+    return os.path.join(repo_dir, "snapshots", f"{name}.json")
+
+
+def create_snapshot(index_dir: str, repo_dir: str, name: str) -> dict:
+    """Snapshot ``index_dir`` into ``repo_dir`` as ``name``.
+
+    Returns {files, bytes, blobs_added} — ``blobs_added`` is the
+    incremental cost: 0 for a re-snapshot of an unchanged index.
+    """
+    if not os.path.isdir(index_dir):
+        raise ValueError(f"no such index: {index_dir}")
+    if os.path.exists(_manifest_path(repo_dir, name)):
+        raise ValueError(f"snapshot {name!r} already exists in {repo_dir}")
+    blob_dir = os.path.join(repo_dir, "blobs")
+    os.makedirs(blob_dir, exist_ok=True)
+    os.makedirs(os.path.join(repo_dir, "snapshots"), exist_ok=True)
+
+    manifest: dict[str, dict] = {}
+    n_bytes = added = 0
+    for root, _dirs, files in os.walk(index_dir):
+        for fn in files:
+            src = os.path.join(root, fn)
+            rel = os.path.relpath(src, index_dir)
+            digest = _file_md5(src)
+            blob = os.path.join(blob_dir, digest)
+            if not os.path.exists(blob):
+                # copy-then-rename so a crash never leaves a short blob
+                tmp = blob + ".tmp"
+                shutil.copyfile(src, tmp)
+                os.replace(tmp, blob)
+                added += 1
+            size = os.path.getsize(src)
+            n_bytes += size
+            manifest[rel] = {"blob": digest, "size": size}
+
+    tmp = _manifest_path(repo_dir, name) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "files": manifest}, f)
+    os.replace(tmp, _manifest_path(repo_dir, name))
+    return {"files": len(manifest), "bytes": n_bytes, "blobs_added": added}
+
+
+def list_snapshots(repo_dir: str) -> list[dict]:
+    snap_dir = os.path.join(repo_dir, "snapshots")
+    if not os.path.isdir(snap_dir):
+        return []
+    out = []
+    for fn in sorted(os.listdir(snap_dir)):
+        if not fn.endswith(".json"):
+            continue
+        with open(os.path.join(snap_dir, fn)) as f:
+            m = json.load(f)
+        out.append(
+            {
+                "name": m["name"],
+                "files": len(m["files"]),
+                "bytes": sum(v["size"] for v in m["files"].values()),
+            }
+        )
+    return out
+
+
+def restore_snapshot(repo_dir: str, name: str, dest_dir: str) -> dict:
+    """Materialize snapshot ``name`` into ``dest_dir`` (must not exist —
+    restore-aside + alias swap is the zero-downtime path, plans/alias.py)."""
+    mp = _manifest_path(repo_dir, name)
+    if not os.path.exists(mp):
+        raise ValueError(f"no snapshot {name!r} in {repo_dir}")
+    if os.path.exists(dest_dir):
+        raise ValueError(f"restore target already exists: {dest_dir}")
+    with open(mp) as f:
+        m = json.load(f)
+    blob_dir = os.path.join(repo_dir, "blobs")
+    n_bytes = 0
+    for rel, info in m["files"].items():
+        blob = os.path.join(blob_dir, info["blob"])
+        if not os.path.exists(blob):
+            raise ValueError(f"snapshot {name!r} is corrupt: missing blob for {rel}")
+        dst = os.path.join(dest_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(blob, dst)
+        n_bytes += info["size"]
+    return {"files": len(m["files"]), "bytes": n_bytes}

@@ -244,3 +244,26 @@ def test_cli_stats(spark, tmp_path, capsys):
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st["n_docs"] > 0 and st["n_terms"] > 0 and st["postings_bytes"] > 0
     assert st["n_deleted"] == 0 and st["n_live"] == st["n_docs"]
+
+
+def test_cli_snapshot_restore(spark, built_index, tmp_path, capsys):
+    repo = str(tmp_path / "repo")
+    dest = str(tmp_path / "restored")
+
+    assert cli_main(["snapshot", "create", "--repo", repo, "--name", "s1",
+                     "--index-dir", built_index]) == 0
+    created = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert created["files"] > 0 and created["blobs_added"] > 0
+
+    assert cli_main(["snapshot", "list", "--repo", repo]) == 0
+    listed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [s["name"] for s in listed["snapshots"]] == ["s1"]
+
+    assert cli_main(["snapshot", "restore", "--repo", repo, "--name", "s1",
+                     "--index-dir", dest]) == 0
+    restored = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert restored["files"] == created["files"]
+
+    assert cli_main(["query", "--index-dir", dest, "--query", "w0 w3", "-k", "3"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(hits["hits"]) == 3

@@ -1,0 +1,80 @@
+"""Snapshot/restore: byte-identical query results, incremental blobs."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from mysql_es_spark.operators.query import bm25_topk, invalidate_stats_cache
+from mysql_es_spark.plans.deletes import delete_by_query
+from mysql_es_spark.plans.snapshot import (
+    create_snapshot,
+    list_snapshots,
+    restore_snapshot,
+)
+from tests.conftest import TEST_CFG
+
+Q = "w0 w3"
+
+
+def _top(spark, ix, k=10):
+    return [(r.docid, r.score) for r in bm25_topk(spark, ix, Q, k=k, cfg=TEST_CFG).collect()]
+
+
+def test_snapshot_restore_roundtrip(spark, built_index, tmp_path):
+    repo = str(tmp_path / "repo")
+    want = _top(spark, built_index)
+
+    m = create_snapshot(built_index, repo, "s1")
+    # blobs_added < files is fine: identical contents (_SUCCESS markers,
+    # equal footers) content-address to one blob even within a snapshot
+    assert m["files"] > 0 and 0 < m["blobs_added"] <= m["files"]
+
+    # re-snapshot of an unchanged index costs zero new blobs
+    m2 = create_snapshot(built_index, repo, "s2")
+    assert m2["blobs_added"] == 0 and m2["files"] == m["files"]
+    assert [s["name"] for s in list_snapshots(repo)] == ["s1", "s2"]
+
+    dest = str(tmp_path / "restored")
+    r = restore_snapshot(repo, "s1", dest)
+    assert r["files"] == m["files"] and r["bytes"] == m["bytes"]
+    assert _top(spark, dest) == want
+
+
+def test_snapshot_incremental_after_change(spark, built_index, tmp_path):
+    """Soft-deleting adds a small deletes table; the next snapshot copies
+    only the delta, and restoring the OLD snapshot resurrects pre-delete
+    results (point-in-time recovery)."""
+    ix = str(tmp_path / "ix")
+    shutil.copytree(built_index, ix)
+    repo = str(tmp_path / "repo")
+    before = _top(spark, ix)
+
+    m1 = create_snapshot(ix, repo, "pre")
+    delete_by_query(spark, ix, "w3", cfg=TEST_CFG)
+    invalidate_stats_cache(ix)
+    after = _top(spark, ix)
+    assert after != before
+
+    m2 = create_snapshot(ix, repo, "post")
+    assert 0 < m2["blobs_added"] < m1["files"], "delta snapshot re-copied everything"
+
+    dest = str(tmp_path / "pit")
+    restore_snapshot(repo, "pre", dest)
+    assert _top(spark, dest) == before
+
+
+def test_snapshot_validation(tmp_path, built_index):
+    repo = str(tmp_path / "repo")
+    with pytest.raises(ValueError):
+        create_snapshot(str(tmp_path / "nope"), repo, "x")
+    create_snapshot(built_index, repo, "dup")
+    with pytest.raises(ValueError):
+        create_snapshot(built_index, repo, "dup")
+    with pytest.raises(ValueError):
+        restore_snapshot(repo, "missing", str(tmp_path / "d"))
+    with pytest.raises(ValueError):
+        restore_snapshot(repo, "dup", built_index)  # target exists
+    assert list_snapshots(str(tmp_path / "empty")) == []
