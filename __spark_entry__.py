@@ -930,6 +930,35 @@ def q_bool_query(spark, sf):
     )
 
 
+def q_boosting(spark, sf):
+    """ES boosting query: rank by 'spark join' BM25, docs containing
+    'slow' demoted to 0.4x their score (soft must_not — demote, never
+    exclude)."""
+    from mysql_es_spark.operators.query import boosting_topk
+
+    ix = _index_for_documents(spark, sf)
+    top = boosting_topk(
+        spark, ix, "spark join", "slow", negative_boost=0.4, k=60,
+        cfg=_docs_index_cfg(), with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(40)
+    )
+
+
+def q_lm_quality(spark, sf):
+    """Corpus unigram-LM quality score per doc (CCNet-style LM filtering,
+    degenerate 1-gram): avg ln p(token) under the corpus distribution."""
+    docs = _t(spark, sf, "documents")
+    return textstats.lm_quality(docs).select(
+        "doc_id", "n_tokens", F.round("avg_logprob", 4).alias("avg_logprob")
+    )
+
+
 def q_fuzzy_query(spark, sf):
     """Typo-tolerant search: 'qury' expands against the term dictionary
     within 1 Levenshtein edit; best-expansion BM25 per doc."""
@@ -1548,6 +1577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_ngram_phrase_via_index": q_ngram_phrase_via_index,
         "bm25_multi_match": q_multi_match,
         "bm25_phrase_prefix": q_phrase_prefix,
+        "bm25_boosting": q_boosting,
+        "doc_lm_quality": q_lm_quality,
         "bm25_date_routed": q_bm25_date_routed,
         "bm25_date_routed_dfs": q_bm25_date_routed_dfs,
         "bm25_bool_query": q_bool_query,
@@ -1578,8 +1609,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_runlength_groups": q_a2,
         "sessionize": q_sessionize,
         # --- documents / training-data pipeline ---
-        "doc_quality": q_quality,
-        "doc_fingerprint": q_fp,
         "doc_gopher_quality": q_gopher,
         "doc_pii_scrub": q_pii_scrub,
         "doc_pack_sequences": q_pack,
@@ -1596,6 +1625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only designs, and extras locally oracle-checked ---
         "doc_ngram_jaccard_pairs": q_jaccard,
         "doc_dedup_clusters": q_dedup_clusters,
+        "doc_quality": q_quality,
+        "doc_fingerprint": q_fp,
         "doc_term_freq_top20": q_term_freq,
         "doc_bpe_token_estimate": q_bpe_tokens,
         "doc_token_count": q_tok_count,
@@ -2986,6 +3017,51 @@ comb AS (SELECT doc_id, max(fs) + 0.3 * (sum(fs) - max(fs)) AS s
          FROM allf GROUP BY 1)
 SELECT doc_id, round(s, 4) AS score FROM comb
 ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 40
+""",
+        # boosting query: 'spark join' disjunctive BM25; docs containing
+        # 'slow' demoted to 0.4x (ES demote-not-exclude semantics)
+        "bm25_boosting": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+neg AS (SELECT DISTINCT toks.doc_id FROM toks, unnest(toks.tl) AS u(term)
+        WHERE u.term = 'slow')
+SELECT doc_id,
+       round(CASE WHEN doc_id IN (SELECT doc_id FROM neg)
+                  THEN s * 0.4 ELSE s END, 4) AS score
+FROM scores
+ORDER BY score DESC, doc_id ASC LIMIT 40
+""",
+        # corpus unigram-LM quality: avg ln p(token) with p = ttf/total;
+        # avg(ln ttf) - ln(total) keeps the only join on the vocab table
+        "doc_lm_quality": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+tokp AS (SELECT toks.doc_id, u.term FROM toks, unnest(toks.tl) AS u(term)),
+vocab AS (SELECT term, count(*) AS ttf FROM tokp GROUP BY 1),
+tot AS (SELECT sum(ttf) AS t FROM vocab),
+per AS (
+  SELECT tokp.doc_id, count(*) AS n_tokens,
+         avg(ln(vocab.ttf)) - ln(max(tot.t)) AS lp
+  FROM tokp JOIN vocab USING (term) CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(per.lp, 4) AS avg_logprob
+FROM documents d LEFT JOIN per USING (doc_id)
 """,
         # match_phrase_prefix: 'row' adjacent-followed by any of the 4
         # highest-df 's%' dictionary terms; score = phrase BM25 with the

@@ -920,6 +920,62 @@ def bm25_bool_topk(
     return _with_keys(spark, index_dir, scored) if with_keys else scored
 
 
+def boosting_topk(
+    spark: SparkSession,
+    index_dir: str,
+    positive: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``boosting`` query: rank by the positive clause's BM25 score,
+    but DEMOTE (not exclude) docs matching the negative clause by
+    multiplying their score by ``negative_boost`` (ES semantics — a
+    softer must_not). Query.java forwards this DSL verbatim to ES.
+
+    Scale shape: the positive side is the standard disjunctive decode;
+    the negative side is a presence-only docid decode (no scoring math,
+    blobs of its terms only) LEFT-joined to flag demotion — both sides
+    postings-bounded, the join shuffles matched docs only.
+    """
+    if not 0.0 <= negative_boost <= 1.0:
+        raise ValueError("negative_boost must be in [0, 1]")
+    cfg = effective_config(spark, index_dir, cfg)
+    terms_p = query_terms(positive)
+    terms_n = query_terms(negative)
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    if not terms_p:
+        return empty
+    idf, buckets = term_meta(spark, index_dir, terms_p, stats["n_docs"], cfg)
+    terms_p = [t for t in terms_p if t in idf]
+    if not terms_p:
+        return empty
+    blocks = _matching_blocks(spark, index_dir, terms_p, buckets)
+    scored = _decode_scores(
+        blocks, idf, cfg, stats["avgdl"], deleted_docids(spark, index_dir)
+    )
+    if terms_n:
+        idf_n, buckets_n = term_meta(spark, index_dir, terms_n, stats["n_docs"], cfg)
+        if idf_n:
+            neg = _decode_docids(
+                _matching_blocks(spark, index_dir, list(idf_n), buckets_n)
+            ).withColumn("_neg", F.lit(1))
+            scored = scored.join(neg, "docid", "left").select(
+                "docid",
+                F.when(
+                    F.col("_neg").isNotNull(),
+                    F.col("score") * F.lit(float(negative_boost)),
+                )
+                .otherwise(F.col("score"))
+                .alias("score"),
+            )
+    scored = scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
 def prefix_topk(
     spark: SparkSession,
     index_dir: str,

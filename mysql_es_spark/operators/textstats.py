@@ -256,3 +256,48 @@ def prefix_search(
         t.select(F.col(id_col), hits.cast("long").alias("n_hits"))
         .filter(F.col("n_hits") > 0)
     )
+
+
+def lm_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, avg_logprob) — corpus unigram-LM quality score.
+
+    CCNet-style LM filtering with the degenerate 1-gram model: for each
+    doc, the mean over its tokens of ln p(t) where p(t) = corpus total
+    term frequency / corpus token count. Rare-vocabulary docs score far
+    negative; boilerplate scores near the corpus mode. (Production CCNet
+    uses a 5-gram KenLM — the plumbing and the filtering contract are
+    identical, only the probability table differs.)
+
+    Scale shape: avg ln(tf/total) = avg(ln tf) − ln(total), so the only
+    join is exploded-tokens ⋈ vocab(term→ttf) — an equi-join on term that
+    map-side combines; the corpus total is a 1-row agg broadcast as a
+    scalar subtraction. Zero-token docs surface with NULL avg_logprob.
+    """
+    tok = with_tokens(df, text_col).select(
+        F.col(id_col), F.explode("toks").alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ttf"))
+    total = vocab.agg(F.sum("ttf").alias("t"))
+    per = (
+        tok.join(vocab, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(F.log("ttf")).alias("mean_ln_ttf"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("mean_ln_ttf") - F.log("t")).alias("avg_logprob"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "avg_logprob",
+        )
+    )
