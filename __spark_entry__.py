@@ -959,6 +959,23 @@ def q_lm_quality(spark, sf):
     )
 
 
+PERCOLATE_QUERIES = [
+    ("q_spark_join", "spark join", "all"),
+    ("q_window", "window", "any"),
+    ("q_agg_scan", "agg scan", "all"),
+]
+
+
+def q_percolate(spark, sf):
+    """ES percolator (reverse search): which registered queries does each
+    doc match — bool.must ('all') and match ('any') stored queries,
+    broadcast term-set containment, no per-query scan."""
+    from mysql_es_spark.operators.percolate import percolate
+
+    docs = _t(spark, sf, "documents")
+    return percolate(spark, docs, PERCOLATE_QUERIES)
+
+
 def q_fuzzy_query(spark, sf):
     """Typo-tolerant search: 'qury' expands against the term dictionary
     within 1 Levenshtein edit; best-expansion BM25 per doc."""
@@ -1579,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_prefix": q_phrase_prefix,
         "bm25_boosting": q_boosting,
         "doc_lm_quality": q_lm_quality,
+        "doc_percolate": q_percolate,
         "bm25_date_routed": q_bm25_date_routed,
         "bm25_date_routed_dfs": q_bm25_date_routed_dfs,
         "bm25_bool_query": q_bool_query,
@@ -1614,7 +1632,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": q_pack,
         "doc_contamination": q_contamination,
         "t1_edge_ngram_tokens": q_t1_edge_ngram,
-        "doc_prefix_search": q_prefix_search,
         "doc_phrase_search": q_phrase_search,
         "doc_hash_split": q_hash_split,
         "doc_minhash_lsh_pairs": q_minhash,
@@ -1627,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_clusters": q_dedup_clusters,
         "doc_quality": q_quality,
         "doc_fingerprint": q_fp,
+        "doc_prefix_search": q_prefix_search,
         "doc_term_freq_top20": q_term_freq,
         "doc_bpe_token_estimate": q_bpe_tokens,
         "doc_token_count": q_tok_count,
@@ -3017,6 +3035,17 @@ comb AS (SELECT doc_id, max(fs) + 0.3 * (sum(fs) - max(fs)) AS s
          FROM allf GROUP BY 1)
 SELECT doc_id, round(s, 4) AS score FROM comb
 ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 40
+""",
+        # percolator: stored-query term-set containment per doc
+        "doc_percolate": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents)
+SELECT doc_id, 'q_spark_join' AS query_id FROM toks
+WHERE list_contains(tl, 'spark') AND list_contains(tl, 'join')
+UNION ALL
+SELECT doc_id, 'q_window' FROM toks WHERE list_contains(tl, 'window')
+UNION ALL
+SELECT doc_id, 'q_agg_scan' FROM toks
+WHERE list_contains(tl, 'agg') AND list_contains(tl, 'scan')
 """,
         # boosting query: 'spark join' disjunctive BM25; docs containing
         # 'slow' demoted to 0.4x (ES demote-not-exclude semantics)
