@@ -835,6 +835,29 @@ def q_multi_match(spark, sf):
     )
 
 
+def q_cross_fields(spark, sf):
+    """multi_match cross_fields: fields act as one logical field — per
+    TERM the field contributions dis-max, then terms sum ('row'/'join'
+    live in text, 'src7' only in source), so a doc covering the terms
+    ACROSS fields wins."""
+    from mysql_es_spark.plans.multi_field import field_dir, multi_match_topk
+
+    root = _multi_field_index_for_documents(spark, sf)
+    top = multi_match_topk(
+        spark, root, "row src7 join", k=60, mtype="cross_fields",
+        cfg=_docs_index_cfg(),
+    )
+    fwd = spark.read.parquet(f"{field_dir(root, 'text')}/forward").select(
+        "docid", F.col("conv_id").cast("long").alias("doc_id")
+    )
+    return (
+        top.join(fwd, "docid")
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(40)
+    )
+
+
 def q_phrase_prefix(spark, sf):
     """ES match_phrase_prefix: 'row s' = exact token 'row' immediately
     followed by any dictionary expansion of 's' (df-desc cutoff at 4);
@@ -1593,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-2 features ---
         "bm25_ngram_phrase_via_index": q_ngram_phrase_via_index,
         "bm25_multi_match": q_multi_match,
+        "bm25_cross_fields": q_cross_fields,
         "bm25_phrase_prefix": q_phrase_prefix,
         "bm25_boosting": q_boosting,
         "doc_lm_quality": q_lm_quality,
@@ -1632,7 +1656,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": q_pack,
         "doc_contamination": q_contamination,
         "t1_edge_ngram_tokens": q_t1_edge_ngram,
-        "doc_phrase_search": q_phrase_search,
         "doc_hash_split": q_hash_split,
         "doc_minhash_lsh_pairs": q_minhash,
         "doc_winnow_overlap": q_winnow,
@@ -1645,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_quality,
         "doc_fingerprint": q_fp,
         "doc_prefix_search": q_prefix_search,
+        "doc_phrase_search": q_phrase_search,
         "doc_term_freq_top20": q_term_freq,
         "doc_bpe_token_estimate": q_bpe_tokens,
         "doc_token_count": q_tok_count,
@@ -3091,6 +3115,50 @@ per AS (
 SELECT d.doc_id, CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
        round(per.lp, 4) AS avg_logprob
 FROM documents d LEFT JOIN per USING (doc_id)
+""",
+        # cross_fields: per-TERM dis-max across the text and source field
+        # contributions (each field's own stats, boost 2.0 on source),
+        # summed per doc
+        "bm25_cross_fields": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('row', 'src7', 'join')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+ctext AS (
+  SELECT tf.doc_id, tf.term,
+         1.0 * ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS fs
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+stoks AS (SELECT doc_id,
+          regexp_extract_all(lower(strip_accents(source)), '[0-9a-z]+') AS tl
+          FROM documents),
+sdl AS (SELECT doc_id, len(tl) AS dl FROM stoks),
+sstats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM sdl),
+stf AS (
+  SELECT stoks.doc_id, u.term, count(*) AS tf
+  FROM stoks, unnest(stoks.tl) AS u(term)
+  WHERE u.term IN ('row', 'src7', 'join')
+  GROUP BY 1, 2
+),
+sdfreq AS (SELECT term, count(*) AS df FROM stf GROUP BY 1),
+csrc AS (
+  SELECT stf.doc_id, stf.term,
+         2.0 * ln(1 + (sstats.n - sdfreq.df + 0.5) / (sdfreq.df + 0.5))
+             * stf.tf / (stf.tf + 1.2 * (0.25 + 0.75 * sdl.dl / sstats.avgdl)) AS fs
+  FROM stf JOIN sdfreq USING (term) JOIN sdl USING (doc_id) CROSS JOIN sstats
+),
+allc AS (SELECT * FROM ctext UNION ALL SELECT * FROM csrc),
+pt AS (SELECT doc_id, term, max(fs) AS mx FROM allc GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(mx) AS s FROM pt GROUP BY 1)
+SELECT doc_id, round(s, 4) AS score FROM agg
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 40
 """,
         # match_phrase_prefix: 'row' adjacent-followed by any of the 4
         # highest-df 's%' dictionary terms; score = phrase BM25 with the

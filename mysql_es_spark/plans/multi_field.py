@@ -33,7 +33,9 @@ from pyspark.sql import functions as F
 
 from ..config import IndexConfig
 from ..operators.query import (
+    _decode_contribs,
     _decode_scores,
+    _mask_deleted,
     _matching_blocks,
     corpus_stats,
     deleted_docids,
@@ -102,6 +104,32 @@ def _field_scores(
     return _decode_scores(blocks, idf, cfgx, stats["avgdl"], deleted_docids(spark, ix))
 
 
+def _field_term_contribs(
+    spark: SparkSession, ix: str, query: str, cfg: IndexConfig | None, boost: float
+) -> DataFrame | None:
+    """Per-(doc, term) boosted BM25 contributions for one field's
+    sub-index — the term-granular form cross_fields needs (best/most
+    aggregate per field first, cross_fields per term first)."""
+    cfgx = effective_config(spark, ix, cfg)
+    terms = query_terms(query)
+    if not terms:
+        return None
+    stats = corpus_stats(spark, ix)
+    idf, buckets = term_meta(spark, ix, terms, stats["n_docs"], cfgx)
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return None
+    blocks = _matching_blocks(spark, ix, terms, buckets)
+    c = _decode_contribs(
+        blocks, idf, cfgx, stats["avgdl"], clause_of={t: t for t in terms}
+    )
+    return _mask_deleted(c, deleted_docids(spark, ix)).select(
+        "docid",
+        F.col("clause").alias("term"),
+        (F.col("contrib") * F.lit(float(boost))).alias("fs"),
+    )
+
+
 def multi_match_topk(
     spark: SparkSession,
     root: str,
@@ -118,24 +146,49 @@ def multi_match_topk(
     (ES dis_max; tie_breaker=1.0 degenerates to most_fields).
     ``most_fields``: score = sum(field scores). Each field score is the
     field's own-statistics BM25 disjunctive score times its boost.
+    ``cross_fields``: term-centric — fields act as one logical field: for
+    each query TERM the per-field boosted contributions dis-max (max +
+    tie_breaker · rest), then terms sum per doc (ES's blended-term
+    behavior: a doc matching "alice" in author and "smith" in title beats
+    one matching both words in a single field under best_fields).
     Returns (docid, score) in (score desc, docid asc) order, limit k.
     """
-    if mtype not in ("best_fields", "most_fields"):
+    if mtype not in ("best_fields", "most_fields", "cross_fields"):
         raise ValueError(f"unknown multi_match type {mtype!r}")
     fields = fields or stored_fields(spark, root)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    tie = F.lit(float(tie_breaker))
+
+    if mtype == "cross_fields":
+        per = []
+        for name, boost in fields.items():
+            c = _field_term_contribs(spark, field_dir(root, name), query, cfg, boost)
+            if c is not None:
+                per.append(c)
+        if not per:
+            return empty
+        u = reduce(DataFrame.unionByName, per)
+        per_term = u.groupBy("docid", "term").agg(
+            F.max("fs").alias("mx"), F.sum("fs").alias("sm")
+        )
+        scored = per_term.groupBy("docid").agg(
+            F.sum(F.col("mx") + tie * (F.col("sm") - F.col("mx"))).alias("score")
+        )
+        return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
     per = []
     for name, boost in fields.items():
         s = _field_scores(spark, field_dir(root, name), query, cfg)
         if s is not None:
             per.append(s.select("docid", (F.col("score") * F.lit(float(boost))).alias("fs")))
     if not per:
-        return tbl.local_rows_df(spark, [], "docid long, score double")
+        return empty
     u = reduce(DataFrame.unionByName, per)
     agg = u.groupBy("docid").agg(F.max("fs").alias("mx"), F.sum("fs").alias("sm"))
     if mtype == "most_fields":
         score = F.col("sm")
     else:
-        score = F.col("mx") + F.lit(float(tie_breaker)) * (F.col("sm") - F.col("mx"))
+        score = F.col("mx") + tie * (F.col("sm") - F.col("mx"))
     return (
         agg.select("docid", score.alias("score"))
         .orderBy(F.col("score").desc(), F.col("docid").asc())

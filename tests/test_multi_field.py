@@ -79,6 +79,44 @@ def test_multi_match_matches_oracle(spark, mf_root, field_scores, mtype, tie):
         assert math.isclose(r.score, s, abs_tol=1e-9)
 
 
+@pytest.fixture(scope="module")
+def term_scores(spark, mf_root):
+    """Python-oracle per-(field, term, docid) contribution maps."""
+    out = {}
+    for name in BOOSTS:
+        rows = (
+            spark.read.parquet(f"{mf_root}/field={name}/forward")
+            .select("docid", "text")
+            .collect()
+        )
+        oix = build_oracle_index([(r.docid, r.text) for r in rows])
+        per_t = {}
+        for t in ["w3", "sql"]:
+            per_t[t] = dict(score_query(oix, t, k=len(rows)))
+        out[name] = per_t
+    return out
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.4])
+def test_cross_fields_matches_oracle(spark, mf_root, term_scores, tie):
+    # term-centric: per (doc, term) dis-max across fields, then sum terms
+    per_doc: dict[int, float] = {}
+    for t in ["w3", "sql"]:
+        docids = set()
+        for f in BOOSTS:
+            docids |= set(term_scores[f][t])
+        for d in docids:
+            ss = [BOOSTS[f] * term_scores[f][t][d] for f in BOOSTS if d in term_scores[f][t]]
+            per_doc[d] = per_doc.get(d, 0.0) + max(ss) + tie * (sum(ss) - max(ss))
+    want = sorted(per_doc.items(), key=lambda x: (-x[1], x[0]))[:15]
+    got = multi_match_topk(
+        spark, mf_root, Q, k=15, mtype="cross_fields", tie_breaker=tie, cfg=TEST_CFG
+    ).collect()
+    assert [r.docid for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r.score, s, abs_tol=1e-9)
+
+
 def test_both_fields_contribute(field_scores):
     # the query genuinely exercises both fields: 'w3' only matches text,
     # 'sql' only matches tool turns — and some docs match in both fields
@@ -94,7 +132,7 @@ def test_stored_boosts_roundtrip(spark, mf_root):
 
 def test_validation(spark, mf_root):
     with pytest.raises(ValueError):
-        multi_match_topk(spark, mf_root, Q, mtype="cross_fields", cfg=TEST_CFG)
+        multi_match_topk(spark, mf_root, Q, mtype="blended", cfg=TEST_CFG)
     with pytest.raises(ValueError):
         build_multi_field(spark, None, mf_root, {}, TEST_CFG)
     assert multi_match_topk(spark, mf_root, "", cfg=TEST_CFG).count() == 0
