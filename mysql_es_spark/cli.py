@@ -117,6 +117,16 @@ def cmd_snapshot(args) -> dict:
     return {"snapshots": list_snapshots(args.repo)}
 
 
+def cmd_rollover(args) -> dict:
+    from .plans.alias import rollover
+
+    spark = _session(args)
+    return rollover(
+        spark, args.alias, cfg=_cfg(args), max_docs=args.max_docs,
+        max_bytes=args.max_bytes,
+    )
+
+
 def cmd_reindex(args) -> dict:
     from .plans.deletes import reindex
 
@@ -353,6 +363,12 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--interval", type=int, default=20, help="histogram bucket width")
     a.add_argument("--size", type=int, default=10)
     a.set_defaults(fn=cmd_aggs)
+
+    ro = sub.add_parser("rollover", help="rotate the alias's write index (ES _rollover)")
+    ro.add_argument("--alias", required=True)
+    ro.add_argument("--max-docs", type=int, default=None, dest="max_docs")
+    ro.add_argument("--max-bytes", type=int, default=None, dest="max_bytes")
+    ro.set_defaults(fn=cmd_rollover)
 
     sn = sub.add_parser("snapshot", help="incremental snapshot repo (ES _snapshot)")
     sn.add_argument("snap_action", choices=["create", "restore", "list"])

@@ -44,3 +44,71 @@ def get_alias(alias_dir: str) -> str | None:
     """The alias target, or None if ``alias_dir`` is not an alias."""
     resolved = tbl.resolve(alias_dir)
     return None if resolved == alias_dir else resolved
+
+
+def rollover(
+    spark,
+    alias_dir: str,
+    cfg=None,
+    max_docs: int | None = None,
+    max_bytes: int | None = None,
+) -> dict:
+    """ES ``_rollover``: when the alias's current write index exceeds a
+    condition, create the next generation and atomically repoint the
+    alias — the standard way to bound per-index size under a continuous
+    ingest stream (here: the CDC/incremental path writes to whatever the
+    alias resolves to, so after rollover new batches land in the fresh
+    generation; older generations stay queryable by their real paths or
+    the date-routed/dfs multi-index search).
+
+    Generation naming is ES's: ``<alias>-NNNNNN`` siblings of the alias
+    directory. The condition check is metadata-only (corpus_stats row +
+    a directory size walk — no table scan). Returns
+    {rolled, old_index, new_index, n_docs, bytes}.
+    """
+    import re
+
+    from pyspark.sql import functions as F  # noqa: F401 (parity with module imports)
+
+    from ..config import IndexConfig
+    from ..corpus import TRANSCRIPT_SCHEMA
+    from .build import build_index
+
+    target = get_alias(alias_dir)
+    if target is None:
+        raise ValueError(f"{alias_dir} is not an alias (rollover needs one)")
+    if max_docs is None and max_bytes is None:
+        raise ValueError("rollover needs at least one condition (max_docs/max_bytes)")
+
+    n_docs = int(
+        spark.read.parquet(os.path.join(target, "corpus_stats")).collect()[0]["n_docs"]
+    )
+    n_bytes = 0
+    for root, _d, files in os.walk(target):
+        for fn in files:
+            n_bytes += os.path.getsize(os.path.join(root, fn))
+    hit = (max_docs is not None and n_docs >= max_docs) or (
+        max_bytes is not None and n_bytes >= max_bytes
+    )
+    out = {
+        "rolled": False, "old_index": target, "new_index": None,
+        "n_docs": n_docs, "bytes": n_bytes,
+    }
+    if not hit:
+        return out
+
+    base = os.path.basename(os.path.normpath(alias_dir))
+    parent = os.path.dirname(os.path.abspath(alias_dir))
+    m = re.match(rf"^{re.escape(os.path.join(parent, base))}-(\d{{6}})$", target)
+    gen = int(m.group(1)) + 1 if m else 1
+    new_dir = os.path.join(parent, f"{base}-{gen:06d}")
+    if os.path.exists(new_dir):
+        raise ValueError(f"rollover target already exists: {new_dir}")
+    # an empty index with the OLD generation's physical config (unless
+    # overridden): build handles zero-doc buckets by design
+    cfg = cfg or IndexConfig()
+    empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    build_index(spark, empty, new_dir, cfg)
+    set_alias(alias_dir, new_dir)
+    out.update(rolled=True, new_index=new_dir)
+    return out

@@ -87,8 +87,40 @@ def wave_dir(index_dir: str, table: str, wave: int) -> str:
     return p(index_dir, table, f"wave={wave}")
 
 
+# schemas for reading a FILE-EMPTY table directory (a zero-doc index —
+# e.g. a fresh rollover generation — writes partitioned tables with no
+# part files, so parquet schema inference has nothing to infer from).
+# Used only when the directory holds no parquet files; a populated table
+# always infers from its real footers.
+_EMPTY_FALLBACK = {
+    "postings": (
+        "term_bucket int, term string, salt long, start_docid long, "
+        "n int, max_tf int, min_dl int, blob binary"
+    ),
+    "doc_lens": "docid long, dl int",
+    "forward": (
+        "docid long, doc_key string, conv_id string, turn_idx int, "
+        "role string, text string, tool string, ts timestamp, bucket int"
+    ),
+    "term_stats": "term string, df long, ttf long",
+    "term_dict": "term string, df long, ttf long",
+}
+
+
 def read(spark: SparkSession, index_dir: str, table: str) -> DataFrame:
-    return spark.read.option("basePath", p(index_dir, table)).parquet(p(index_dir, table))
+    path = p(index_dir, table)
+    try:
+        return spark.read.option("basePath", path).parquet(path)
+    except Exception:
+        fb = _EMPTY_FALLBACK.get(table)
+        if fb is None or exists(index_dir, table):
+            raise
+        if table == "postings":
+            meta = os.path.join(resolve(index_dir), "index_meta")
+            if os.path.isdir(meta):
+                if bool(spark.read.parquet(meta).collect()[0]["with_positions"]):
+                    fb += ", pos_blob binary"
+        return spark.read.schema(fb).option("basePath", path).parquet(path)
 
 
 def exists(index_dir: str, table: str) -> bool:
