@@ -1587,6 +1587,16 @@ def q_ivf(spark, sf):
     return similarity.ivf_topk(emb, [float(x) for x in qv], k=10, n_cells=16, n_probe=4)
 
 
+def q_pq(spark, sf):
+    """PQ ANN: 4x16 codebook ADC shortlist (compressed scan, no vector
+    reads) + exact re-rank of 100 candidates."""
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    B = similarity.pq_codebooks(emb, m=4, ksub=16, seed=7)
+    codes = similarity.pq_encode(emb, B)
+    return similarity.pq_topk(codes, qv, B, k=10, emb=emb, rerank=100)
+
+
 def q_mm_features(spark, sf):
     """Real decode: WAV samples and PNG/PPM pixels are actually parsed
     (functions/media_codecs.py); only video rows use digest features."""
@@ -1687,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- ANN / multimodal (rows-only by design) ---
         "emb_ann_lsh_topk": q_ann,
         "emb_ann_ivf_topk": q_ivf,
+        "emb_pq_topk": q_pq,
         "mm_feature_extract": q_mm_features,
         "mm_frame_sample": q_mm_frames,
         # --- joins / relations ---

@@ -277,3 +277,144 @@ def ivf_topk(
         .select(id_col, "cos")
     )
     return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 10,
+    sample_rows: int = 20_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train per-subspace k-means codebooks → (m, ksub, dim/m) array.
+
+    PQ splits each (L2-normalized) vector into ``m`` subvectors and
+    vector-quantizes each subspace independently with ``ksub`` centroids;
+    a vector then stores m small codes (m·log2(ksub) bits) instead of dim
+    floats — the standard memory-bound ANN representation (FAISS IVFPQ's
+    fine quantizer). Training mirrors :func:`ivf_centroids`: bounded
+    deterministic driver sample, numpy Lloyd iterations, empty-cell
+    respawn on worst-fit points; only the (m × ksub × dsub) codebook
+    array ships to executors.
+    """
+    frac_df = emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+    n = frac_df.limit(sample_rows * 4).count()
+    if n > sample_rows:
+        frac_df = frac_df.sample(fraction=min(1.0, sample_rows / n * 1.2), seed=seed)
+    rows = frac_df.limit(sample_rows).collect()
+    if not rows:
+        raise ValueError("pq_codebooks: input embedding table is empty")
+    M = np.array([r["v"] for r in rows], dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    dim = M.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = M[:, j * dsub : (j + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            own = d2[np.arange(len(S)), assign].copy()
+            for c in range(len(C)):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+                else:
+                    worst = int(np.argmax(own))
+                    C[c] = S[worst]
+                    own[worst] = -np.inf
+        books.append(C)
+    return np.stack(books)
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code array<int>) — per-subspace nearest-centroid codes, one
+    Arrow pass (numpy distance argmin per batch). At 10^11 vectors this
+    table is the only thing a query scans: m ints per vector instead of
+    dim floats (~32x smaller at m=4, dim=32, float32)."""
+    B = codebooks
+    m, _ksub, dsub = B.shape
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(M), m), dtype=np.int32)
+            for j in range(m):
+                S = M[:, j * dsub : (j + 1) * dsub]
+                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "code": list(codes)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, code array<int>"
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    query_vec: list[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    emb: DataFrame | None = None,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (FAISS ADC).
+
+    The query builds an (m × ksub) lookup table of subspace dot products
+    driver-side; each vector's approximate cosine is then m table lookups
+    + a sum — the scan never touches the original vectors. With
+    ``rerank > 0`` the ADC top-``rerank`` candidates (collected: ≤ rerank
+    ids) are exactly re-scored against ``emb`` via an In-filter scan —
+    compressed-domain recall, exact final ordering.
+    Returns (id, score) — ADC approximate cosine, or exact cosine
+    (rounded, `cos`) when re-ranked.
+    """
+    B = codebooks
+    m, ksub, dsub = B.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    lut = np.stack(
+        [B[j] @ qn[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )  # (m, ksub)
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack(pdf["code"].map(np.asarray).to_numpy())
+            score = lut[np.arange(m)[None, :], C].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "score": score})
+
+    approx = (
+        codes.select(id_col, "code")
+        .mapInPandas(adc, schema=f"{id_col} long, score double")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+    )
+    if not rerank:
+        return approx.limit(k)
+    if emb is None:
+        raise ValueError("rerank needs the original embedding table")
+    cand = [int(r[id_col]) for r in approx.limit(rerank).collect()]
+    exact = emb.filter(F.col(id_col).isin(cand))
+    return cosine_topk(exact, query_vec, k=k, id_col=id_col, vec_col=vec_col)

@@ -125,3 +125,62 @@ def test_ivf_written_table_matches_inline(spark, tmp_path):
         plan_df.explain("formatted")
     plan = buf.getvalue()
     assert "cell" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_pq_codes_shape_and_determinism(spark, emb_df):
+    df, M = emb_df
+    B = similarity.pq_codebooks(df, m=4, ksub=16, seed=7)
+    assert B.shape == (4, 16, DIM // 4)
+    codes = similarity.pq_encode(df, B).collect()
+    assert len(codes) == N
+    for r in codes:
+        assert len(r.code) == 4 and all(0 <= c < 16 for c in r.code)
+    B2 = similarity.pq_codebooks(df, m=4, ksub=16, seed=7)
+    assert np.array_equal(B, B2)
+
+
+def test_pq_adc_shortlist_recall(spark, emb_df):
+    """The PQ contract is shortlist recall: the compressed ADC scan's
+    top-50 must contain (nearly) all true top-10, so a 50-vector exact
+    re-rank recovers the brute-force answer from a scan that never reads
+    the original vectors. (ADC alone cannot fine-order within a tight
+    cluster — quantization error exceeds the within-cluster score gaps —
+    which is why FAISS IVFPQ always re-ranks a shortlist.)"""
+    df, M = emb_df
+    B = similarity.pq_codebooks(df, m=4, ksub=16, seed=7)
+    codes = similarity.pq_encode(df, B).cache()
+    hits = 0
+    for qi in (3, 77, 200):
+        q = [float(x) for x in M[qi]]
+        truth = set(_numpy_topk(M, np.array(q), 10))
+        short = {r.vec_id for r in similarity.pq_topk(codes, q, B, k=50).collect()}
+        hits += len(truth & short)
+    assert hits / 30 >= 0.9, f"ADC shortlist recall too low: {hits}/30"
+    # and the re-ranked result equals brute force on the same shortlist
+    q = [float(x) for x in M[77]]
+    got = similarity.pq_topk(codes, q, B, k=10, emb=df, rerank=50).collect()
+    want = similarity.cosine_topk(df, q, k=10).collect()
+    assert [(r.vec_id, r.cos) for r in got] == [(r.vec_id, r.cos) for r in want]
+
+
+def test_pq_rerank_exact(spark, emb_df):
+    """ADC shortlist + exact re-rank: with a wide-enough shortlist the
+    final top-k equals brute force exactly."""
+    df, M = emb_df
+    B = similarity.pq_codebooks(df, m=4, ksub=16, seed=7)
+    codes = similarity.pq_encode(df, B)
+    q = [float(x) for x in M[42]]
+    got = similarity.pq_topk(codes, q, B, k=10, emb=df, rerank=N).collect()
+    want = similarity.cosine_topk(df, q, k=10).collect()
+    assert [(r.vec_id, r.cos) for r in got] == [(r.vec_id, r.cos) for r in want]
+
+
+def test_pq_validation(spark, emb_df):
+    df, M = emb_df
+    with pytest.raises(ValueError):
+        similarity.pq_codebooks(df, m=5)  # 16 % 5 != 0
+    B = similarity.pq_codebooks(df, m=4, ksub=16, seed=7)
+    codes = similarity.pq_encode(df, B)
+    q = [float(x) for x in M[0]]
+    with pytest.raises(ValueError):
+        similarity.pq_topk(codes, q, B, rerank=50)  # no emb table
