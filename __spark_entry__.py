@@ -1099,6 +1099,28 @@ def q_agg_extended_stats(spark, sf):
     )
 
 
+def q_agg_range(spark, sf):
+    """ES range agg: explicit (overlapping allowed) [from,to) buckets
+    over the matched docs' analyzed length; empty buckets kept."""
+    ix = _index_for_documents(spark, sf)
+    return esaggs.range_agg(
+        spark, ix, " ".join(BM25_Q1), [(None, 60), (60, 90), (90, None), (50, 80)],
+        cfg=_docs_index_cfg(),
+    )
+
+
+def q_agg_filters(spark, sf):
+    """ES filters agg: named predicate buckets over the matched set
+    (role carries lang, tool carries source in the documents index)."""
+    ix = _index_for_documents(spark, sf)
+    return esaggs.filters_agg(
+        spark, ix, " ".join(BM25_Q1),
+        {"en": "role = 'en'", "zh_or_fr": "role IN ('zh','fr')",
+         "src0": "tool = 'src0'", "none": "role = 'xx'"},
+        cfg=_docs_index_cfg(),
+    )
+
+
 def q_agg_cardinality(spark, sf):
     """ES cardinality agg: distinct sources (tool field) among matching
     docs — exact two-level distinct here; the HLL++ variant (the literal
@@ -1651,6 +1673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_highlight": q_bm25_highlight,
         "agg_date_histogram": q_agg_date_histogram,
         "agg_extended_stats": q_agg_extended_stats,
+        "agg_range": q_agg_range,
+        "agg_filters": q_agg_filters,
         "agg_cardinality": q_agg_cardinality,
         "agg_top_hits": q_agg_top_hits,
         "agg_significant_terms": q_agg_significant_terms,
@@ -1665,14 +1689,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_pii_scrub,
         "doc_pack_sequences": q_pack,
         "doc_contamination": q_contamination,
-        "t1_edge_ngram_tokens": q_t1_edge_ngram,
-        "doc_hash_split": q_hash_split,
         "doc_minhash_lsh_pairs": q_minhash,
         "doc_winnow_overlap": q_winnow,
         "doc_simhash_near_dups": q_simhash,
         "doc_dedup_exact": q_dedup_exact,
         # --- below the driver gate's 50-entry window: r01-green entries,
         # rows-only designs, and extras locally oracle-checked ---
+        "t1_edge_ngram_tokens": q_t1_edge_ngram,
+        "doc_hash_split": q_hash_split,
         "doc_ngram_jaccard_pairs": q_jaccard,
         "doc_dedup_clusters": q_dedup_clusters,
         "doc_quality": q_quality,
@@ -3081,6 +3105,32 @@ SELECT doc_id, 'q_window' FROM toks WHERE list_contains(tl, 'window')
 UNION ALL
 SELECT doc_id, 'q_agg_scan' FROM toks
 WHERE list_contains(tl, 'agg') AND list_contains(tl, 'scan')
+""",
+        # range agg: explicit [from,to) buckets over matched docs' dl,
+        # overlapping allowed, empty buckets kept (ES contract)
+        "agg_range": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT doc_id, len(tl) AS dl FROM toks
+      WHERE list_has_any(tl, ['spark', 'join', 'query']))
+SELECT '*-60' AS bucket, CAST(count(*) FILTER (WHERE dl < 60) AS BIGINT) AS n_docs FROM m
+UNION ALL
+SELECT '60-90', CAST(count(*) FILTER (WHERE dl >= 60 AND dl < 90) AS BIGINT) FROM m
+UNION ALL
+SELECT '90-*', CAST(count(*) FILTER (WHERE dl >= 90) AS BIGINT) FROM m
+UNION ALL
+SELECT '50-80', CAST(count(*) FILTER (WHERE dl >= 50 AND dl < 80) AS BIGINT) FROM m
+""",
+        # filters agg: named predicate buckets over the matched set
+        "agg_filters": f"""
+WITH t AS (SELECT doc_id, lang, source, {TOK} AS tl FROM documents),
+m AS (SELECT * FROM t WHERE list_has_any(tl, ['spark', 'join', 'query']))
+SELECT 'en' AS bucket, CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_docs FROM m
+UNION ALL
+SELECT 'zh_or_fr', CAST(count(*) FILTER (WHERE lang IN ('zh', 'fr')) AS BIGINT) FROM m
+UNION ALL
+SELECT 'src0', CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) FROM m
+UNION ALL
+SELECT 'none', CAST(count(*) FILTER (WHERE lang = 'xx') AS BIGINT) FROM m
 """,
         # boosting query: 'spark join' disjunctive BM25; docs containing
         # 'slow' demoted to 0.4x (ES demote-not-exclude semantics)

@@ -305,3 +305,78 @@ def significant_terms(
         .orderBy(F.round("jlh", 9).desc(), F.col("term").asc())
         .limit(size)
     )
+
+
+def range_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    ranges: list[tuple[float | None, float | None]],
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``range`` aggregation over the analyzed doc length: one row per
+    explicit [from, to) range (None = open end) with its matching-doc
+    count. Ranges may overlap — a doc lands in every range covering it,
+    exactly like ES (each range is an independent bucket filter). Buckets
+    are keyed "from-to" with ES's "*" for an open end; empty buckets are
+    KEPT (ES range aggs always emit every requested bucket)."""
+    cfg = effective_config(spark, index_dir, cfg)
+
+    def key(lo, hi):
+        return f"{'*' if lo is None else int(lo)}-{'*' if hi is None else int(hi)}"
+
+    keys = [key(lo, hi) for lo, hi in ranges]
+    empty = tbl.local_rows_df(
+        spark, [(k, 0) for k in keys], "bucket string, n_docs long"
+    )
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return empty.orderBy("bucket")
+    dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
+    m = matched.join(dls, "docid", "inner")
+    # one pass: per range a conditional count — no per-range scan/union
+    aggs = []
+    for (lo, hi), k in zip(ranges, keys):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("dl") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("dl") < hi)
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(k))
+    row = m.agg(*aggs)
+    # unpivot the single row into (bucket, n_docs) — keeps requested order
+    pairs = ", ".join(f"'{k}', `{k}`" for k in keys)
+    return row.selectExpr(f"stack({len(keys)}, {pairs}) AS (bucket, n_docs)")
+
+
+def filters_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    filters: dict[str, str],
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``filters`` aggregation: named SQL predicates over the forward
+    columns, each an independent bucket counting the matching docs that
+    also satisfy it (the ES request's aggs.filters.filters block, where
+    each named filter is a query clause). One conditional-count pass —
+    never one scan per filter. Empty buckets are kept."""
+    cfg = effective_config(spark, index_dir, cfg)
+    names = list(filters)
+    empty = tbl.local_rows_df(
+        spark, [(n, 0) for n in names], "bucket string, n_docs long"
+    )
+    if not filters:
+        raise ValueError("filters_agg needs at least one named filter")
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return empty.orderBy("bucket")
+    fwd = tbl.read(spark, index_dir, "forward")
+    m = matched.join(fwd, "docid", "inner")
+    aggs = [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias(n)
+        for n, pred in filters.items()
+    ]
+    row = m.agg(*aggs)
+    pairs = ", ".join(f"'{n}', `{n}`" for n in names)
+    return row.selectExpr(f"stack({len(names)}, {pairs}) AS (bucket, n_docs)")

@@ -148,3 +148,61 @@ def test_percentiles(spark, built_index, fwd, matched):
         spark, built_index, Q, [0.5], cfg=TEST_CFG, exact=False
     ).collect()[0]
     assert abs(approx.value - interp(0.5)) <= max(2.0, 0.1 * interp(0.5))
+
+
+def test_range_agg(spark, built_index, fwd, matched):
+    dls = {d: len(tokenize_text(fwd[d].text)) for d in matched}
+    ranges = [(None, 20), (20, 60), (60, None), (10, 30)]  # overlapping OK
+
+    def n_in(lo, hi):
+        return sum(
+            1
+            for v in dls.values()
+            if (lo is None or v >= lo) and (hi is None or v < hi)
+        )
+
+    got = {
+        r.bucket: r.n_docs
+        for r in aggs.range_agg(spark, built_index, Q, ranges, cfg=TEST_CFG).collect()
+    }
+    assert got == {
+        "*-20": n_in(None, 20),
+        "20-60": n_in(20, 60),
+        "60-*": n_in(60, None),
+        "10-30": n_in(10, 30),
+    }
+    assert sum(1 for v in got.values() if v) >= 3  # buckets genuinely used
+    # empty-query: every requested bucket still present, count 0
+    e = {r.bucket: r.n_docs for r in aggs.range_agg(spark, built_index, "", ranges, cfg=TEST_CFG).collect()}
+    assert set(e) == set(got) and not any(e.values())
+
+
+def test_filters_agg(spark, built_index, fwd, matched):
+    flt = {
+        "assistant": "role = 'assistant'",
+        "user_late": "role = 'user' AND turn_idx >= 2",
+        "never": "role = 'nope'",
+    }
+    got = {
+        r.bucket: r.n_docs
+        for r in aggs.filters_agg(spark, built_index, Q, flt, cfg=TEST_CFG).collect()
+    }
+    fwd_full = {
+        r.docid: r
+        for r in spark.read.parquet(f"{built_index}/forward")
+        .select("docid", "role", "turn_idx")
+        .collect()
+    }
+    want = {
+        "assistant": sum(1 for d in matched if fwd_full[d].role == "assistant"),
+        "user_late": sum(
+            1 for d in matched if fwd_full[d].role == "user" and fwd_full[d].turn_idx >= 2
+        ),
+        "never": 0,
+    }
+    assert got == want
+    assert want["assistant"] > 0 and want["user_late"] > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        aggs.filters_agg(spark, built_index, Q, {}, cfg=TEST_CFG)
