@@ -178,3 +178,53 @@ def test_suggest_dictionary_scan_never_touches_postings(spark, built_index):
     plan = plan_of(df)
     assert "postings" not in plan and "forward" not in plan
     assert "term_dict" in plan
+
+
+def test_percolate_broadcasts_query_terms(spark, tiny_transcripts):
+    """The stored-query term table must broadcast: the doc side (10^12
+    rows at scale) never shuffles for percolation."""
+    from mysql_es_spark.operators.percolate import percolate
+
+    docs = tiny_transcripts.selectExpr("xxhash64(conv_id, turn_idx) AS doc_id", "text")
+    plan = plan_of(percolate(spark, docs, [("q", "w0 w1", "all")]))
+    assert "BroadcastHashJoin" in plan
+    # the only SortMergeJoin-free path: no exchange of the tokenized docs
+    # before the join (the groupBy after it is the single doc-side shuffle)
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_range_agg_single_pass(spark, built_index):
+    """N requested ranges must compile to ONE conditional-count aggregate
+    over one doc_lens scan — never a scan or union branch per range."""
+    from mysql_es_spark.operators import aggs
+
+    df = aggs.range_agg(
+        spark, built_index, "w0 w3", [(None, 20), (20, 60), (60, None), (10, 30)],
+        cfg=TEST_CFG,
+    )
+    plan = plan_of(df)
+    # exactly ONE doc_lens scan node regardless of range count (4 here)
+    dl_scans = [s for s in plan.split("Scan parquet") if "doc_lens" in s.split("ReadSchema")[0]]
+    assert len(dl_scans) == 1, f"{len(dl_scans)} doc_lens scans for 4 ranges"
+    assert "dl" in dl_scans[0].split("ReadSchema")[1].splitlines()[0]
+
+
+def test_multi_match_term_dict_scans_prune(spark, tiny_transcripts, tmp_path_factory):
+    """Each field's term_dict lookup must push the In(term) filter (row
+    group pruning in the per-field dictionaries)."""
+    import shutil
+
+    from mysql_es_spark.plans.multi_field import build_multi_field, field_dir
+
+    d = str(tmp_path_factory.mktemp("mfaudit") / "root")
+    shutil.rmtree(d, ignore_errors=True)
+    build_multi_field(
+        spark, tiny_transcripts.limit(200), d, {"text": 1.0, "tool": 2.0}, TEST_CFG
+    )
+    dict_scan = (
+        spark.read.parquet(f"{field_dir(d, 'text')}/term_dict")
+        .filter(F.col("term").isin(["w0", "w3"]))
+        .select("term", "df")
+    )
+    plan = plan_of(dict_scan)
+    assert "PushedFilters" in plan and "In(term" in plan
