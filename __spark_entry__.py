@@ -1121,6 +1121,17 @@ def q_agg_filters(spark, sf):
     )
 
 
+def q_agg_composite(spark, sf):
+    """ES composite agg: one page of the full (role, tool) bucket export,
+    resuming strictly after the ('en','src3') key (role carries lang,
+    tool carries source in the documents index)."""
+    ix = _index_for_documents(spark, sf)
+    return esaggs.composite_agg(
+        spark, ix, " ".join(BM25_Q1), ["role", "tool"], size=10,
+        after=("en", "src3"), cfg=_docs_index_cfg(),
+    )
+
+
 def q_agg_cardinality(spark, sf):
     """ES cardinality agg: distinct sources (tool field) among matching
     docs — exact two-level distinct here; the HLL++ variant (the literal
@@ -1695,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_exact": q_dedup_exact,
         # --- below the driver gate's 50-entry window: r01-green entries,
         # rows-only designs, and extras locally oracle-checked ---
+        "agg_composite": q_agg_composite,
         "t1_edge_ngram_tokens": q_t1_edge_ngram,
         "doc_hash_split": q_hash_split,
         "doc_ngram_jaccard_pairs": q_jaccard,
@@ -3131,6 +3143,16 @@ UNION ALL
 SELECT 'src0', CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) FROM m
 UNION ALL
 SELECT 'none', CAST(count(*) FILTER (WHERE lang = 'xx') AS BIGINT) FROM m
+""",
+        # composite agg: deterministic bucket-tuple paging (row-value
+        # comparison resumes strictly after the key)
+        "agg_composite": f"""
+WITH t AS (SELECT doc_id, lang, source, {TOK} AS tl FROM documents),
+m AS (SELECT * FROM t WHERE list_has_any(tl, ['spark', 'join', 'query'])),
+g AS (SELECT lang AS role, source AS tool, CAST(count(*) AS BIGINT) AS n_docs
+      FROM m GROUP BY 1, 2)
+SELECT role, tool, n_docs FROM g WHERE (role, tool) > ('en', 'src3')
+ORDER BY role, tool LIMIT 10
 """,
         # boosting query: 'spark join' disjunctive BM25; docs containing
         # 'slow' demoted to 0.4x (ES demote-not-exclude semantics)

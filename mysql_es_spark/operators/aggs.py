@@ -380,3 +380,49 @@ def filters_agg(
     row = m.agg(*aggs)
     pairs = ", ".join(f"'{n}', `{n}`" for n in names)
     return row.selectExpr(f"stack({len(names)}, {pairs}) AS (bucket, n_docs)")
+
+
+def composite_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    sources: list[str],
+    size: int = 10,
+    after: tuple | None = None,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``composite`` aggregation: paginate ALL buckets of a multi-field
+    group-by in deterministic (source-tuple asc, nulls first) order, one
+    page of ``size`` buckets per call, resuming strictly after the
+    ``after`` key — the ES API for exporting every bucket when a terms
+    agg's top-N cutoff won't do (ETL / downstream joins).
+
+    Page cost at scale: one matched-docid decode + one hash agg + a
+    TakeOrdered of ``size`` rows; the after-key is a lexicographic filter
+    pushed before the limit, so deep pages never materialize earlier
+    buckets (the same O(page) contract as search_after for hits).
+    ``after`` values must be non-null (a page boundary never lands on the
+    nulls-first prefix once paging has begun).
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    schema = ", ".join(f"{s} string" for s in sources) + ", n_docs long"
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(spark, [], schema)
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", *sources)
+    g = (
+        matched.join(fwd, "docid", "inner")
+        .groupBy(*sources)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    if after is not None:
+        if len(after) != len(sources):
+            raise ValueError("after key arity must match sources")
+        cond = F.lit(False)
+        for i in reversed(range(len(sources))):
+            gt_i = F.col(sources[i]) > F.lit(after[i])
+            for j in range(i):
+                gt_i = gt_i & F.col(sources[j]).eqNullSafe(F.lit(after[j]))
+            cond = cond | gt_i
+        g = g.filter(cond)
+    return g.orderBy(*[F.asc_nulls_first(s) for s in sources]).limit(size)

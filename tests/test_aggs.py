@@ -206,3 +206,48 @@ def test_filters_agg(spark, built_index, fwd, matched):
 
     with _pytest.raises(ValueError):
         aggs.filters_agg(spark, built_index, Q, {}, cfg=TEST_CFG)
+
+
+def test_composite_agg_pages(spark, built_index, fwd, matched):
+    """Page through ALL role buckets one at a time with after-keys; the
+    union of pages must equal the full group-by, order deterministic."""
+    want = sorted(Counter(fwd[d].role for d in matched).items())
+    assert len(want) >= 3  # multiple pages genuinely exercised
+    pages, after = [], None
+    while True:
+        got = aggs.composite_agg(
+            spark, built_index, Q, ["role"], size=1, after=after, cfg=TEST_CFG
+        ).collect()
+        if not got:
+            break
+        pages.extend((r.role, r.n_docs) for r in got)
+        after = (got[-1].role,)
+    assert pages == want
+
+
+def test_composite_agg_nulls_first(spark, built_index, fwd, matched):
+    """A nullable source (tool) sorts nulls first on the first page, and
+    an after-key past the null prefix never resurfaces it."""
+    got = aggs.composite_agg(
+        spark, built_index, Q, ["tool"], size=50, cfg=TEST_CFG
+    ).collect()
+    want = Counter(fwd[d].tool for d in matched)
+    keys = [r.tool for r in got]
+    assert keys[0] is None and None not in keys[1:]
+    assert {(r.tool, r.n_docs) for r in got} == set(want.items())
+    after = (keys[1],)  # first non-null bucket
+    page2 = aggs.composite_agg(
+        spark, built_index, Q, ["tool"], size=50, after=after, cfg=TEST_CFG
+    ).collect()
+    assert [r.tool for r in page2] == keys[2:]
+
+
+def test_composite_agg_first_page_and_validation(spark, built_index, fwd, matched):
+    got = aggs.composite_agg(
+        spark, built_index, Q, ["role"], size=2, cfg=TEST_CFG
+    ).collect()
+    rows = Counter(fwd[d].role for d in matched)
+    want = sorted(rows.items())[:2]
+    assert [(r.role, r.n_docs) for r in got] == want
+    with pytest.raises(ValueError):
+        aggs.composite_agg(spark, built_index, Q, ["role", "tool"], after=("x",), cfg=TEST_CFG)
