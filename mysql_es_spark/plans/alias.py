@@ -112,3 +112,31 @@ def rollover(
     set_alias(alias_dir, new_dir)
     out.update(rolled=True, new_index=new_dir)
     return out
+
+
+def list_generations(alias_dir: str) -> dict[str, str]:
+    """Every rollover generation of this alias (label → dir), current
+    target included — the member set a multi-index search addresses
+    (plans/multi_index.py), like an ES alias spanning rolled indices."""
+    import re
+
+    base = os.path.basename(os.path.normpath(alias_dir))
+    parent = os.path.dirname(os.path.abspath(alias_dir))
+    pat = re.compile(rf"^{re.escape(base)}-\d{{6}}$")
+    out = {}
+    for d in sorted(os.listdir(parent)):
+        if pat.match(d) and os.path.isdir(os.path.join(parent, d)):
+            out[d] = os.path.join(parent, d)
+    target = get_alias(alias_dir)
+    if target is not None:
+        out.setdefault(os.path.basename(os.path.normpath(target)), target)
+    return out
+
+
+def search_generations(spark, alias_dir: str, query: str, k: int = 10, cfg=None):
+    """Global-stats BM25 over every generation of the alias — rank-
+    identical to one index holding all generations' docs (the rollover
+    story's read side: write to the newest, search them all)."""
+    from .multi_index import bm25_topk_across
+
+    return bm25_topk_across(spark, list_generations(alias_dir), query, k=k, cfg=cfg)

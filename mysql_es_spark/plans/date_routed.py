@@ -164,62 +164,17 @@ def bm25_topk_routed_dfs(
     reads, no data scan.) Output: (period, docid, score); ties break
     (score desc, period asc, docid asc) — docids are only unique per
     period."""
-    import numpy as np
+    from .multi_index import bm25_topk_across
 
-    from ..operators.query import (
-        _decode_scores,
-        _matching_blocks,
-        corpus_stats,
-        deleted_docids,
-        effective_config,
-        query_terms,
-        term_buckets_of,
-    )
-
-    terms = query_terms(query)
     chosen = select_periods(root, start, end)
-    empty = tbl.local_rows_df(spark, [], "period string, docid long, score double")
-    if not chosen or not terms:
-        return empty
-
-    # dfs pass: global N, avgdl, df(term)
-    n_docs = 0
-    sum_dl = 0
-    df_of: dict[str, int] = {}
-    for p in chosen:
-        d = _period_dir(root, p)
-        st = corpus_stats(spark, d)
-        n_docs += st["n_docs"]
-        sum_dl += st["sum_dl"]
-        for r in (
-            spark.read.parquet(tbl.p(d, "term_dict"))
-            .filter(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        ):
-            df_of[r["term"]] = df_of.get(r["term"], 0) + int(r["df"])
-    if not df_of or not n_docs:
-        return empty
-    avgdl = sum_dl / n_docs
-    idf = {
-        t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))) for t, d in df_of.items()
-    }
-    live = sorted(idf)
-
-    parts = []
-    for p in chosen:
-        d = _period_dir(root, p)
-        pcfg = effective_config(spark, d, cfg)
-        buckets = sorted(set(term_buckets_of(spark, live, pcfg.term_buckets).values()))
-        blocks = _matching_blocks(spark, d, live, buckets)
-        scored = _decode_scores(blocks, idf, pcfg, avgdl, deleted_docids(spark, d))
-        parts.append(scored.select(F.lit(p).alias("period"), "docid", "score"))
-    out = parts[0]
-    for df in parts[1:]:
-        out = out.unionByName(df)
-    return out.orderBy(
-        F.desc("score"), F.asc("period"), F.asc("docid")
-    ).limit(k)
+    return bm25_topk_across(
+        spark,
+        {p: _period_dir(root, p) for p in chosen},
+        query,
+        k=k,
+        cfg=cfg,
+        label_col="period",
+    )
 
 
 def drop_periods_before(root: str, cutoff: str) -> list[str]:
