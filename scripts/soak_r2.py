@@ -44,7 +44,9 @@ def main() -> int:
         bm25_topk,
         bm25_topk_conjunctive,
         bm25_topk_multi,
+        boosting_topk,
         lm_dirichlet_topk,
+        phrase_prefix_topk,
         phrase_topk,
         synonym_topk,
     )
@@ -192,6 +194,55 @@ def main() -> int:
             want_lm,
         )
 
+        # boosting: demote docs containing a random negative term
+        neg = rng.choice(vocab)
+        nb = rng.choice([0.3, 0.5])
+        want_b = sorted(
+            (
+                (d, s * nb if neg in toks[d] else s)
+                for d, s in full
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )[:k]
+        expect_rank(
+            f"r{rnd}-boosting",
+            boosting_topk(spark, ix, q, neg, negative_boost=nb, k=k, cfg=cfg).collect(),
+            want_b,
+        )
+
+        # match_phrase_prefix on the sampled real bigram: fixed=a, prefix
+        # = first 2 chars of b (guaranteed >= 1 expansion with a match)
+        pre = b[:2]
+        cand_e = sorted(
+            ((len(oix.postings[t][0]), t) for t in oix.postings if t.startswith(pre)),
+            key=lambda x: (-x[0], x[1]),
+        )
+        exps = [t for _, t in cand_e[:8]]
+        best_pp: dict[int, float] = {}
+        for e in exps:
+            fullseq = [a, e]
+            for d, ts in toks.items():
+                if not any(ts[j : j + 2] == fullseq for j in range(len(ts) - 1)):
+                    continue
+                s = 0.0
+                for t in dict.fromkeys(fullseq):
+                    ids, tfs = oix.postings[t]
+                    j2 = int(ids.searchsorted(d))
+                    tfv, dl = float(tfs[j2]), float(len(toks[d]))
+                    s += float(
+                        np.log(1.0 + (n - len(ids) + 0.5) / (len(ids) + 0.5))
+                    ) * tfv / (tfv + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                if d not in best_pp or s > best_pp[d]:
+                    best_pp[d] = s
+        want_pp = sorted(best_pp.items(), key=lambda x: (-x[1], x[0]))[:k]
+        expect_rank(
+            f"r{rnd}-phrase_prefix",
+            phrase_prefix_topk(
+                spark, ix, f"{a} {pre}", k=k, cfg=cfg, max_expansions=8
+            ).collect(),
+            want_pp,
+        )
+
     # msearch: one batch covering 10 random queries == 10 single runs
     batch = {f"q{i}": " ".join(rng.sample(vocab, 2)) for i in range(10)}
     multi = bm25_topk_multi(spark, ix, batch, k=10, cfg=cfg).collect()
@@ -219,6 +270,90 @@ def main() -> int:
     if [d for d, _ in got] != [d for d, _ in want]:
         mismatches += 1
         fails.append("search_after")
+
+    # multi_match best_fields / cross_fields over a text+tool multi-field
+    # index on the same corpus, random queries mixing both vocabularies
+    from mysql_es_spark.plans.multi_field import build_multi_field, multi_match_topk
+
+    boosts = {"text": 1.0, "tool": 2.0}
+    mf = os.path.join(tempfile.gettempdir(), "soak_r2_mf")
+    shutil.rmtree(mf, ignore_errors=True)
+    build_multi_field(spark, df, mf, boosts, cfg)
+    tool_of = {
+        r.docid: r.text
+        for r in spark.read.parquet(f"{mf}/field=tool/forward")
+        .select("docid", "text")
+        .collect()
+    }
+    oix_tool = build_oracle_index(list(tool_of.items()))
+    tool_vocab = sorted(oix_tool.postings)
+    for i in range(6):
+        qt = rng.sample(vocab, 1) + rng.sample(tool_vocab, 1)
+        qq = " ".join(qt)
+        per_field = {
+            "text": dict(score_query(oix, qq, k=len(docs))),
+            "tool": dict(score_query(oix_tool, qq, k=len(docs))),
+        }
+        tie = rng.choice([0.0, 0.3])
+        comb: dict[int, float] = {}
+        for d in set(per_field["text"]) | set(per_field["tool"]):
+            ss = [boosts[f] * m[d] for f, m in per_field.items() if d in m]
+            comb[d] = max(ss) + tie * (sum(ss) - max(ss))
+        want_mm = sorted(comb.items(), key=lambda x: (-x[1], x[0]))[:10]
+        expect_rank(
+            f"mm{i}-best",
+            multi_match_topk(
+                spark, mf, qq, k=10, mtype="best_fields", tie_breaker=tie, cfg=cfg
+            ).collect(),
+            want_mm,
+        )
+        # cross_fields: per-term dis-max across fields, summed
+        cross: dict[int, float] = {}
+        for t in dict.fromkeys(qt):
+            pt = {
+                "text": dict(score_query(oix, t, k=len(docs))),
+                "tool": dict(score_query(oix_tool, t, k=len(docs))),
+            }
+            for d in set(pt["text"]) | set(pt["tool"]):
+                ss = [boosts[f] * m[d] for f, m in pt.items() if d in m]
+                cross[d] = cross.get(d, 0.0) + max(ss) + tie * (sum(ss) - max(ss))
+        want_cf = sorted(cross.items(), key=lambda x: (-x[1], x[0]))[:10]
+        expect_rank(
+            f"mm{i}-cross",
+            multi_match_topk(
+                spark, mf, qq, k=10, mtype="cross_fields", tie_breaker=tie, cfg=cfg
+            ).collect(),
+            want_cf,
+        )
+
+    # percolate: random stored queries vs set containment
+    from mysql_es_spark.operators.percolate import percolate
+
+    stored = []
+    for i in range(8):
+        mode = rng.choice(["all", "any"])
+        nterms = rng.randint(1, 3)
+        stored.append((f"sq{i}", " ".join(rng.sample(vocab, nterms)), mode))
+    from pyspark.sql import functions as F
+
+    pdocs = spark.read.parquet(f"{ix}/forward").select(
+        F.col("docid").alias("doc_id"), "text"
+    )
+    got_pc = {
+        (r.doc_id, r.query_id)
+        for r in percolate(spark, pdocs, stored).collect()
+    }
+    want_pc = set()
+    for d, ts in toks.items():
+        tset = set(ts)
+        for qid, qtext, mode in stored:
+            qs = set(qtext.split())
+            if (qs <= tset) if mode == "all" else bool(qs & tset):
+                want_pc.add((d, qid))
+    checks += 1
+    if got_pc != want_pc:
+        mismatches += 1
+        fails.append(f"percolate: {len(got_pc ^ want_pc)} diffs")
 
     print(
         json.dumps(
