@@ -107,6 +107,52 @@ def cmd_stats(args) -> dict:
     return index_stats(spark, args.index_dir)
 
 
+def _parse_fields(spec: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        name, _, boost = part.partition(":")
+        out[name.strip()] = float(boost) if boost else 1.0
+    return out
+
+
+def cmd_build_mf(args) -> dict:
+    from .plans.multi_field import build_multi_field
+
+    spark = _session(args)
+    df = spark.read.parquet(args.input)
+    t0 = time.monotonic()
+    out = build_multi_field(spark, df, args.root, _parse_fields(args.fields), _cfg(args))
+    return {
+        "fields": list(out),
+        "n_docs": out[next(iter(out))]["n_docs_built"],
+        "build_sec": round(time.monotonic() - t0, 2),
+    }
+
+
+def cmd_query_mf(args) -> dict:
+    from .plans.multi_field import multi_match_topk
+
+    spark = _session(args)
+    rows = multi_match_topk(
+        spark, args.root, args.query, k=args.k, mtype=args.type,
+        tie_breaker=args.tie_breaker,
+    ).collect()
+    return {"hits": [{"docid": r.docid, "score": round(r.score, 4)} for r in rows]}
+
+
+def cmd_percolate(args) -> dict:
+    from .operators.percolate import percolate
+
+    spark = _session(args)
+    with open(args.queries) as f:
+        stored = [(q["id"], q["query"], q.get("mode", "any")) for q in json.load(f)]
+    docs = spark.read.parquet(args.input)
+    rows = percolate(
+        spark, docs, stored, id_col=args.id_col, text_col=args.text_col
+    ).collect()
+    return {"matches": [{args.id_col: r[0], "query_id": r[1]} for r in rows]}
+
+
 def cmd_snapshot(args) -> dict:
     from .plans.snapshot import create_snapshot, list_snapshots, restore_snapshot
 
@@ -363,6 +409,34 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--interval", type=int, default=20, help="histogram bucket width")
     a.add_argument("--size", type=int, default=10)
     a.set_defaults(fn=cmd_aggs)
+
+    bm = sub.add_parser("build-mf", help="build per-field sub-indexes (multi_match)")
+    bm.add_argument("--input", required=True, help="transcripts parquet path")
+    bm.add_argument("--root", required=True, help="multi-field index root")
+    bm.add_argument(
+        "--fields", default="text:1.0",
+        help="comma list of field[:boost], e.g. text:1.0,tool:2.0",
+    )
+    bm.set_defaults(fn=cmd_build_mf)
+
+    qm = sub.add_parser("query-mf", help="multi_match over a multi-field index")
+    qm.add_argument("--root", required=True)
+    qm.add_argument("--query", required=True)
+    qm.add_argument("-k", type=int, default=10)
+    qm.add_argument(
+        "--type", choices=["best_fields", "most_fields", "cross_fields"],
+        default="best_fields",
+    )
+    qm.add_argument("--tie-breaker", type=float, default=0.0, dest="tie_breaker")
+    qm.set_defaults(fn=cmd_query_mf)
+
+    pc = sub.add_parser("percolate", help="match stored queries against a doc table")
+    pc.add_argument("--input", required=True, help="docs parquet path")
+    pc.add_argument("--queries", required=True,
+                    help='JSON file: [{"id": ..., "query": ..., "mode": "all"|"any"}]')
+    pc.add_argument("--id-col", default="doc_id", dest="id_col")
+    pc.add_argument("--text-col", default="text", dest="text_col")
+    pc.set_defaults(fn=cmd_percolate)
 
     ro = sub.add_parser("rollover", help="rotate the alias's write index (ES _rollover)")
     ro.add_argument("--alias", required=True)

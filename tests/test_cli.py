@@ -267,3 +267,32 @@ def test_cli_snapshot_restore(spark, built_index, tmp_path, capsys):
     assert cli_main(["query", "--index-dir", dest, "--query", "w0 w3", "-k", "3"]) == 0
     hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(hits["hits"]) == 3
+
+
+def test_cli_multifield_and_percolate(spark, tmp_path, capsys):
+    corpus_dir = str(tmp_path / "corpus5")
+    root = str(tmp_path / "mf5")
+    common = ["--n-buckets", "4", "--wave-size", "2", "--salt-docs", "256"]
+    assert cli_main(["gen", "--out", corpus_dir, "--turns", "400", "--seed", "9"]) == 0
+    capsys.readouterr()
+
+    assert cli_main([*common, "build-mf", "--input", f"{corpus_dir}/transcripts",
+                     "--root", root, "--fields", "text:1.0,tool:2.0"]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["fields"] == ["text", "tool"] and built["n_docs"] > 0
+
+    assert cli_main(["query-mf", "--root", root, "--query", "w1 bash",
+                     "--type", "cross_fields", "--tie-breaker", "0.3", "-k", "5"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(hits["hits"]) == 5
+    scores = [h["score"] for h in hits["hits"]]
+    assert scores == sorted(scores, reverse=True)
+
+    qf = str(tmp_path / "watches.json")
+    with open(qf, "w") as f:
+        json.dump([{"id": "a", "query": "w0 w1", "mode": "all"},
+                   {"id": "b", "query": "w9", "mode": "any"}], f)
+    assert cli_main(["percolate", "--input", f"{corpus_dir}/transcripts",
+                     "--queries", qf, "--id-col", "conv_id"]) == 0
+    pm = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pm["matches"] and {m["query_id"] for m in pm["matches"]} == {"a", "b"}
