@@ -156,6 +156,8 @@ def cmd_percolate(args) -> dict:
 def cmd_snapshot(args) -> dict:
     from .plans.snapshot import create_snapshot, list_snapshots, restore_snapshot
 
+    if args.snap_action in ("create", "restore") and not (args.name and args.index_dir):
+        raise SystemExit("snapshot create/restore require --name and --index-dir")
     if args.snap_action == "create":
         return create_snapshot(args.index_dir, args.repo, args.name)
     if args.snap_action == "restore":
@@ -167,9 +169,16 @@ def cmd_rollover(args) -> dict:
     from .plans.alias import rollover
 
     spark = _session(args)
+    # only override the new generation's physical config when the user
+    # actually passed physical flags; otherwise inherit the old
+    # generation's persisted layout (positions, buckets, ...)
+    overridden = any(
+        getattr(args, n, None) is not None
+        for n in ("n_buckets", "wave_size", "salt_docs", "term_buckets", "block_size")
+    ) or args.edge_ngram or args.with_positions
     return rollover(
-        spark, args.alias, cfg=_cfg(args), max_docs=args.max_docs,
-        max_bytes=args.max_bytes,
+        spark, args.alias, cfg=_cfg(args) if overridden else None,
+        max_docs=args.max_docs, max_bytes=args.max_bytes,
     )
 
 

@@ -323,9 +323,16 @@ def range_agg(
     cfg = effective_config(spark, index_dir, cfg)
 
     def key(lo, hi):
-        return f"{'*' if lo is None else int(lo)}-{'*' if hi is None else int(hi)}"
+        def side(v):
+            if v is None:
+                return "*"
+            return str(int(v)) if float(v).is_integer() else str(v)
+
+        return f"{side(lo)}-{side(hi)}"
 
     keys = [key(lo, hi) for lo, hi in ranges]
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"range bucket labels collide: {keys}")
     empty = tbl.local_rows_df(
         spark, [(k, 0) for k in keys], "bucket string, n_docs long"
     )
@@ -342,7 +349,11 @@ def range_agg(
             cond = cond & (F.col("dl") >= lo)
         if hi is not None:
             cond = cond & (F.col("dl") < hi)
-        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(k))
+        # coalesce: an agg over ZERO matched rows (every matching doc
+        # soft-deleted) returns NULL sums — the contract is count 0
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, 1)), F.lit(0)).cast("long").alias(k)
+        )
     row = m.agg(*aggs)
     # unpivot the single row into (bucket, n_docs) — keeps requested order
     pairs = ", ".join(f"'{k}', `{k}`" for k in keys)
@@ -374,7 +385,7 @@ def filters_agg(
     fwd = tbl.read(spark, index_dir, "forward")
     m = matched.join(fwd, "docid", "inner")
     aggs = [
-        F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias(n)
+        F.coalesce(F.sum(F.when(F.expr(pred), 1)), F.lit(0)).cast("long").alias(n)
         for n, pred in filters.items()
     ]
     row = m.agg(*aggs)
@@ -405,11 +416,16 @@ def composite_agg(
     nulls-first prefix once paging has begun).
     """
     cfg = effective_config(spark, index_dir, cfg)
-    schema = ", ".join(f"{s} string" for s in sources) + ", n_docs long"
     matched = _matched_docids(spark, index_dir, query, cfg)
-    if matched is None:
-        return tbl.local_rows_df(spark, [], schema)
     fwd = tbl.read(spark, index_dir, "forward").select("docid", *sources)
+    if matched is None:
+        # empty page with the forward table's REAL source types (a string
+        # stand-in would break paging loops that union/compare pages)
+        return (
+            fwd.limit(0)
+            .select(*sources)
+            .withColumn("n_docs", F.lit(0).cast("long"))
+        )
     g = (
         matched.join(fwd, "docid", "inner")
         .groupBy(*sources)

@@ -45,17 +45,26 @@ def percolate(
     no percolator hits for an empty query).
     """
     rows = []
+    seen_ids: set[str] = set()
     for qid, qtext, mode in queries:
         if mode not in ("all", "any"):
             raise ValueError(f"query {qid!r}: unknown mode {mode!r}")
+        if qid in seen_ids:
+            raise ValueError(f"duplicate stored query id {qid!r}")
+        seen_ids.add(qid)
         terms = list(dict.fromkeys(tokenize_text(qtext)))
         need = len(terms) if mode == "all" else 1
         rows.extend((qid, t, need) for t in terms)
     qterms = tbl.local_rows_df(
         spark, rows, "query_id string, term string, need int"
     )
-    toks = with_tokens(docs, text_col).select(
-        F.col(id_col), F.explode(F.array_distinct("toks")).alias("term")
+    # distinct across ROWS too: a non-unique id_col (e.g. conv_id over
+    # turns) must count each term once per id, or 'all' mode would accept
+    # an id whose rows cover n_terms occurrences of one term
+    toks = (
+        with_tokens(docs, text_col)
+        .select(F.col(id_col), F.explode(F.array_distinct("toks")).alias("term"))
+        .distinct()
     )
     return (
         toks.join(F.broadcast(qterms), "term")

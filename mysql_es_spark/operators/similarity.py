@@ -387,8 +387,9 @@ def pq_topk(
     ``rerank > 0`` the ADC top-``rerank`` candidates (collected: ≤ rerank
     ids) are exactly re-scored against ``emb`` via an In-filter scan —
     compressed-domain recall, exact final ordering.
-    Returns (id, score) — ADC approximate cosine, or exact cosine
-    (rounded, `cos`) when re-ranked.
+    Returns (id, score) in BOTH modes — ADC approximate cosine without
+    rerank, exact (4-dp rounded) cosine with it — so callers can toggle
+    rerank without a schema change.
     """
     B = codebooks
     m, ksub, dsub = B.shape
@@ -417,4 +418,6 @@ def pq_topk(
         raise ValueError("rerank needs the original embedding table")
     cand = [int(r[id_col]) for r in approx.limit(rerank).collect()]
     exact = emb.filter(F.col(id_col).isin(cand))
-    return cosine_topk(exact, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+    return cosine_topk(exact, query_vec, k=k, id_col=id_col, vec_col=vec_col).select(
+        id_col, F.col("cos").alias("score")
+    )

@@ -268,22 +268,31 @@ def lm_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     uses a 5-gram KenLM — the plumbing and the filtering contract are
     identical, only the probability table differs.)
 
-    Scale shape: avg ln(tf/total) = avg(ln tf) − ln(total), so the only
-    join is exploded-tokens ⋈ vocab(term→ttf) — an equi-join on term that
-    map-side combines; the corpus total is a 1-row agg broadcast as a
-    scalar subtraction. Zero-token docs surface with NULL avg_logprob.
+    Scale shape: the corpus is tokenized ONCE into a persisted per-(doc,
+    term) tf frame; vocab (term → ttf), the corpus total, and the per-doc
+    score all derive from it, so the expensive Arrow pass never re-runs
+    per plan branch. avg ln(tf/total) = Σ tf·ln(ttf)/n − ln(total), so
+    the only join is tf ⋈ vocab — an equi-join on term that map-side
+    combines; the total is a 1-row agg broadcast as a scalar subtraction.
+    Zero-token docs surface with NULL avg_logprob. (The tf frame is
+    persisted for the action and reclaimed by the ContextCleaner when the
+    returned frame is GC'd — same contract as the dedup shingle frames.)
     """
-    tok = with_tokens(df, text_col).select(
-        F.col(id_col), F.explode("toks").alias("term")
+    tf_df = (
+        with_tokens(df, text_col)
+        .select(F.col(id_col), F.explode("toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
-    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ttf"))
+    vocab = tf_df.groupBy("term").agg(F.sum("tf").alias("ttf"))
     total = vocab.agg(F.sum("ttf").alias("t"))
     per = (
-        tok.join(vocab, "term")
+        tf_df.join(vocab, "term")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.avg(F.log("ttf")).alias("mean_ln_ttf"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (F.sum(F.col("tf") * F.log("ttf")) / F.sum("tf")).alias("mean_ln_ttf"),
         )
         .crossJoin(F.broadcast(total))
         .select(

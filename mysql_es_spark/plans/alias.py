@@ -106,7 +106,10 @@ def rollover(
         raise ValueError(f"rollover target already exists: {new_dir}")
     # an empty index with the OLD generation's physical config (unless
     # overridden): build handles zero-doc buckets by design
-    cfg = cfg or IndexConfig()
+    if cfg is None:
+        from ..operators.query import effective_config
+
+        cfg = effective_config(spark, target, None)
     empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
     build_index(spark, empty, new_dir, cfg)
     set_alias(alias_dir, new_dir)

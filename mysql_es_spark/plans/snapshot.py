@@ -50,6 +50,11 @@ def create_snapshot(index_dir: str, repo_dir: str, name: str) -> dict:
     Returns {files, bytes, blobs_added} — ``blobs_added`` is the
     incremental cost: 0 for a re-snapshot of an unchanged index.
     """
+    from ..sources import tables as tbl
+
+    # aliases resolve like every other index_dir entry point: snapshot
+    # the TARGET's data, not the one-line pointer file
+    index_dir = tbl.resolve(index_dir)
     if not os.path.isdir(index_dir):
         raise ValueError(f"no such index: {index_dir}")
     if os.path.exists(_manifest_path(repo_dir, name)):

@@ -251,3 +251,40 @@ def test_composite_agg_first_page_and_validation(spark, built_index, fwd, matche
     assert [(r.role, r.n_docs) for r in got] == want
     with pytest.raises(ValueError):
         aggs.composite_agg(spark, built_index, Q, ["role", "tool"], after=("x",), cfg=TEST_CFG)
+
+
+def test_range_agg_label_collision_and_floats(spark, built_index):
+    with pytest.raises(ValueError):
+        aggs.range_agg(
+            spark, built_index, Q, [(60, 90), (60.5, 90.2)][:1] + [(60.0, 90.0)],
+            cfg=TEST_CFG,
+        )
+    got = aggs.range_agg(
+        spark, built_index, Q, [(60, 90), (60.5, 90.2)], cfg=TEST_CFG
+    ).collect()
+    assert {r.bucket for r in got} == {"60-90", "60.5-90.2"}
+
+
+def test_aggs_zero_live_matches_count_zero(spark, built_index, tmp_path):
+    """All matching docs soft-deleted: buckets must report 0, not NULL."""
+    import shutil
+
+    from mysql_es_spark.operators.query import invalidate_stats_cache
+    from mysql_es_spark.plans.deletes import delete_by_query
+
+    ix = str(tmp_path / "ixz")
+    shutil.copytree(built_index, ix)
+    delete_by_query(spark, ix, "w0", cfg=TEST_CFG)
+    invalidate_stats_cache(ix)
+    got = aggs.range_agg(spark, ix, "w0", [(None, 20), (20, None)], cfg=TEST_CFG).collect()
+    assert [(r.bucket, r.n_docs) for r in got] == [("*-20", 0), ("20-*", 0)]
+    gf = aggs.filters_agg(spark, ix, "w0", {"a": "role = 'user'"}, cfg=TEST_CFG).collect()
+    assert [(r.bucket, r.n_docs) for r in gf] == [("a", 0)]
+
+
+def test_composite_empty_page_keeps_types(spark, built_index):
+    """Unknown-term query: the empty page must carry the forward table's
+    REAL column types (long turn_idx), not strings."""
+    df = aggs.composite_agg(spark, built_index, "zzzyqq", ["turn_idx"], cfg=TEST_CFG)
+    assert df.count() == 0
+    assert dict(df.dtypes)["turn_idx"] == "int"

@@ -47,3 +47,33 @@ def test_percolate_validation(spark, docs):
     with pytest.raises(ValueError):
         percolate(spark, docs, [("q", "w0", "most")]).count()
     assert percolate(spark, docs, []).count() == 0
+
+
+def test_percolate_non_unique_id(spark, tiny_transcripts):
+    """'all' mode must count DISTINCT terms per id: with conv-level ids a
+    conversation matching 'w0' in two turns but never 'w999...' must NOT
+    satisfy an all-of-two query."""
+    docs = tiny_transcripts.select("conv_id", "text")
+    q = [("both", "w0 w3", "all")]
+    got = {r[0] for r in percolate(spark, docs, q, id_col="conv_id").collect()}
+    rows = docs.collect()
+    conv_terms: dict[str, set] = {}
+    for r in rows:
+        conv_terms.setdefault(r.conv_id, set()).update(tokenize_text(r.text))
+    want = {c for c, ts in conv_terms.items() if {"w0", "w3"} <= ts}
+    assert got == want
+    # weak-test guard: some conv has w0 twice but no w3 (the false-positive
+    # shape the old per-row counting produced)
+    from collections import Counter
+
+    per_conv = {}
+    for r in rows:
+        per_conv.setdefault(r.conv_id, Counter()).update(set(tokenize_text(r.text)))
+    assert any(
+        c["w0"] >= 2 and "w3" not in c for c in per_conv.values()
+    ), "corpus lacks the regression shape"
+
+
+def test_percolate_duplicate_id_rejected(spark, docs):
+    with pytest.raises(ValueError):
+        percolate(spark, docs, [("q", "w0", "all"), ("q", "w1", "any")]).count()

@@ -45,3 +45,25 @@ def test_rollover_validation(spark, built_index, tmp_path):
     set_alias(al, built_index)
     with pytest.raises(ValueError):
         rollover(spark, al)  # no condition
+
+
+def test_rollover_inherits_physical_config(spark, tiny_transcripts, tmp_path):
+    """A rollover without an explicit cfg must clone the old generation's
+    persisted physical layout (positions and all), not defaults."""
+    from mysql_es_spark.config import IndexConfig
+    from mysql_es_spark.operators.query import phrase_topk
+    from mysql_es_spark.plans.build import build_index
+
+    pos_cfg = IndexConfig(
+        n_buckets=4, wave_size=2, salt_docs=256, term_buckets=8, with_positions=True
+    )
+    g0 = str(tmp_path / "al-000000")
+    build_index(spark, tiny_transcripts.limit(150), g0, pos_cfg)
+    al = str(tmp_path / "al")
+    set_alias(al, g0)
+    r = rollover(spark, al, max_docs=1)  # cfg=None → inherit
+    assert r["rolled"]
+    meta = spark.read.parquet(f"{r['new_index']}/index_meta").collect()[0]
+    assert meta["with_positions"] and meta["n_buckets"] == 4
+    # phrase queries keep working on the (empty) new write index
+    assert phrase_topk(spark, al, "w0 w1", cfg=pos_cfg).count() == 0

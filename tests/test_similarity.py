@@ -160,7 +160,7 @@ def test_pq_adc_shortlist_recall(spark, emb_df):
     q = [float(x) for x in M[77]]
     got = similarity.pq_topk(codes, q, B, k=10, emb=df, rerank=50).collect()
     want = similarity.cosine_topk(df, q, k=10).collect()
-    assert [(r.vec_id, r.cos) for r in got] == [(r.vec_id, r.cos) for r in want]
+    assert [(r.vec_id, r.score) for r in got] == [(r.vec_id, r.cos) for r in want]
 
 
 def test_pq_rerank_exact(spark, emb_df):
@@ -172,7 +172,7 @@ def test_pq_rerank_exact(spark, emb_df):
     q = [float(x) for x in M[42]]
     got = similarity.pq_topk(codes, q, B, k=10, emb=df, rerank=N).collect()
     want = similarity.cosine_topk(df, q, k=10).collect()
-    assert [(r.vec_id, r.cos) for r in got] == [(r.vec_id, r.cos) for r in want]
+    assert [(r.vec_id, r.score) for r in got] == [(r.vec_id, r.cos) for r in want]
 
 
 def test_pq_validation(spark, emb_df):

@@ -78,3 +78,18 @@ def test_snapshot_validation(tmp_path, built_index):
     with pytest.raises(ValueError):
         restore_snapshot(repo, "dup", built_index)  # target exists
     assert list_snapshots(str(tmp_path / "empty")) == []
+
+
+def test_snapshot_resolves_alias(spark, built_index, tmp_path):
+    """Snapshotting an alias must archive the TARGET's data, and the
+    restored copy must serve identical results."""
+    from mysql_es_spark.plans.alias import set_alias
+
+    al = str(tmp_path / "al")
+    set_alias(al, built_index)
+    repo = str(tmp_path / "repo")
+    m = create_snapshot(al, repo, "via-alias")
+    assert m["files"] > 10  # real index files, not the one-line pointer
+    dest = str(tmp_path / "restored")
+    restore_snapshot(repo, "via-alias", dest)
+    assert _top(spark, dest) == _top(spark, built_index)
