@@ -1132,6 +1132,18 @@ def q_agg_composite(spark, sf):
     )
 
 
+def q_phrase_suggest(spark, sf):
+    """ES phrase suggester: per-token dictionary candidates collated and
+    ranked by corpus unigram-LM likelihood minus an edit penalty."""
+    from mysql_es_spark.operators.query import suggest_phrase
+
+    ix = _index_for_documents(spark, sf)
+    return suggest_phrase(
+        spark, ix, "pat sot", size=5, max_edits=2, per_term=5,
+        cfg=_docs_index_cfg(),
+    ).select("phrase", F.round("score", 4).alias("score"), "n_edits")
+
+
 def q_agg_cardinality(spark, sf):
     """ES cardinality agg: distinct sources (tool field) among matching
     docs — exact two-level distinct here; the HLL++ variant (the literal
@@ -1707,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- below the driver gate's 50-entry window: r01-green entries,
         # rows-only designs, and extras locally oracle-checked ---
         "agg_composite": q_agg_composite,
+        "phrase_suggest": q_phrase_suggest,
         "t1_edge_ngram_tokens": q_t1_edge_ngram,
         "doc_hash_split": q_hash_split,
         "doc_ngram_jaccard_pairs": q_jaccard,
@@ -3153,6 +3166,30 @@ g AS (SELECT lang AS role, source AS tool, CAST(count(*) AS BIGINT) AS n_docs
       FROM m GROUP BY 1, 2)
 SELECT role, tool, n_docs FROM g WHERE (role, tool) > ('en', 'src3')
 ORDER BY role, tool LIMIT 10
+""",
+        # phrase suggester: per-token candidates (distance asc, ttf desc,
+        # term asc, top-5 within 2 edits), cartesian collation, score =
+        # sum ln(ttf/total) - edits, input phrase excluded
+        "phrase_suggest": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+tokp AS (SELECT u.term FROM toks, unnest(toks.tl) AS u(term)),
+vocab AS (SELECT term, count(*) AS ttf FROM tokp GROUP BY 1),
+tot AS (SELECT sum(ttf) AS t FROM vocab),
+c1 AS (SELECT term, levenshtein(term, 'pat') AS d, ttf FROM vocab
+       WHERE abs(length(term) - 3) <= 2 AND levenshtein(term, 'pat') <= 2
+       ORDER BY d ASC, ttf DESC, term ASC LIMIT 5),
+c2 AS (SELECT term, levenshtein(term, 'sot') AS d, ttf FROM vocab
+       WHERE abs(length(term) - 3) <= 2 AND levenshtein(term, 'sot') <= 2
+       ORDER BY d ASC, ttf DESC, term ASC LIMIT 5),
+comb AS (
+  SELECT c1.term || ' ' || c2.term AS phrase,
+         ln(c1.ttf / tot.t) - 1.0 * c1.d + ln(c2.ttf / tot.t) - 1.0 * c2.d AS s,
+         CAST(c1.d + c2.d AS INT) AS n_edits
+  FROM c1, c2, tot
+  WHERE c1.term || ' ' || c2.term <> 'pat sot'
+)
+SELECT phrase, round(s, 4) AS score, n_edits FROM comb
+ORDER BY round(s, 4) DESC, phrase ASC LIMIT 5
 """,
         # boosting query: 'spark join' disjunctive BM25; docs containing
         # 'slow' demoted to 0.4x (ES demote-not-exclude semantics)

@@ -2319,6 +2319,79 @@ def suggest_terms(
     return out
 
 
+def suggest_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    text: str,
+    size: int = 3,
+    max_edits: int = 2,
+    per_term: int = 8,
+    lam: float = 1.0,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES phrase suggester: whole-phrase "did you mean" — per-token
+    candidate generation against the dictionary, collated into corrected
+    phrases ranked by a corpus unigram LM with an edit penalty:
+
+        score(phrase) = Σ_t [ ln(ttf(t)/total_tokens) − lam · edits(t) ]
+
+    (ES uses a shingle LM + DirectCandidateGenerator; the contract —
+    generate per position, collate, rank by LM-likelihood × error model —
+    is the same, with the 1-gram LM this engine's stats already hold:
+    ``total_tokens`` IS corpus_stats.sum_dl.)
+
+    Per-token candidates: the token itself (edits 0, if in-dictionary)
+    plus the ``per_term`` nearest in-dictionary terms within
+    ``max_edits`` (distance asc, ttf desc, term asc — the term
+    suggester's ranking). Collation is the cartesian of the per-token
+    shortlists, scored driver-side: with per_term ≤ 8 and queries of a
+    few tokens it is ≤ a few thousand tuples of floats — dictionary-
+    bounded work, the corpus is never scanned.
+    Returns (phrase, score, n_edits), (score desc, phrase asc), limit
+    ``size``; the verbatim input phrase is never suggested.
+    """
+    import itertools
+
+    terms = tokenize_text(text)
+    schema = "phrase string, score double, n_edits int"
+    if not terms or len(terms) > 6:
+        return tbl.local_rows_df(spark, [], schema)
+    stats = corpus_stats(spark, index_dir)
+    total = max(1, stats["sum_dl"])
+    td = spark.read.parquet(tbl.p(index_dir, "term_dict"))
+
+    cand_of: list[list[tuple[str, int, float]]] = []  # (term, edits, ln p)
+    for t in terms:
+        rows = (
+            td.filter(F.abs(F.length("term") - len(t)) <= int(max_edits))
+            .select(
+                F.col("term"),
+                F.levenshtein(F.col("term"), F.lit(t)).cast("int").alias("d"),
+                "ttf",
+            )
+            .filter(F.col("d") <= int(max_edits))
+            .orderBy(F.col("d").asc(), F.col("ttf").desc(), F.col("term").asc())
+            .limit(int(per_term))
+            .collect()
+        )
+        if not rows:
+            return tbl.local_rows_df(spark, [], schema)  # ES: no correction
+        cand_of.append(
+            [(r["term"], int(r["d"]), float(np.log(r["ttf"] / total))) for r in rows]
+        )
+
+    scored = []
+    for combo in itertools.product(*cand_of):
+        phrase = " ".join(c[0] for c in combo)
+        if phrase == " ".join(terms):
+            continue
+        edits = sum(c[1] for c in combo)
+        score = sum(c[2] - lam * c[1] for c in combo)
+        scored.append((phrase, float(score), int(edits)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return tbl.local_rows_df(spark, scored[: int(size)], schema)
+
+
 def _decode_lm_contribs(
     blocks: DataFrame, pc_of: dict[str, float], mu: float
 ) -> DataFrame:
