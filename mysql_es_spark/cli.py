@@ -213,9 +213,21 @@ def cmd_delete(args) -> dict:
 
 
 def cmd_suggest(args) -> dict:
-    from .operators.query import suggest_terms
+    from .operators.query import suggest_phrase, suggest_terms
 
     spark = _session(args)
+    if args.mode == "phrase":
+        rows = suggest_phrase(
+            spark, args.index_dir, args.text, size=args.size,
+            max_edits=args.max_edits, cfg=_cfg(args),
+        ).collect()
+        return {
+            "suggestions": [
+                {"phrase": r["phrase"], "score": round(r["score"], 4),
+                 "n_edits": r["n_edits"]}
+                for r in rows
+            ]
+        }
     rows = suggest_terms(
         spark, args.index_dir, args.text, size=args.size, max_edits=args.max_edits,
         cfg=_cfg(args),
@@ -397,6 +409,7 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--text", required=True)
     sg.add_argument("--size", type=int, default=5)
     sg.add_argument("--max-edits", type=int, default=2, dest="max_edits")
+    sg.add_argument("--mode", choices=["term", "phrase"], default="term")
     sg.set_defaults(fn=cmd_suggest)
 
     e = sub.add_parser("explain", help="per-term BM25 breakdown for one doc")
