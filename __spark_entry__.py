@@ -1144,6 +1144,30 @@ def q_phrase_suggest(spark, sf):
     ).select("phrase", F.round("score", 4).alias("score"), "n_edits")
 
 
+EPOCH_MIX = {"en": 1.5, "zh": 2.0, "fr": 0.3}
+
+
+def q_epoch_mix(spark, sf):
+    """Training-mix upsampling: repeat each language's docs epochs[lang]
+    times, fractional pass selected by the engine-portable md5 threshold."""
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    return sampling.epoch_mix(docs, "lang", EPOCH_MIX, id_col="doc_id").select(
+        "doc_id", "lang", F.col("epoch").cast("int").alias("epoch")
+    )
+
+
+def q_dup_spans(spark, sf):
+    """Exact-substring dedup: merged cut spans of 5-token windows whose
+    token sequence occurs elsewhere (first occurrence kept)."""
+    docs = _t(spark, sf, "documents")
+    return dedup.dup_spans(docs, n=5, min_count=2).select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        "n_windows",
+    )
+
+
 def q_agg_cardinality(spark, sf):
     """ES cardinality agg: distinct sources (tool field) among matching
     docs — exact two-level distinct here; the HLL++ variant (the literal
@@ -1720,6 +1744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only designs, and extras locally oracle-checked ---
         "agg_composite": q_agg_composite,
         "phrase_suggest": q_phrase_suggest,
+        "doc_epoch_mix": q_epoch_mix,
+        "doc_dup_spans": q_dup_spans,
         "t1_edge_ngram_tokens": q_t1_edge_ngram,
         "doc_hash_split": q_hash_split,
         "doc_ngram_jaccard_pairs": q_jaccard,
@@ -3166,6 +3192,47 @@ g AS (SELECT lang AS role, source AS tool, CAST(count(*) AS BIGINT) AS n_docs
       FROM m GROUP BY 1, 2)
 SELECT role, tool, n_docs FROM g WHERE (role, tool) > ('en', 'src3')
 ORDER BY role, tool LIMIT 10
+""",
+        # epoch mixing: floor(e) full passes + md5-thresholded fractional
+        # pass, 0-based epoch index per emitted row
+        "doc_epoch_mix": """
+SELECT t.doc_id, t.lang, CAST(g.epoch AS INT) AS epoch
+FROM (SELECT doc_id, lang,
+        (CASE lang WHEN 'en' THEN 1.5 WHEN 'fr' THEN 0.3 WHEN 'zh' THEN 2.0
+         ELSE 1.0 END) AS e,
+        (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 4294967296) AS h
+      FROM documents) t,
+unnest(range(0, floor(t.e)::BIGINT
+             + CASE WHEN t.h < round((t.e - floor(t.e)) * 4294967296)::BIGINT
+                    THEN 1 ELSE 0 END)) AS g(epoch)
+""",
+        # exact-substring dedup: duplicated 5-token windows, first
+        # occurrence kept, later ones merged into per-doc cut spans
+        "doc_dup_spans": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+occ AS (
+  SELECT toks.doc_id, i.i - 1 AS start,
+         array_to_string(tl[i.i:i.i + 4], ' ') AS g
+  FROM toks, unnest(range(1, len(tl) - 3)) AS i(i)
+  WHERE len(tl) >= 5
+),
+st AS (SELECT doc_id, start,
+       count(*) OVER (PARTITION BY g) AS cnt,
+       row_number() OVER (PARTITION BY g ORDER BY doc_id, start) AS rn
+       FROM occ),
+fl AS (SELECT doc_id, start, start + 5 AS e FROM st WHERE cnt >= 2 AND rn > 1),
+isl AS (SELECT doc_id, start, e,
+        CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             OR start > max(e) OVER (PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS ns
+        FROM fl),
+isl2 AS (SELECT doc_id, start, e,
+         sum(ns) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM isl)
+SELECT doc_id, CAST(min(start) AS BIGINT) AS start,
+       CAST(max(e) AS BIGINT) AS "end", CAST(count(*) AS BIGINT) AS n_windows
+FROM isl2 GROUP BY doc_id, island
 """,
         # phrase suggester: per-token candidates (distance asc, ttf desc,
         # term asc, top-5 within 2 edits), cartesian collation, score =

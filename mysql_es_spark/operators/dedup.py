@@ -743,3 +743,68 @@ def contamination_pairs(
         .groupBy(id_col, probe_id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def dup_spans(
+    df: DataFrame,
+    n: int = 20,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021 "Deduplicating Training
+    Data"): find every n-token window whose exact token sequence occurs
+    ``min_count``+ times in the corpus, keep the globally FIRST occurrence
+    (lexicographic (id, start)), and emit the other occurrences as merged
+    per-doc cut spans (id, start, end, n_windows) — end exclusive, token
+    offsets, ready for span removal before training.
+
+    Scale shape (no windows over the global occurrence list — a boiler-
+    plate n-gram with 10^9 occurrences must not serialize through one
+    task): occurrences explode from ONE tokenize pass; per-hash count and
+    first-occurrence are map-side-combining aggregations (count +
+    min(struct(id,start))); flagging is an equi-join of occurrences
+    against that per-hash table; only the merge of a single doc's flagged
+    windows uses a window function, partitioned by doc.
+    """
+    t = with_tokens(df, text_col)
+    sh = F.expr(
+        f"transform(sequence(0, size(toks) - {n}), i -> "
+        f"struct(i AS start, xxhash64(concat_ws(' ', slice(toks, i + 1, {n}))) AS h))"
+    )
+    occ = (
+        t.filter(F.size("toks") >= n)
+        .select(F.col(id_col), F.explode(sh).alias("o"))
+        .select(id_col, F.col("o.start").alias("start"), F.col("o.h").alias("h"))
+    )
+    per_h = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(F.col(id_col), F.col("start"))).alias("first_occ"),
+    )
+    flagged = (
+        occ.join(per_h.filter(F.col("cnt") >= int(min_count)), "h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"first_occ.{id_col}"))
+                & (F.col("start") == F.col("first_occ.start"))
+            )
+        )
+        .select(id_col, "start", (F.col("start") + n).alias("end"))
+    )
+    w = Window.partitionBy(id_col).orderBy("start")
+    prev_max = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = flagged.withColumn(
+        "island",
+        F.sum(
+            F.when(prev_max.isNull() | (F.col("start") > prev_max), 1).otherwise(0)
+        ).over(w),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("start").alias("start"),
+            F.max("end").alias("end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "start", "end", "n_windows")
+    )

@@ -90,3 +90,68 @@ def duckdb_stratified_predicate(
         f"(('0x' || substr(md5({id_col}::VARCHAR), 1, 8))::UBIGINT % 4294967296) "
         f"< (CASE {strata_col} {whens}ELSE {int(round(default * 2**32))} END)"
     )
+
+
+def epoch_mix(
+    df: DataFrame,
+    strata_col: str,
+    epochs: dict[str, float],
+    id_col: str = "doc_id",
+    default: float = 1.0,
+    out: str = "epoch",
+) -> DataFrame:
+    """Deterministic domain mixing with UPSAMPLING: repeat each stratum's
+    rows ``epochs[s]`` times (fractional part = an extra content-hash-
+    selected pass) — how a training mix realizes per-source weights > 1
+    when a source is smaller than its target share (e.g. wiki 3.2 epochs,
+    web 0.7). Output adds an ``out`` column (0-based pass index), so the
+    result is a flat list of training rows with provenance.
+
+    floor(e) full passes emit every row; the fractional pass keeps row ←
+    ``md5(id) mod 2^32 < frac·2^32`` — the same engine-portable integer
+    threshold as :func:`stratified_sample`, so epochs ≤ 1 degenerate to
+    it exactly. Pure projection + generator (one ``explode`` of a
+    per-row int sequence): no shuffle, no RNG, stable at any scale and
+    partitioning.
+    """
+    if not epochs and default is None:
+        raise ValueError("epoch_mix needs epochs and/or a default")
+    for s, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"negative epochs for stratum {s!r}: {e}")
+    e_map = F.create_map(
+        *[x for s, e in sorted(epochs.items()) for x in (F.lit(s), F.lit(float(e)))]
+    )
+    e_col = F.coalesce(e_map.getItem(F.col(strata_col)), F.lit(float(default)))
+    h = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(2**32)
+    )
+    full = F.floor(e_col).cast("int")
+    frac_thr = F.round((e_col - full) * F.lit(float(2**32))).cast("long")
+    n_pass = full + F.when(h < frac_thr, 1).otherwise(0)
+    return (
+        df.withColumn("__n", n_pass)
+        .filter(F.col("__n") > 0)
+        .withColumn(out, F.explode(F.expr("sequence(0, __n - 1)")))
+        .drop("__n")
+    )
+
+
+def duckdb_epoch_mix_sql(
+    table: str,
+    strata_col: str,
+    epochs: dict[str, float],
+    id_col: str = "doc_id",
+    default: float = 1.0,
+) -> str:
+    """DuckDB query equal to :func:`epoch_mix` (columns: *, epoch)."""
+    whens = "".join(f"WHEN '{s}' THEN {float(e)} " for s, e in sorted(epochs.items()))
+    e = f"(CASE {strata_col} {whens}ELSE {float(default)} END)"
+    h = f"(('0x' || substr(md5({id_col}::VARCHAR), 1, 8))::UBIGINT % 4294967296)"
+    n = f"(floor({e})::BIGINT + CASE WHEN {h} < round(({e} - floor({e})) * 4294967296)::BIGINT THEN 1 ELSE 0 END)"
+    return (
+        f"SELECT t.*, CAST(g.epoch AS INT) AS epoch FROM {table} t, "
+        f"unnest(range(0, {n})) AS g(epoch)"
+    )
