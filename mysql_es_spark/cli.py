@@ -241,6 +241,19 @@ def cmd_suggest(args) -> dict:
     }
 
 
+def cmd_analyze(args) -> dict:
+    """ES _analyze: show the analyzer's token stream for a text — the
+    search analyzer by default, the edge-ngram index analyzer with
+    --edge-ngram (pure driver-side, no Spark job)."""
+    from .functions.analyze import edge_ngrams, tokenize_text
+
+    toks = tokenize_text(args.text)
+    if args.edge_ngram:
+        cfg = _cfg(args)
+        toks = edge_ngrams(toks, cfg.edge_ngram_min, cfg.edge_ngram_max)
+    return {"tokens": toks}
+
+
 def cmd_explain(args) -> dict:
     from .operators.query import explain_score
 
@@ -411,6 +424,10 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--max-edits", type=int, default=2, dest="max_edits")
     sg.add_argument("--mode", choices=["term", "phrase"], default="term")
     sg.set_defaults(fn=cmd_suggest)
+
+    an = sub.add_parser("analyze", help="ES _analyze: the analyzer's token stream")
+    an.add_argument("--text", required=True)
+    an.set_defaults(fn=cmd_analyze)
 
     e = sub.add_parser("explain", help="per-term BM25 breakdown for one doc")
     e.add_argument("--index-dir", required=True)

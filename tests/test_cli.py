@@ -296,3 +296,12 @@ def test_cli_multifield_and_percolate(spark, tmp_path, capsys):
                      "--queries", qf, "--id-col", "conv_id"]) == 0
     pm = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert pm["matches"] and {m["query_id"] for m in pm["matches"]} == {"a", "b"}
+
+
+def test_cli_analyze(capsys):
+    assert cli_main(["analyze", "--text", "CafÉ Spark-SQL!"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["tokens"] == ["cafe", "spark", "sql"]
+    assert cli_main(["--edge-ngram", "analyze", "--text", "spark"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["tokens"] == ["sp", "spa", "spar", "spark"]
