@@ -1666,6 +1666,28 @@ def q_pq(spark, sf):
     return similarity.pq_topk(codes, qv, B, k=10, emb=emb, rerank=100)
 
 
+def q_ivf_full_probe(spark, sf):
+    """IVF with every cell probed degenerates to exact brute force — the
+    tri-match anchor for the IVF machinery (the approximate n_probe<cells
+    path stays recall-tested in pytest and rows-only as emb_ann_ivf_topk)."""
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]]
+    return similarity.ivf_topk(emb, qv, k=10, n_cells=8, n_probe=8, seed=3)
+
+
+def q_pq_rerank_exact(spark, sf):
+    """PQ with a corpus-wide re-rank shortlist equals exact brute force —
+    the tri-match anchor for the PQ codec + ADC + re-rank machinery."""
+    emb = _t(spark, sf, "embeddings")
+    n = emb.count()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]]
+    B = similarity.pq_codebooks(emb, m=4, ksub=16, seed=7)
+    codes = similarity.pq_encode(emb, B)
+    return similarity.pq_topk(codes, qv, B, k=10, emb=emb, rerank=int(n)).select(
+        "vec_id", F.col("score").alias("cos")
+    )
+
+
 def q_mm_features(spark, sf):
     """Real decode: WAV samples and PNG/PPM pixels are actually parsed
     (functions/media_codecs.py); only video rows use digest features."""
@@ -1773,6 +1795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_lsh_topk": q_ann,
         "emb_ann_ivf_topk": q_ivf,
         "emb_pq_topk": q_pq,
+        "emb_ivf_full_probe": q_ivf_full_probe,
+        "emb_pq_rerank_exact": q_pq_rerank_exact,
         "mm_feature_extract": q_mm_features,
         "mm_frame_sample": q_mm_frames,
         # --- joins / relations ---
@@ -3415,6 +3439,26 @@ ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 25
             FROM embeddings
             ORDER BY round(list_cosine_similarity(embedding::DOUBLE[],
                      (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        "emb_ivf_full_probe": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 3)), 4) AS cos
+            FROM embeddings
+            ORDER BY round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 3)), 4) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        "emb_pq_rerank_exact": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 3)), 4) AS cos
+            FROM embeddings
+            ORDER BY round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 3)), 4) DESC,
                      vec_id ASC
             LIMIT 10
         """,
