@@ -71,11 +71,56 @@ def cmd_gen(args) -> dict:
 
 
 def cmd_build(args) -> dict:
-    from .operators.relations import enrich_turns, with_rollup
+    from .operators.relations import apply_withs, enrich_turns, with_rollup
     from .plans.build import build_index
 
     spark = _session(args)
     df = spark.read.parquet(args.input)
+    cfg = _cfg(args)
+    if getattr(args, "river", None):
+        # one declarative file = the reference's etc/river.json: index
+        # settings + relations/withs enrichment, explicit flags win
+        with open(args.river) as f:
+            river = json.load(f)
+        ix_settings = dict(river.get("index", {}))
+        for name in ("n_buckets", "wave_size", "salt_docs", "term_buckets", "block_size"):
+            if getattr(args, name, None) is not None:
+                ix_settings.pop(name, None)
+        if args.edge_ngram:
+            ix_settings.pop("edge_ngram", None)
+        if args.with_positions:
+            ix_settings.pop("with_positions", None)
+        if ix_settings:
+            cfg = cfg.with_(**ix_settings)
+        withs = river.get("withs", [])
+        if withs:
+            tables = {
+                name: spark.read.parquet(path)
+                for name, path in river.get("tables", {}).items()
+            }
+            df = apply_withs(
+                df,
+                river.get("base_table", "transcripts"),
+                withs,
+                river.get("relations", {}),
+                tables,
+                nested=bool(river.get("nested", False)),
+            )
+        # the reference syncs joined columns INTO the indexed doc (a
+        # comment is searchable by its joined user's name); here the
+        # declared attached columns fold into the analyzed text
+        extra = river.get("index_extra_text", [])
+        if extra:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "text",
+                F.concat_ws(
+                    " ",
+                    F.coalesce(F.col("text"), F.lit("")),
+                    *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in extra],
+                ),
+            )
     if args.enrich:
         # parent/child joins before indexing (north_rule; the reference's
         # relations/withs subsystem, SURVEY.md §2.3)
@@ -85,7 +130,7 @@ def cmd_build(args) -> dict:
             df = enrich_turns(df, convs, owners, nested=False)
         df = with_rollup(df)
     t0 = time.monotonic()
-    metrics = build_index(spark, df, args.index_dir, _cfg(args), resume=args.resume)
+    metrics = build_index(spark, df, args.index_dir, cfg, resume=args.resume)
     metrics["build_sec"] = round(time.monotonic() - t0, 2)
     return metrics
 
@@ -369,6 +414,13 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--enrich", action="store_true", help="join parents + conv rollup first")
     b.add_argument("--conversations", default=None)
     b.add_argument("--owners", default=None)
+    b.add_argument(
+        "--river", default=None,
+        help="declarative config JSON (the reference's river.json analog): "
+        '{"index": {...IndexConfig fields...}, "base_table": ..., '
+        '"relations": {...}, "withs": [...], "tables": {name: path}, '
+        '"nested": false}',
+    )
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")

@@ -305,3 +305,50 @@ def test_cli_analyze(capsys):
     assert cli_main(["--edge-ngram", "analyze", "--text", "spark"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["tokens"] == ["sp", "spa", "spar", "spark"]
+
+
+def test_cli_river_config(spark, tmp_path, capsys):
+    """Declarative river.json: index settings + withs enrichment folded
+    into the searchable text (the reference's joined-column sync)."""
+    corpus_dir = str(tmp_path / "corpus6")
+    ix = str(tmp_path / "ix6")
+    assert cli_main(["gen", "--out", corpus_dir, "--turns", "400", "--seed", "21"]) == 0
+    capsys.readouterr()
+
+    river = {
+        "index": {"n_buckets": 4, "wave_size": 2, "salt_docs": 256},
+        "base_table": "transcripts",
+        "relations": {
+            "transcripts": {
+                "conv": {"table": "conversations", "local": "conv_id",
+                         "foreign": "conv_id",
+                         "columns": ["title", "channel", "owner_id"]}
+            },
+            "conversations": {
+                "owner": {"table": "owners", "local": "owner_id",
+                          "foreign": "owner_id", "columns": ["name", "org"]}
+            },
+        },
+        "withs": ["conv", "conv.owner"],
+        "tables": {
+            "conversations": f"{corpus_dir}/conversations",
+            "owners": f"{corpus_dir}/owners",
+        },
+        "index_extra_text": ["conv_owner_org"],
+    }
+    rf = str(tmp_path / "river.json")
+    with open(rf, "w") as f:
+        json.dump(river, f)
+
+    assert cli_main(["build", "--input", f"{corpus_dir}/transcripts",
+                     "--index-dir", ix, "--river", rf]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_buckets"] == 4 and built["n_docs_built"] > 0
+
+    # an owner's org token is now SEARCHABLE on the turns it was joined to
+    orgs = spark.read.parquet(f"{corpus_dir}/owners").select("org").limit(1).collect()
+    org_token = orgs[0].org.lower()
+    assert cli_main(["query", "--index-dir", ix, "--query", org_token, "-k", "5",
+                     "--mode", "simple"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits["hits"], f"org token {org_token!r} not searchable after river build"
