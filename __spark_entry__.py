@@ -1168,6 +1168,27 @@ def q_dup_spans(spark, sf):
     )
 
 
+def q_bm25_count(spark, sf):
+    """ES _count: matching live docs, presence-only decode, no scoring."""
+    from mysql_es_spark.operators.query import match_count
+
+    ix = _index_for_documents(spark, sf)
+    return match_count(spark, ix, " ".join(BM25_Q1), cfg=_docs_index_cfg())
+
+
+MGET_KEYS = ["7:0", "42:0", "123:0", "999999:0"]  # last one misses
+
+
+def q_doc_mget(spark, sf):
+    """ES _mget: stored docs fetched by identity; misses are absent."""
+    from mysql_es_spark.operators.query import get_docs
+
+    ix = _index_for_documents(spark, sf)
+    return get_docs(spark, ix, MGET_KEYS).select(
+        "doc_key", "conv_id", "turn_idx", "role", "text", "tool"
+    )
+
+
 def q_agg_cardinality(spark, sf):
     """ES cardinality agg: distinct sources (tool field) among matching
     docs — exact two-level distinct here; the HLL++ variant (the literal
@@ -1768,6 +1789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_suggest": q_phrase_suggest,
         "doc_epoch_mix": q_epoch_mix,
         "doc_dup_spans": q_dup_spans,
+        "bm25_count": q_bm25_count,
+        "doc_mget": q_doc_mget,
         "t1_edge_ngram_tokens": q_t1_edge_ngram,
         "doc_hash_split": q_hash_split,
         "doc_ngram_jaccard_pairs": q_jaccard,
@@ -3216,6 +3239,17 @@ g AS (SELECT lang AS role, source AS tool, CAST(count(*) AS BIGINT) AS n_docs
       FROM m GROUP BY 1, 2)
 SELECT role, tool, n_docs FROM g WHERE (role, tool) > ('en', 'src3')
 ORDER BY role, tool LIMIT 10
+""",
+        "bm25_count": f"""
+SELECT CAST(count(*) AS BIGINT) AS n_matches
+FROM (SELECT {TOK} AS tl FROM documents)
+WHERE list_has_any(tl, ['spark', 'join', 'query'])
+""",
+        "doc_mget": f"""
+SELECT doc_id::VARCHAR || ':0' AS doc_key, doc_id::VARCHAR AS conv_id,
+       0 AS turn_idx, lang AS role, text, source AS tool
+FROM documents
+WHERE doc_id IN (7, 42, 123)
 """,
         # epoch mixing: floor(e) full passes + md5-thresholded fractional
         # pass, 0-based epoch index per emitted row

@@ -286,6 +286,29 @@ def cmd_suggest(args) -> dict:
     }
 
 
+def cmd_count(args) -> dict:
+    from .operators.query import match_count
+
+    spark = _session(args)
+    n = match_count(spark, args.index_dir, args.query, cfg=_cfg(args)).collect()[0]
+    return {"count": int(n["n_matches"])}
+
+
+def cmd_get(args) -> dict:
+    from .operators.query import get_docs
+
+    spark = _session(args)
+    rows = get_docs(spark, args.index_dir, args.ids.split(",")).collect()
+    return {
+        "docs": [
+            {"doc_key": r["doc_key"], "conv_id": r["conv_id"],
+             "turn_idx": r["turn_idx"], "role": r["role"], "text": r["text"],
+             "tool": r["tool"]}
+            for r in rows
+        ]
+    }
+
+
 def cmd_analyze(args) -> dict:
     """ES _analyze: show the analyzer's token stream for a text — the
     search analyzer by default, the edge-ngram index analyzer with
@@ -476,6 +499,16 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--max-edits", type=int, default=2, dest="max_edits")
     sg.add_argument("--mode", choices=["term", "phrase"], default="term")
     sg.set_defaults(fn=cmd_suggest)
+
+    cn = sub.add_parser("count", help="ES _count: matching live docs")
+    cn.add_argument("--index-dir", required=True)
+    cn.add_argument("--query", required=True)
+    cn.set_defaults(fn=cmd_count)
+
+    gt = sub.add_parser("get", help="ES _mget: fetch stored docs by doc_key")
+    gt.add_argument("--index-dir", required=True)
+    gt.add_argument("--ids", required=True, help="comma list of conv_id:turn_idx keys")
+    gt.set_defaults(fn=cmd_get)
 
     an = sub.add_parser("analyze", help="ES _analyze: the analyzer's token stream")
     an.add_argument("--text", required=True)

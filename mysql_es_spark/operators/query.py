@@ -2319,6 +2319,46 @@ def suggest_terms(
     return out
 
 
+def match_count(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``_count``: how many live docs match the (disjunctive) query —
+    the presence-only postings decode counted, no scoring math, no top-k.
+    Returns a single row (n_matches long)."""
+    cfg = effective_config(spark, index_dir, cfg)
+    terms = query_terms(query)
+    stats = corpus_stats(spark, index_dir)
+    if not terms:
+        return tbl.local_rows_df(spark, [(0,)], "n_matches long")
+    idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return tbl.local_rows_df(spark, [(0,)], "n_matches long")
+    blocks = _matching_blocks(spark, index_dir, terms, buckets)
+    matched = _mask_deleted(_decode_docids(blocks), deleted_docids(spark, index_dir))
+    return matched.agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def get_docs(
+    spark: SparkSession,
+    index_dir: str,
+    doc_keys: list[str],
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``_mget``: fetch stored docs by their ``doc_key`` identity
+    ("conv_id:turn_idx", the reference's multi-column ``_id`` join —
+    Record.getID). An In() filter over the forward table — parquet
+    row-group stats prune the scan; soft-deleted docs are absent, exactly
+    like ES _mget on a deleted _id. Returns the forward columns."""
+    fwd = tbl.read(spark, index_dir, "forward").filter(
+        F.col("doc_key").isin([str(k) for k in doc_keys])
+    )
+    return _mask_deleted(fwd, deleted_docids(spark, index_dir))
+
+
 def suggest_phrase(
     spark: SparkSession,
     index_dir: str,
