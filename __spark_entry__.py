@@ -1168,6 +1168,33 @@ def q_dup_spans(spark, sf):
     )
 
 
+def q_hybrid_rrf(spark, sf):
+    """Hybrid retrieval (ES 8.x rrf): BM25 top-40 over the inverted index
+    fused with cosine top-40 over the aligned embeddings table by
+    reciprocal-rank fusion — ranks computed on the 4-dp-rounded scores so
+    both engines rank identically."""
+    from mysql_es_spark.operators.fusion import rrf_fuse, with_rank
+
+    ix = _index_for_documents(spark, sf)
+    bm = bm25_topk(
+        spark, ix, " ".join(BM25_Q1), k=40, cfg=_docs_index_cfg(), mode="pruned",
+        with_keys=True,
+    ).select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("s"),
+    )
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    vec = similarity.cosine_topk(emb, qv, k=40).select(
+        F.col("vec_id").alias("doc_id"), F.col("cos").alias("s")
+    )
+    order = [F.desc("s"), F.asc("doc_id")]
+    fused = rrf_fuse([with_rank(bm, order), with_rank(vec, order)], k=20)
+    return fused.select(
+        "doc_id", F.round("score", 6).alias("score"), "n_retrievers"
+    )
+
+
 def q_bm25_count(spark, sf):
     """ES _count: matching live docs, presence-only decode, no scoring."""
     from mysql_es_spark.operators.query import match_count
@@ -1791,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": q_dup_spans,
         "bm25_count": q_bm25_count,
         "doc_mget": q_doc_mget,
+        "hybrid_rrf": q_hybrid_rrf,
         "t1_edge_ngram_tokens": q_t1_edge_ngram,
         "doc_hash_split": q_hash_split,
         "doc_ngram_jaccard_pairs": q_jaccard,
@@ -3239,6 +3267,40 @@ g AS (SELECT lang AS role, source AS tool, CAST(count(*) AS BIGINT) AS n_docs
       FROM m GROUP BY 1, 2)
 SELECT role, tool, n_docs FROM g WHERE (role, tool) > ('en', 'src3')
 ORDER BY role, tool LIMIT 10
+""",
+        # hybrid RRF: lexical top-40 + vector top-40, both ranked on the
+        # rounded score, fused 1/(60+rank), doc-id tiebreak
+        "hybrid_rrf": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+br AS (SELECT doc_id, row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS r
+       FROM scores QUALIFY r <= 40),
+ec AS (SELECT vec_id AS doc_id,
+        round(list_cosine_similarity(embedding::DOUBLE[],
+          (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS c
+       FROM embeddings),
+er AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id ASC) AS r
+       FROM ec QUALIFY r <= 40),
+u AS (SELECT doc_id, 1.0 / (60 + r) AS c FROM br
+      UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM er)
+SELECT doc_id, round(sum(c), 6) AS score, CAST(count(*) AS BIGINT) AS n_retrievers
+FROM u GROUP BY 1
+ORDER BY round(sum(c), 6) DESC, doc_id ASC LIMIT 20
 """,
         "bm25_count": f"""
 SELECT CAST(count(*) AS BIGINT) AS n_matches

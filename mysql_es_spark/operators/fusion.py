@@ -1,0 +1,59 @@
+"""Hybrid retrieval — reciprocal rank fusion (ES 8.x ``rrf``).
+
+Modern search (and every RAG stack) runs lexical BM25 and vector
+similarity side by side and fuses the rankings; ES exposes exactly this
+as the ``rrf`` retriever: score(d) = Σ_r 1/(rrf_k + rank_r(d)) over the
+retrievers that returned d. Rank-based fusion needs no score
+calibration between BM25 and cosine — which is why it is the default
+hybrid combiner.
+
+Scale shape: each retriever contributes a top-N frame (N = tens..
+hundreds — already reduced by its own engine: block-max pruned BM25,
+ANN probes); ranking those N rows uses a single-partition window, which
+is bounded by construction (never applied to a corpus-sized frame), and
+the fuse itself is a hash agg over ≤ Σ N rows.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_rank(df: DataFrame, order_by: list, id_col: str = "doc_id") -> DataFrame:
+    """(id, rank) from a retriever's TOP-N output frame, rank 1-based in
+    the given order. The global window is intentional and safe: inputs
+    are top-N results, never corpus-sized — do not call this on an
+    unreduced frame."""
+    w = Window.orderBy(*order_by)
+    return df.select(F.col(id_col), F.row_number().over(w).alias("rank"))
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuse (id, rank) frames: score = Σ 1/(rrf_k + rank), ties broken by
+    id. Returns (id, score, n_retrievers), limit k — a doc surfaced by
+    several retrievers beats one ranked similarly by a single retriever
+    (the RRF property hybrid search exists for)."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked frame")
+    parts = [
+        df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank"))).alias("c"),
+        )
+        for df in ranked
+    ]
+    u = reduce(DataFrame.unionByName, parts)
+    return (
+        u.groupBy(id_col)
+        .agg(F.sum("c").alias("score"), F.count(F.lit(1)).alias("n_retrievers"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
