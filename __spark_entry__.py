@@ -1176,20 +1176,33 @@ def q_hybrid_rrf(spark, sf):
     from mysql_es_spark.operators.fusion import rrf_fuse, with_rank
 
     ix = _index_for_documents(spark, sf)
-    bm = bm25_topk(
-        spark, ix, " ".join(BM25_Q1), k=40, cfg=_docs_index_cfg(), mode="pruned",
-        with_keys=True,
-    ).select(
-        F.col("conv_id").cast("long").alias("doc_id"),
-        F.round("score", 4).alias("s"),
+    order = [F.desc("s"), F.asc("doc_id")]
+    # fetch with margin (k=60), then cut the 40-list on the ROUNDED score
+    # — the same boundary convention as the bm25_via_index entry, so both
+    # engines agree on membership, not just order
+    bm = (
+        bm25_topk(
+            spark, ix, " ".join(BM25_Q1), k=60, cfg=_docs_index_cfg(), mode="pruned",
+            with_keys=True,
+        )
+        .select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("s"),
+        )
+        .orderBy(*order)
+        .limit(40)
     )
     emb = _t(spark, sf, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
-    vec = similarity.cosine_topk(emb, qv, k=40).select(
-        F.col("vec_id").alias("doc_id"), F.col("cos").alias("s")
+    vec = (
+        similarity.cosine_topk(emb, qv, k=60)
+        .select(F.col("vec_id").alias("doc_id"), F.col("cos").alias("s"))
+        .orderBy(*order)
+        .limit(40)
     )
-    order = [F.desc("s"), F.asc("doc_id")]
-    fused = rrf_fuse([with_rank(bm, order), with_rank(vec, order)], k=20)
+    fused = rrf_fuse(
+        [with_rank(bm, order), with_rank(vec, order)], k=20, score_decimals=6
+    )
     return fused.select(
         "doc_id", F.round("score", 6).alias("score"), "n_retrievers"
     )

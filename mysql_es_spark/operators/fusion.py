@@ -36,11 +36,17 @@ def rrf_fuse(
     k: int = 10,
     rrf_k: int = 60,
     id_col: str = "doc_id",
+    score_decimals: int | None = None,
 ) -> DataFrame:
     """Fuse (id, rank) frames: score = Σ 1/(rrf_k + rank), ties broken by
     id. Returns (id, score, n_retrievers), limit k — a doc surfaced by
     several retrievers beats one ranked similarly by a single retriever
-    (the RRF property hybrid search exists for)."""
+    (the RRF property hybrid search exists for).
+
+    ``score_decimals`` orders (and tie-breaks by id) on the ROUNDED fused
+    score — set it when the output must rank identically across engines
+    (the cross-engine determinism contract every oracle-checked path in
+    this repo follows); the emitted score stays full precision."""
     if not ranked:
         raise ValueError("rrf_fuse needs at least one ranked frame")
     parts = [
@@ -51,9 +57,10 @@ def rrf_fuse(
         for df in ranked
     ]
     u = reduce(DataFrame.unionByName, parts)
+    key = F.col("score") if score_decimals is None else F.round("score", score_decimals)
     return (
         u.groupBy(id_col)
         .agg(F.sum("c").alias("score"), F.count(F.lit(1)).alias("n_retrievers"))
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .orderBy(key.desc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -2383,28 +2383,37 @@ def suggest_phrase(
     Per-token candidates: the token itself (edits 0, if in-dictionary)
     plus the ``per_term`` nearest in-dictionary terms within
     ``max_edits`` (distance asc, ttf desc, term asc — the term
-    suggester's ranking). Collation is the cartesian of the per-token
-    shortlists, scored driver-side: with per_term ≤ 8 and queries of a
-    few tokens it is ≤ a few thousand tuples of floats — dictionary-
-    bounded work, the corpus is never scanned.
-    Returns (phrase, score, n_edits), (score desc, phrase asc), limit
-    ``size``; the verbatim input phrase is never suggested.
+    suggester's ranking); every token's shortlist comes back in ONE
+    unioned dictionary job (position-tagged per-token top-N, the
+    suggest_terms plan shape — not a job per token). Collation is the
+    cartesian of the shortlists, scored driver-side: with per_term ≤ 8
+    and queries of a few tokens it is ≤ a few thousand tuples of floats
+    — dictionary-bounded work, the corpus is never scanned. Ordering is
+    (score ROUNDED to 4 dp desc, phrase asc) — ranking on the rounded
+    value is the repo-wide cross-engine determinism contract; the
+    emitted score stays full precision. Returns (phrase, score,
+    n_edits), limit ``size``; the verbatim input phrase is never
+    suggested. Inputs over 6 tokens raise (the cartesian would explode;
+    ES's phrase suggester likewise targets short queries).
     """
     import itertools
 
     terms = tokenize_text(text)
     schema = "phrase string, score double, n_edits int"
-    if not terms or len(terms) > 6:
+    if not terms:
         return tbl.local_rows_df(spark, [], schema)
+    if len(terms) > 6:
+        raise ValueError(f"suggest_phrase supports at most 6 tokens, got {len(terms)}")
     stats = corpus_stats(spark, index_dir)
     total = max(1, stats["sum_dl"])
     td = spark.read.parquet(tbl.p(index_dir, "term_dict"))
 
-    cand_of: list[list[tuple[str, int, float]]] = []  # (term, edits, ln p)
-    for t in terms:
-        rows = (
+    parts = []
+    for pos, t in enumerate(terms):
+        parts.append(
             td.filter(F.abs(F.length("term") - len(t)) <= int(max_edits))
             .select(
+                F.lit(pos).alias("pos"),
                 F.col("term"),
                 F.levenshtein(F.col("term"), F.lit(t)).cast("int").alias("d"),
                 "ttf",
@@ -2412,13 +2421,17 @@ def suggest_phrase(
             .filter(F.col("d") <= int(max_edits))
             .orderBy(F.col("d").asc(), F.col("ttf").desc(), F.col("term").asc())
             .limit(int(per_term))
-            .collect()
         )
-        if not rows:
-            return tbl.local_rows_df(spark, [], schema)  # ES: no correction
-        cand_of.append(
-            [(r["term"], int(r["d"]), float(np.log(r["ttf"] / total))) for r in rows]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionAll(p)
+    cand_of: list[list[tuple[str, int, float]]] = [[] for _ in terms]
+    for r in allc.collect():  # one job serves every token's shortlist
+        cand_of[int(r["pos"])].append(
+            (r["term"], int(r["d"]), float(np.log(r["ttf"] / total)))
         )
+    if any(not c for c in cand_of):
+        return tbl.local_rows_df(spark, [], schema)  # ES: no correction
 
     scored = []
     for combo in itertools.product(*cand_of):
@@ -2428,7 +2441,7 @@ def suggest_phrase(
         edits = sum(c[1] for c in combo)
         score = sum(c[2] - lam * c[1] for c in combo)
         scored.append((phrase, float(score), int(edits)))
-    scored.sort(key=lambda x: (-x[1], x[0]))
+    scored.sort(key=lambda x: (-round(x[1], 4), x[0]))
     return tbl.local_rows_df(spark, scored[: int(size)], schema)
 
 

@@ -114,20 +114,18 @@ def epoch_mix(
     per-row int sequence): no shuffle, no RNG, stable at any scale and
     partitioning.
     """
-    if not epochs and default is None:
-        raise ValueError("epoch_mix needs epochs and/or a default")
     for s, e in epochs.items():
         if e < 0:
             raise ValueError(f"negative epochs for stratum {s!r}: {e}")
+    if default is None or default < 0:
+        raise ValueError(f"default epochs must be a non-negative number, got {default}")
     e_map = F.create_map(
         *[x for s, e in sorted(epochs.items()) for x in (F.lit(s), F.lit(float(e)))]
     )
     e_col = F.coalesce(e_map.getItem(F.col(strata_col)), F.lit(float(default)))
-    h = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % F.lit(2**32)
-    )
+    # the one engine-portable hash contract (see hash_bucket): md5 first
+    # 8 hex chars mod 2^32
+    h = hash_bucket(id_col, 2**32)
     full = F.floor(e_col).cast("int")
     frac_thr = F.round((e_col - full) * F.lit(float(2**32))).cast("long")
     n_pass = full + F.when(h < frac_thr, 1).otherwise(0)
@@ -149,7 +147,7 @@ def duckdb_epoch_mix_sql(
     """DuckDB query equal to :func:`epoch_mix` (columns: *, epoch)."""
     whens = "".join(f"WHEN '{s}' THEN {float(e)} " for s, e in sorted(epochs.items()))
     e = f"(CASE {strata_col} {whens}ELSE {float(default)} END)"
-    h = f"(('0x' || substr(md5({id_col}::VARCHAR), 1, 8))::UBIGINT % 4294967296)"
+    h = duckdb_hash_bucket(id_col, 2**32)
     n = f"(floor({e})::BIGINT + CASE WHEN {h} < round(({e} - floor({e})) * 4294967296)::BIGINT THEN 1 ELSE 0 END)"
     return (
         f"SELECT t.*, CAST(g.epoch AS INT) AS epoch FROM {table} t, "

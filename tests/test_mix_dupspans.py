@@ -36,8 +36,7 @@ def test_epoch_mix_matches_python(spark, tiny_transcripts):
     assert got == want
     # upsampling genuinely happened: some doc appears 3 times (2.5 epochs)
     per_doc = Counter(d for d, _ in got)
-    assert max(per_doc.values()) == 3 and min(per_doc.values(), default=1) == 0 or True
-    assert any(v == 3 for v in per_doc.values())
+    assert max(per_doc.values()) == 3
     # epochs <= 1 with zero fraction drop strata entirely
     none = epoch_mix(df, "role", {"user": 0.0}, id_col="doc_id", default=0.0)
     assert none.count() == 0
@@ -49,6 +48,8 @@ def test_epoch_mix_validation(spark, tiny_transcripts):
     )
     with pytest.raises(ValueError):
         epoch_mix(df, "role", {"user": -1.0})
+    with pytest.raises(ValueError):
+        epoch_mix(df, "role", {"user": 1.0}, default=-0.5)
 
 
 def test_dup_spans_matches_python(spark):
