@@ -79,3 +79,8 @@ def test_phrase_suggest_empty(spark, built_index):
         ).count()
         == 0
     )
+
+
+def test_phrase_suggest_rejects_long_input(spark, built_index):
+    with pytest.raises(ValueError):
+        suggest_phrase(spark, built_index, "w1 w2 w3 w4 w5 w6 w7", cfg=TEST_CFG)
