@@ -1208,6 +1208,28 @@ def q_hybrid_rrf(spark, sf):
     )
 
 
+def q_hybrid_knn(spark, sf):
+    """ES knn-section + query hybrid (pre-RRF): score = bm25 + 5.0 x
+    cosine over the aligned embeddings, docs from the union, missing
+    retriever contributes 0; inputs and the fused sum rank on rounded
+    scores."""
+    from mysql_es_spark.operators.fusion import linear_fuse
+
+    ix = _index_for_documents(spark, sf)
+    bm = bm25_topk(
+        spark, ix, " ".join(BM25_Q1), k=1000, cfg=_docs_index_cfg(), with_keys=True
+    ).select(
+        F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("s")
+    )
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    vec = similarity.cosine_topk(emb, qv, k=1000).select(
+        F.col("vec_id").alias("doc_id"), F.col("cos").alias("s")
+    )
+    fused = linear_fuse([(bm, 1.0), (vec, 5.0)], k=20, score_decimals=4)
+    return fused.select("doc_id", F.round("score", 4).alias("score"), "n_retrievers")
+
+
 def q_bm25_count(spark, sf):
     """ES _count: matching live docs, presence-only decode, no scoring."""
     from mysql_es_spark.operators.query import match_count
@@ -1832,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_count": q_bm25_count,
         "doc_mget": q_doc_mget,
         "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_knn_boost": q_hybrid_knn,
         "t1_edge_ngram_tokens": q_t1_edge_ngram,
         "doc_hash_split": q_hash_split,
         "doc_ngram_jaccard_pairs": q_jaccard,
@@ -3280,6 +3303,35 @@ g AS (SELECT lang AS role, source AS tool, CAST(count(*) AS BIGINT) AS n_docs
       FROM m GROUP BY 1, 2)
 SELECT role, tool, n_docs FROM g WHERE (role, tool) > ('en', 'src3')
 ORDER BY role, tool LIMIT 10
+""",
+        # knn-boost hybrid: bm25 + 5x cosine, union of docs, missing
+        # side contributes 0; rounded-4 inputs and sum
+        "hybrid_knn_boost": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ), 4) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+ec AS (SELECT vec_id AS doc_id,
+        5.0 * round(list_cosine_similarity(embedding::DOUBLE[],
+          (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS c
+       FROM embeddings),
+u AS (SELECT doc_id, s AS c FROM scores UNION ALL SELECT doc_id, c FROM ec)
+SELECT doc_id, round(sum(c), 4) AS score, CAST(count(*) AS BIGINT) AS n_retrievers
+FROM u GROUP BY 1
+ORDER BY round(sum(c), 4) DESC, doc_id ASC LIMIT 20
 """,
         # hybrid RRF: lexical top-40 + vector top-40, both ranked on the
         # rounded score, fused 1/(60+rank), doc-id tiebreak

@@ -64,3 +64,35 @@ def rrf_fuse(
         .orderBy(key.desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def linear_fuse(
+    scored: list[tuple[DataFrame, float]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "s",
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """ES ``knn`` + query combination (pre-RRF hybrid): score(d) =
+    Σ_i w_i · s_i(d), docs from the UNION of the retrievers' outputs, a
+    retriever that missed d contributes 0 (exactly how an ES knn section
+    adds ``boost × similarity`` onto the query score). Inputs are
+    (frame, weight) with frames carrying (id_col, score_col).
+    Returns (id, score, n_retrievers) top-k; ``score_decimals`` ranks on
+    the rounded sum (cross-engine determinism contract)."""
+    if not scored:
+        raise ValueError("linear_fuse needs at least one scored frame")
+    parts = [
+        df.select(
+            F.col(id_col), (F.col(score_col) * F.lit(float(w))).alias("c")
+        )
+        for df, w in scored
+    ]
+    u = reduce(DataFrame.unionByName, parts)
+    key = F.col("score") if score_decimals is None else F.round("score", score_decimals)
+    return (
+        u.groupBy(id_col)
+        .agg(F.sum("c").alias("score"), F.count(F.lit(1)).alias("n_retrievers"))
+        .orderBy(key.desc(), F.col(id_col).asc())
+        .limit(k)
+    )
