@@ -1623,12 +1623,16 @@ def q_bm25_msearch(spark, sf):
     ix = _index_for_documents(spark, sf)
     out = bm25_topk_multi(spark, ix, MSEARCH_QS, k=10, cfg=_docs_index_cfg(), order_round=4)
     fwd = spark.read.parquet(f"{ix}/forward").select("docid", "conv_id")
-    return out.join(fwd, "docid", "inner").select(
+    keyed = out.join(fwd, "docid", "inner").select(
         "qid",
         F.col("conv_id").cast("long").alias("doc_id"),
         F.round("score", 4).alias("score"),
-        F.col("rank").cast("int").alias("rank"),
     )
+    # re-rank on the EXTERNAL id: the engine tie-breaks equal rounded
+    # scores by internal docid (bucketed — a different order than doc_id),
+    # the oracle by doc_id; rank must follow the id space the oracle sees
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return keyed.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 def q_bm25_search_after(spark, sf):
