@@ -1132,6 +1132,64 @@ def q_agg_composite(spark, sf):
     )
 
 
+def q_regexp_query(spark, sf):
+    """ES regexp query: anchored regex over analyzed terms, expansions
+    scored best-expansion BM25; the top-level alternation exercises the
+    no-prefix-pushdown correctness guard (a literal head would wrongly
+    exclude the 'join' branch)."""
+    from mysql_es_spark.operators.query import regexp_topk
+
+    ix = _index_for_documents(spark, sf)
+    top = regexp_topk(
+        spark, ix, "s[cp]a[a-z]*|join", k=60, cfg=_docs_index_cfg(), with_keys=True
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(30)
+    )
+
+
+def q_agg_tree(spark, sf):
+    """ES nested aggregations: top langs among matching docs (terms, by
+    count) each with mean analyzed length, then their top sources with
+    max length — a two-level bucket tree with per-level metric sub-aggs
+    (lang rides as role, source as tool in the documents index)."""
+    ix = _index_for_documents(spark, sf)
+    spec = {
+        "by_lang": {
+            "terms": {"field": "role", "size": 3},
+            "aggs": {
+                "avg_dl": {"avg": {"field": "dl"}},
+                "by_src": {
+                    "terms": {"field": "tool", "size": 2},
+                    "aggs": {"max_dl": {"max": {"field": "dl"}}},
+                },
+            },
+        }
+    }
+    out = esaggs.agg_tree(spark, ix, " ".join(BM25_Q1), spec, cfg=_docs_index_cfg())
+    return out.select(
+        F.col("role").alias("lang"),
+        "by_lang_count",
+        F.round("avg_dl", 4).alias("avg_dl"),
+        F.col("tool").alias("source"),
+        "by_src_count",
+        F.col("max_dl").cast("long").alias("max_dl"),
+    )
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: training docs sharing any word 5-gram
+    with the held-out eval slice (doc_id % 13 == 0) are flagged, with
+    exact distinct-shingle overlap counts."""
+    docs = _t(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % 13 == 0)
+    return dedup.decontaminate(docs, ev, n=5)
+
+
 def q_phrase_suggest(spark, sf):
     """ES phrase suggester: per-token dictionary candidates collated and
     ranked by corpus unigram-LM likelihood minus an edit penalty."""
@@ -1814,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool_query": q_bool_query,
         "bm25_fuzzy_query": q_fuzzy_query,
         "bm25_wildcard_query": q_wildcard_query,
+        "bm25_regexp_query": q_regexp_query,
         "bm25_phrase_slop": q_phrase_slop,
         "bm25_filtered": q_bm25_filtered,
         "match_aggs_by_lang": q_match_aggs,
@@ -1852,6 +1911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- below the driver gate's 50-entry window: r01-green entries,
         # rows-only designs, and extras locally oracle-checked ---
         "agg_composite": q_agg_composite,
+        "agg_subaggs_tree": q_agg_tree,
+        "doc_decontaminate": q_decontaminate,
         "phrase_suggest": q_phrase_suggest,
         "doc_epoch_mix": q_epoch_mix,
         "doc_dup_spans": q_dup_spans,
@@ -3120,6 +3181,61 @@ contrib AS (
   FROM tf JOIN exp USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
 SELECT doc_id, round(max(c), 4) AS score FROM contrib
 GROUP BY doc_id ORDER BY round(max(c), 4) DESC, doc_id ASC LIMIT 30
+""",
+        "bm25_regexp_query": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+vocab AS (SELECT u.term, count(DISTINCT toks.doc_id) AS df
+          FROM toks, unnest(toks.tl) AS u(term) GROUP BY 1),
+exp AS (SELECT term, df FROM vocab
+        WHERE regexp_full_match(term, 's[cp]a[a-z]*|join')
+        ORDER BY df DESC, term ASC LIMIT 50),
+tf AS (SELECT toks.doc_id, u.term, count(*) AS tf
+       FROM toks, unnest(toks.tl) AS u(term)
+       WHERE u.term IN (SELECT term FROM exp) GROUP BY 1, 2),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - exp.df + 0.5) / (exp.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN exp USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, round(max(c), 4) AS score FROM contrib
+GROUP BY doc_id ORDER BY round(max(c), 4) DESC, doc_id ASC LIMIT 30
+""",
+        "agg_subaggs_tree": f"""
+WITH toks AS (SELECT doc_id, lang, source, {TOK} AS tl FROM documents),
+matched AS (SELECT DISTINCT toks.doc_id
+            FROM toks, unnest(toks.tl) AS u(term)
+            WHERE u.term IN ('spark', 'join', 'query')),
+base AS (SELECT t.lang, t.source, len(t.tl) AS dl
+         FROM matched m JOIN toks t USING (doc_id)),
+l1 AS (SELECT lang, count(*) AS by_lang_count, avg(dl) AS avg_dl
+       FROM base WHERE lang IS NOT NULL GROUP BY lang
+       ORDER BY by_lang_count DESC, lang ASC LIMIT 3),
+l2 AS (SELECT lang, source, count(*) AS by_src_count, max(dl) AS max_dl,
+              row_number() OVER (PARTITION BY lang
+                                 ORDER BY count(*) DESC, source ASC) AS rn
+       FROM base WHERE lang IS NOT NULL AND source IS NOT NULL
+       GROUP BY lang, source)
+SELECT l1.lang, l1.by_lang_count, round(l1.avg_dl, 4) AS avg_dl,
+       l2.source, l2.by_src_count, l2.max_dl
+FROM l1 JOIN l2 USING (lang) WHERE l2.rn <= 2
+""",
+        "doc_decontaminate": f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         [list_aggregate(toks[i:i+4], 'string_agg', ' ')
+          FOR i IN range(1, len(toks) - 3)])) AS shingle
+       FROM t WHERE len(toks) >= 5),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0),
+agg AS (SELECT s.doc_id, count(*) AS n_shingles,
+               count(ev.shingle) AS n_hits
+        FROM sh s LEFT JOIN ev ON s.shingle = ev.shingle GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n_shingles, 0) AS n_shingles,
+       coalesce(a.n_hits, 0) AS n_hits,
+       coalesce(a.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
         # fuzzy expansion: vocabulary terms within 1 edit of 'qury'
         # (length-guarded), closest-first / df-desc / term-asc cutoff at

@@ -388,6 +388,14 @@ def cmd_query(args) -> dict:
         from .operators.query import lm_dirichlet_topk
 
         df = lm_dirichlet_topk(spark, args.index_dir, args.query, **common)
+    elif args.mode == "wildcard":
+        from .operators.query import wildcard_topk
+
+        df = wildcard_topk(spark, args.index_dir, args.query, **common)
+    elif args.mode == "regexp":
+        from .operators.query import regexp_topk
+
+        df = regexp_topk(spark, args.index_dir, args.query, **common)
     else:
         df = bm25_topk(spark, args.index_dir, args.query, mode=args.mode, **common)
     rows = df.collect()
@@ -452,7 +460,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=["simple", "pruned", "conjunctive", "phrase", "span", "qs", "lm"],
+        choices=["simple", "pruned", "conjunctive", "phrase", "span", "qs", "lm",
+                 "wildcard", "regexp"],
         default="pruned",
     )
     q.add_argument("--slop", type=int, default=1, help="span/phrase proximity slop")

@@ -442,3 +442,125 @@ def composite_agg(
             cond = cond | gt_i
         g = g.filter(cond)
     return g.orderBy(*[F.asc_nulls_first(s) for s in sources]).limit(size)
+
+
+# ---------------------------------------------------------------------------
+# agg tree — ES nested sub-aggregations
+
+
+_METRIC_FNS = {
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "value_count": lambda c: F.count(F.col(c)),
+    "cardinality": F.countDistinct,
+}
+
+
+def _parse_agg_tree(spec: dict) -> list[tuple[str, str, int, list[tuple[str, str, str]]]]:
+    """Flatten an ES ``aggs`` spec into one (name, field, size, metrics)
+    tuple per nesting level. Each level is a ``terms`` bucket agg whose
+    ``aggs`` block may hold metric aggs (avg/sum/min/max/value_count/
+    cardinality) plus at most one nested ``terms`` agg (ES allows sibling
+    bucket aggs; a flattened DataFrame result needs one bucket path)."""
+    levels = []
+    node = spec
+    while node:
+        if len(node) != 1:
+            raise ValueError("each aggs level must hold exactly one terms agg")
+        (name, body), = node.items()
+        if "terms" not in body:
+            raise ValueError(f"agg {name!r} is not a terms aggregation")
+        field = body["terms"]["field"]
+        size = int(body["terms"].get("size", 10))
+        metrics: list[tuple[str, str, str]] = []
+        child = None
+        for sub_name, sub in (body.get("aggs") or {}).items():
+            if "terms" in sub:
+                if child is not None:
+                    raise ValueError("at most one nested terms agg per level")
+                child = {sub_name: sub}
+            else:
+                (kind, mbody), = sub.items()
+                if kind not in _METRIC_FNS:
+                    raise ValueError(f"unsupported metric agg {kind!r}")
+                metrics.append((sub_name, kind, mbody["field"]))
+        levels.append((name, field, size, metrics))
+        node = child
+    return levels
+
+
+def agg_tree(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    spec: dict,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES nested aggregations: a ``terms`` bucket tree with per-bucket
+    metric sub-aggs, flattened to one row per deepest bucket.
+
+    ``spec`` is the ES ``aggs`` JSON shape::
+
+        {"by_lang": {"terms": {"field": "role", "size": 5},
+                     "aggs": {"avg_dl": {"avg": {"field": "dl"}},
+                              "by_src": {"terms": {"field": "tool", "size": 3},
+                                         "aggs": {"max_dl": {"max": {"field": "dl"}}}}}}}
+
+    ES semantics reproduced exactly: buckets are the top-``size`` keys by
+    doc count (tie: key asc) *within their parent bucket*; null keys are
+    dropped (ES ``missing`` unset); metric aggs at a level run over ALL
+    docs of that bucket, not just the docs of surviving child buckets.
+    Fields come from the forward table, plus ``dl`` from doc_lens.
+
+    Plan shape at scale: one matched-docid decode (query-proportional,
+    pruned — see module docstring), then one map-side-combining hash agg
+    per nesting level. Parent top-N is a distributed TakeOrdered at the
+    root and a row_number window partitioned by the parent keys below it
+    (both run on post-agg bucket rows, never on doc rows). Level frames
+    join on low-cardinality bucket keys — broadcast-sized by
+    construction. Metrics like avg/cardinality don't decompose over a
+    truncated child tree, so the per-level passes are the scale-correct
+    form (L ≤ 3 in practice).
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    levels = _parse_agg_tree(spec)
+    fields: list[str] = []
+    for _, field, _, metrics in levels:
+        fields.append(field)
+        fields.extend(mf for _, _, mf in metrics)
+    fields = list(dict.fromkeys(fields))
+    fwd_cols = [c for c in fields if c != "dl"]
+    base = tbl.read(spark, index_dir, "forward").select("docid", *fwd_cols)
+    if "dl" in fields:
+        base = base.join(tbl.read(spark, index_dir, "doc_lens").select("docid", "dl"), "docid")
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:  # no usable query terms → zero rows, typed plan intact
+        matched = tbl.local_rows_df(spark, [], "docid long")
+    base = matched.join(base, "docid", "inner")
+
+    out: DataFrame | None = None
+    path: list[str] = []
+    for name, field, size, metrics in levels:
+        lvl = base
+        for f_prev in [*path, field]:
+            lvl = lvl.filter(F.col(f_prev).isNotNull())
+        cnt = f"{name}_count"
+        g = lvl.groupBy(*path, field).agg(
+            F.count(F.lit(1)).alias(cnt),
+            *[_METRIC_FNS[kind](mfield).alias(mname) for mname, kind, mfield in metrics],
+        )
+        if not path:
+            g = g.orderBy(F.col(cnt).desc(), F.col(field).asc()).limit(size)
+        else:
+            w = W.partitionBy(*path).orderBy(F.col(cnt).desc(), F.col(field).asc())
+            g = (
+                g.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= size)
+                .drop("__rn")
+            )
+        out = g if out is None else out.join(g, path, "inner")
+        path.append(field)
+    assert out is not None
+    return out

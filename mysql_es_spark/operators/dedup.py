@@ -808,3 +808,60 @@ def dup_spans(
         )
         .select(id_col, "start", "end", "n_windows")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Flag training docs that share any word ``n``-gram with a held-out
+    evaluation set (benchmark decontamination, the standard pre-training
+    hygiene pass: an eval question leaking into the training corpus
+    inflates downstream scores).
+
+    Returns one row per input doc: (``id_col``, n_shingles, n_hits,
+    contaminated) where n_shingles is the doc's distinct n-gram count,
+    n_hits how many of those occur anywhere in the eval set, and
+    contaminated = n_hits > 0. Docs shorter than ``n`` tokens have
+    n_shingles = 0 and are clean by definition.
+
+    Scale shape: the eval side reduces to a distinct-shingle set — eval
+    suites are tiny next to a training corpus, so it is broadcast by
+    default (``broadcast_eval=False`` falls back to a shuffle join for
+    pathological eval sizes). The corpus side is one tokenize pass + an
+    explode; the join is an equi-join on the shingle string with a
+    map-side-combining count agg — no all-pairs stage anywhere.
+    """
+    ev = shingles(
+        eval_df, n, eval_id_col or id_col, text_col
+    ).select("shingle").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    sh = shingles(docs, n, id_col, text_col)
+    hits = (
+        sh.join(ev.withColumn("__hit", F.lit(1)), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -1060,12 +1060,66 @@ def wildcard_topk(
     regex = "".join(
         ".*" if ch == "*" else ("." if ch == "?" else re.escape(ch)) for ch in lowered
     )
+    if not lowered:
+        return tbl.local_rows_df(spark, [], "docid long, score double")
+    lit_prefix = re.split(r"[*?]", lowered, maxsplit=1)[0]
+    return _regex_expansion_topk(
+        spark, index_dir, regex, lit_prefix, k, cfg, max_expansions, with_keys
+    )
+
+
+def regexp_topk(
+    spark: SparkSession,
+    index_dir: str,
+    regex: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    max_expansions: int = 50,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``regexp`` query: ``regex`` (Java/Spark ``rlike`` syntax) is
+    anchored over the whole analyzed term, expansions are scored
+    best-expansion BM25 — the wildcard_topk contract with a raw regex.
+    Like Lucene's ``RegexpQuery``, any literal prefix of the pattern
+    (chars before the first regex metacharacter) is pushed down as a
+    StartsWith filter on the sorted term dictionary so ``quer[xy]+``
+    never scans the full dictionary."""
+    cfg = effective_config(spark, index_dir, cfg)
+    lowered = regex.strip().lower()
+    if not lowered:
+        return tbl.local_rows_df(spark, [], "docid long, score double")
+    m = re.match(r"[^\\.?*+()\[\]{}|^$]*", lowered)
+    lit_prefix = m.group(0) if m else ""
+    rest = lowered[len(lit_prefix):]
+    if rest[:1] in ("?", "*", "{"):
+        # the quantifier makes the prefix's last char optional/repeated
+        lit_prefix = lit_prefix[:-1]
+    if "|" in lowered:
+        # a top-level alternation can bypass the literal head entirely
+        # ("query|quern"); groups/classes already stopped the prefix at
+        # their opening metachar, so dropping the pushdown whenever a pipe
+        # appears anywhere is conservative but always correct
+        lit_prefix = ""
+    return _regex_expansion_topk(
+        spark, index_dir, lowered, lit_prefix, k, cfg, max_expansions, with_keys
+    )
+
+
+def _regex_expansion_topk(
+    spark: SparkSession,
+    index_dir: str,
+    regex: str,
+    lit_prefix: str,
+    k: int,
+    cfg: IndexConfig,
+    max_expansions: int,
+    with_keys: bool,
+) -> DataFrame:
+    """Shared tail of wildcard/regexp: dictionary expansion (prefix
+    pushdown + anchored rlike), then best-expansion BM25 top-k."""
     stats = corpus_stats(spark, index_dir)
     empty = tbl.local_rows_df(spark, [], "docid long, score double")
-    if not lowered:
-        return empty
     td = spark.read.parquet(tbl.p(index_dir, "term_dict"))
-    lit_prefix = re.split(r"[*?]", lowered, maxsplit=1)[0]
     if lit_prefix:
         td = td.filter(F.col("term").startswith(lit_prefix))
     expansions = (
