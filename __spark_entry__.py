@@ -1132,6 +1132,70 @@ def q_agg_composite(spark, sf):
     )
 
 
+def _updated_index_for_documents(spark, sf_dir: str) -> str:
+    """Copy of the documents index with an ES ``_update_by_query``
+    applied: every doc matching 'scan' gets ' graftterm' appended to its
+    text (affected buckets rebuilt, stats recomputed)."""
+    src = _index_for_documents(spark, sf_dir)
+    dst, marker = _ixcache_dir(sf_dir, "-upd")
+    if not os.path.exists(marker):
+        import shutil
+
+        from mysql_es_spark.plans.deletes import update_by_query
+
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+        update_by_query(
+            spark, dst, {"text": "concat(text, ' graftterm')"},
+            query="scan", cfg=_docs_index_cfg(),
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return dst
+
+
+def q_update_by_query(spark, sf):
+    """ES _update_by_query: docs matching 'scan' had ' graftterm'
+    appended via scripted update + affected-bucket rebuild; the new term
+    is searchable and ALL scores reflect the updated corpus statistics
+    (doc lengths grew, avgdl shifted — exactly ES after re-indexing)."""
+    ix = _updated_index_for_documents(spark, sf)
+    # over-fetch then re-rank on (rounded score, external id): the engine
+    # tie-breaks on internal docid, the oracle on doc_id (same convention
+    # as the other index entries)
+    top = bm25_topk(
+        spark, ix, "graftterm window", k=60, cfg=_docs_index_cfg(),
+        mode="pruned", with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def q_has_parent(spark, sf):
+    """ES has_parent score=true: children of conversations matching the
+    query, each carrying its parent's sum-rollup score (single-turn convs
+    here — the multi-turn fan-out is pytest-covered on transcripts)."""
+    from mysql_es_spark.operators.query import has_parent_topk
+
+    ix = _index_for_documents(spark, sf)
+    out = has_parent_topk(
+        spark, ix, " ".join(BM25_Q1), k=1_000_000, score=True,
+        score_mode="sum", cfg=_docs_index_cfg(), with_keys=True,
+    )
+    return (
+        out.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
 def q_regexp_query(spark, sf):
     """ES regexp query: anchored regex over analyzed terms, expansions
     scored best-expansion BM25; the top-level alternation exercises the
@@ -1873,6 +1937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy_query": q_fuzzy_query,
         "bm25_wildcard_query": q_wildcard_query,
         "bm25_regexp_query": q_regexp_query,
+        "bm25_update_by_query": q_update_by_query,
+        "bm25_has_parent": q_has_parent,
         "bm25_phrase_slop": q_phrase_slop,
         "bm25_filtered": q_bm25_filtered,
         "match_aggs_by_lang": q_match_aggs,
@@ -3201,6 +3267,52 @@ contrib AS (
   FROM tf JOIN exp USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
 SELECT doc_id, round(max(c), 4) AS score FROM contrib
 GROUP BY doc_id ORDER BY round(max(c), 4) DESC, doc_id ASC LIMIT 30
+""",
+        "bm25_update_by_query": f"""
+WITH d2 AS (SELECT doc_id,
+                   CASE WHEN list_contains({TOK}, 'scan')
+                        THEN text || ' graftterm' ELSE text END AS text
+            FROM documents),
+toks AS (SELECT doc_id, {TOK} AS tl FROM d2),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('graftterm', 'window')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
+""",
+        "bm25_has_parent": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 25
 """,
         "agg_subaggs_tree": f"""
 WITH toks AS (SELECT doc_id, lang, source, {TOK} AS tl FROM documents),

@@ -257,6 +257,19 @@ def cmd_delete(args) -> dict:
     return {"docs_deleted": n, "latency_sec": round(time.monotonic() - t0, 3)}
 
 
+def cmd_update(args) -> dict:
+    from .plans.deletes import update_by_query
+
+    spark = _session(args)
+    t0 = time.monotonic()
+    set_exprs = dict(kv.split("=", 1) for kv in args.set)
+    res = update_by_query(
+        spark, args.index_dir, set_exprs,
+        query=args.query or "", doc_filter=args.filter, cfg=_cfg(args),
+    )
+    return {**res, "latency_sec": round(time.monotonic() - t0, 3)}
+
+
 def cmd_suggest(args) -> dict:
     from .operators.query import suggest_phrase, suggest_terms
 
@@ -500,6 +513,16 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--query", default=None, help="fulltext match (disjunctive)")
     d.add_argument("--filter", default=None, help="SQL predicate over forward columns")
     d.set_defaults(fn=cmd_delete)
+
+    u = sub.add_parser("update", help="ES _update_by_query: scripted column updates")
+    u.add_argument("--index-dir", required=True)
+    u.add_argument("--query", default=None, help="fulltext match (disjunctive)")
+    u.add_argument("--filter", default=None, help="SQL predicate over forward columns")
+    u.add_argument(
+        "--set", action="append", required=True, metavar="COL=EXPR",
+        help="column=SQL-expression (repeatable), e.g. --set \"tool='x'\"",
+    )
+    u.set_defaults(fn=cmd_update)
 
     sg = sub.add_parser("suggest", help="term suggester (did-you-mean) from the dictionary")
     sg.add_argument("--index-dir", required=True)

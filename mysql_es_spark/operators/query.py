@@ -1928,6 +1928,51 @@ def conv_topk(
     )
 
 
+def has_parent_topk(
+    spark: SparkSession,
+    index_dir: str,
+    parent_query: str,
+    k: int = 10,
+    score: bool = True,
+    score_mode: str = "max",
+    max_parents: int = 1000,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``has_parent``: return child docs (turns) whose parent
+    (conversation) matches ``parent_query``, each child carrying its
+    parent's score (``score=True``) or a constant 1.0 (``score=False``,
+    ES's default filter semantics). The parent score is the conv-level
+    ``score_mode`` rollup of its turns' BM25 — the inverse direction of
+    :func:`conv_topk` (has_child): there, children rank parents; here,
+    parents admit and score children.
+
+    ``max_parents`` bounds the parent candidate set before child fan-out
+    (ES pays the same cost through its parent-join global ordinals).
+    Children rank (parent score desc, docid asc). Plan: conv_topk's
+    masked scoring + conv rollup, one semi-join-with-payload back to the
+    column-pruned forward table on conv_id, TakeOrdered(k) — the fan-out
+    join runs on the bounded parent set, broadcastable by construction.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    parents = conv_topk(
+        spark, index_dir, parent_query, k=max_parents, score_mode=score_mode, cfg=cfg
+    ).select("conv_id", "score")
+    if not score:
+        parents = parents.select("conv_id", F.lit(1.0).alias("score"))
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", "conv_id")
+    dels = deleted_docids(spark, index_dir)
+    if dels is not None:
+        fwd = fwd.join(dels, "docid", "left_anti")
+    out = (
+        fwd.join(F.broadcast(parents), "conv_id", "inner")
+        .select("docid", "score")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, out) if with_keys else out
+
+
 def index_stats(spark: SparkSession, index_dir: str) -> dict:
     """ES ``_stats`` / ``_cat/indices``: one observability dict per index —
     doc/term/block counts, live vs deleted docs, waves, per-table bytes.

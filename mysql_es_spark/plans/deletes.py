@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..config import IndexConfig
 from ..operators.aggs import _matched_docids
+from ..operators.docids import with_bucket
 from ..operators.query import deleted_docids, effective_config
 from ..sources import tables as tbl
 from .metrics import append_metrics
@@ -136,3 +137,128 @@ def delete_by_query(
         batch_id=-1,
     )
     return int(n)
+
+
+def update_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    set_exprs: dict[str, str],
+    query: str = "",
+    doc_filter: str | None = None,
+    cfg: IndexConfig | None = None,
+) -> dict:
+    """ES ``_update_by_query``: apply ``set_exprs`` (column → SQL
+    expression over the forward columns, the painless-script analog; the
+    reference generates exactly such update scripts for relation
+    propagation, Emiter.java painless SET codegen) to every live doc
+    matching ``query`` (fulltext) and/or ``doc_filter`` (forward
+    predicate), then make the result searchable.
+
+    Like ES — which internally re-indexes each matched doc — the changed
+    docs' buckets are rebuilt from the updated snapshot via the
+    incremental machinery, so postings, doc_lens and corpus stats all
+    reflect a ``text`` update, and a metadata-only update keeps scores
+    identical (same tokens → same stats). Soft-deleted docs are excluded
+    from the rebuild snapshot, so a rebuilt bucket physically drops them
+    (never resurrects — matching ES, where update_by_query skips deleted
+    docs and the rebuild is a merge).
+
+    Identity columns (conv_id, turn_idx) and physical columns cannot be
+    set — an update never moves a doc between buckets or re-keys it
+    (ES: ``_id`` is immutable under update_by_query).
+
+    Scale shape: matched docids are query-proportional; the snapshot is
+    one column-pruned forward scan with a left join against the matched
+    set (broadcastable — matched is narrow); only affected waves are
+    rewritten. Returns docs_updated + the rebuild summary.
+    """
+    from ..plans.build import FORWARD_COLS
+    from ..streaming.incremental import incremental_update
+
+    forbidden = {"conv_id", "turn_idx", "docid", "doc_key", "bucket"}
+    bad = forbidden.intersection(set_exprs)
+    if bad:
+        raise ValueError(f"update_by_query cannot set identity/physical columns: {sorted(bad)}")
+    unknown = set(set_exprs) - set(FORWARD_COLS)
+    if unknown:
+        raise ValueError(f"unknown forward columns: {sorted(unknown)}")
+    if not query and doc_filter is None:
+        raise ValueError("update_by_query needs a query and/or a doc_filter")
+    cfg = effective_config(spark, index_dir, cfg)
+    t0 = time.monotonic()
+
+    matched: DataFrame | None = None
+    if query:
+        matched = _matched_docids(spark, index_dir, query, cfg)
+        if matched is None:
+            return {"docs_updated": 0, "waves_rebuilt": [], "buckets": []}
+    if doc_filter is not None:
+        fwd_m = (
+            tbl.read(spark, index_dir, "forward")
+            .filter(F.expr(doc_filter))
+            .select("docid")
+        )
+        matched = fwd_m if matched is None else matched.join(fwd_m, "docid", "left_semi")
+        existing = deleted_docids(spark, index_dir)
+        if existing is not None:
+            matched = matched.join(existing, "docid", "left_anti")
+    n = matched.count()
+    if n == 0:
+        return {"docs_updated": 0, "waves_rebuilt": [], "buckets": []}
+
+    fwd = tbl.read(spark, index_dir, "forward")
+    dels = deleted_docids(spark, index_dir)
+    if dels is not None:
+        fwd = fwd.join(dels, "docid", "left_anti")
+    flagged = fwd.join(matched.withColumn("__upd", F.lit(1)), "docid", "left")
+    cols = [c for c in FORWARD_COLS if c not in ("docid", "doc_key", "bucket")]
+    snapshot = flagged.select(
+        *[
+            F.when(F.col("__upd") == 1, F.expr(set_exprs[c]))
+            .otherwise(F.col(c))
+            .cast(dict(fwd.dtypes)[c])
+            .alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in cols
+        ],
+        F.coalesce(F.col("__upd"), F.lit(0)).alias("__upd"),
+    )
+    # the rebuild overwrites the very forward/postings files this plan
+    # reads — materialize the rebuild input first. Only affected buckets
+    # get rebuilt, so only their rows are staged (query-proportional, not
+    # a full-corpus copy); a real deployment's Iceberg snapshot isolation
+    # would make this staging unnecessary.
+    changed_buckets = with_bucket(
+        snapshot.filter(F.col("__upd") == 1).select("conv_id"), cfg
+    ).select("bucket").distinct()
+    # non-dot/underscore name: Spark reads explicit dot-paths but warns
+    # ("all paths were ignored"); inside the index dir so a cluster
+    # deployment stages on the same shared filesystem. Removed in the
+    # finally below; never matches a table name tbl.read would load.
+    staged_path = tbl.p(index_dir, "upd-snapshot.tmp")
+    with_bucket(snapshot, cfg).join(
+        F.broadcast(changed_buckets), "bucket", "left_semi"
+    ).drop("bucket").write.mode("overwrite").parquet(staged_path)
+    try:
+        staged = spark.read.parquet(staged_path)
+        res = incremental_update(
+            spark,
+            staged.select(*cols),
+            staged.filter(F.col("__upd") == 1).select("conv_id"),
+            index_dir,
+            cfg,
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(staged_path, ignore_errors=True)
+    append_metrics(
+        spark,
+        index_dir,
+        "update_by_query",
+        {"docs_updated": int(n), "wall_ms": int((time.monotonic() - t0) * 1000)},
+        wave=-1,
+        batch_id=-1,
+    )
+    return {"docs_updated": int(n), **res}

@@ -352,3 +352,34 @@ def test_cli_river_config(spark, tmp_path, capsys):
                      "--mode", "simple"]) == 0
     hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert hits["hits"], f"org token {org_token!r} not searchable after river build"
+
+
+def test_cli_update_by_query(spark, tmp_path, capsys):
+    corpus_dir = str(tmp_path / "corpus_u")
+    ix = str(tmp_path / "ixu")
+    common = ["--n-buckets", "4", "--wave-size", "2", "--salt-docs", "256"]
+    assert cli_main(["gen", "--out", corpus_dir, "--turns", "400", "--seed", "13"]) == 0
+    capsys.readouterr()
+    assert cli_main(
+        [*common, "build", "--input", f"{corpus_dir}/transcripts", "--index-dir", ix]
+    ) == 0
+    capsys.readouterr()
+
+    # scripted text update over the w2 match set, then the new term hits
+    assert cli_main(
+        ["update", "--index-dir", ix, "--query", "w2",
+         "--set", "text=concat(text, ' cliupdated')"]
+    ) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["docs_updated"] > 0 and res["waves_rebuilt"]
+
+    assert cli_main(["query", "--index-dir", ix, "--query", "cliupdated",
+                     "-k", "5", "--mode", "simple"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["hits"]) == 5
+
+    # regexp mode rides the same CLI
+    assert cli_main(["query", "--index-dir", ix, "--query", "cliupd.*",
+                     "-k", "3", "--mode", "regexp"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["hits"]) == 3
