@@ -17,6 +17,7 @@ import json
 import math
 import os
 import random
+import re
 import shutil
 import sys
 import tempfile
@@ -45,9 +46,11 @@ def main() -> int:
         bm25_topk_conjunctive,
         bm25_topk_multi,
         boosting_topk,
+        has_parent_topk,
         lm_dirichlet_topk,
         phrase_prefix_topk,
         phrase_topk,
+        regexp_topk,
         synonym_topk,
     )
     from mysql_es_spark.oracle import build_oracle_index, score_query
@@ -63,8 +66,9 @@ def main() -> int:
     shutil.rmtree(ix, ignore_errors=True)
     df = transcripts_df(spark, args.turns, seed=args.seed)
     build_index(spark, df, ix, cfg)
-    fwd = spark.read.parquet(f"{ix}/forward").select("docid", "text").collect()
+    fwd = spark.read.parquet(f"{ix}/forward").select("docid", "conv_id", "text").collect()
     docs = {r.docid: r.text for r in fwd}
+    conv_of = {r.docid: r.conv_id for r in fwd}
     toks = {d: tokenize_text(t) for d, t in docs.items()}
     oix = build_oracle_index(list(docs.items()))
     vocab = sorted({t for ts in toks.values() for t in ts})
@@ -209,6 +213,50 @@ def main() -> int:
             boosting_topk(spark, ix, q, neg, negative_boost=nb, k=k, cfg=cfg).collect(),
             want_b,
         )
+
+        # regexp: char-class mutation of a sampled term, best-expansion BM25
+        t0_ = rng.choice([t for t in vocab if len(t) >= 3])
+        ci = rng.randrange(len(t0_))
+        alt = rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+        pattern = t0_[:ci] + "[" + t0_[ci] + alt + "]" + t0_[ci + 1 :]
+        rxp = re.compile("^" + pattern + "$")
+        cand_rx = sorted(
+            ((len(oix.postings[v][0]), v) for v in oix.postings if rxp.match(v)),
+            key=lambda x: (-x[0], x[1]),
+        )[:50]
+        best_rx: dict[int, float] = {}
+        for dfv, v in cand_rx:
+            ids, tfs = oix.postings[v]
+            w = float(np.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5)))
+            for j2, d in enumerate(ids):
+                tfv = float(tfs[j2])
+                s = w * tfv / (tfv + 1.2 * (0.25 + 0.75 * len(toks[int(d)]) / avgdl))
+                if s > best_rx.get(int(d), 0.0):
+                    best_rx[int(d)] = s
+        want_rx = sorted(best_rx.items(), key=lambda x: (-x[1], x[0]))[:k]
+        expect_rank(
+            f"r{rnd}-regexp",
+            regexp_topk(spark, ix, pattern, k=k, cfg=cfg).collect(),
+            want_rx,
+        )
+
+        # has_parent: children carry the conv rollup score of the round query
+        if rnd % 3 == 0:
+            pmode = rng.choice(["max", "sum"])
+            groups: dict[str, list[float]] = {}
+            for d, s in full:
+                groups.setdefault(conv_of[d], []).append(s)
+            aggf = {"max": max, "sum": sum}[pmode]
+            ps = {c: aggf(ss) for c, ss in groups.items()}
+            want_hp = sorted(
+                ((d, ps[conv_of[d]]) for d in toks if conv_of[d] in ps),
+                key=lambda x: (-x[1], x[0]),
+            )[:k]
+            expect_rank(
+                f"r{rnd}-has_parent",
+                has_parent_topk(spark, ix, q, k=k, score_mode=pmode, cfg=cfg).collect(),
+                want_hp,
+            )
 
         # match_phrase_prefix on the sampled real bigram: fixed=a, prefix
         # = first 2 chars of b (guaranteed >= 1 expansion with a match)

@@ -228,3 +228,46 @@ def test_multi_match_term_dict_scans_prune(spark, tiny_transcripts, tmp_path_fac
     )
     plan = plan_of(dict_scan)
     assert "PushedFilters" in plan and "In(term" in plan
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, tiny_transcripts):
+    """The eval side must collapse to a broadcast of its distinct shingle
+    set — a shuffle join against a tiny eval suite is the wrong plan."""
+    from mysql_es_spark.operators.dedup import decontaminate
+
+    docs = tiny_transcripts.selectExpr("conv_id as doc_id", "text")
+    out = decontaminate(docs, docs.limit(20), n=3)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # broadcast_eval=False stays correct (AQE may still pick broadcast for
+    # a tiny side — that's its call, not a forced hint); equality of the
+    # two paths is asserted in tests/test_decontaminate.py
+
+
+def test_has_parent_broadcasts_parent_set(spark, built_index):
+    """The bounded parent set must broadcast into the child fan-out join
+    (never shuffle the full forward table on conv_id)."""
+    from mysql_es_spark.operators.query import has_parent_topk
+
+    out = has_parent_topk(spark, built_index, "w0 w3", k=10, cfg=TEST_CFG)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_agg_tree_forward_scan_prunes_columns(spark, built_index):
+    """The forward scan under an agg tree must read only docid + the
+    spec's bucket/metric fields (never text)."""
+    from mysql_es_spark.operators.aggs import agg_tree
+
+    spec = {
+        "by_role": {
+            "terms": {"field": "role", "size": 3},
+            "aggs": {"by_tool": {"terms": {"field": "tool", "size": 2}}},
+        }
+    }
+    out = agg_tree(spark, built_index, "w0 w3", spec, cfg=TEST_CFG)
+    plan = plan_of(out)
+    fwd_schemas = [
+        seg for seg in plan.split("ReadSchema: ")[1:] if "role" in seg.split("\n")[0]
+    ]
+    assert fwd_schemas and all("text" not in seg.split("\n")[0] for seg in fwd_schemas)
