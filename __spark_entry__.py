@@ -1132,6 +1132,23 @@ def q_agg_composite(spark, sf):
     )
 
 
+def q_agg_pipeline(spark, sf):
+    """ES pipeline aggs over a date_histogram parent: cumulative_sum,
+    derivative (null first bucket), moving_fn unweighted avg of the 3
+    buckets strictly before the current one (shift=0), and a
+    bucket_script (share of the running total)."""
+    ix = _index_for_documents(spark, sf)
+    out = esaggs.pipeline_agg(
+        spark, ix, " ".join(BM25_Q1), window=3,
+        script="cast(n_docs as double) / cum_docs", cfg=_docs_index_cfg(),
+    )
+    return out.select(
+        "period", "n_docs", "cum_docs", "deriv",
+        F.round("moving_avg", 4).alias("moving_avg"),
+        F.round("script_val", 4).alias("script_val"),
+    )
+
+
 def _updated_index_for_documents(spark, sf_dir: str) -> str:
     """Copy of the documents index with an ES ``_update_by_query``
     applied: every doc matching 'scan' gets ' graftterm' appended to its
@@ -1978,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only designs, and extras locally oracle-checked ---
         "agg_composite": q_agg_composite,
         "agg_subaggs_tree": q_agg_tree,
+        "agg_pipeline": q_agg_pipeline,
         "doc_decontaminate": q_decontaminate,
         "phrase_suggest": q_phrase_suggest,
         "doc_epoch_mix": q_epoch_mix,
@@ -3535,6 +3553,25 @@ g AS (SELECT lang AS role, source AS tool, CAST(count(*) AS BIGINT) AS n_docs
       FROM m GROUP BY 1, 2)
 SELECT role, tool, n_docs FROM g WHERE (role, tool) > ('en', 'src3')
 ORDER BY role, tool LIMIT 10
+""",
+        # pipeline aggs over the date_histogram parent: running total,
+        # first-order diff, trailing-3 moving avg (frame excludes the
+        # current bucket), bucket_script share-of-total
+        "agg_pipeline": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+matched AS (SELECT doc_id FROM toks WHERE list_has_any(tl, ['spark','join','query'])),
+hist AS (
+  SELECT strftime(DATE '2026-01-01' + (doc_id % 10)::INT, '%Y-%m-%d') AS period,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM matched GROUP BY 1
+)
+SELECT period, n_docs,
+       CAST(sum(n_docs) OVER (ORDER BY period) AS BIGINT) AS cum_docs,
+       CAST(n_docs - lag(n_docs) OVER (ORDER BY period) AS BIGINT) AS deriv,
+       round(avg(n_docs) OVER (ORDER BY period ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4)
+         AS moving_avg,
+       round(CAST(n_docs AS DOUBLE) / (sum(n_docs) OVER (ORDER BY period)), 4) AS script_val
+FROM hist ORDER BY period
 """,
         # knn-boost hybrid: bm25 + 5x cosine, union of docs, missing
         # side contributes 0; rounded-4 inputs and sum

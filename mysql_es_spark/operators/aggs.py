@@ -564,3 +564,61 @@ def agg_tree(
         path.append(field)
     assert out is not None
     return out
+
+
+def pipeline_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    interval: str = "day",
+    window: int = 3,
+    script: str | None = None,
+    selector: str | None = None,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES pipeline aggregations — ``cumulative_sum``, ``derivative``,
+    ``moving_fn`` (unweighted avg), ``bucket_script``, ``bucket_selector``
+    — over a ``date_histogram`` parent.
+
+    ES pipeline aggs post-process the PARENT aggregation's bucket stream,
+    never the hit set (they are declared as siblings of the parent's
+    sub-aggs and run after the reduce phase). Mirrored here: the parent
+    histogram is the usual distributed matched-docids ⋈ forward
+    aggregation; the pipeline pass is a window over its OUTPUT ordered by
+    bucket key. The window is intentionally single-partition — its input
+    cardinality is the bucket count (∝ time range, never corpus size),
+    which is the one place a global window is scale-safe.
+
+    Per bucket this emits: ``n_docs``; ``cum_docs`` (cumulative_sum);
+    ``deriv`` (first-order derivative — null in the first bucket, exactly
+    like ES, which emits no derivative for the first bucket); and
+    ``moving_avg`` — the unweighted mean of the ``window`` buckets
+    strictly BEFORE the current one (the ES ``moving_fn`` default
+    ``shift=0`` frame), null while the frame is empty. ``script`` is a
+    bucket_script: a SQL expression over the bucket columns, emitted as
+    ``script_val``. ``selector`` is a bucket_selector predicate; failing
+    buckets are dropped AFTER every pipeline value is computed (ES
+    applies selectors last, so a dropped bucket still contributes to its
+    neighbours' windows).
+
+    Reference context: the ES indexes the reference maintains exist to
+    serve dashboard queries (Es.java:79-126 index bootstrap); date-series
+    panels (rates, running totals, smoothing) are pipeline aggs over
+    date_histogram.
+    """
+    if window < 1:
+        raise ValueError(f"pipeline_agg: window must be >= 1, got {window}")
+    hist = date_histogram(spark, index_dir, query, interval, cfg)
+    w = W.orderBy("period")
+    out = hist.select(
+        "period",
+        "n_docs",
+        F.sum("n_docs").over(w).alias("cum_docs"),
+        (F.col("n_docs") - F.lag("n_docs", 1).over(w)).alias("deriv"),
+        F.avg("n_docs").over(w.rowsBetween(-window, -1)).alias("moving_avg"),
+    )
+    if script is not None:
+        out = out.withColumn("script_val", F.expr(script))
+    if selector is not None:
+        out = out.where(F.expr(selector))
+    return out.orderBy("period")

@@ -288,3 +288,46 @@ def test_composite_empty_page_keeps_types(spark, built_index):
     df = aggs.composite_agg(spark, built_index, "zzzyqq", ["turn_idx"], cfg=TEST_CFG)
     assert df.count() == 0
     assert dict(df.dtypes)["turn_idx"] == "int"
+
+
+def test_pipeline_agg(spark, built_index, fwd, matched):
+    hist = Counter(fwd[d].ts.strftime("%Y-%m-%d") for d in matched)
+    periods = sorted(hist)
+    rows = aggs.pipeline_agg(
+        spark, built_index, Q, window=2,
+        script="cast(n_docs as double) / cum_docs", cfg=TEST_CFG,
+    ).collect()
+    assert [r.period for r in rows] == periods
+    cum, prev = 0, None
+    for i, p in enumerate(periods):
+        n = hist[p]
+        cum += n
+        r = rows[i]
+        assert (r.n_docs, r.cum_docs) == (n, cum)
+        assert r.deriv == (None if prev is None else n - prev)
+        wnd = [hist[q] for q in periods[max(0, i - 2):i]]
+        if wnd:
+            assert abs(r.moving_avg - sum(wnd) / len(wnd)) < 1e-9
+        else:
+            assert r.moving_avg is None
+        assert abs(r.script_val - n / cum) < 1e-9
+        prev = n
+
+
+def test_pipeline_agg_selector_runs_last(spark, built_index):
+    full = aggs.pipeline_agg(spark, built_index, Q, cfg=TEST_CFG).collect()
+    kept = aggs.pipeline_agg(spark, built_index, Q, selector="deriv > 0", cfg=TEST_CFG).collect()
+    want = [r for r in full if r.deriv is not None and r.deriv > 0]
+    # dropped buckets still fed their neighbours' windows: surviving rows
+    # carry the same cum/moving values they had in the unfiltered stream
+    assert [(r.period, r.cum_docs, r.moving_avg) for r in kept] == [
+        (r.period, r.cum_docs, r.moving_avg) for r in want
+    ]
+    with pytest.raises(ValueError):
+        aggs.pipeline_agg(spark, built_index, Q, window=0, cfg=TEST_CFG)
+
+
+def test_pipeline_agg_empty_query(spark, built_index):
+    out = aggs.pipeline_agg(spark, built_index, "zzznotaterm", cfg=TEST_CFG)
+    assert out.count() == 0
+    assert set(out.columns) == {"period", "n_docs", "cum_docs", "deriv", "moving_avg"}
