@@ -2224,6 +2224,85 @@ def synonym_topk(
     return _with_keys(spark, index_dir, scored) if with_keys else scored
 
 
+def dis_max_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[str],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``dis_max`` query (Lucene DisjunctionMaxQuery over arbitrary
+    sub-queries): each element of ``queries`` is a match query scored as
+    usual (sum of its terms' BM25 contributions); a doc's final score is
+    the BEST sub-query score plus ``tie_breaker`` × the sum of the other
+    matching sub-queries' scores — the standard "pick the strongest field
+    /phrasing, break ties by breadth" combinator (tie_breaker=0 → pure
+    max; 1.0 → plain sum).
+
+    Plan shape follows :func:`bm25_topk_multi`: the postings for the
+    UNION of all sub-queries' terms are pruned/decoded exactly once; a
+    broadcast (term → sub-query) fan-out join tags contributions (a term
+    shared by two sub-queries is decoded once, counted in both); two
+    hash aggs (sum per (docid, sub) → max/sum per docid) finish JVM-side.
+    Cost is one bm25 pass over the union terms regardless of how many
+    sub-queries there are.
+
+    Reference context: the reference exposes ES query DSL unchanged on
+    its indexes (Es.java search passthrough); dis_max is core DSL.
+    """
+    if not 0.0 <= float(tie_breaker) <= 1.0:
+        raise ValueError(f"dis_max: tie_breaker must be in [0,1], got {tie_breaker}")
+    cfg = effective_config(spark, index_dir, cfg)
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    term_subs = [
+        (t, i) for i, q in enumerate(queries) for t in set(query_terms(q))
+    ]
+    if not term_subs:
+        return empty
+    idf, buckets = term_meta(
+        spark, index_dir, sorted({t for t, _ in term_subs}), stats["n_docs"], cfg
+    )
+    term_subs = [(t, i) for t, i in term_subs if t in idf]
+    if not term_subs:
+        return empty
+    blocks = _matching_blocks(spark, index_dir, sorted({t for t, _ in term_subs}), buckets)
+    idf_col = F.element_at(
+        F.create_map(*[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))]),
+        F.col("term"),
+    )
+    contrib = idf_col * F.col("tf") / (
+        F.col("tf")
+        + F.lit(cfg.k1)
+        * (F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("dl") / F.lit(stats["avgdl"]))
+    )
+    mapping = F.broadcast(
+        tbl.local_rows_df(spark, term_subs, "term string, sub int")
+    )
+    best = F.max("sub_score")
+    scored = (
+        _mask_deleted(
+            _decode_tf_dl(blocks)
+            .select("docid", "term", contrib.alias("contrib"))
+            .join(mapping, "term")
+            .groupBy("docid", "sub")
+            .agg(F.sum("contrib").alias("sub_score"))
+            .groupBy("docid")
+            .agg(
+                (best + F.lit(float(tie_breaker)) * (F.sum("sub_score") - best)).alias(
+                    "score"
+                )
+            ),
+            deleted_docids(spark, index_dir),
+        )
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
 def rescore_topk(
     spark: SparkSession,
     index_dir: str,

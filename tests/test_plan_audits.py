@@ -271,3 +271,39 @@ def test_agg_tree_forward_scan_prunes_columns(spark, built_index):
         seg for seg in plan.split("ReadSchema: ")[1:] if "role" in seg.split("\n")[0]
     ]
     assert fwd_schemas and all("text" not in seg.split("\n")[0] for seg in fwd_schemas)
+
+
+def test_dis_max_single_decode_broadcast_fanout(spark, built_index):
+    """dis_max must decode the union postings once (one postings scan,
+    term_bucket partition pruning engaged) and fan contributions out to
+    sub-queries via a broadcast join, never a shuffle against the
+    tiny (term → sub) mapping."""
+    from mysql_es_spark.operators.query import dis_max_topk
+
+    df = dis_max_topk(
+        spark, built_index, ["w0 w3", "w1 w0"], tie_breaker=0.4, k=5, cfg=TEST_CFG
+    )
+    plan = plan_of(df)
+    assert "postings" in plan
+    # exactly one parquet scan in the whole plan: the postings decode
+    # (term_dict meta is a separate collect job; the mapping is local)
+    locs = [ln for ln in plan.splitlines() if "Location:" in ln]
+    assert len(locs) == 1 and "postings" in locs[0], locs
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "term_bucket" in plan  # partition-dir pruning reached the scan
+
+
+def test_rank_eval_judgements_broadcast(spark, built_index):
+    """rank_eval joins hits against the judgement set broadcast-side and
+    computes ideal-DCG with a per-qid (partitioned, never global) window."""
+    from mysql_es_spark.operators.rankeval import rank_eval
+
+    df = rank_eval(
+        spark, built_index, {"q": ("w0 w3", {1: 2, 2: 1})}, k=5, cfg=TEST_CFG, key="docid"
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # no WindowExec without a partition key (global sort) anywhere
+    for ln in plan.splitlines():
+        if "Window" in ln and "partitionBy" in ln:
+            assert "qid" in ln
