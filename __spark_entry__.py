@@ -1426,6 +1426,89 @@ def q_agg_significant_terms(spark, sf):
     return st.select("term", "fg_df", "bg_df", F.round("jlh", 6).alias("jlh"))
 
 
+def q_agg_date_range(spark, sf):
+    """ES date_range agg: explicit [from, to) timestamp buckets (open ends,
+    one overlapping) over the matched docs' forward ts; empty kept."""
+    ix = _index_for_documents(spark, sf)
+    return esaggs.date_range_agg(
+        spark, ix, " ".join(BM25_Q1),
+        [(None, "2026-01-04"), ("2026-01-04", "2026-01-08"),
+         ("2026-01-08", None), ("2026-01-03", None)],
+        cfg=_docs_index_cfg(),
+    )
+
+
+def q_agg_multi_terms(spark, sf):
+    """ES multi_terms agg: top (lang, source) composite buckets of the
+    matched set by doc count, tie key-asc."""
+    ix = _index_for_documents(spark, sf)
+    return esaggs.multi_terms_agg(
+        spark, ix, " ".join(BM25_Q1), ["role", "tool"], size=10, cfg=_docs_index_cfg()
+    ).select(F.col("role").alias("lang"), F.col("tool").alias("source"), "n_docs")
+
+
+def q_agg_rare_terms(spark, sf):
+    """ES rare_terms agg: the long-tail sources (matched-doc count <= 23)
+    rarest-first — the inverse cutoff of a terms agg."""
+    ix = _index_for_documents(spark, sf)
+    return esaggs.rare_terms_agg(
+        spark, ix, " ".join(BM25_Q1), "tool", max_doc_count=23, cfg=_docs_index_cfg()
+    ).select(F.col("tool").alias("source"), "n_docs")
+
+
+def q_agg_adjacency_matrix(spark, sf):
+    """ES adjacency_matrix agg: named filters + pairwise intersections
+    (empty intersections dropped) over the matched set."""
+    ix = _index_for_documents(spark, sf)
+    return esaggs.adjacency_matrix_agg(
+        spark, ix, " ".join(BM25_Q1),
+        {"en": "role = 'en'", "zh": "role = 'zh'", "s0": "tool = 'src0'"},
+        cfg=_docs_index_cfg(),
+    )
+
+
+def q_agg_weighted_avg(spark, sf):
+    """ES weighted_avg agg, index-native: mean analyzed doc length weighted
+    by each matched doc's total query-term tf (postings-only, no forward
+    join)."""
+    ix = _index_for_documents(spark, sf)
+    return esaggs.weighted_avg_agg(spark, ix, " ".join(BM25_Q1), cfg=_docs_index_cfg())
+
+
+def q_agg_sampler(spark, sf):
+    """ES diversified_sampler + terms sub-agg: a document-order sample of
+    the matched set capped at 3 docs per language, then source facets over
+    the <=60-doc sample only."""
+    ix = _index_for_documents(spark, sf)
+    return esaggs.diversified_sampler_agg(
+        spark, ix, " ".join(BM25_Q1), "role", "tool",
+        shard_size=60, max_docs_per_value=3, cfg=_docs_index_cfg(),
+    ).select(F.col("tool").alias("source"), "n_docs")
+
+
+def q_agg_bucket_sort(spark, sf):
+    """ES bucket_sort pipeline agg: the parent date_histogram's buckets
+    re-ranked by doc count (tie period-asc), page [1, 5)."""
+    ix = _index_for_documents(spark, sf)
+    return esaggs.bucket_sort_agg(
+        spark, ix, " ".join(BM25_Q1), size=4, offset=1, cfg=_docs_index_cfg()
+    )
+
+
+def q_agg_serial_diff(spark, sf):
+    """ES serial_diff pipeline agg: lag-3 differencing of the daily bucket
+    stream (null while the lag window is unfilled, as ES emits)."""
+    ix = _index_for_documents(spark, sf)
+    return esaggs.serial_diff_agg(spark, ix, " ".join(BM25_Q1), lag=3, cfg=_docs_index_cfg())
+
+
+def q_agg_stats_bucket(spark, sf):
+    """ES sibling pipeline aggs (avg/min/max/sum/stats_bucket) in one row
+    over the date_histogram's n_docs stream, extremes keyed by period."""
+    ix = _index_for_documents(spark, sf)
+    return esaggs.stats_bucket_agg(spark, ix, " ".join(BM25_Q1), cfg=_docs_index_cfg())
+
+
 def q_bm25_highlight(spark, sf):
     """ES highlight block: top-k BM25 via the index, every query-term
     occurrence in the stored text wrapped in <em></em> (whole-field mode,
@@ -2036,6 +2119,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_near_dups": q_simhash,
         # --- below the driver gate's 50-entry window: r01-green entries,
         # rows-only designs, and extras locally oracle-checked ---
+        "agg_date_range": q_agg_date_range,
+        "agg_multi_terms": q_agg_multi_terms,
+        "agg_rare_terms": q_agg_rare_terms,
+        "agg_adjacency_matrix": q_agg_adjacency_matrix,
+        "agg_weighted_avg": q_agg_weighted_avg,
+        "agg_sampler": q_agg_sampler,
+        "agg_bucket_sort": q_agg_bucket_sort,
+        "agg_serial_diff": q_agg_serial_diff,
+        "agg_stats_bucket": q_agg_stats_bucket,
         "doc_dedup_exact": q_dedup_exact,
         "doc_gopher_quality": q_gopher,
         "doc_pii_scrub": q_pii_scrub,
@@ -3725,6 +3817,133 @@ SELECT period, n_docs,
          AS moving_avg,
        round(CAST(n_docs AS DOUBLE) / (sum(n_docs) OVER (ORDER BY period)), 4) AS script_val
 FROM hist ORDER BY period
+""",
+        # date_range agg: explicit [from,to) ts buckets, empty kept
+        "agg_date_range": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT CAST(DATE '2026-01-01' + (doc_id % 10)::INT AS TIMESTAMP) AS ts
+      FROM toks WHERE list_has_any(tl, ['spark','join','query']))
+SELECT '*-2026-01-04' AS bucket,
+       CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2026-01-04') AS BIGINT) AS n_docs FROM m
+UNION ALL
+SELECT '2026-01-04-2026-01-08',
+       CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2026-01-04'
+                              AND ts < TIMESTAMP '2026-01-08') AS BIGINT) FROM m
+UNION ALL
+SELECT '2026-01-08-*',
+       CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2026-01-08') AS BIGINT) FROM m
+UNION ALL
+SELECT '2026-01-03-*',
+       CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2026-01-03') AS BIGINT) FROM m
+""",
+        # multi_terms agg: composite-key top buckets, tie key-asc
+        "agg_multi_terms": f"""
+WITH t AS (SELECT doc_id, lang, source, {TOK} AS tl FROM documents),
+m AS (SELECT * FROM t WHERE list_has_any(tl, ['spark','join','query']))
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+FROM m WHERE lang IS NOT NULL AND source IS NOT NULL
+GROUP BY 1, 2 ORDER BY n_docs DESC, lang, source LIMIT 10
+""",
+        # rare_terms agg: long-tail buckets under the doc-count ceiling
+        "agg_rare_terms": f"""
+WITH t AS (SELECT doc_id, source, {TOK} AS tl FROM documents),
+m AS (SELECT * FROM t WHERE list_has_any(tl, ['spark','join','query']))
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+FROM m WHERE source IS NOT NULL
+GROUP BY 1 HAVING count(*) <= 23 ORDER BY n_docs, source
+""",
+        # adjacency_matrix agg: named filters + non-empty intersections
+        "agg_adjacency_matrix": f"""
+WITH t AS (SELECT doc_id, lang, source, {TOK} AS tl FROM documents),
+m AS (SELECT * FROM t WHERE list_has_any(tl, ['spark','join','query'])),
+b AS (
+  SELECT 'en' AS bucket, CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_docs FROM m
+  UNION ALL
+  SELECT 'zh', CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) FROM m
+  UNION ALL
+  SELECT 's0', CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) FROM m
+  UNION ALL
+  SELECT 'en&s0', CAST(count(*) FILTER (WHERE lang = 'en' AND source = 'src0') AS BIGINT) FROM m
+  UNION ALL
+  SELECT 'en&zh', CAST(count(*) FILTER (WHERE lang = 'en' AND lang = 'zh') AS BIGINT) FROM m
+  UNION ALL
+  SELECT 's0&zh', CAST(count(*) FILTER (WHERE lang = 'zh' AND source = 'src0') AS BIGINT) FROM m
+)
+SELECT bucket, n_docs FROM b WHERE n_docs > 0
+""",
+        # weighted_avg agg: dl weighted by total query-term tf
+        "agg_weighted_avg": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT len(tl) AS dl,
+             len(list_filter(tl, t -> t IN ('spark','join','query'))) AS w
+      FROM toks)
+SELECT round(sum(w * dl) / sum(w), 6) AS weighted_avg_dl,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS sum_weight
+FROM m WHERE w > 0
+""",
+        # diversified_sampler: document-order sample, <=3 per lang, first
+        # 60, then source facets over the sample only
+        "agg_sampler": f"""
+WITH t AS (SELECT doc_id, lang, source, {TOK} AS tl FROM documents),
+m AS (SELECT * FROM t WHERE list_has_any(tl, ['spark','join','query'])
+                        AND lang IS NOT NULL),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY CAST(doc_id AS VARCHAR)) AS rn
+  FROM m
+),
+sample AS (
+  SELECT * FROM capped WHERE rn <= 3
+  ORDER BY CAST(doc_id AS VARCHAR) LIMIT 60
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+FROM sample WHERE source IS NOT NULL
+GROUP BY 1 ORDER BY n_docs DESC, source
+""",
+        # bucket_sort pipeline agg: buckets by count desc, page [1,5)
+        "agg_bucket_sort": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+matched AS (SELECT doc_id FROM toks WHERE list_has_any(tl, ['spark','join','query'])),
+hist AS (
+  SELECT strftime(DATE '2026-01-01' + (doc_id % 10)::INT, '%Y-%m-%d') AS period,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM matched GROUP BY 1
+),
+r AS (SELECT *, row_number() OVER (ORDER BY n_docs DESC, period) AS rn FROM hist)
+SELECT period, n_docs FROM r WHERE rn > 1 AND rn <= 5
+""",
+        # serial_diff pipeline agg: lag-3 differencing of the bucket stream
+        "agg_serial_diff": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+matched AS (SELECT doc_id FROM toks WHERE list_has_any(tl, ['spark','join','query'])),
+hist AS (
+  SELECT strftime(DATE '2026-01-01' + (doc_id % 10)::INT, '%Y-%m-%d') AS period,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM matched GROUP BY 1
+)
+SELECT period, n_docs,
+       CAST(n_docs - lag(n_docs, 3) OVER (ORDER BY period) AS BIGINT) AS diff
+FROM hist ORDER BY period
+""",
+        # sibling bucket stats: one row of cross-bucket moments, extremes
+        # keyed by the earliest period hitting them
+        "agg_stats_bucket": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+matched AS (SELECT doc_id FROM toks WHERE list_has_any(tl, ['spark','join','query'])),
+hist AS (
+  SELECT strftime(DATE '2026-01-01' + (doc_id % 10)::INT, '%Y-%m-%d') AS period,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM matched GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       round(avg(n_docs), 6) AS avg_docs,
+       CAST(min(n_docs) AS BIGINT) AS min_docs,
+       CAST(max(n_docs) AS BIGINT) AS max_docs,
+       CAST(sum(n_docs) AS BIGINT) AS sum_docs,
+       (SELECT period FROM hist ORDER BY n_docs ASC, period LIMIT 1) AS min_period,
+       (SELECT period FROM hist ORDER BY n_docs DESC, period LIMIT 1) AS max_period
+FROM hist
 """,
         # knn-boost hybrid: bm25 + 5x cosine, union of docs, missing
         # side contributes 0; rounded-4 inputs and sum

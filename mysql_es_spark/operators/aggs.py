@@ -622,3 +622,305 @@ def pipeline_agg(
     if selector is not None:
         out = out.where(F.expr(selector))
     return out.orderBy("period")
+
+
+def date_range_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    ranges: list[tuple[str | None, str | None]],
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``date_range`` aggregation: explicit [from, to) date boundaries
+    over the forward ``ts`` column, one bucket per requested range (open
+    ends allowed, overlaps allowed, empty buckets KEPT — the same bucket
+    contract as the numeric ``range`` agg). Keys are "from-to" with ES's
+    "*" for an open end. One conditional-count pass, never a scan per
+    range."""
+    cfg = effective_config(spark, index_dir, cfg)
+    keys = [f"{lo or '*'}-{hi or '*'}" for lo, hi in ranges]
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"date_range bucket labels collide: {keys}")
+    empty = tbl.local_rows_df(spark, [(k, 0) for k in keys], "bucket string, n_docs long")
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return empty.orderBy("bucket")
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", "ts")
+    m = matched.join(fwd, "docid", "inner")
+    aggs = []
+    for (lo, hi), k in zip(ranges, keys):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            cond = cond & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        aggs.append(F.coalesce(F.sum(F.when(cond, 1)), F.lit(0)).cast("long").alias(k))
+    row = m.agg(*aggs)
+    pairs = ", ".join(f"'{k}', `{k}`" for k in keys)
+    return row.selectExpr(f"stack({len(keys)}, {pairs}) AS (bucket, n_docs)")
+
+
+def multi_terms_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    fields: list[str],
+    size: int = 10,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``multi_terms`` aggregation: buckets keyed by a TUPLE of forward
+    fields, top-``size`` by doc count (tie: key tuple asc) — the terms agg
+    generalized to composite keys without composite-agg paging. Docs
+    missing ANY key field are dropped (ES multi_terms has no per-source
+    ``missing`` default). One hash agg + a distributed TakeOrdered of
+    ``size`` bucket rows."""
+    cfg = effective_config(spark, index_dir, cfg)
+    if not fields:
+        raise ValueError("multi_terms_agg needs at least one field")
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", *fields)
+    if matched is None:
+        return fwd.limit(0).select(*fields).withColumn("n_docs", F.lit(0).cast("long"))
+    m = matched.join(fwd, "docid", "inner")
+    for f_ in fields:
+        m = m.filter(F.col(f_).isNotNull())
+    return (
+        m.groupBy(*fields)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), *[F.asc(f_) for f_ in fields])
+        .limit(size)
+    )
+
+
+def rare_terms_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    field: str,
+    max_doc_count: int = 1,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation: the long-tail counterpart of terms —
+    buckets of ``field`` values whose matched-doc count is ≤
+    ``max_doc_count``, ordered count asc then key asc (ES emits rare
+    buckets rarest-first). The ES implementation prunes with a CuckooFilter
+    to bound memory; here the full hash agg IS the scale-safe form (bucket
+    rows ∝ field cardinality, post-agg filtered, never collected)."""
+    cfg = effective_config(spark, index_dir, cfg)
+    if max_doc_count < 1:
+        raise ValueError("rare_terms_agg: max_doc_count must be >= 1")
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", field)
+    if matched is None:
+        return fwd.limit(0).select(field).withColumn("n_docs", F.lit(0).cast("long"))
+    return (
+        matched.join(fwd, "docid", "inner")
+        .filter(F.col(field).isNotNull())
+        .groupBy(field)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= max_doc_count)
+        .orderBy(F.asc("n_docs"), F.asc(field))
+    )
+
+
+def adjacency_matrix_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    filters: dict[str, str],
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: named predicate buckets plus
+    one bucket per PAIRWISE intersection, keyed "a&b" in name-sorted order
+    — co-occurrence counts for graph-style dashboards. Zero-count buckets
+    are DROPPED (unlike range/filters, the ES adjacency_matrix omits empty
+    intersections). Still one conditional-count pass over the matched set:
+    singles and pairs are all conditional sums in a single agg row."""
+    cfg = effective_config(spark, index_dir, cfg)
+    if not filters:
+        raise ValueError("adjacency_matrix_agg needs at least one named filter")
+    names = sorted(filters)
+    labels: list[tuple[str, F.Column]] = [(n, F.expr(filters[n])) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            labels.append((f"{a}&{b}", F.expr(filters[a]) & F.expr(filters[b])))
+    empty = tbl.local_rows_df(spark, [], "bucket string, n_docs long")
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return empty
+    fwd = tbl.read(spark, index_dir, "forward")
+    m = matched.join(fwd, "docid", "inner")
+    aggs = [
+        F.coalesce(F.sum(F.when(cond, 1)), F.lit(0)).cast("long").alias(f"b{i}")
+        for i, (_, cond) in enumerate(labels)
+    ]
+    row = m.agg(*aggs)
+    pairs = ", ".join(f"'{name}', `b{i}`" for i, (name, _) in enumerate(labels))
+    return (
+        row.selectExpr(f"stack({len(labels)}, {pairs}) AS (bucket, n_docs)")
+        .filter(F.col("n_docs") > 0)
+        .orderBy("bucket")
+    )
+
+
+def weighted_avg_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``weighted_avg`` aggregation, index-native: the mean analyzed
+    doc length weighted by each matching doc's total query-term frequency
+    (value = dl, weight = Σ tf over the query's terms — docs that match
+    the query harder count more). One postings decode (tf and dl ride in
+    the same payload — no forward join at all), one global agg row:
+    ``weighted_avg_dl`` (6 dp), ``n_docs``, ``sum_weight``."""
+    from .query import _decode_tf_dl
+
+    cfg = effective_config(spark, index_dir, cfg)
+    schema = "weighted_avg_dl double, n_docs long, sum_weight long"
+    terms = query_terms(query)
+    if not terms:
+        return tbl.local_rows_df(spark, [], schema)
+    stats = corpus_stats(spark, index_dir)
+    idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return tbl.local_rows_df(spark, [], schema)
+    blocks = _matching_blocks(spark, index_dir, terms, buckets)
+    per_doc = (
+        _mask_deleted(_decode_tf_dl(blocks), deleted_docids(spark, index_dir))
+        .groupBy("docid")
+        .agg(F.sum("tf").alias("w"), F.first("dl").alias("dl"))
+    )
+    return per_doc.agg(
+        F.round(F.sum(F.col("w") * F.col("dl")) / F.sum("w"), 6).alias("weighted_avg_dl"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("sum_weight"),
+    )
+
+
+def diversified_sampler_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    diversify_on: str,
+    agg_on: str,
+    shard_size: int = 100,
+    max_docs_per_value: int = 3,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``diversified_sampler`` + sub-agg: cap the matched set at
+    ``max_docs_per_value`` docs per ``diversify_on`` value, keep the first
+    ``shard_size`` of the capped set, then run a terms agg on ``agg_on``
+    over the sample — de-biasing facets from one dominant key. ES samples
+    best-scored-first per shard; this deterministic re-expression takes
+    document order (conv_id, turn_idx — the user-visible key, stable on
+    any cluster size or bucket layout), so reruns and resizes sample
+    identically. Both caps are window row_numbers over bucket-pruned
+    matched docids — no global sort of doc rows, and the sample (≤
+    shard_size rows) is the only thing the final agg sees."""
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(spark, [], f"{agg_on} string, n_docs long")
+    fwd = tbl.read(spark, index_dir, "forward").select(
+        "docid", "conv_id", "turn_idx", diversify_on, agg_on
+    )
+    m = matched.join(fwd, "docid", "inner").filter(F.col(diversify_on).isNotNull())
+    per_val = W.partitionBy(diversify_on).orderBy("conv_id", "turn_idx")
+    sample = (
+        m.withColumn("__rn", F.row_number().over(per_val))
+        .filter(F.col("__rn") <= max_docs_per_value)
+        .orderBy("conv_id", "turn_idx")
+        .limit(shard_size)
+    )
+    # the cap applies to the SAMPLE (ES: sampler selects docs first); the
+    # sub-agg then drops docs missing its key, like any terms agg
+    return (
+        sample.filter(F.col(agg_on).isNotNull())
+        .groupBy(agg_on)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.asc(agg_on))
+    )
+
+
+def bucket_sort_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    interval: str = "day",
+    sort_on: str = "n_docs",
+    ascending: bool = False,
+    size: int = 5,
+    offset: int = 0,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``bucket_sort`` pipeline agg: re-order the parent
+    date_histogram's buckets by a bucket value (tie: period asc) and
+    truncate to [offset, offset+size) — "top N busiest days". Runs on the
+    post-reduce bucket stream (∝ time range), never on doc rows."""
+    hist = date_histogram(spark, index_dir, query, interval, cfg)
+    key = F.col(sort_on).asc() if ascending else F.col(sort_on).desc()
+    w = W.orderBy(key, F.col("period").asc())
+    return (
+        hist.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + size))
+        .drop("__rn")
+        .orderBy(key, F.col("period").asc())
+    )
+
+
+def serial_diff_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    interval: str = "day",
+    lag: int = 1,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``serial_diff`` pipeline agg: ``n_docs - n_docs[t-lag]`` over the
+    date_histogram bucket stream (lag=7 = week-over-week seasonality
+    strip). Null while the lag window is unfilled, exactly like ES, which
+    emits nothing for the first ``lag`` buckets."""
+    if lag < 1:
+        raise ValueError(f"serial_diff_agg: lag must be >= 1, got {lag}")
+    hist = date_histogram(spark, index_dir, query, interval, cfg)
+    w = W.orderBy("period")
+    return hist.select(
+        "period",
+        "n_docs",
+        (F.col("n_docs") - F.lag("n_docs", lag).over(w)).alias("diff"),
+    ).orderBy("period")
+
+
+def stats_bucket_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    interval: str = "day",
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES sibling pipeline aggs — ``avg_bucket`` / ``min_bucket`` /
+    ``max_bucket`` / ``sum_bucket`` / ``stats_bucket`` — in one row over
+    the parent date_histogram's ``n_docs`` stream: the cross-bucket
+    moments dashboards pin next to the series. Min/max carry WHICH bucket
+    (ES's min/max_bucket report keys): the first period hitting the
+    extreme."""
+    hist = date_histogram(spark, index_dir, query, interval, cfg)
+    return hist.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.avg("n_docs"), 6).alias("avg_docs"),
+        F.min("n_docs").alias("min_docs"),
+        F.max("n_docs").alias("max_docs"),
+        F.sum("n_docs").alias("sum_docs"),
+        # min_by on a struct orders lexicographically: (n_docs, period) asc
+        # = rarest bucket, earliest period on ties; negating n_docs flips
+        # the first key only, keeping the earliest-period tiebreak
+        F.min_by("period", F.struct(F.col("n_docs").alias("k"), F.col("period").alias("p"))).alias(
+            "min_period"
+        ),
+        F.min_by(
+            "period", F.struct((-F.col("n_docs")).alias("k"), F.col("period").alias("p"))
+        ).alias("max_period"),
+    )

@@ -331,3 +331,172 @@ def test_pipeline_agg_empty_query(spark, built_index):
     out = aggs.pipeline_agg(spark, built_index, "zzznotaterm", cfg=TEST_CFG)
     assert out.count() == 0
     assert set(out.columns) == {"period", "n_docs", "cum_docs", "deriv", "moving_avg"}
+
+
+# ---------------------------------------------------------------------------
+# round-2 continuation: date_range / multi_terms / rare_terms /
+# adjacency_matrix / weighted_avg / diversified_sampler / bucket pipeline
+
+
+def test_date_range_agg(spark, built_index, fwd, matched):
+    ts = sorted(fwd[d].ts for d in matched)
+    lo = ts[len(ts) // 3].strftime("%Y-%m-%d %H:%M:%S")
+    hi = ts[2 * len(ts) // 3].strftime("%Y-%m-%d %H:%M:%S")
+    ranges = [(None, lo), (lo, hi), (hi, None), (lo, None)]
+    got = {
+        r.bucket: r.n_docs
+        for r in aggs.date_range_agg(spark, built_index, Q, ranges, cfg=TEST_CFG).collect()
+    }
+
+    def cnt(a, b):
+        return sum(
+            1
+            for d in matched
+            if (a is None or str(fwd[d].ts) >= a) and (b is None or str(fwd[d].ts) < b)
+        )
+
+    want = {f"{a or '*'}-{b or '*'}": cnt(a, b) for a, b in ranges}
+    assert got == want
+    # overlap: the half-open [lo,*) bucket equals [lo,hi) + [hi,*)
+    assert got[f"{lo}-*"] == got[f"{lo}-{hi}"] + got[f"{hi}-*"]
+
+
+def test_multi_terms_agg(spark, built_index, fwd, matched):
+    want = Counter(
+        (fwd[d].role, fwd[d].tool)
+        for d in matched
+        if fwd[d].role is not None and fwd[d].tool is not None
+    )
+    order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = aggs.multi_terms_agg(
+        spark, built_index, Q, ["role", "tool"], size=5, cfg=TEST_CFG
+    ).collect()
+    assert [((r.role, r.tool), r.n_docs) for r in got] == order
+
+
+def test_rare_terms_agg(spark, built_index, fwd, matched):
+    c = Counter(fwd[d].tool for d in matched if fwd[d].tool is not None)
+    mx = sorted(c.values())[max(0, len(c) // 2 - 1)] if c else 1
+    want = sorted(((v, k) for k, v in c.items() if v <= mx))
+    got = aggs.rare_terms_agg(spark, built_index, Q, "tool", max_doc_count=mx, cfg=TEST_CFG)
+    assert [(r.n_docs, r.tool) for r in got.collect()] == want
+    assert all(n <= mx for n, _ in want)
+
+
+def test_adjacency_matrix_agg(spark, built_index, fwd, matched):
+    filt = {
+        "a_user": "role = 'user'",
+        "b_asst": "role = 'assistant'",
+        "c_tool": "tool IS NOT NULL",
+    }
+    rows = {r.bucket: r.n_docs for r in
+            aggs.adjacency_matrix_agg(spark, built_index, Q, filt, cfg=TEST_CFG).collect()}
+
+    def n(pred):
+        return sum(1 for d in matched if pred(fwd[d]))
+
+    want = {
+        "a_user": n(lambda r: r.role == "user"),
+        "b_asst": n(lambda r: r.role == "assistant"),
+        "c_tool": n(lambda r: r.tool is not None),
+        "a_user&b_asst": 0,  # roles are exclusive -> bucket dropped
+        "a_user&c_tool": n(lambda r: r.role == "user" and r.tool is not None),
+        "b_asst&c_tool": n(lambda r: r.role == "assistant" and r.tool is not None),
+    }
+    want = {k: v for k, v in want.items() if v > 0}  # ES drops empty buckets
+    assert rows == want
+
+
+def test_weighted_avg_agg(spark, built_index, fwd, matched):
+    qt = query_terms(Q)
+    num = den = 0
+    for d in matched:
+        toks = tokenize_text(fwd[d].text)
+        w = sum(toks.count(t) for t in qt)
+        num += w * len(toks)
+        den += w
+    row = aggs.weighted_avg_agg(spark, built_index, Q, cfg=TEST_CFG).collect()[0]
+    assert row.n_docs == len(matched)
+    assert row.sum_weight == den
+    assert math.isclose(row.weighted_avg_dl, round(num / den, 6), rel_tol=1e-9)
+
+
+def test_diversified_sampler_agg(spark, built_index, fwd, matched):
+    shard, cap = 40, 2
+    keys = {
+        r.docid: (r.conv_id, r.turn_idx)
+        for r in spark.read.parquet(f"{built_index}/forward")
+        .select("docid", "conv_id", "turn_idx")
+        .collect()
+    }
+    seen: Counter = Counter()
+    sample = []
+    for d in sorted(matched, key=lambda d: keys[d]):  # document order
+        key = fwd[d].role
+        if key is None:
+            continue
+        seen[key] += 1
+        if seen[key] <= cap:
+            sample.append(d)
+    sample = sample[:shard]
+    want = Counter(fwd[d].tool for d in sample if fwd[d].tool is not None)
+    order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = aggs.diversified_sampler_agg(
+        spark, built_index, Q, "role", "tool",
+        shard_size=shard, max_docs_per_value=cap, cfg=TEST_CFG,
+    ).collect()
+    assert [(r.tool, r.n_docs) for r in got] == order
+    # the per-value cap actually bit: no role exceeds it in the sample
+    assert max(Counter(fwd[d].role for d in sample).values()) <= cap
+
+
+def test_bucket_sort_agg(spark, built_index):
+    hist = {
+        r.period: r.n_docs
+        for r in aggs.date_histogram(spark, built_index, Q, cfg=TEST_CFG).collect()
+    }
+    want = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = aggs.bucket_sort_agg(spark, built_index, Q, size=3, cfg=TEST_CFG).collect()
+    assert [(r.period, r.n_docs) for r in got] == want[:3]
+    page2 = aggs.bucket_sort_agg(spark, built_index, Q, size=3, offset=3, cfg=TEST_CFG).collect()
+    assert [(r.period, r.n_docs) for r in page2] == want[3:6]
+
+
+def test_serial_diff_agg(spark, built_index):
+    hist = aggs.date_histogram(spark, built_index, Q, cfg=TEST_CFG).collect()
+    lag = 2
+    got = aggs.serial_diff_agg(spark, built_index, Q, lag=lag, cfg=TEST_CFG).collect()
+    assert [r.period for r in got] == [r.period for r in hist]
+    for i, r in enumerate(got):
+        want = None if i < lag else hist[i].n_docs - hist[i - lag].n_docs
+        assert r.diff == want
+    with pytest.raises(ValueError):
+        aggs.serial_diff_agg(spark, built_index, Q, lag=0, cfg=TEST_CFG)
+
+
+def test_stats_bucket_agg(spark, built_index):
+    hist = [
+        (r.period, r.n_docs)
+        for r in aggs.date_histogram(spark, built_index, Q, cfg=TEST_CFG).collect()
+    ]
+    ns = [n for _, n in hist]
+    row = aggs.stats_bucket_agg(spark, built_index, Q, cfg=TEST_CFG).collect()[0]
+    assert row.n_buckets == len(ns)
+    assert row.sum_docs == sum(ns)
+    assert row.min_docs == min(ns) and row.max_docs == max(ns)
+    assert math.isclose(row.avg_docs, round(sum(ns) / len(ns), 6), rel_tol=1e-9)
+    assert row.min_period == min(p for p, n in hist if n == min(ns))
+    assert row.max_period == min(p for p, n in hist if n == max(ns))
+
+
+def test_new_aggs_empty_query(spark, built_index):
+    assert aggs.multi_terms_agg(spark, built_index, "zzznotaterm", ["role"], cfg=TEST_CFG).count() == 0
+    assert aggs.rare_terms_agg(spark, built_index, "zzznotaterm", "tool", cfg=TEST_CFG).count() == 0
+    dr = aggs.date_range_agg(
+        spark, built_index, "zzznotaterm", [(None, "2026-01-01 00:00:00")], cfg=TEST_CFG
+    ).collect()
+    assert [(r.bucket, r.n_docs) for r in dr] == [("*-2026-01-01 00:00:00", 0)]
+    assert aggs.adjacency_matrix_agg(
+        spark, built_index, "zzznotaterm", {"a": "role = 'user'"}, cfg=TEST_CFG
+    ).count() == 0
+    assert aggs.weighted_avg_agg(spark, built_index, "zzznotaterm", cfg=TEST_CFG).count() == 0
