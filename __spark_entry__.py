@@ -30,13 +30,18 @@ from mysql_es_spark.operators.query import (
     bm25_filtered_topk,
     bm25_topk,
     bm25_topk_conjunctive,
+    constant_score_topk,
     direct_bm25,
     dis_max_topk,
+    distance_feature_topk,
     fuzzy_topk,
     match_aggregate,
+    match_bool_prefix_topk,
     more_like_this_topk,
     phrase_topk,
+    pinned_topk,
     prefix_topk,
+    span_first_topk,
     wildcard_topk,
 )
 from mysql_es_spark.operators.relations import propagate_parent_update
@@ -2055,6 +2060,93 @@ def q_mm_frames(spark, sf):
     return multimodal.frame_sample(multimodal.synth_media(spark, 48), fps=0.5)
 
 
+def q_constant_score(spark, sf):
+    """ES constant_score: filter-context match (any Q1 term), every live
+    match scores exactly the boost; k covers the whole match set so the
+    output is the full filter result ordered by doc_id."""
+    ix = _index_for_documents(spark, sf)
+    top = constant_score_topk(
+        spark, ix, " ".join(BM25_Q1), k=600, boost=1.5, cfg=_docs_index_cfg(),
+        with_keys=True,
+    )
+    return top.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    ).orderBy("doc_id")
+
+
+def q_distance_feature(spark, sf):
+    """ES distance_feature (date form): BM25 over Q2 plus the additive
+    hyperbolic recency feature boost*pivot/(pivot+|ts-origin| days)."""
+    ix = _index_for_documents(spark, sf)
+    top = distance_feature_topk(
+        spark, ix, " ".join(BM25_Q2), "2026-01-05", 3.0, k=30, boost=2.0,
+        cfg=_docs_index_cfg(), with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(30)
+    )
+
+
+def q_pinned(spark, sf):
+    """ES pinned query: doc_keys 42/7/99 promoted in list order ahead of
+    the organic Q1 BM25 ranking; the organic duplicate is dropped."""
+    ix = _index_for_documents(spark, sf)
+    top = pinned_topk(
+        spark, ix, " ".join(BM25_Q1), ["42:0", "7:0", "99:0"], k=20,
+        cfg=_docs_index_cfg(), with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def q_match_bool_prefix(spark, sf):
+    """ES match_bool_prefix 'join s': term clause 'join' + prefix clause
+    's' (multi-expansion: small/scan/slow/stream/sort/spark/...) in
+    bool-should — score = term BM25 + best-expansion BM25."""
+    ix = _index_for_documents(spark, sf)
+    top = match_bool_prefix_topk(
+        spark, ix, "join s", k=30, cfg=_docs_index_cfg(), max_expansions=50,
+        with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(30)
+    )
+
+
+def q_span_first(spark, sf):
+    """ES span_first(span_term 'scan', end=3): docs whose first 'scan'
+    sits in the first 3 tokens, BM25-scored from the positional index."""
+    ix = _index_for_documents(spark, sf, positions=True)
+    top = span_first_topk(
+        spark, ix, "scan", end=3, k=30, cfg=_docs_index_cfg(True), with_keys=True
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(30)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -2094,6 +2186,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_msearch": q_bm25_msearch,
         "bm25_dis_max": q_bm25_dis_max,
         "bm25_rank_eval": q_bm25_rank_eval,
+        "bm25_constant_score": q_constant_score,
+        "bm25_distance_feature": q_distance_feature,
+        "bm25_pinned": q_pinned,
+        "bm25_match_bool_prefix": q_match_bool_prefix,
+        "bm25_span_first": q_span_first,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "bm25_delete_by_query": q_bm25_deleted,
@@ -2994,6 +3091,121 @@ boosted AS (
 )
 SELECT doc_id, round(s, 4) AS score FROM boosted
 ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
+""",
+        "bm25_constant_score": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT toks.doc_id FROM toks, unnest(toks.tl) AS u(term)
+      WHERE u.term IN ('spark', 'join', 'query') GROUP BY 1)
+SELECT doc_id, CAST(1.5 AS DOUBLE) AS score FROM m ORDER BY doc_id ASC
+""",
+        "bm25_distance_feature": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('window', 'agg', 'batch', 'scan')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+boosted AS (
+  SELECT doc_id,
+         s + 2.0 * 3.0 / (3.0 + abs(date_diff('day',
+                 DATE '2026-01-01' + (doc_id % 10)::INT, DATE '2026-01-05'))) AS s
+  FROM scores
+)
+SELECT doc_id, round(s, 4) AS score FROM boosted
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 30
+""",
+        "bm25_pinned": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+pinned AS (
+  SELECT d.doc_id, CAST(1000000 - p.i AS DOUBLE) AS s
+  FROM (VALUES (42, 0), (7, 1), (99, 2)) AS p(id, i)
+  JOIN documents d ON d.doc_id = p.id
+),
+organic AS (
+  SELECT doc_id, s FROM scores
+  WHERE doc_id NOT IN (SELECT doc_id FROM pinned)
+),
+allr AS (SELECT * FROM pinned UNION ALL SELECT * FROM organic)
+SELECT doc_id, round(s, 4) AS score FROM allr
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
+""",
+        "bm25_match_bool_prefix": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term = 'join' OR u.term LIKE 's%'
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+exp AS (SELECT term FROM dfreq WHERE term LIKE 's%'
+        ORDER BY df DESC, term ASC LIMIT 50),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE tf.term = 'join' OR tf.term IN (SELECT term FROM exp)
+),
+scores AS (
+  SELECT doc_id,
+         coalesce(sum(c) FILTER (WHERE term = 'join'), 0)
+       + coalesce(max(c) FILTER (WHERE term <> 'join'), 0) AS s
+  FROM contrib GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores WHERE s > 0
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 30
+""",
+        "bm25_span_first": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+m AS (SELECT doc_id FROM toks WHERE list_position(tl, 'scan') BETWEEN 1 AND 3),
+tf AS (
+  SELECT toks.doc_id, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term = 'scan'
+  GROUP BY 1
+),
+dfreq AS (SELECT count(*) AS df FROM tf),
+scores AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN dfreq CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM m)
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 30
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES

@@ -2766,3 +2766,309 @@ def direct_bm25(
         .limit(k)
         .select(F.col("docid").alias(id_col), "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# ES query DSL, continued: constant_score / distance_feature / pinned /
+# match_bool_prefix / span_first
+# ---------------------------------------------------------------------------
+
+
+def constant_score_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    boost: float = 1.0,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``constant_score``: a filter-context match (any query term hits)
+    where every matching live doc scores exactly ``boost`` — Lucene's
+    ConstantScoreQuery, the reference's template.json filter clauses with
+    a fixed boost instead of relevance.
+
+    Scale shape: partition + row-group pruned postings scan, presence-only
+    block decode (docids only — tf/dl never enter any math), distinct,
+    delete mask, docid-ordered top-k. All scores are equal so the docid
+    tiebreak is the total order; no scoring shuffle beyond the distinct.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    terms = query_terms(query)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    if not terms:
+        return empty
+    stats = corpus_stats(spark, index_dir)
+    idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return empty
+    blocks = _matching_blocks(spark, index_dir, terms, buckets)
+    scored = (
+        _mask_deleted(_decode_docids(blocks), deleted_docids(spark, index_dir))
+        .withColumn("score", F.lit(float(boost)))
+        .orderBy(F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
+def distance_feature(field: str, origin: str, pivot_days: float, boost: float = 1.0):
+    """ES ``distance_feature`` contribution over a date field:
+    ``boost * pivot / (pivot + |field - origin|)`` with distances in whole
+    days — 1.0·boost at the origin, decaying hyperbolically, exactly the
+    ES date form. Returns a Column over the forward schema for
+    :func:`function_score_topk` / :func:`distance_feature_topk`."""
+    dist = F.abs(
+        F.datediff(F.col(field).cast("date"), F.lit(origin).cast("date"))
+    ).cast("double")
+    return (
+        F.lit(float(boost))
+        * F.lit(float(pivot_days))
+        / (F.lit(float(pivot_days)) + dist)
+    )
+
+
+def distance_feature_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    origin: str,
+    pivot_days: float,
+    k: int = 10,
+    boost: float = 1.0,
+    field: str = "ts",
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``bool { must: match, should: distance_feature }``: BM25
+    relevance plus an additive recency feature — the canonical "boost
+    recent docs" search. Delegates to the function_score machinery in sum
+    mode: every matched doc is scored once (single postings decode, one
+    docid shuffle to the column-pruned forward scan for ``field``), since
+    an additive doc-dependent feature invalidates BM25-only block bounds.
+    ES regains WAND here via the feature's max (= boost); that refinement
+    is a TODO the simple path doesn't need at current scale."""
+    return function_score_topk(
+        spark,
+        index_dir,
+        query,
+        distance_feature(field, origin, pivot_days, boost),
+        k=k,
+        boost_mode="sum",
+        cfg=cfg,
+        with_keys=with_keys,
+    )
+
+
+def pinned_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    pinned: list[str],
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+    pinned_base: float = 1.0e6,
+) -> DataFrame:
+    """ES ``pinned`` query: docs whose ``doc_key`` (the _id analog,
+    ``conv_id:turn_idx``) appears in ``pinned`` rank first, in list order,
+    ahead of the organic BM25 results; organic duplicates of a pinned doc
+    are dropped. Keys missing from the corpus or soft-deleted are skipped,
+    as ES does.
+
+    Scoring contract (deterministic, oracle-expressible stand-in for
+    Lucene's descending 1.7014e38 constants): pinned doc i scores
+    ``pinned_base - i``; organic docs keep BM25. ``pinned_base`` must
+    dominate any real BM25 score (default 1e6).
+
+    Scale shape: the pinned fetch is an In-filter point lookup on the
+    forward table (row-group pruning on doc_key is unavailable — keys are
+    hash-ordered — but the scan reads two thin columns only and the
+    result is ≤ len(pinned) rows to the driver); the organic query runs
+    the standard pruned path with k + |pins| and drops pins by isin.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    pins = list(dict.fromkeys(pinned))
+    organic_k = k + len(pins)
+    if pins:
+        hit_rows = _mask_deleted(
+            tbl.read(spark, index_dir, "forward")
+            .filter(F.col("doc_key").isin(pins))
+            .select("docid", "doc_key"),
+            deleted_docids(spark, index_dir),
+        ).collect()
+        key_to_doc = {r["doc_key"]: int(r["docid"]) for r in hit_rows}
+        order = [
+            (key_to_doc[p], float(pinned_base) - i)
+            for i, p in enumerate(pins)
+            if p in key_to_doc
+        ]
+    else:
+        order = []
+    organic = bm25_topk(spark, index_dir, query, k=organic_k, cfg=cfg, mode="pruned")
+    if order:
+        organic = organic.filter(
+            ~F.col("docid").isin([d for d, _ in order])
+        )
+    pinned_df = tbl.local_rows_df(spark, order, "docid long, score double")
+    scored = (
+        pinned_df.unionByName(organic)
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
+def match_bool_prefix_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    max_expansions: int = 50,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``match_bool_prefix``: the analyzer terms become bool-should
+    clauses — every term but the last as a regular term match, the last as
+    a prefix query (the type-ahead query that does NOT require adjacency,
+    unlike match_phrase_prefix). A doc matches if ANY clause hits; score =
+    Σ BM25 over its matched full terms + the best-expansion BM25 of the
+    prefix clause (the same best-expansion contract as prefix_topk).
+
+    Scale shape: one pruned postings decode per clause family — full terms
+    flow through the standard contrib kernel; prefix expansions come from
+    a term_dict StartsWith range scan capped at ``max_expansions`` (df
+    desc, so the cap keeps the most selective-by-coverage terms), then one
+    decode with per-doc MAX. The union is per-doc rows, aggregated once.
+    A term that is both a full term and an expansion contributes to both
+    clauses, exactly as two ES bool clauses would.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    seq = tokenize_text(query)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    if not seq:
+        return empty
+    full, prefix = list(dict.fromkeys(seq[:-1])), seq[-1]
+    stats = corpus_stats(spark, index_dir)
+    parts: list[DataFrame] = []
+    if full:
+        idf, buckets = term_meta(spark, index_dir, full, stats["n_docs"], cfg)
+        live = [t for t in full if t in idf]
+        if live:
+            blocks = _matching_blocks(spark, index_dir, live, buckets)
+            parts.append(
+                _decode_contribs(blocks, idf, cfg, stats["avgdl"]).select(
+                    "docid", "contrib"
+                )
+            )
+    expansions = (
+        spark.read.parquet(tbl.p(index_dir, "term_dict"))
+        .filter(F.col("term").startswith(prefix))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+        .collect()
+    )
+    if expansions:
+        n_docs = stats["n_docs"]
+        idf_p = {
+            r["term"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+            for r in expansions
+        }
+        bucket_of = term_buckets_of(spark, list(idf_p), cfg.term_buckets)
+        pblocks = _matching_blocks(
+            spark, index_dir, list(idf_p), sorted(set(bucket_of.values()))
+        )
+        parts.append(
+            _decode_contribs(pblocks, idf_p, cfg, stats["avgdl"])
+            .groupBy("docid")
+            .agg(F.max("contrib").alias("contrib"))
+        )
+    if not parts:
+        return empty
+    allc = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    scored = (
+        _mask_deleted(
+            allc.groupBy("docid").agg(F.sum("contrib").alias("score")),
+            deleted_docids(spark, index_dir),
+        )
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
+def span_first_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    end: int,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``span_first`` wrapping a single ``span_term``: docs where the
+    term occurs at 0-based token position < ``end`` (a one-term span
+    ending at pos+1 must satisfy pos+1 <= end). Requires a positional
+    index. Scoring: BM25 of the term over the admitted docs with the full
+    tf — the position test is a structural mask, as in filter context.
+
+    Scale shape: only the term's blocks are scanned (partition + row-group
+    pruned); the position payload is decoded once per block and only the
+    FIRST occurrence per posting is inspected (segment starts into the
+    flat position array — positions are ascending within a posting, so
+    the first is the minimum); scoring math runs on the surviving
+    postings inside the same Arrow pass. No shuffle before the top-k.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    toks = tokenize_text(query)
+    if len(toks) != 1:
+        raise ValueError("span_first_topk wraps a single span_term")
+    term = toks[0]
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    idf, buckets = term_meta(spark, index_dir, [term], stats["n_docs"], cfg)
+    if term not in idf:
+        return empty
+    blocks = _matching_blocks(spark, index_dir, [term], buckets)
+    if "pos_blob" not in blocks.columns:
+        raise ValueError("span_first_topk needs an index built with with_positions=True")
+    k1, b, avgdl = cfg.k1, cfg.b, stats["avgdl"]
+    w, end_l = float(idf[term]), int(end)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_all, sc_all = [], []
+            for n, blob, pblob in zip(pdf["n"], pdf["blob"], pdf["pos_blob"]):
+                ids, tfs, dls = decode_block(blob, int(n))
+                if pblob is None:
+                    raise ValueError(
+                        "index lacks positions; rebuild with with_positions=True"
+                    )
+                pos = decode_positions(pblob, tfs)
+                starts = np.zeros(len(tfs), dtype=np.int64)
+                np.cumsum(tfs[:-1], out=starts[1:])
+                m = pos[starts] < end_l
+                if not m.any():
+                    continue
+                tf_f = tfs[m].astype(np.float64)
+                dl_f = dls[m].astype(np.float64)
+                sc = w * tf_f / (tf_f + k1 * (1.0 - b + b * dl_f / avgdl))
+                ids_all.append(ids[m])
+                sc_all.append(sc)
+            if ids_all:
+                yield pd.DataFrame(
+                    {"docid": np.concatenate(ids_all), "score": np.concatenate(sc_all)}
+                )
+
+    scored = (
+        _mask_deleted(
+            blocks.select("n", "blob", "pos_blob").mapInPandas(
+                decode, schema="docid long, score double"
+            ),
+            deleted_docids(spark, index_dir),
+        )
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored

@@ -1,0 +1,246 @@
+"""constant_score / distance_feature / pinned / match_bool_prefix /
+span_first: each vs an independent Python oracle over the forward table."""
+
+from __future__ import annotations
+
+from collections import Counter
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from mysql_es_spark.config import IndexConfig
+from mysql_es_spark.functions.analyze import tokenize_text
+from mysql_es_spark.operators.query import (
+    bm25_topk,
+    constant_score_topk,
+    distance_feature_topk,
+    match_bool_prefix_topk,
+    pinned_topk,
+    span_first_topk,
+)
+from mysql_es_spark.plans.build import build_index
+from tests.conftest import TEST_CFG
+
+
+@pytest.fixture(scope="module")
+def fwd(spark, built_index):
+    rows = spark.read.parquet(f"{built_index}/forward").select("docid", "text").collect()
+    return {r.docid: r.text for r in rows}
+
+
+def _bm25_scores(fwd, terms):
+    """Per-doc disjunctive BM25 over the given terms (full corpus stats)."""
+    toks = {d: tokenize_text(t) for d, t in fwd.items()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = Counter(t for ts in toks.values() for t in set(ts))
+    out = {}
+    for d, ts in toks.items():
+        tf = Counter(ts)
+        s = 0.0
+        for t in set(terms):
+            if t not in tf or df[t] == 0:
+                continue
+            idf = float(np.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)))
+            s += idf * tf[t] / (tf[t] + 1.2 * (0.25 + 0.75 * len(ts) / avgdl))
+        if s > 0.0:
+            out[d] = s
+    return out
+
+
+# ---------------------------------------------------------------------------
+# constant_score
+# ---------------------------------------------------------------------------
+
+
+def test_constant_score_matches_filter_set(spark, built_index, fwd):
+    terms = ["w0", "w3"]
+    want = sorted(d for d, t in fwd.items() if set(terms) & set(tokenize_text(t)))
+    got = constant_score_topk(
+        spark, built_index, "w0 w3", k=len(fwd) + 1, boost=1.5, cfg=TEST_CFG
+    ).collect()
+    assert [r.docid for r in got] == want
+    assert all(r.score == 1.5 for r in got)
+
+
+def test_constant_score_k_and_empty(spark, built_index):
+    assert constant_score_topk(spark, built_index, "", cfg=TEST_CFG).count() == 0
+    assert (
+        constant_score_topk(spark, built_index, "zzznope", cfg=TEST_CFG).count() == 0
+    )
+    got = constant_score_topk(spark, built_index, "w0", k=5, cfg=TEST_CFG).collect()
+    assert len(got) == 5
+    assert [r.docid for r in got] == sorted(r.docid for r in got)
+
+
+# ---------------------------------------------------------------------------
+# pinned
+# ---------------------------------------------------------------------------
+
+
+def test_pinned_promotes_in_order(spark, built_index, fwd):
+    keys = spark.read.parquet(f"{built_index}/forward").select("docid", "doc_key").collect()
+    key_of = {r.docid: r.doc_key for r in keys}
+    organic = bm25_topk(spark, built_index, "w0 w3", k=12, cfg=TEST_CFG).collect()
+    # pin: one doc from mid-organic (dedup case) + one non-matching doc
+    pin_docid = organic[5].docid
+    nonmatch = sorted(set(fwd) - {r.docid for r in organic})[0]
+    pins = [key_of[nonmatch], key_of[pin_docid], "missing:999"]
+    got = pinned_topk(spark, built_index, "w0 w3", pins, k=10, cfg=TEST_CFG).collect()
+    # pinned first, list order, scores pinned_base - i over present keys
+    assert got[0].docid == nonmatch and got[0].score == 1.0e6
+    assert got[1].docid == pin_docid and got[1].score == 1.0e6 - 1
+    # organic follows with the pinned doc removed, ranks preserved
+    rest = [r.docid for r in organic if r.docid != pin_docid][:8]
+    assert [r.docid for r in got[2:]] == rest
+
+
+def test_pinned_no_pins_equals_bm25(spark, built_index):
+    a = pinned_topk(spark, built_index, "w0 w3", [], k=8, cfg=TEST_CFG).collect()
+    b = bm25_topk(spark, built_index, "w0 w3", k=8, cfg=TEST_CFG).collect()
+    assert [(r.docid, round(r.score, 9)) for r in a] == [
+        (r.docid, round(r.score, 9)) for r in b
+    ]
+
+
+# ---------------------------------------------------------------------------
+# match_bool_prefix
+# ---------------------------------------------------------------------------
+
+
+def _mbp_oracle(fwd, query, max_expansions=50):
+    seq = tokenize_text(query)
+    full, prefix = list(dict.fromkeys(seq[:-1])), seq[-1]
+    toks = {d: tokenize_text(t) for d, t in fwd.items()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = Counter(t for ts in toks.values() for t in set(ts))
+    exp = sorted(
+        (t for t in df if t.startswith(prefix)), key=lambda t: (-df[t], t)
+    )[:max_expansions]
+    out = {}
+    for d, ts in toks.items():
+        tf = Counter(ts)
+        s = 0.0
+        for t in full:
+            if t in tf:
+                idf = float(np.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)))
+                s += idf * tf[t] / (tf[t] + 1.2 * (0.25 + 0.75 * len(ts) / avgdl))
+        best = 0.0
+        for t in exp:
+            if t in tf:
+                idf = float(np.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)))
+                best = max(
+                    best, idf * tf[t] / (tf[t] + 1.2 * (0.25 + 0.75 * len(ts) / avgdl))
+                )
+        if s + best > 0.0:
+            out[d] = s + best
+    return sorted(out.items(), key=lambda x: (-x[1], x[0]))
+
+
+@pytest.mark.parametrize("q", ["w0 w3 w1", "w9"])
+def test_match_bool_prefix_matches_oracle(spark, built_index, fwd, q):
+    want = _mbp_oracle(fwd, q)[:15]
+    got = match_bool_prefix_topk(spark, built_index, q, k=15, cfg=TEST_CFG).collect()
+    assert [r.docid for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r.score == pytest.approx(s, rel=1e-9)
+
+
+def test_match_bool_prefix_should_semantics(spark, built_index, fwd):
+    """A doc matching only the prefix clause (not the full terms) is
+    admitted — bool-should, unlike match_phrase_prefix."""
+    want = {d for d, _ in _mbp_oracle(fwd, "w0 w3 w1")}
+    full_only = {
+        d for d, s in _bm25_scores(fwd, ["w0", "w3"]).items() if s > 0.0
+    }
+    assert want - full_only, "fixture must contain prefix-only matches"
+    got = match_bool_prefix_topk(
+        spark, built_index, "w0 w3 w1", k=len(fwd), cfg=TEST_CFG
+    ).collect()
+    assert {r.docid for r in got} == want
+
+
+# ---------------------------------------------------------------------------
+# distance_feature + span_first over a tiny dated positional corpus
+# ---------------------------------------------------------------------------
+
+DF_CFG = IndexConfig(
+    n_buckets=2, wave_size=2, salt_docs=64, term_buckets=4, block_size=4,
+    with_positions=True,
+)
+
+DOCS = [
+    ("c0", "alpha beta gamma", datetime(2026, 1, 1)),
+    ("c1", "beta alpha", datetime(2026, 1, 4)),
+    ("c2", "gamma gamma alpha beta", datetime(2026, 1, 10)),
+    ("c3", "delta beta beta", datetime(2026, 2, 1)),
+    ("c4", "alpha alpha alpha", datetime(2026, 1, 2)),
+    ("c5", "x y z alpha", datetime(2026, 1, 6)),
+]
+
+
+@pytest.fixture(scope="module")
+def dated_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dated") / "ix")
+    df = spark.createDataFrame(
+        [(cid, 0, "user", text, None, ts) for cid, text, ts in DOCS],
+        schema="conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    build_index(spark, df, d, DF_CFG)
+    return d
+
+
+def test_distance_feature_matches_oracle(spark, dated_index):
+    fwd_rows = spark.read.parquet(f"{dated_index}/forward").select(
+        "docid", "text", "ts"
+    ).collect()
+    fwd = {r.docid: r.text for r in fwd_rows}
+    days = {r.docid: abs((r.ts.date() - datetime(2026, 1, 4).date()).days) for r in fwd_rows}
+    base = _bm25_scores(fwd, ["alpha", "beta"])
+    pivot, boost = 3.0, 2.0
+    want = sorted(
+        ((d, s + boost * pivot / (pivot + days[d])) for d, s in base.items()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    got = distance_feature_topk(
+        spark, dated_index, "alpha beta", "2026-01-04", pivot, k=10, boost=boost,
+        cfg=DF_CFG,
+    ).collect()
+    assert [r.docid for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r.score == pytest.approx(s, rel=1e-9)
+
+
+def test_span_first_matches_oracle(spark, dated_index):
+    fwd_rows = spark.read.parquet(f"{dated_index}/forward").select(
+        "docid", "text"
+    ).collect()
+    fwd = {r.docid: r.text for r in fwd_rows}
+    for term, end in [("alpha", 1), ("alpha", 2), ("beta", 2), ("gamma", 3)]:
+        toks = {d: tokenize_text(t) for d, t in fwd.items()}
+        match = {
+            d for d, ts in toks.items() if term in ts and ts.index(term) < end
+        }
+        base = _bm25_scores(fwd, [term])
+        want = sorted(
+            ((d, base[d]) for d in match), key=lambda x: (-x[1], x[0])
+        )
+        got = span_first_topk(
+            spark, dated_index, term, end=end, k=10, cfg=DF_CFG
+        ).collect()
+        assert [r.docid for r in got] == [d for d, _ in want], (term, end)
+        for r, (_, s) in zip(got, want):
+            assert r.score == pytest.approx(s, rel=1e-9)
+
+
+def test_span_first_requires_positions(spark, built_index):
+    with pytest.raises(ValueError, match="positions"):
+        span_first_topk(spark, built_index, "w0", end=2, cfg=TEST_CFG).collect()
+
+
+def test_span_first_single_term_only(spark, dated_index):
+    with pytest.raises(ValueError, match="single"):
+        span_first_topk(spark, dated_index, "alpha beta", end=2, cfg=DF_CFG)
