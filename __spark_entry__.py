@@ -35,13 +35,16 @@ from mysql_es_spark.operators.query import (
     dis_max_topk,
     distance_feature_topk,
     fuzzy_topk,
+    ids_topk,
     match_aggregate,
     match_bool_prefix_topk,
     more_like_this_topk,
     phrase_topk,
     pinned_topk,
     prefix_topk,
+    simple_query_string_topk,
     span_first_topk,
+    terms_set_topk,
     wildcard_topk,
 )
 from mysql_es_spark.operators.relations import propagate_parent_update
@@ -2147,6 +2150,56 @@ def q_span_first(spark, sf):
     )
 
 
+def q_terms_set(spark, sf):
+    """ES terms_set with minimum_should_match_field: each doc's required
+    match count over Q2 comes from its own columns (1 + doc_id % 3)."""
+    ix = _index_for_documents(spark, sf)
+    top = terms_set_topk(
+        spark, ix, BM25_Q2, msm_expr="1 + pmod(cast(conv_id as int), 3)",
+        k=30, cfg=_docs_index_cfg(), with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(30)
+    )
+
+
+def q_ids(spark, sf):
+    """ES ids query: constant-score membership fetch; the missing key is
+    skipped silently."""
+    ix = _index_for_documents(spark, sf)
+    top = ids_topk(
+        spark, ix, ["5:0", "17:0", "123:0", "999999:0"], k=10,
+        cfg=_docs_index_cfg(), with_keys=True,
+    )
+    return top.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    ).orderBy("doc_id")
+
+
+def q_simple_query_string(spark, sf):
+    """ES simple_query_string 'window | (agg + scan) -spark': the lenient
+    end-user operator syntax translated onto the query_string engine."""
+    ix = _index_for_documents(spark, sf)
+    top = simple_query_string_topk(
+        spark, ix, "window | (agg + scan) -spark", k=60, cfg=_docs_index_cfg(),
+        with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -2191,6 +2244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pinned": q_pinned,
         "bm25_match_bool_prefix": q_match_bool_prefix,
         "bm25_span_first": q_span_first,
+        "bm25_terms_set": q_terms_set,
+        "bm25_ids": q_ids,
+        "bm25_simple_query_string": q_simple_query_string,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "bm25_delete_by_query": q_bm25_deleted,
@@ -3206,6 +3262,62 @@ scores AS (
 )
 SELECT doc_id, round(s, 4) AS score FROM scores
 ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 30
+""",
+        "bm25_terms_set": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('window', 'agg', 'batch', 'scan')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s,
+         count(*) AS nm
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+WHERE nm >= 1 + (doc_id % 3)
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 30
+""",
+        "bm25_ids": """
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
+WHERE doc_id IN (5, 17, 123, 999999)
+ORDER BY doc_id ASC
+""",
+        "bm25_simple_query_string": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+m AS (
+  SELECT doc_id FROM toks
+  WHERE list_contains(tl, 'window')
+     OR (list_contains(tl, 'agg') AND list_contains(tl, 'scan')
+         AND NOT list_contains(tl, 'spark'))
+),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('window', 'agg', 'scan')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM m)
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES

@@ -3072,3 +3072,126 @@ def span_first_topk(
         .limit(k)
     )
     return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
+def terms_set_topk(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    minimum_should_match: int | None = None,
+    msm_expr: str | None = None,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``terms_set``: a bool-should over a term set where the required
+    match count is either a constant (``minimum_should_match``) or a
+    PER-DOC expression over the forward columns (``msm_expr`` — the ES
+    ``minimum_should_match_field`` / ``_script`` contract, e.g. a column
+    holding each doc's own threshold). Score = BM25 sum over the doc's
+    matched terms, exactly as a bool of term queries.
+
+    Scale shape: one pruned postings decode + per-doc (sum, count) agg;
+    the per-doc threshold arrives via a docid join against the
+    column-pruned forward scan only when ``msm_expr`` is used. No
+    driver-side materialization.
+    """
+    if (minimum_should_match is None) == (msm_expr is None):
+        raise ValueError("pass exactly one of minimum_should_match / msm_expr")
+    cfg = effective_config(spark, index_dir, cfg)
+    tset = sorted({t for w in terms for t in tokenize_text(w)})
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    if not tset:
+        return empty
+    stats = corpus_stats(spark, index_dir)
+    idf, buckets = term_meta(spark, index_dir, tset, stats["n_docs"], cfg)
+    if not idf:
+        return empty
+    blocks = _matching_blocks(spark, index_dir, sorted(idf), buckets)
+    per_doc = (
+        _decode_contribs(blocks, idf, cfg, stats["avgdl"])
+        .groupBy("docid")
+        .agg(F.sum("contrib").alias("score"), F.count(F.lit(1)).alias("nm"))
+    )
+    if msm_expr is not None:
+        fwd = tbl.read(spark, index_dir, "forward")
+        req = fwd.select("docid", F.expr(msm_expr).cast("int").alias("req"))
+        per_doc = per_doc.join(req, "docid", "inner").filter(
+            F.col("nm") >= F.col("req")
+        )
+    else:
+        per_doc = per_doc.filter(F.col("nm") >= int(minimum_should_match))
+    scored = (
+        _mask_deleted(per_doc.select("docid", "score"), deleted_docids(spark, index_dir))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
+def ids_topk(
+    spark: SparkSession,
+    index_dir: str,
+    keys: list[str],
+    k: int = 10,
+    boost: float = 1.0,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``ids`` query: constant-score membership on ``doc_key`` (the
+    _id analog) — unlike _mget this is a real query: soft-deleted docs are
+    excluded and the result composes with the (score desc, docid asc)
+    ranking contract. Missing keys are skipped silently, as ES does.
+
+    Scale shape: one In-filtered forward scan reading two thin columns;
+    the key list is a driver literal (ES caps _id lists the same way).
+    """
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    if not keys:
+        return empty
+    scored = (
+        _mask_deleted(
+            tbl.read(spark, index_dir, "forward")
+            .filter(F.col("doc_key").isin(list(keys)))
+            .select("docid"),
+            deleted_docids(spark, index_dir),
+        )
+        .withColumn("score", F.lit(float(boost)))
+        .orderBy(F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
+def simple_query_string_topk(
+    spark: SparkSession,
+    index_dir: str,
+    qs: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``simple_query_string``: the end-user operator syntax — ``+``
+    (AND), ``|`` (OR), ``-`` (NOT), parentheses — that NEVER raises on
+    malformed input. The supported flags translate 1:1 onto the
+    query_string grammar and reuse its single-pass compiled evaluation;
+    on any parse failure the query lenient-degrades to a disjunctive
+    BM25 bag over the non-negated words (the ES contract: best-effort
+    interpretation, no error to the caller). Phrase/prefix flags are out
+    of scope here — phrase_topk / prefix_topk serve those directly.
+    """
+    from ..functions.querystring import QueryStringError
+
+    translated = qs.replace("|", " OR ").replace("+", " AND ")
+    try:
+        return query_string_topk(
+            spark, index_dir, translated, k=k, cfg=cfg, with_keys=with_keys
+        )
+    except QueryStringError:
+        bag = " ".join(
+            w.lstrip("-") for w in qs.split() if not w.startswith("-")
+        )
+        if not query_terms(bag):
+            return tbl.local_rows_df(spark, [], "docid long, score double")
+        out = bm25_topk(spark, index_dir, bag, k=k, cfg=cfg, mode="simple")
+        return _with_keys(spark, index_dir, out) if with_keys else out
