@@ -2200,6 +2200,28 @@ def q_simple_query_string(spark, sf):
     )
 
 
+def q_span_not(spark, sf):
+    """ES span_not: 'scan' occurrences NOT immediately preceded by 'row'
+    (pre=1, post=0) — the anti-phrase filter; BM25-scored with surviving
+    occurrence counts from the positional index."""
+    from mysql_es_spark.operators.query import span_not_topk
+
+    ix = _index_for_documents(spark, sf, positions=True)
+    top = span_not_topk(
+        spark, ix, "scan", "row", pre=1, post=0, k=30, cfg=_docs_index_cfg(True),
+        with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(30)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -2247,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_terms_set": q_terms_set,
         "bm25_ids": q_ids,
         "bm25_simple_query_string": q_simple_query_string,
+        "bm25_span_not": q_span_not,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "bm25_delete_by_query": q_bm25_deleted,
@@ -3318,6 +3341,37 @@ scores AS (
 )
 SELECT doc_id, round(s, 4) AS score FROM scores
 ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
+""",
+        "bm25_span_not": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+tokp AS (SELECT toks.doc_id, r.i AS pos, toks.tl[r.i] AS term
+         FROM toks, unnest(range(1, len(toks.tl) + 1)) AS r(i)),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+a AS (SELECT doc_id, pos FROM tokp WHERE term = 'scan'),
+b AS (SELECT doc_id, pos FROM tokp WHERE term = 'row'),
+hits AS (
+  SELECT a.doc_id, count(*) AS n_hits FROM a
+  WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.doc_id = a.doc_id
+                    AND b.pos BETWEEN a.pos - 1 AND a.pos)
+  GROUP BY 1
+),
+tf AS (
+  SELECT toks.doc_id, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term = 'scan'
+  GROUP BY 1
+),
+dfreq AS (SELECT count(*) AS df FROM tf),
+scores AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN dfreq CROSS JOIN stats
+)
+SELECT hits.doc_id, hits.n_hits, round(scores.s, 4) AS score
+FROM hits JOIN scores ON hits.doc_id = scores.doc_id
+ORDER BY round(scores.s, 4) DESC, hits.doc_id ASC LIMIT 30
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES

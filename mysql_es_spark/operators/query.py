@@ -3195,3 +3195,137 @@ def simple_query_string_topk(
             return tbl.local_rows_df(spark, [], "docid long, score double")
         out = bm25_topk(spark, index_dir, bag, k=k, cfg=cfg, mode="simple")
         return _with_keys(spark, index_dir, out) if with_keys else out
+
+
+def span_not_topk(
+    spark: SparkSession,
+    index_dir: str,
+    include: str,
+    exclude: str,
+    pre: int = 0,
+    post: int = 0,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``span_not`` over single-term spans: docs with an occurrence of
+    ``include`` having NO occurrence of ``exclude`` within ``pre`` tokens
+    before / ``post`` tokens after it (pre=post=0 = same position only,
+    ES's overlap rule for width-1 spans). Requires a positional index.
+
+    Scoring follows this engine's span convention (see span_first_topk):
+    the position test is a structural mask; admitted docs score full-tf
+    BM25 of the include term. ``n_hits`` = surviving occurrence count.
+
+    Scale shape: only the two terms' blocks are scanned; exclude blocks
+    are co-located with include blocks by salt (one shuffle of the
+    pruned candidate blocks), and the window test is two searchsorted
+    calls over composite (local docid, position) keys — no per-occurrence
+    Python. An exclude term absent from the corpus degrades to plain
+    presence (ES same).
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    inc_t, exc_t = tokenize_text(include), tokenize_text(exclude)
+    if len(inc_t) != 1 or len(exc_t) != 1:
+        raise ValueError("span_not_topk wraps single span_terms")
+    inc, exc = inc_t[0], exc_t[0]
+    if inc == exc:
+        raise ValueError("include and exclude must differ")
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double, n_hits long")
+    idf, buckets = term_meta(spark, index_dir, [inc, exc], stats["n_docs"], cfg)
+    if inc not in idf:
+        return empty
+    blocks = _matching_blocks(spark, index_dir, [t for t in (inc, exc) if t in idf], buckets)
+    if "pos_blob" not in blocks.columns:
+        raise ValueError("span_not_topk needs an index built with with_positions=True")
+    inc_salts = blocks.filter(F.col("term") == inc).select("salt").distinct()
+    if stats["n_docs"] // max(1, cfg.salt_docs) + 1 <= cfg.max_driver_salts:
+        inc_salts = F.broadcast(inc_salts)
+    surv = (
+        blocks.join(inc_salts, "salt")
+        .select("salt", "term", "n", "blob", "pos_blob")
+        .repartition("salt")
+        .sortWithinPartitions("salt", "term", "start_docid")
+    )
+    k1, b, avgdl, salt_docs = cfg.k1, cfg.b, stats["avgdl"], cfg.salt_docs
+    w, pre_l, post_l = float(idf[inc]), int(pre), int(post)
+    inc_l, exc_l = inc, exc
+
+    def match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        out_doc, out_score, out_hits = [], [], []
+        for salt, grp in pdf.groupby("salt", sort=False):
+            per: dict[str, tuple] = {}
+            for term, tg in grp.groupby("term", sort=False):
+                ids_l, tfs_l, dls_l, pos_l = [], [], [], []
+                for n, blob, pblob in zip(tg["n"], tg["blob"], tg["pos_blob"]):
+                    ids, tfs, dls = decode_block(blob, int(n))
+                    if pblob is None:
+                        raise ValueError(
+                            "index lacks positions; rebuild with with_positions=True"
+                        )
+                    pos_l.append(decode_positions(pblob, tfs))
+                    ids_l.append(ids)
+                    tfs_l.append(tfs)
+                    dls_l.append(dls)
+                per[term] = (
+                    np.concatenate(ids_l),
+                    np.concatenate(tfs_l),
+                    np.concatenate(dls_l),
+                    np.concatenate(pos_l),
+                )
+            if inc_l not in per:
+                continue
+            ids, tfs, dls, pos = per[inc_l]
+            max_pos = int(pos.max()) if len(pos) else 0
+            if exc_l in per:
+                pe = per[exc_l][3]
+                if len(pe):
+                    max_pos = max(max_pos, int(pe.max()))
+            shift = np.int64(max_pos + 2 + pre_l + post_l)
+            local = ids - np.int64(int(salt) * salt_docs)
+            inc_keys = np.repeat(local, tfs) * shift + pos
+            if exc_l in per:
+                e_ids, e_tfs, _e_dls, e_pos = per[exc_l]
+                e_local = e_ids - np.int64(int(salt) * salt_docs)
+                exc_keys = np.sort(np.repeat(e_local, e_tfs) * shift + e_pos)
+                lo = np.searchsorted(exc_keys, inc_keys - pre_l, side="left")
+                hi = np.searchsorted(exc_keys, inc_keys + post_l, side="right")
+                alive = hi == lo
+            else:
+                alive = np.ones(len(inc_keys), dtype=bool)
+            # per-posting survivor counts: segment-sum of alive flags
+            starts = np.zeros(len(tfs), dtype=np.int64)
+            np.cumsum(tfs[:-1], out=starts[1:])
+            csum = np.concatenate(([0], np.cumsum(alive)))
+            hits = csum[starts + tfs] - csum[starts]
+            m = hits > 0
+            if not m.any():
+                continue
+            tf_f = tfs[m].astype(np.float64)
+            dl_f = dls[m].astype(np.float64)
+            out_doc.append(ids[m])
+            out_score.append(w * tf_f / (tf_f + k1 * (1.0 - b + b * dl_f / avgdl)))
+            out_hits.append(hits[m])
+        if out_doc:
+            yield pd.DataFrame(
+                {
+                    "docid": np.concatenate(out_doc),
+                    "score": np.concatenate(out_score),
+                    "n_hits": np.concatenate(out_hits),
+                }
+            )
+
+    scored = (
+        _mask_deleted(
+            surv.mapInPandas(match, schema="docid long, score double, n_hits long"),
+            deleted_docids(spark, index_dir),
+        )
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored

@@ -244,3 +244,60 @@ def test_span_first_requires_positions(spark, built_index):
 def test_span_first_single_term_only(spark, dated_index):
     with pytest.raises(ValueError, match="single"):
         span_first_topk(spark, dated_index, "alpha beta", end=2, cfg=DF_CFG)
+
+
+def _span_not_oracle(fwd, inc, exc, pre, post):
+    toks = {d: tokenize_text(t) for d, t in fwd.items()}
+    base = _bm25_scores(fwd, [inc])
+    out = {}
+    for d, ts in toks.items():
+        ps = [i for i, t in enumerate(ts) if t == inc]
+        qs = [i for i, t in enumerate(ts) if t == exc]
+        hits = sum(1 for p in ps if not any(p - pre <= q <= p + post for q in qs))
+        if hits:
+            out[d] = (base[d], hits)
+    return sorted(out.items(), key=lambda x: (-x[1][0], x[0]))
+
+
+@pytest.mark.parametrize("pre,post", [(0, 0), (1, 0), (0, 1), (2, 2)])
+def test_span_not_matches_oracle(spark, dated_index, pre, post):
+    fwd_rows = spark.read.parquet(f"{dated_index}/forward").select(
+        "docid", "text"
+    ).collect()
+    fwd = {r.docid: r.text for r in fwd_rows}
+    from mysql_es_spark.operators.query import span_not_topk
+
+    want = _span_not_oracle(fwd, "alpha", "beta", pre, post)
+    got = span_not_topk(
+        spark, dated_index, "alpha", "beta", pre=pre, post=post, k=10, cfg=DF_CFG
+    ).collect()
+    assert [r.docid for r in got] == [d for d, _ in want], (pre, post)
+    for r, (_, (s, h)) in zip(got, want):
+        assert r.score == pytest.approx(s, rel=1e-9)
+        assert r.n_hits == h
+
+
+def test_span_not_absent_exclude(spark, dated_index):
+    from mysql_es_spark.operators.query import span_not_topk
+
+    fwd_rows = spark.read.parquet(f"{dated_index}/forward").select(
+        "docid", "text"
+    ).collect()
+    fwd = {r.docid: r.text for r in fwd_rows}
+    base = _bm25_scores(fwd, ["alpha"])
+    got = span_not_topk(
+        spark, dated_index, "alpha", "zzznope", pre=3, post=3, k=10, cfg=DF_CFG
+    ).collect()
+    want = sorted(base.items(), key=lambda x: (-x[1], x[0]))
+    assert [r.docid for r in got] == [d for d, _ in want]
+
+
+def test_span_not_validation(spark, dated_index, built_index):
+    from mysql_es_spark.operators.query import span_not_topk
+
+    with pytest.raises(ValueError, match="single"):
+        span_not_topk(spark, dated_index, "alpha beta", "gamma", cfg=DF_CFG)
+    with pytest.raises(ValueError, match="differ"):
+        span_not_topk(spark, dated_index, "alpha", "alpha", cfg=DF_CFG)
+    with pytest.raises(ValueError, match="positions"):
+        span_not_topk(spark, built_index, "w0", "w1", cfg=TEST_CFG).collect()
