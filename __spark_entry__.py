@@ -2222,6 +2222,19 @@ def q_span_not(spark, sf):
     )
 
 
+def q_agg_global(spark, sf):
+    """ES global bucket: matched-vs-corpus doc counts and average
+    analyzed length in one response row."""
+    ix = _index_for_documents(spark, sf)
+    row = esaggs.global_agg(spark, ix, " ".join(BM25_Q1), cfg=_docs_index_cfg())
+    return row.select(
+        "n_matched",
+        F.round("avg_dl_matched", 4).alias("avg_dl_matched"),
+        "n_total",
+        F.round("avg_dl_total", 4).alias("avg_dl_total"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -2270,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_ids": q_ids,
         "bm25_simple_query_string": q_simple_query_string,
         "bm25_span_not": q_span_not,
+        "agg_global": q_agg_global,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "bm25_delete_by_query": q_bm25_deleted,
@@ -3372,6 +3386,17 @@ scores AS (
 SELECT hits.doc_id, hits.n_hits, round(scores.s, 4) AS score
 FROM hits JOIN scores ON hits.doc_id = scores.doc_id
 ORDER BY round(scores.s, 4) DESC, hits.doc_id ASC LIMIT 30
+""",
+        "agg_global": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+m AS (SELECT toks.doc_id FROM toks, unnest(toks.tl) AS u(term)
+      WHERE u.term IN ('spark', 'join', 'query') GROUP BY 1),
+md AS (SELECT count(*) AS n_matched, round(avg(dl), 4) AS avg_dl_matched
+       FROM dl WHERE doc_id IN (SELECT doc_id FROM m)),
+td AS (SELECT count(*) AS n_total, round(avg(dl), 4) AS avg_dl_total FROM dl)
+SELECT md.n_matched, md.avg_dl_matched, td.n_total, td.avg_dl_total
+FROM md CROSS JOIN td
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES

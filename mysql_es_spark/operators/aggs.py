@@ -924,3 +924,73 @@ def stats_bucket_agg(
             "period", F.struct((-F.col("n_docs")).alias("k"), F.col("period").alias("p"))
         ).alias("max_period"),
     )
+
+
+def global_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``global`` bucket: corpus-wide metrics alongside the query-scoped
+    bucket in ONE response — the "matched vs everything" comparison a
+    search UI shows next to facets. One row: (n_matched, avg_dl_matched,
+    n_total, avg_dl_total) over live docs; an empty/unknown query yields
+    n_matched = 0 with null matched average (ES: empty query bucket).
+
+    Scale shape: the matched side is the presence-only postings decode +
+    one doc_lens join; the global side is a metadata-cheap doc_lens scan.
+    Both reduce to single-row aggregates before the final 1×1 cross join —
+    nothing driver-side, no full-table shuffle.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    dls = _mask_deleted(
+        tbl.read(spark, index_dir, "doc_lens").select("docid", "dl"),
+        deleted_docids(spark, index_dir),
+    )
+    total = dls.agg(
+        F.count(F.lit(1)).alias("n_total"), F.avg("dl").alias("avg_dl_total")
+    )
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        m = tbl.local_rows_df(
+            spark, [(0, None)], "n_matched long, avg_dl_matched double"
+        )
+    else:
+        m = dls.join(matched, "docid", "inner").agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.avg("dl").alias("avg_dl_matched"),
+        )
+    return m.crossJoin(total).select(
+        "n_matched", "avg_dl_matched", "n_total", "avg_dl_total"
+    )
+
+
+def missing_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    field: str,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``missing`` agg: how many matched docs lack ``field`` (null in
+    the forward table) — the bucket ES pairs with a terms facet so the
+    "no value" slice is visible. One row: (n_missing, n_matched).
+
+    Scale shape: matched docids join a two-column forward scan; one
+    conditional-count hash agg, map-side combined.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(spark, [(0, 0)], "n_missing long, n_matched long")
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", field)
+    return (
+        matched.join(fwd, "docid", "inner")
+        .agg(
+            F.sum(F.when(F.col(field).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )

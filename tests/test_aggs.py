@@ -500,3 +500,48 @@ def test_new_aggs_empty_query(spark, built_index):
         spark, built_index, "zzznotaterm", {"a": "role = 'user'"}, cfg=TEST_CFG
     ).count() == 0
     assert aggs.weighted_avg_agg(spark, built_index, "zzznotaterm", cfg=TEST_CFG).count() == 0
+
+
+def test_global_agg(spark, built_index):
+    from mysql_es_spark.operators.aggs import global_agg
+    from mysql_es_spark.operators.query import bm25_topk
+
+    dls = {
+        r.docid: r.dl
+        for r in spark.read.parquet(f"{built_index}/doc_lens").collect()
+    }
+    matched = {
+        r.docid
+        for r in bm25_topk(
+            spark, built_index, "w0 w3", k=10**6, cfg=TEST_CFG, mode="simple"
+        ).collect()
+    }
+    row = global_agg(spark, built_index, "w0 w3", cfg=TEST_CFG).collect()[0]
+    assert row.n_total == len(dls)
+    assert row.n_matched == len(matched)
+    assert row.avg_dl_total == pytest.approx(sum(dls.values()) / len(dls))
+    assert row.avg_dl_matched == pytest.approx(
+        sum(dls[d] for d in matched) / len(matched)
+    )
+    empty = global_agg(spark, built_index, "zzznope", cfg=TEST_CFG).collect()[0]
+    assert empty.n_matched == 0 and empty.avg_dl_matched is None
+    assert empty.n_total == len(dls)
+
+
+def test_missing_agg(spark, built_index):
+    from mysql_es_spark.operators.aggs import missing_agg
+    from mysql_es_spark.operators.query import bm25_topk
+
+    fwd = spark.read.parquet(f"{built_index}/forward").select("docid", "tool").collect()
+    tool_of = {r.docid: r.tool for r in fwd}
+    matched = {
+        r.docid
+        for r in bm25_topk(
+            spark, built_index, "w0 w3", k=10**6, cfg=TEST_CFG, mode="simple"
+        ).collect()
+    }
+    n_missing = sum(1 for d in matched if tool_of[d] is None)
+    assert 0 < n_missing < len(matched), "fixture must mix null and set tools"
+    row = missing_agg(spark, built_index, "w0 w3", "tool", cfg=TEST_CFG).collect()[0]
+    assert row.n_matched == len(matched)
+    assert row.n_missing == n_missing
