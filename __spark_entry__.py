@@ -2235,6 +2235,18 @@ def q_agg_global(spark, sf):
     )
 
 
+def q_completion_suggest(spark, sf):
+    """ES completion suggester analog: highest-df dictionary terms
+    extending the prefix, straight off a StartsWith-pruned term_dict
+    range scan."""
+    from mysql_es_spark.operators.query import suggest_completion
+
+    ix = _index_for_documents(spark, sf)
+    return suggest_completion(spark, ix, "s", size=6).select(
+        "suggestion", F.col("weight").cast("long").alias("weight")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -2284,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_simple_query_string": q_simple_query_string,
         "bm25_span_not": q_span_not,
         "agg_global": q_agg_global,
+        "completion_suggest": q_completion_suggest,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "bm25_delete_by_query": q_bm25_deleted,
@@ -3397,6 +3410,17 @@ md AS (SELECT count(*) AS n_matched, round(avg(dl), 4) AS avg_dl_matched
 td AS (SELECT count(*) AS n_total, round(avg(dl), 4) AS avg_dl_total FROM dl)
 SELECT md.n_matched, md.avg_dl_matched, td.n_total, td.avg_dl_total
 FROM md CROSS JOIN td
+""",
+        "completion_suggest": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+terms AS (
+  SELECT u.term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(tl)) AS term FROM toks) u
+  GROUP BY 1
+)
+SELECT term AS suggestion, df AS weight FROM terms
+WHERE term LIKE 's%'
+ORDER BY weight DESC, suggestion ASC LIMIT 6
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES

@@ -3329,3 +3329,33 @@ def span_not_topk(
         .limit(k)
     )
     return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
+def suggest_completion(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    size: int = 5,
+) -> DataFrame:
+    """ES ``completion`` suggester analog served from the term dictionary:
+    the highest-weight suggestions extending ``prefix``, weight = document
+    frequency (ES stores explicit weights with each suggestion input; an
+    index built from raw text has df as the natural popularity signal).
+    Output: (suggestion, weight), ordered weight desc then suggestion asc.
+
+    Scale shape: a single StartsWith-pushed term_dict range scan (parquet
+    row-group pruning on term min/max) + TakeOrdered(size) — the
+    dictionary is orders of magnitude smaller than the corpus, and no
+    posting blob is ever touched.
+    """
+    p = "".join(tokenize_text(prefix)[:1])
+    empty = tbl.local_rows_df(spark, [], "suggestion string, weight long")
+    if not p:
+        return empty
+    return (
+        spark.read.parquet(tbl.p(index_dir, "term_dict"))
+        .filter(F.col("term").startswith(p))
+        .select(F.col("term").alias("suggestion"), F.col("df").alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("suggestion").asc())
+        .limit(size)
+    )

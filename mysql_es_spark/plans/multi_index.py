@@ -42,12 +42,18 @@ def bm25_topk_across(
     k: int = 10,
     cfg: IndexConfig | None = None,
     label_col: str = "index",
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Global-statistics (dfs_query_then_fetch) BM25 top-k over several
     indexes: rank-identical to one monolithic index holding the union of
     their documents. ``indexes`` maps label → index dir. Output:
     (label_col, docid, score), ties (score desc, label asc, docid asc) —
     docids are only unique per index.
+
+    ``boosts`` (label → factor) is ES ``indices_boost``: each member
+    index's scores are multiplied by its factor before the merged ranking
+    (promote fresh generations over archived ones); unlisted labels keep
+    factor 1.0.
     """
     terms = query_terms(query)
     empty = tbl.local_rows_df(spark, [], f"{label_col} string, docid long, score double")
@@ -83,6 +89,9 @@ def bm25_topk_across(
         buckets = sorted(set(term_buckets_of(spark, live, pcfg.term_buckets).values()))
         blocks = _matching_blocks(spark, d, live, buckets)
         scored = _decode_scores(blocks, idf, pcfg, avgdl, deleted_docids(spark, d))
+        factor = float((boosts or {}).get(label, 1.0))
+        if factor != 1.0:
+            scored = scored.withColumn("score", F.col("score") * F.lit(factor))
         parts.append(scored.select(F.lit(label).alias(label_col), "docid", "score"))
     out = parts[0]
     for df in parts[1:]:

@@ -81,3 +81,49 @@ def test_list_generations(spark, gens):
     al, _ = gens
     g = list_generations(al)
     assert sorted(g) == ["writes-000000", "writes-000001"]
+
+
+def test_indices_boost(spark, gens):
+    al, _mono = gens
+    # build the label->dir map the way search_generations does
+    import os
+
+    base = os.path.dirname(al)
+    labels = {g: os.path.join(base, g) for g in list_generations(al)}
+    plain = bm25_topk_across(spark, labels, Q, k=50, cfg=TEST_CFG).collect()
+    first = sorted(labels)[0]
+    boosted = bm25_topk_across(
+        spark, labels, Q, k=50, cfg=TEST_CFG, boosts={first: 2.0}
+    ).collect()
+    pm = {(r["index"], r.docid): r.score for r in plain}
+    bm = {(r["index"], r.docid): r.score for r in boosted}
+    shared = set(pm) & set(bm)
+    assert shared, "need overlapping results to compare"
+    for key in shared:
+        want = pm[key] * 2.0 if key[0] == first else pm[key]
+        assert bm[key] == pytest.approx(want, rel=1e-9)
+    # boosted ordering follows the boosted scores
+    got_order = [(r["index"], r.docid) for r in boosted]
+    assert got_order == sorted(
+        got_order, key=lambda t: (-bm[t], t[0], t[1])
+    )
+
+
+def test_suggest_completion(spark, gens):
+    from collections import Counter
+
+    from mysql_es_spark.functions.analyze import tokenize_text
+    from mysql_es_spark.operators.query import suggest_completion
+
+    _al, mono = gens
+    fwd = spark.read.parquet(f"{mono}/forward").select("text").collect()
+    df = Counter(
+        t for r in fwd for t in set(tokenize_text(r.text or ""))
+    )
+    want = sorted(
+        ((t, n) for t, n in df.items() if t.startswith("w1")),
+        key=lambda x: (-x[1], x[0]),
+    )[:6]
+    got = suggest_completion(spark, mono, "w1", size=6).collect()
+    assert [(r.suggestion, r.weight) for r in got] == want
+    assert suggest_completion(spark, mono, "", size=5).count() == 0
