@@ -2247,6 +2247,36 @@ def q_completion_suggest(spark, sf):
     )
 
 
+def q_min_score(spark, sf):
+    """ES request-level min_score over the pruned BM25 path: every hit at
+    or above the floor (k exceeds the match count), floor composed into
+    the block-max tau logic."""
+    ix = _index_for_documents(spark, sf)
+    top = bm25_topk(
+        spark, ix, " ".join(BM25_Q1), k=100_000, cfg=_docs_index_cfg(),
+        mode="pruned", min_score=0.35, with_keys=True,
+    )
+    return top.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+
+def q_exists(spark, sf):
+    """ES exists query on the forward 'tool' field (all docs carry a
+    source → full corpus in filter context, constant score)."""
+    from mysql_es_spark.operators.query import exists_topk
+
+    ix = _index_for_documents(spark, sf)
+    top = exists_topk(
+        spark, ix, "tool", k=10**6, boost=1.0, cfg=_docs_index_cfg(), with_keys=True
+    )
+    return top.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -2297,6 +2327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_span_not": q_span_not,
         "agg_global": q_agg_global,
         "completion_suggest": q_completion_suggest,
+        "bm25_min_score": q_min_score,
+        "bm25_exists": q_exists,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "bm25_delete_by_query": q_bm25_deleted,
@@ -3421,6 +3453,31 @@ terms AS (
 SELECT term AS suggestion, df AS weight FROM terms
 WHERE term LIKE 's%'
 ORDER BY weight DESC, suggestion ASC LIMIT 6
+""",
+        "bm25_min_score": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores WHERE s >= 0.35
+ORDER BY round(s, 4) DESC, doc_id ASC
+""",
+        "bm25_exists": """
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
+ORDER BY doc_id ASC
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES

@@ -279,6 +279,15 @@ def _with_keys(
     )
 
 
+def _floor_filter(scored: DataFrame, min_score: float | None) -> DataFrame:
+    """ES request-level ``min_score``: drop hits under the floor. Applied
+    wherever the cursor filter is (i.e. before any top-k/tau selection) so
+    both are plain row filters that compose with block-max pruning."""
+    if min_score is None:
+        return scored
+    return scored.filter(F.col("score") >= float(min_score))
+
+
 _CURSOR_EPS = 1e-9
 
 
@@ -306,13 +315,18 @@ def bm25_topk(
     mode: str = "simple",
     with_keys: bool = False,
     after: tuple[float, int] | None = None,
+    min_score: float | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the built index. Returns (docid, score[, keys…]).
 
     ``after=(score, docid)`` is ES ``search_after`` pagination: return the
     next k hits strictly after that cursor in (score desc, docid asc)
     order. Deep pagination stays O(k) driver-side — the cursor is a filter
-    on scored rows, never an offset materialization."""
+    on scored rows, never an offset materialization.
+
+    ``min_score`` is the ES request-level floor: hits scoring below it are
+    dropped. It only ever removes rows, so block-max pruning stays exact
+    (the un-floored tau is <= any floored tau)."""
     cfg = effective_config(spark, index_dir, cfg)
     terms = query_terms(query)
     stats = corpus_stats(spark, index_dir)
@@ -329,7 +343,12 @@ def bm25_topk(
             return empty
         blocks = _matching_blocks(spark, index_dir, terms, buckets)
         scored = (
-            _cursor_filter(_decode_scores(blocks, idf, cfg, stats["avgdl"], dels), after)
+            _floor_filter(
+                _cursor_filter(
+                    _decode_scores(blocks, idf, cfg, stats["avgdl"], dels), after
+                ),
+                min_score,
+            )
             .orderBy(*order)
             .limit(k)
         )
@@ -356,7 +375,7 @@ def bm25_topk(
     predicted_salts = stats["n_docs"] // max(1, cfg.salt_docs) + 1
     if predicted_salts > cfg.max_driver_salts:
         scored = _pruned_topk_distributed(
-            spark, blocks, terms, stats, cfg, k, tf_bound, after, dels
+            spark, blocks, terms, stats, cfg, k, tf_bound, after, dels, min_score
         )
         return _with_keys(spark, index_dir, scored) if with_keys else scored
     meta_rows = (
@@ -402,7 +421,12 @@ def bm25_topk(
         # adaptive shortcut: phase 1 would decode every range anyway, so
         # the threshold/second-pass machinery buys nothing — single pass.
         scored = (
-            _cursor_filter(_decode_scores(blocks, idf, cfg, stats["avgdl"], dels), after)
+            _floor_filter(
+                _cursor_filter(
+                    _decode_scores(blocks, idf, cfg, stats["avgdl"], dels), after
+                ),
+                min_score,
+            )
             .orderBy(*order)
             .limit(k)
         )
@@ -417,17 +441,26 @@ def bm25_topk(
     # subset, so "ub >= tau" (tau from the filtered phase-1 top-k) still
     # covers every possible filtered winner in unexplored salts.
     top1 = (
-        _cursor_filter(
-            _decode_scores(
-                blocks.filter(F.col("salt").isin(phase1)), idf, cfg, stats["avgdl"], dels
+        _floor_filter(
+            _cursor_filter(
+                _decode_scores(
+                    blocks.filter(F.col("salt").isin(phase1)), idf, cfg, stats["avgdl"], dels
+                ),
+                after,
             ),
-            after,
+            min_score,
         )
         .orderBy(*order)
         .limit(k)
         .collect()
     )
-    tau = top1[-1]["score"] if len(top1) >= k else float("-inf")
+    # a short phase-1 page still bounds phase 2 by the floor: any winner
+    # must clear min_score, so salts with ub below it can't contribute
+    tau = (
+        top1[-1]["score"]
+        if len(top1) >= k
+        else (float(min_score) if min_score is not None else float("-inf"))
+    )
 
     # >= not >: a doc can score exactly its range's upper bound (degenerate
     # uniform tf/dl), and at score == tau the (score desc, docid asc)
@@ -436,11 +469,14 @@ def bm25_topk(
     top2 = []
     if phase2:
         top2 = (
-            _cursor_filter(
-                _decode_scores(
-                    blocks.filter(F.col("salt").isin(phase2)), idf, cfg, stats["avgdl"], dels
+            _floor_filter(
+                _cursor_filter(
+                    _decode_scores(
+                        blocks.filter(F.col("salt").isin(phase2)), idf, cfg, stats["avgdl"], dels
+                    ),
+                    after,
                 ),
-                after,
+                min_score,
             )
             .orderBy(*order)
             .limit(k)
@@ -466,6 +502,7 @@ def _pruned_topk_distributed(
     tf_bound,
     after: tuple[float, int] | None = None,
     dels: DataFrame | None = None,
+    min_score: float | None = None,
 ) -> DataFrame:
     """Block-max pruned top-k with NO driver-side pass over salt metadata —
     the 10^12-doc path (a head term spans n_docs/salt_docs ≈ 10^7 ranges).
@@ -519,8 +556,11 @@ def _pruned_topk_distributed(
             if int(agg["n"]) < K:
                 # limit not binding ⇒ every salt selected ⇒ single pass
                 scored = (
-                    _cursor_filter(
-                        _decode_scores(blocks, idf, cfg, stats["avgdl"], dels), after
+                    _floor_filter(
+                        _cursor_filter(
+                            _decode_scores(blocks, idf, cfg, stats["avgdl"], dels), after
+                        ),
+                        min_score,
                     )
                     .orderBy(*order)
                     .limit(k)
@@ -531,22 +571,32 @@ def _pruned_topk_distributed(
             K *= 4
         phase1 = salts.orderBy(*sel_order).limit(K).select("salt")
         top1 = (
-            _cursor_filter(
-                _decode_scores(blocks.join(phase1, "salt"), idf, cfg, stats["avgdl"], dels),
-                after,
+            _floor_filter(
+                _cursor_filter(
+                    _decode_scores(blocks.join(phase1, "salt"), idf, cfg, stats["avgdl"], dels),
+                    after,
+                ),
+                min_score,
             )
             .orderBy(*order)
             .limit(k)
             .collect()
         )
-        tau = top1[-1]["score"] if len(top1) >= k else float("-inf")
+        tau = (
+            top1[-1]["score"]
+            if len(top1) >= k
+            else (float(min_score) if min_score is not None else float("-inf"))
+        )
         phase2 = (
             salts.filter(F.col("ub") >= tau).select("salt").join(phase1, "salt", "left_anti")
         )
         top2 = (
-            _cursor_filter(
-                _decode_scores(blocks.join(phase2, "salt"), idf, cfg, stats["avgdl"], dels),
-                after,
+            _floor_filter(
+                _cursor_filter(
+                    _decode_scores(blocks.join(phase2, "salt"), idf, cfg, stats["avgdl"], dels),
+                    after,
+                ),
+                min_score,
             )
             .orderBy(*order)
             .limit(k)
@@ -3359,3 +3409,33 @@ def suggest_completion(
         .orderBy(F.col("weight").desc(), F.col("suggestion").asc())
         .limit(size)
     )
+
+
+def exists_topk(
+    spark: SparkSession,
+    index_dir: str,
+    field: str,
+    k: int = 10,
+    boost: float = 1.0,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``exists`` query: live docs whose forward ``field`` is non-null,
+    in filter context (constant ``boost`` score, docid order — all scores
+    equal so the docid tiebreak is the total order).
+
+    Scale shape: one two-column forward scan with an IsNotNull predicate
+    pushed to the parquet reader; delete mask; top-k. No postings touched.
+    """
+    scored = (
+        _mask_deleted(
+            tbl.read(spark, index_dir, "forward")
+            .filter(F.col(field).isNotNull())
+            .select("docid"),
+            deleted_docids(spark, index_dir),
+        )
+        .withColumn("score", F.lit(float(boost)))
+        .orderBy(F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored

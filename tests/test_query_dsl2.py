@@ -301,3 +301,54 @@ def test_span_not_validation(spark, dated_index, built_index):
         span_not_topk(spark, dated_index, "alpha", "alpha", cfg=DF_CFG)
     with pytest.raises(ValueError, match="positions"):
         span_not_topk(spark, built_index, "w0", "w1", cfg=TEST_CFG).collect()
+
+
+# ---------------------------------------------------------------------------
+# min_score + exists
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["simple", "pruned"])
+def test_min_score_floor(spark, built_index, fwd, mode):
+    base = _bm25_scores(fwd, ["w0", "w3"])
+    ranked = sorted(base.items(), key=lambda x: (-x[1], x[0]))
+    floor = ranked[6][1] - 1e-12  # floor right below the 7th score
+    want = [(d, s) for d, s in ranked if s >= floor][:20]
+    got = bm25_topk(
+        spark, built_index, "w0 w3", k=20, cfg=TEST_CFG, mode=mode,
+        min_score=floor,
+    ).collect()
+    assert [r.docid for r in got] == [d for d, _ in want]
+    assert all(r.score >= floor for r in got)
+    # a floor above the max score yields nothing
+    assert (
+        bm25_topk(
+            spark, built_index, "w0 w3", k=5, cfg=TEST_CFG, mode=mode,
+            min_score=ranked[0][1] + 1.0,
+        ).count()
+        == 0
+    )
+
+
+def test_min_score_distributed_path(spark, built_index, fwd):
+    base = _bm25_scores(fwd, ["w0", "w3"])
+    ranked = sorted(base.items(), key=lambda x: (-x[1], x[0]))
+    floor = ranked[4][1] - 1e-12
+    cfg0 = TEST_CFG.with_(max_driver_salts=0)  # force the distributed path
+    got = bm25_topk(
+        spark, built_index, "w0 w3", k=10, cfg=cfg0, mode="pruned",
+        min_score=floor,
+    ).collect()
+    want = [(d, s) for d, s in ranked if s >= floor][:10]
+    assert [r.docid for r in got] == [d for d, _ in want]
+
+
+def test_exists_query(spark, built_index):
+    rows = spark.read.parquet(f"{built_index}/forward").select("docid", "tool").collect()
+    want = sorted(r.docid for r in rows if r.tool is not None)
+    assert 0 < len(want) < len(rows), "fixture must mix null and set tools"
+    from mysql_es_spark.operators.query import exists_topk
+
+    got = exists_topk(spark, built_index, "tool", k=len(rows), boost=1.0, cfg=TEST_CFG).collect()
+    assert [r.docid for r in got] == want
+    assert all(r.score == 1.0 for r in got)
