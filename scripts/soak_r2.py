@@ -46,12 +46,20 @@ def main() -> int:
         bm25_topk_conjunctive,
         bm25_topk_multi,
         boosting_topk,
+        constant_score_topk,
+        exists_topk,
         has_parent_topk,
+        ids_topk,
         lm_dirichlet_topk,
+        match_bool_prefix_topk,
         phrase_prefix_topk,
         phrase_topk,
+        pinned_topk,
         regexp_topk,
+        span_first_topk,
+        span_not_topk,
         synonym_topk,
+        terms_set_topk,
     )
     from mysql_es_spark.oracle import build_oracle_index, score_query
     from mysql_es_spark.plans.build import build_index
@@ -66,9 +74,14 @@ def main() -> int:
     shutil.rmtree(ix, ignore_errors=True)
     df = transcripts_df(spark, args.turns, seed=args.seed)
     build_index(spark, df, ix, cfg)
-    fwd = spark.read.parquet(f"{ix}/forward").select("docid", "conv_id", "text").collect()
+    fwd = spark.read.parquet(f"{ix}/forward").select(
+        "docid", "conv_id", "turn_idx", "doc_key", "tool", "text"
+    ).collect()
     docs = {r.docid: r.text for r in fwd}
     conv_of = {r.docid: r.conv_id for r in fwd}
+    turn_of = {r.docid: r.turn_idx for r in fwd}
+    key_of = {r.docid: r.doc_key for r in fwd}
+    tool_null = {r.docid: r.tool is None for r in fwd}
     toks = {d: tokenize_text(t) for d, t in docs.items()}
     oix = build_oracle_index(list(docs.items()))
     vocab = sorted({t for ts in toks.values() for t in ts})
@@ -290,6 +303,108 @@ def main() -> int:
             ).collect(),
             want_pp,
         )
+
+        # constant_score: exact filter-context doc set, fixed boost
+        cs_want = sorted(d for d, ts in toks.items() if set(q_terms) & set(ts))
+        got_cs = constant_score_topk(
+            spark, ix, q, k=len(docs) + 1, boost=1.5, cfg=cfg
+        ).collect()
+        checks += 1
+        if [r.docid for r in got_cs] != cs_want or any(r.score != 1.5 for r in got_cs):
+            mismatches += 1
+            fails.append(f"r{rnd}-constant_score")
+
+        # min_score: floor just under the 5th full score (ties included)
+        if len(full) > 5:
+            floor = full[4][1] - 1e-12
+            want_f = [(d, s) for d, s in full if s >= floor][:k]
+            expect_rank(
+                f"r{rnd}-min_score",
+                bm25_topk(
+                    spark, ix, q, k=k, cfg=cfg, mode="pruned", min_score=floor
+                ).collect(),
+                want_f,
+            )
+
+        # match_bool_prefix: round terms + a sampled 2-char prefix clause
+        if rnd % 2 == 0:
+            pre2 = rng.choice([t for t in vocab if len(t) >= 2])[:2]
+            exp_mb = [
+                t
+                for _, t in sorted(
+                    ((len(oix.postings[t][0]), t) for t in oix.postings if t.startswith(pre2)),
+                    key=lambda x: (-x[0], x[1]),
+                )[:8]
+            ]
+            base_mb = dict(score_query(oix, " ".join(dict.fromkeys(q_terms)), k=len(docs)))
+            best_mb: dict[int, float] = {}
+            for e in exp_mb:
+                for d, s in score_query(oix, e, k=len(docs)):
+                    best_mb[d] = max(best_mb.get(d, 0.0), s)
+            sc_mb = {
+                d: base_mb.get(d, 0.0) + best_mb.get(d, 0.0)
+                for d in set(base_mb) | set(best_mb)
+            }
+            want_mb = sorted(sc_mb.items(), key=lambda x: (-x[1], x[0]))[:k]
+            expect_rank(
+                f"r{rnd}-match_bool_prefix",
+                match_bool_prefix_topk(
+                    spark, ix, f"{q} {pre2}", k=k, cfg=cfg, max_expansions=8
+                ).collect(),
+                want_mb,
+            )
+
+        # span_first: the sampled bigram head within a random window
+        if rnd % 2 == 1:
+            endv = rng.choice([1, 2, 4])
+            sf_docs = {d for d, ts in toks.items() if a in ts and ts.index(a) < endv}
+            want_sf = [
+                (d, s) for d, s in score_query(oix, a, k=len(docs)) if d in sf_docs
+            ][:k]
+            expect_rank(
+                f"r{rnd}-span_first",
+                span_first_topk(spark, ix, a, end=endv, k=k, cfg=cfg).collect(),
+                want_sf,
+            )
+
+        # span_not: head term not within a window of the tail term
+        if a != b and rnd % 2 == 0:
+            prew, postw = rng.choice([(0, 0), (1, 1), (2, 0)])
+            sn_docs = set()
+            for d, ts in toks.items():
+                ps = [j for j, x in enumerate(ts) if x == a]
+                qs2 = [j for j, x in enumerate(ts) if x == b]
+                if any(
+                    not any(p - prew <= qq <= p + postw for qq in qs2) for p in ps
+                ):
+                    sn_docs.add(d)
+            want_sn = [
+                (d, s) for d, s in score_query(oix, a, k=len(docs)) if d in sn_docs
+            ][:k]
+            expect_rank(
+                f"r{rnd}-span_not",
+                span_not_topk(
+                    spark, ix, a, b, pre=prew, post=postw, k=k, cfg=cfg
+                ).collect(),
+                want_sn,
+            )
+
+        # terms_set: per-doc threshold from the doc's own turn_idx
+        if rnd % 3 == 1:
+            fdict = dict(full)
+            per_ts = {}
+            for d, ts in toks.items():
+                nm = sum(1 for t in set(q_terms) if t in ts)
+                if nm and nm >= 1 + (turn_of[d] % 3):
+                    per_ts[d] = fdict[d]
+            want_ts = sorted(per_ts.items(), key=lambda x: (-x[1], x[0]))[:k]
+            expect_rank(
+                f"r{rnd}-terms_set",
+                terms_set_topk(
+                    spark, ix, q_terms, msm_expr="1 + pmod(turn_idx, 3)", k=k, cfg=cfg
+                ).collect(),
+                want_ts,
+            )
 
     # msearch: one batch covering 10 random queries == 10 single runs
     batch = {f"q{i}": " ".join(rng.sample(vocab, 2)) for i in range(10)}
