@@ -409,8 +409,30 @@ def cmd_query(args) -> dict:
         from .operators.query import regexp_topk
 
         df = regexp_topk(spark, args.index_dir, args.query, **common)
+    elif args.mode == "sqs":
+        from .operators.query import simple_query_string_topk
+
+        df = simple_query_string_topk(spark, args.index_dir, args.query, **common)
+    elif args.mode == "constant":
+        from .operators.query import constant_score_topk
+
+        df = constant_score_topk(spark, args.index_dir, args.query, **common)
+    elif args.mode == "mbp":
+        from .operators.query import match_bool_prefix_topk
+
+        df = match_bool_prefix_topk(spark, args.index_dir, args.query, **common)
+    elif getattr(args, "ids", None):
+        from .operators.query import ids_topk
+
+        df = ids_topk(
+            spark, args.index_dir, args.ids.split(","), k=args.k,
+            cfg=_cfg(args), with_keys=args.with_keys,
+        )
     else:
-        df = bm25_topk(spark, args.index_dir, args.query, mode=args.mode, **common)
+        df = bm25_topk(
+            spark, args.index_dir, args.query, mode=args.mode,
+            min_score=getattr(args, "min_score", None), **common,
+        )
     rows = df.collect()
     out = {
         "query": args.query,
@@ -474,10 +496,18 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--mode",
         choices=["simple", "pruned", "conjunctive", "phrase", "span", "qs", "lm",
-                 "wildcard", "regexp"],
+                 "wildcard", "regexp", "sqs", "constant", "mbp"],
         default="pruned",
     )
     q.add_argument("--slop", type=int, default=1, help="span/phrase proximity slop")
+    q.add_argument(
+        "--min-score", type=float, default=None, dest="min_score",
+        help="request-level score floor (simple/pruned modes)",
+    )
+    q.add_argument(
+        "--ids", default=None,
+        help="comma-separated doc_keys: ids query instead of text search",
+    )
     q.add_argument("--with-keys", action="store_true")
     q.add_argument(
         "--filter",

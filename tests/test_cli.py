@@ -383,3 +383,65 @@ def test_cli_update_by_query(spark, tmp_path, capsys):
                      "-k", "3", "--mode", "regexp"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(out["hits"]) == 3
+
+
+def test_cli_new_query_modes(spark, tmp_path, capsys):
+    corpus_dir = str(tmp_path / "corpus")
+    ix = str(tmp_path / "nix")
+    assert cli_main(["gen", "--out", corpus_dir, "--turns", "500", "--seed", "23"]) == 0
+    capsys.readouterr()
+    common = ["--n-buckets", "2", "--wave-size", "2", "--salt-docs", "256"]
+    assert (
+        cli_main(
+            [*common, "build", "--input", f"{corpus_dir}/transcripts",
+             "--index-dir", ix]
+        )
+        == 0
+    )
+    capsys.readouterr()
+
+    # simple_query_string syntax (lenient: must not error on junk)
+    for qs in ["w0 + (w1 | w2)", "w0 (( -broken +"]:
+        assert (
+            cli_main([*common, "query", "--index-dir", ix, "--query", qs,
+                      "-k", "3", "--mode", "sqs"])
+            == 0
+        )
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["mode"] == "sqs"
+
+    # constant_score: all scores equal
+    assert (
+        cli_main([*common, "query", "--index-dir", ix, "--query", "w0 w1",
+                  "-k", "4", "--mode", "constant"])
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len({h["score"] for h in out["hits"]}) == 1
+
+    # match_bool_prefix
+    assert (
+        cli_main([*common, "query", "--index-dir", ix, "--query", "w0 w",
+                  "-k", "4", "--mode", "mbp"])
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["hits"]) == 4
+
+    # min_score floor drops rows
+    assert (
+        cli_main([*common, "query", "--index-dir", ix, "--query", "w0 w1",
+                  "-k", "50", "--min-score", "1000.0"])
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["hits"] == []
+
+    # ids query by doc_key
+    assert (
+        cli_main([*common, "query", "--index-dir", ix, "--query", "ignored",
+                  "--ids", "c00000000:0,c00000001:0,nope:9", "-k", "10", "--with-keys"])
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {h["doc_key"] for h in out["hits"]} == {"c00000000:0", "c00000001:0"}
