@@ -2277,6 +2277,26 @@ def q_exists(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_dedup_ingest(spark, sf):
+    """Streaming dedup-on-ingest driven as two explicit epochs over the
+    documents table (doc_id < 250 arrives first): the accepted union is
+    the content-level first-occurrence set, first-wins by (epoch,
+    doc_key)."""
+    import tempfile
+
+    from mysql_es_spark.streaming.dedup_ingest import dedup_batch
+
+    docs = _documents_as_transcripts(_t(spark, sf, "documents"))
+    out = tempfile.mkdtemp(prefix="dedup_ingest_gate_")
+    dedup_batch(spark, docs.filter(F.col("conv_id").cast("long") < 250), 0, out)
+    dedup_batch(spark, docs.filter(F.col("conv_id").cast("long") >= 250), 1, out)
+    return (
+        spark.read.parquet(f"{out}/accepted")
+        .select(F.col("conv_id").cast("long").alias("doc_id"))
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -2329,6 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_suggest": q_completion_suggest,
         "bm25_min_score": q_min_score,
         "bm25_exists": q_exists,
+        "doc_dedup_ingest": q_dedup_ingest,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "bm25_delete_by_query": q_bm25_deleted,
@@ -3478,6 +3499,21 @@ ORDER BY round(s, 4) DESC, doc_id ASC
         "bm25_exists": """
 SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
 ORDER BY doc_id ASC
+""",
+        "doc_dedup_ingest": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+fp AS (
+  SELECT doc_id, md5(array_to_string(tl, ' ')) AS fp,
+         CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS batch,
+         doc_id::VARCHAR || ':0' AS doc_key
+  FROM toks
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY fp ORDER BY batch ASC, doc_key ASC) AS rn
+  FROM fp
+)
+SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES
