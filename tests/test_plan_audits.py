@@ -307,3 +307,60 @@ def test_rank_eval_judgements_broadcast(spark, built_index):
     for ln in plan.splitlines():
         if "Window" in ln and "partitionBy" in ln:
             assert "qid" in ln
+
+
+def test_constant_score_never_reads_positions(spark, built_index):
+    """constant_score is a presence-only decode: the plan must read the
+    posting blob (to get docids) but never the positions payload, and the
+    term filter must push down."""
+    from mysql_es_spark.operators.query import constant_score_topk
+
+    plan = plan_of(
+        constant_score_topk(spark, built_index, "w0 w3", k=5, cfg=TEST_CFG)
+    )
+    postings_reads = [
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema")[1:]
+        if "blob" in seg.splitlines()[0]
+    ]
+    assert postings_reads, "expected a postings scan"
+    assert all("pos_blob" not in r for r in postings_reads)
+    assert "In(term" in plan
+
+
+def test_exists_pushes_isnotnull(spark, built_index):
+    from mysql_es_spark.operators.query import exists_topk
+
+    plan = plan_of(exists_topk(spark, built_index, "tool", k=5, cfg=TEST_CFG))
+    assert "IsNotNull(tool)" in plan
+    # two-column scan only: docid + the probed field
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" not in read and "conv_id" not in read
+
+
+def test_completion_suggest_startswith_pushdown(spark, built_index):
+    from mysql_es_spark.operators.query import suggest_completion
+
+    plan = plan_of(suggest_completion(spark, built_index, "w1", size=5))
+    assert "StringStartsWith(term" in plan
+    assert "blob" not in plan  # dictionary only, postings never scanned
+
+
+def test_terms_set_per_doc_threshold_prunes_forward(spark, built_index):
+    """The msm_expr join must read only docid + the expression's input
+    column from the forward table."""
+    from mysql_es_spark.operators.query import terms_set_topk
+
+    plan = plan_of(
+        terms_set_topk(
+            spark, built_index, ["w0", "w3", "w5"],
+            msm_expr="1 + pmod(turn_idx, 2)", k=5, cfg=TEST_CFG,
+        )
+    )
+    fwd_reads = [
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema")[1:]
+        if "turn_idx" in seg.splitlines()[0]
+    ]
+    assert fwd_reads, "expected a forward scan for the threshold column"
+    assert all("text" not in r for r in fwd_reads)
