@@ -2297,6 +2297,16 @@ def q_dedup_ingest(spark, sf):
     )
 
 
+def q_curation(spark, sf):
+    """Composed curation pipeline: Gopher shape filters → en/es allowlist
+    → exact content dedup (first id wins) → deterministic split tag."""
+    from mysql_es_spark.operators.curation import curate
+
+    return curate(
+        _t(spark, sf, "documents"), langs=("en", "es"), train_pct=80
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -2350,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_min_score": q_min_score,
         "bm25_exists": q_exists,
         "doc_dedup_ingest": q_dedup_ingest,
+        "doc_curation_pipeline": q_curation,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "bm25_delete_by_query": q_bm25_deleted,
@@ -3514,6 +3525,41 @@ ranked AS (
   FROM fp
 )
 SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id
+""",
+        "doc_curation_pipeline": f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {TOK} AS toks,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM documents WHERE lang IN ('en', 'es')
+),
+m AS (
+  SELECT doc_id, lang, toks, len(toks) AS n_tok,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0) * 1.0
+           / greatest(len(toks), 1) AS mean_wl,
+         list_max(list_transform(list_distinct(toks),
+                                 d -> len(list_filter(toks, x -> x = d)))) * 1.0
+           / greatest(len(toks), 1) AS top_frac,
+         (len(lines) - len(list_distinct(lines))) * 1.0
+           / greatest(len(lines), 1) AS dup_frac
+  FROM t
+),
+kept AS (
+  SELECT doc_id, lang, toks, n_tok FROM m
+  WHERE n_tok >= 10 AND mean_wl >= 2 AND mean_wl <= 12
+    AND top_frac <= 0.2 AND dup_frac <= 0.3
+),
+winners AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+      PARTITION BY md5(array_to_string(toks, ' ')) ORDER BY doc_id ASC) AS rn
+    FROM kept
+  ) WHERE rn = 1
+)
+SELECT k.doc_id, k.lang, k.n_tok AS n_tokens,
+       CASE WHEN ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 8))::UBIGINT % 100 < 80
+            THEN 'train' ELSE 'test' END AS split
+FROM kept k JOIN winners USING (doc_id)
+ORDER BY k.doc_id
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES
