@@ -152,6 +152,13 @@ def cmd_stats(args) -> dict:
     return index_stats(spark, args.index_dir)
 
 
+def cmd_mapping(args) -> dict:
+    from .operators.query import index_mapping
+
+    spark = _session(args)
+    return index_mapping(spark, args.index_dir)
+
+
 def _parse_fields(spec: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for part in spec.split(","):
@@ -530,6 +537,10 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", help="index observability: docs/terms/deletes/bytes")
     st.add_argument("--index-dir", required=True)
     st.set_defaults(fn=cmd_stats)
+
+    mp = sub.add_parser("mapping", help="field schema + analyzer + physical layout")
+    mp.add_argument("--index-dir", required=True)
+    mp.set_defaults(fn=cmd_mapping)
 
     r = sub.add_parser("reindex", help="build a new index from the matching live subset")
     r.add_argument("--index-dir", required=True, help="source index")

@@ -3439,3 +3439,34 @@ def exists_topk(
         .limit(k)
     )
     return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
+def index_mapping(spark: SparkSession, index_dir: str) -> dict:
+    """ES ``_mapping``: what this index stores and how it analyzes — the
+    forward-table field schema (the ``_source`` shape), the analyzer
+    configuration, and the physical layout knobs from the persisted
+    index_meta. Metadata-only: two parquet footers, no data scan.
+    """
+    cfg = effective_config(spark, index_dir, None)
+    fields = {
+        f.name: f.dataType.simpleString()
+        for f in tbl.read(spark, index_dir, "forward").schema.fields
+    }
+    analyzer: dict = {"type": "lowercase-strip-accents-alnum"}
+    if cfg.edge_ngram:
+        analyzer["edge_ngram"] = {
+            "min_gram": cfg.edge_ngram_min, "max_gram": cfg.edge_ngram_max,
+        }
+    return {
+        "fields": fields,
+        "analyzer": analyzer,
+        "with_positions": bool(cfg.with_positions),
+        "physical": {
+            "n_buckets": cfg.n_buckets,
+            "wave_size": cfg.wave_size,
+            "salt_docs": cfg.salt_docs,
+            "term_buckets": cfg.term_buckets,
+            "block_size": cfg.block_size,
+        },
+        "similarity": {"type": "BM25", "k1": cfg.k1, "b": cfg.b},
+    }

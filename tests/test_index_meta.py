@@ -62,3 +62,25 @@ def test_prefix_and_phrase_load_meta(spark, built_index):
         raise AssertionError("expected ValueError on positionless index")
     except ValueError:
         pass
+
+
+def test_index_mapping(spark, built_index):
+    from mysql_es_spark.operators.query import index_mapping
+
+    m = index_mapping(spark, built_index)
+    assert m["fields"]["text"] == "string" and m["fields"]["docid"] == "bigint"
+    assert m["similarity"] == {"type": "BM25", "k1": 1.2, "b": 0.75}
+    assert m["with_positions"] is False
+    assert m["physical"]["n_buckets"] == 4
+    assert "edge_ngram" not in m["analyzer"]
+
+
+def test_cli_mapping(spark, built_index, capsys):
+    import json
+
+    from mysql_es_spark.cli import main as cli_main
+
+    assert cli_main(["mapping", "--index-dir", built_index]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["fields"]["conv_id"] == "string"
+    assert out["physical"]["salt_docs"] == 256
