@@ -2307,6 +2307,31 @@ def q_curation(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_match_aggs_runtime(spark, sf):
+    """ES runtime_mappings: terms agg over a query-time computed field
+    (text-length bucket) — no reindex, scan pruned to the expression's
+    input column."""
+    ix = _index_for_documents(spark, sf)
+    out = match_aggregate(
+        spark, ix, " ".join(BM25_Q1), ["len_bucket"], cfg=_docs_index_cfg(),
+        runtime={"len_bucket": "cast(floor(length(text) / 200) * 200 as long)"},
+    )
+    return out.select(
+        "len_bucket", "n_docs", F.round("avg_dl", 4).alias("avg_dl")
+    ).orderBy("len_bucket")
+
+
+def q_semantic_dedup(spark, sf):
+    """SemDeDup exact anchor: n_cells=1 makes the cell-bucketed path
+    corpus-wide exact — components of the cosine>=0.3 pair graph, keep
+    the minimum vec_id per component."""
+    from mysql_es_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf, "embeddings"), threshold=0.3, n_cells=1
+    ).orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -2361,6 +2386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_exists": q_exists,
         "doc_dedup_ingest": q_dedup_ingest,
         "doc_curation_pipeline": q_curation,
+        "match_aggs_runtime": q_match_aggs_runtime,
+        "emb_semantic_dedup_exact": q_semantic_dedup,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "bm25_delete_by_query": q_bm25_deleted,
@@ -3560,6 +3587,34 @@ SELECT k.doc_id, k.lang, k.n_tok AS n_tokens,
             THEN 'train' ELSE 'test' END AS split
 FROM kept k JOIN winners USING (doc_id)
 ORDER BY k.doc_id
+""",
+        "match_aggs_runtime": f"""
+WITH toks AS (SELECT doc_id, text, {TOK} AS tl FROM documents),
+m AS (SELECT toks.doc_id FROM toks, unnest(toks.tl) AS u(term)
+      WHERE u.term IN ('spark', 'join', 'query') GROUP BY 1),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks)
+SELECT CAST(floor(length(t.text) / 200) * 200 AS BIGINT)::VARCHAR AS len_bucket,
+       count(*) AS n_docs, round(avg(dl.dl), 4) AS avg_dl
+FROM toks t JOIN dl USING (doc_id)
+WHERE t.doc_id IN (SELECT doc_id FROM m)
+GROUP BY 1 ORDER BY 1
+""",
+        "emb_semantic_dedup_exact": """
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+r AS (
+  SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+  UNION
+  SELECT e.src AS id, r.lbl FROM edges e JOIN r ON r.id = e.dst
+)
+SELECT id AS vec_id, min(lbl) AS cluster, (id = min(lbl)) AS keep
+FROM r GROUP BY id ORDER BY id
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES

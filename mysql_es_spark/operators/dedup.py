@@ -865,3 +865,77 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup over an embedding column: spherical
+    k-means cells (similarity.ivf_centroids — bounded driver sample),
+    EXACT cosine pairs within each cell, connected components, keep the
+    lowest id per component. Output: (id, cluster, keep boolean) for
+    every vector.
+
+    ``n_cells=1`` degenerates to exact corpus-wide semantic dedup (the
+    oracle anchor); at scale ``n_cells ≈ sqrt(N)`` keeps each cell's
+    all-pairs matmul executor-sized — the published SemDeDup recipe:
+    near-duplicate semantics rarely cross k-means cells, and misses are
+    the accepted approximation, not a correctness bug of the exact path.
+
+    Scale shape: one Arrow assign pass, one shuffle on ``cell``, one BLAS
+    matmul per cell, then min-label propagation over the (sparse) pair
+    graph. No driver-side pass over the vectors.
+    """
+    from .similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(emb, n_cells=n_cells, seed=seed, vec_col=vec_col)
+    assigned = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col)
+    thr = float(threshold)
+    idc = id_col
+
+    def cell_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        out = []
+        for _cell, grp in pdf.groupby("cell", sort=False):
+            if len(grp) < 2:
+                continue
+            M = np.stack(grp["v"].map(np.asarray).to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            S = Mn @ Mn.T
+            ids = grp[idc].to_numpy()
+            iu, ju = np.triu_indices(len(ids), k=1)
+            m = S[iu, ju] >= thr
+            if m.any():
+                a, b = ids[iu[m]], ids[ju[m]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.minimum(a, b),
+                            "id_b": np.maximum(a, b),
+                            "cos": S[iu, ju][m],
+                        }
+                    )
+                )
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    pairs = assigned.repartition("cell").mapInPandas(
+        cell_pairs, schema="id_a long, id_b long, cos double"
+    )
+    comp = near_dup_clusters(
+        emb.select(F.col(id_col).alias(idc)), pairs, id_col=idc
+    )
+    cluster_col = [c for c in comp.columns if c != idc][0]
+    return comp.select(
+        F.col(idc),
+        F.col(cluster_col).alias("cluster"),
+        (F.col(idc) == F.col(cluster_col)).alias("keep"),
+    )

@@ -810,6 +810,7 @@ def match_aggregate(
     query: str,
     group_cols: list[str],
     cfg: IndexConfig | None = None,
+    runtime: dict[str, str] | None = None,
 ) -> DataFrame:
     """ES search-with-aggregations: a terms aggregation over **all** docs
     matching the query (disjunctive match), not just the top-k — the
@@ -823,6 +824,10 @@ def match_aggregate(
     group columns. Both sides shuffle on docid once; the aggregation
     itself is a map-side-combining hash agg on the group keys. No
     driver-side materialization at any size.
+
+    ``runtime`` (name → SQL expr over the forward columns) is ES
+    ``runtime_mappings``: computed fields usable as bucket keys without
+    reindexing; values are cast to string (ES agg keys are strings).
     """
     cfg = effective_config(spark, index_dir, cfg)
     terms = query_terms(query)
@@ -836,7 +841,15 @@ def match_aggregate(
         return tbl.local_rows_df(spark, [], schema)
     blocks = _matching_blocks(spark, index_dir, terms, buckets)
     matched = _mask_deleted(_decode_docids(blocks), deleted_docids(spark, index_dir))
-    fwd = tbl.read(spark, index_dir, "forward").select("docid", *group_cols)
+    fwd = tbl.read(spark, index_dir, "forward")
+    if runtime:
+        # ES runtime_mappings: query-time computed fields, usable as
+        # bucket keys without reindexing. SQL exprs over the forward
+        # columns, cast to string (ES agg keys are strings); Catalyst
+        # still prunes the scan to the expressions' input columns.
+        for name, expr in runtime.items():
+            fwd = fwd.withColumn(name, F.expr(expr).cast("string"))
+    fwd = fwd.select("docid", *group_cols)
     dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
     return (
         matched.join(fwd, "docid", "inner")

@@ -240,3 +240,58 @@ def test_contamination_pairs(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_semantic_dedup_exact_anchor(spark):
+    """n_cells=1 == exact corpus-wide semantic dedup vs a numpy oracle."""
+    import numpy as np
+
+    from mysql_es_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    S = Mn @ Mn.T
+    thr = 0.3
+    # components via union-find
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    iu, ju = np.triu_indices(len(ids), k=1)
+    for a, b in zip(ids[iu[S[iu, ju] >= thr]], ids[ju[S[iu, ju] >= thr]]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {int(i): find(int(i)) for i in ids}
+    assert len({v for v in want.values()}) < len(ids), "need some dups at thr"
+
+    got = semantic_dedup(emb, threshold=thr, n_cells=1).collect()
+    assert {r.vec_id: r.cluster for r in got} == want
+    assert all(r.keep == (r.vec_id == r.cluster) for r in got)
+
+
+def test_semantic_dedup_cells_refine(spark):
+    """More cells only SPLIT components (within-cell pairs are a subset of
+    all pairs): every n_cells=4 cluster sits inside one n_cells=1
+    cluster, and each cluster keeps exactly its minimum id."""
+    from collections import defaultdict
+
+    from mysql_es_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = {r.vec_id: r.cluster for r in semantic_dedup(emb, 0.3, n_cells=1).collect()}
+    cells = semantic_dedup(emb, 0.3, n_cells=4, seed=5).collect()
+    groups = defaultdict(set)
+    for r in cells:
+        groups[r.cluster].add(r.vec_id)
+        assert r.keep == (r.vec_id == r.cluster)
+    for cl, members in groups.items():
+        assert cl == min(members)
+        assert len({full[m] for m in members}) == 1, "cell split crossed a component"

@@ -102,3 +102,35 @@ def test_match_aggregate_unknown_term_empty(spark, built_index):
         spark, built_index, "zzznotaterm", ["role"], cfg=TEST_CFG
     ).collect()
     assert out == []
+
+
+def test_match_aggregate_runtime_field(spark, built_index):
+    """ES runtime_mappings: bucket by a query-time computed field."""
+    from collections import Counter
+
+    from mysql_es_spark.functions.analyze import tokenize_text
+    from mysql_es_spark.operators.query import bm25_topk, match_aggregate
+
+    fwd = spark.read.parquet(f"{built_index}/forward").select("docid", "text").collect()
+    dls = {
+        r.docid: r.dl
+        for r in spark.read.parquet(f"{built_index}/doc_lens").collect()
+    }
+    matched = {
+        r.docid
+        for r in bm25_topk(
+            spark, built_index, "w0 w3", k=10**6, cfg=TEST_CFG, mode="simple"
+        ).collect()
+    }
+    text_of = {r.docid: r.text for r in fwd}
+    want = Counter(
+        str(len(text_of[d] or "") // 50 * 50) for d in matched
+    )
+    got = match_aggregate(
+        spark, built_index, "w0 w3", ["len_bucket"], cfg=TEST_CFG,
+        runtime={"len_bucket": "cast(floor(length(text) / 50) * 50 as long)"},
+    ).collect()
+    assert {r.len_bucket: r.n_docs for r in got} == dict(want)
+    for r in got:
+        docs_in = [d for d in matched if len(text_of[d] or "") // 50 * 50 == int(r.len_bucket)]
+        assert r.avg_dl == pytest.approx(sum(dls[d] for d in docs_in) / len(docs_in))
