@@ -2332,6 +2332,19 @@ def q_semantic_dedup(spark, sf):
     ).orderBy("vec_id")
 
 
+def q_match_export(spark, sf):
+    """Scroll-replacement bulk export: EVERY Q1 match with its score —
+    the full scored set, never a top-k window."""
+    from mysql_es_spark.operators.query import match_export
+
+    ix = _index_for_documents(spark, sf)
+    out = match_export(spark, ix, " ".join(BM25_Q1), cfg=_docs_index_cfg(), with_keys=True)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -2388,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curation_pipeline": q_curation,
         "match_aggs_runtime": q_match_aggs_runtime,
         "emb_semantic_dedup_exact": q_semantic_dedup,
+        "bm25_match_export": q_match_export,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "bm25_delete_by_query": q_bm25_deleted,
@@ -3615,6 +3629,26 @@ r AS (
 )
 SELECT id AS vec_id, min(lbl) AS cluster, (id = min(lbl)) AS keep
 FROM r GROUP BY id ORDER BY id
+""",
+        "bm25_match_export": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores ORDER BY doc_id ASC
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES

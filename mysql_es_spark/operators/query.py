@@ -3483,3 +3483,46 @@ def index_mapping(spark: SparkSession, index_dir: str) -> dict:
         },
         "similarity": {"type": "BM25", "k1": cfg.k1, "b": cfg.b},
     }
+
+
+def match_export(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    out_dir: str | None = None,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES scroll/PIT's actual job — bulk-export EVERY match with its BM25
+    score, no top-k, no pagination state. Returns the full scored set
+    (docid, score[, keys…]); ``out_dir`` additionally writes it as
+    parquet (the 100 TB path: the export never routes through the driver,
+    unlike scroll's cursor batches).
+
+    Scale shape: identical to the simple scoring path (partition +
+    row-group pruned decode, one docid groupBy) followed by a straight
+    distributed write — deep pagination disappears as a concept.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    terms = query_terms(query)
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    if terms:
+        idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
+        terms = [t for t in terms if t in idf]
+    if not terms:
+        scored = empty
+    else:
+        blocks = _matching_blocks(spark, index_dir, terms, buckets)
+        scored = _decode_scores(
+            blocks, idf, cfg, stats["avgdl"], deleted_docids(spark, index_dir)
+        )
+    if with_keys:
+        fwd = tbl.read(spark, index_dir, "forward").select(
+            "docid", "doc_key", "conv_id", "turn_idx", "text"
+        )
+        scored = scored.join(fwd, "docid", "inner")
+    if out_dir is not None:
+        scored.write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir)
+    return scored

@@ -352,3 +352,19 @@ def test_exists_query(spark, built_index):
     got = exists_topk(spark, built_index, "tool", k=len(rows), boost=1.0, cfg=TEST_CFG).collect()
     assert [r.docid for r in got] == want
     assert all(r.score == 1.0 for r in got)
+
+
+def test_match_export_full_set(spark, built_index, fwd, tmp_path):
+    from mysql_es_spark.operators.query import match_export
+
+    base = _bm25_scores(fwd, ["w0", "w3"])
+    got = match_export(spark, built_index, "w0 w3", cfg=TEST_CFG).collect()
+    assert {r.docid: round(r.score, 9) for r in got} == {
+        d: round(s, 9) for d, s in base.items()
+    }
+    # written form round-trips identically
+    out = str(tmp_path / "export")
+    got2 = match_export(spark, built_index, "w0 w3", out_dir=out, cfg=TEST_CFG)
+    assert got2.count() == len(base)
+    assert spark.read.parquet(out).count() == len(base)
+    assert match_export(spark, built_index, "zzznope", cfg=TEST_CFG).count() == 0
