@@ -2345,6 +2345,27 @@ def q_match_export(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_phrase_synonym(spark, sf):
+    """Synonym-graph match_phrase (span_near over span_or): 'row' followed
+    by merge|window at the next position; per-slot dis-max scoring."""
+    from mysql_es_spark.operators.query import phrase_synonym_topk
+
+    ix = _index_for_documents(spark, sf, positions=True)
+    top = phrase_synonym_topk(
+        spark, ix, ["row", ["merge", "window"]], k=60, cfg=_docs_index_cfg(True),
+        with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(40)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -2402,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_aggs_runtime": q_match_aggs_runtime,
         "emb_semantic_dedup_exact": q_semantic_dedup,
         "bm25_match_export": q_match_export,
+        "bm25_phrase_synonym": q_phrase_synonym,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "bm25_delete_by_query": q_bm25_deleted,
@@ -3649,6 +3671,41 @@ scores AS (
   GROUP BY 1
 )
 SELECT doc_id, round(s, 4) AS score FROM scores ORDER BY doc_id ASC
+""",
+        "bm25_phrase_synonym": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+tokp AS (SELECT toks.doc_id, r.i AS pos, toks.tl[r.i] AS term
+         FROM toks, unnest(range(1, len(toks.tl) + 1)) AS r(i)),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+m AS (
+  SELECT a.doc_id, count(*) AS n_hits
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'row' AND b.term IN ('merge', 'window')
+  GROUP BY 1
+),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('row', 'merge', 'window')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+sc AS (
+  SELECT doc_id,
+         coalesce(max(c) FILTER (WHERE term = 'row'), 0)
+       + coalesce(max(c) FILTER (WHERE term IN ('merge', 'window')), 0) AS s
+  FROM contrib GROUP BY 1
+)
+SELECT m.doc_id, m.n_hits, round(sc.s, 4) AS score
+FROM m JOIN sc USING (doc_id)
+ORDER BY round(sc.s, 4) DESC, m.doc_id ASC LIMIT 40
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES

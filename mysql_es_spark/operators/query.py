@@ -3526,3 +3526,171 @@ def match_export(
         scored.write.mode("overwrite").parquet(out_dir)
         return spark.read.parquet(out_dir)
     return scored
+
+
+def phrase_synonym_topk(
+    spark: SparkSession,
+    index_dir: str,
+    slots: list,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES match_phrase over a query-time synonym graph — Lucene's
+    ``span_near(span_or(...), ...)`` with inOrder=true, slop=0: slot j of
+    the phrase matches ANY of its alternative terms, consecutive slots
+    must sit at consecutive positions. ``slots`` is a list of strings or
+    lists of strings ("row", ["scan", "query"]); every alternative must
+    analyze to exactly one token and may appear in only one slot.
+
+    Scoring: per slot the BEST BM25 contribution among the doc's present
+    alternatives (dis-max, the same contract as synonym_topk), summed
+    over slots. ``n_hits`` counts phrase occurrences.
+
+    Scale shape: identical to phrase_topk — structural salt pruning first
+    (a salt survives only if EVERY slot has at least one alternative's
+    block there, metadata-only), then one vectorized pass per surviving
+    salt where each slot's occurrence keys are the sorted union of its
+    alternatives' keys and the chain is consecutive-key intersection.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    norm_slots: list[list[str]] = []
+    for s in slots:
+        alts = [s] if isinstance(s, str) else list(s)
+        toks: list[str] = []
+        for a in alts:
+            t = tokenize_text(a)
+            if len(t) != 1:
+                raise ValueError(f"alternative {a!r} must analyze to one token")
+            toks.append(t[0])
+        norm_slots.append(sorted(set(toks)))
+    flat = [t for sl in norm_slots for t in sl]
+    if len(set(flat)) != len(flat):
+        raise ValueError("a term may appear in only one slot")
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double, n_hits long")
+    if not norm_slots:
+        return empty
+    idf, buckets = term_meta(spark, index_dir, sorted(set(flat)), stats["n_docs"], cfg)
+    live_slots = [[t for t in sl if t in idf] for sl in norm_slots]
+    if any(not sl for sl in live_slots):
+        return empty  # a slot with no matchable alternative kills the phrase
+    live_terms = [t for sl in live_slots for t in sl]
+
+    blocks = _matching_blocks(spark, index_dir, live_terms, buckets)
+    if "pos_blob" not in blocks.columns:
+        raise ValueError("phrase_synonym_topk needs an index built with with_positions=True")
+    slot_of = {t: j for j, sl in enumerate(live_slots) for t in sl}
+    slot_col = F.create_map(
+        *[x for t, j in slot_of.items() for x in (F.lit(t), F.lit(j))]
+    )[F.col("term")]
+    live_salts = (
+        blocks.select("term", "salt")
+        .withColumn("slot", slot_col)
+        .groupBy("salt")
+        .agg(F.count_distinct("slot").alias("ns"))
+        .filter(F.col("ns") == len(live_slots))
+        .select("salt")
+    )
+    if stats["n_docs"] // max(1, cfg.salt_docs) + 1 <= cfg.max_driver_salts:
+        live_salts = F.broadcast(live_salts)
+    surv = (
+        blocks.join(live_salts, "salt")
+        .select("salt", "term", "n", "blob", "pos_blob")
+        .repartition("salt")
+        .sortWithinPartitions("salt", "term", "start_docid")
+    )
+
+    k1, b = cfg.k1, cfg.b
+    avgdl, salt_docs = stats["avgdl"], cfg.salt_docs
+    slots_l = [list(sl) for sl in live_slots]
+    idf_l = dict(idf)
+
+    def match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        out_doc, out_score, out_hits = [], [], []
+        for salt, grp in pdf.groupby("salt", sort=False):
+            per_term: dict[str, tuple] = {}
+            for term, tg in grp.groupby("term", sort=False):
+                ids_l, tfs_l, dls_l, pos_l = [], [], [], []
+                for n, blob, pblob in zip(tg["n"], tg["blob"], tg["pos_blob"]):
+                    ids, tfs, dls = decode_block(blob, int(n))
+                    if pblob is None:
+                        raise ValueError(
+                            "index lacks positions; rebuild with with_positions=True"
+                        )
+                    pos_l.append(decode_positions(pblob, tfs))
+                    ids_l.append(ids)
+                    tfs_l.append(tfs)
+                    dls_l.append(dls)
+                per_term[term] = (
+                    np.concatenate(ids_l),
+                    np.concatenate(tfs_l),
+                    np.concatenate(dls_l),
+                    np.concatenate(pos_l),
+                )
+            if any(all(t not in per_term for t in sl) for sl in slots_l):
+                continue
+            max_pos = max(
+                (int(p.max()) for _i, _t, _d, p in per_term.values() if len(p)),
+                default=0,
+            )
+            shift = np.int64(max_pos + 2 + len(slots_l))
+            slot_keys = []
+            for sl in slots_l:
+                ks = []
+                for t in sl:
+                    if t not in per_term:
+                        continue
+                    ids, tfs, _dls, pos = per_term[t]
+                    rep = np.repeat(ids - np.int64(int(salt) * salt_docs), tfs)
+                    ks.append(rep * shift + pos)
+                slot_keys.append(np.sort(np.concatenate(ks)) if ks else np.zeros(0, np.int64))
+            cur = slot_keys[0]
+            for ks in slot_keys[1:]:
+                if not len(cur):
+                    break
+                cur = np.intersect1d(cur + 1, ks, assume_unique=True)
+            if not len(cur):
+                continue
+            local_docs, hits = np.unique(cur // shift, return_counts=True)
+            docs = local_docs + np.int64(int(salt) * salt_docs)
+            score = np.zeros(len(docs), dtype=np.float64)
+            for sl in slots_l:
+                best = np.zeros(len(docs), dtype=np.float64)
+                for t in sl:
+                    if t not in per_term:
+                        continue
+                    ids, tfs, dls, _pos = per_term[t]
+                    idx = np.searchsorted(ids, docs)
+                    safe = np.minimum(idx, max(len(ids) - 1, 0))
+                    present = (idx < len(ids)) & (ids[safe] == docs)
+                    tf = tfs[safe].astype(np.float64)
+                    dl = dls[safe].astype(np.float64)
+                    c = idf_l[t] * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    best = np.maximum(best, np.where(present, c, 0.0))
+                score += best
+            out_doc.append(docs)
+            out_score.append(score)
+            out_hits.append(hits)
+        if out_doc:
+            yield pd.DataFrame(
+                {
+                    "docid": np.concatenate(out_doc),
+                    "score": np.concatenate(out_score),
+                    "n_hits": np.concatenate(out_hits),
+                }
+            )
+
+    scored = (
+        _mask_deleted(
+            surv.mapInPandas(match, schema="docid long, score double, n_hits long"),
+            deleted_docids(spark, index_dir),
+        )
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored

@@ -368,3 +368,92 @@ def test_match_export_full_set(spark, built_index, fwd, tmp_path):
     assert got2.count() == len(base)
     assert spark.read.parquet(out).count() == len(base)
     assert match_export(spark, built_index, "zzznope", cfg=TEST_CFG).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# phrase over a synonym graph (span_or inside span_near)
+# ---------------------------------------------------------------------------
+
+
+def _syn_phrase_oracle(fwd, slots):
+    toks = {d: tokenize_text(t) for d, t in fwd.items()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = Counter(t for ts in toks.values() for t in set(ts))
+    out = {}
+    for d, ts in toks.items():
+        hits = 0
+        for i in range(len(ts) - len(slots) + 1):
+            if all(ts[i + j] in slots[j] for j in range(len(slots))):
+                hits += 1
+        if not hits:
+            continue
+        tf = Counter(ts)
+        s = 0.0
+        for sl in slots:
+            best = 0.0
+            for t in sl:
+                if t in tf and df[t]:
+                    idf = float(np.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)))
+                    best = max(
+                        best,
+                        idf * tf[t] / (tf[t] + 1.2 * (0.25 + 0.75 * len(ts) / avgdl)),
+                    )
+            s += best
+        out[d] = (s, hits)
+    return sorted(out.items(), key=lambda x: (-x[1][0], x[0]))
+
+
+@pytest.fixture(scope="module")
+def syn_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("syn") / "ix")
+    docs = [
+        ("s0", "fast table scan today"),
+        ("s1", "fast index scan now"),
+        ("s2", "fast scan"),          # 'scan' right after 'fast' (1-slot gap)
+        ("s3", "slow table scan"),
+        ("s4", "fast table query fast index query"),
+        ("s5", "table fast scan"),
+        ("s6", "fast table fast index scan"),
+    ]
+    df = spark.createDataFrame(
+        [(cid, 0, "user", text, None, datetime(2026, 1, 1)) for cid, text in docs],
+        schema="conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    build_index(spark, df, d, DF_CFG)
+    return d
+
+
+def test_phrase_synonym_matches_oracle(spark, syn_index):
+    from mysql_es_spark.operators.query import phrase_synonym_topk
+
+    fwd_rows = spark.read.parquet(f"{syn_index}/forward").select("docid", "text").collect()
+    fwd = {r.docid: r.text for r in fwd_rows}
+    for slots in (
+        ["fast", ["table", "index"], ["scan", "query"]],
+        [["fast", "slow"], "table"],
+        ["fast", ["scan"]],
+    ):
+        norm = [[s] if isinstance(s, str) else s for s in slots]
+        want = _syn_phrase_oracle(fwd, norm)
+        got = phrase_synonym_topk(spark, syn_index, slots, k=10, cfg=DF_CFG).collect()
+        assert [r.docid for r in got] == [d for d, _ in want], slots
+        for r, (_, (s, h)) in zip(got, want):
+            assert r.score == pytest.approx(s, rel=1e-9) and r.n_hits == h
+
+
+def test_phrase_synonym_validation(spark, syn_index):
+    from mysql_es_spark.operators.query import phrase_synonym_topk
+
+    with pytest.raises(ValueError, match="one token"):
+        phrase_synonym_topk(spark, syn_index, [["fast table"]], cfg=DF_CFG)
+    with pytest.raises(ValueError, match="one slot"):
+        phrase_synonym_topk(spark, syn_index, ["fast", ["fast", "slow"]], cfg=DF_CFG)
+    # a slot with only unknown terms can never match
+    assert (
+        phrase_synonym_topk(
+            spark, syn_index, ["fast", ["zzznope"]], k=5, cfg=DF_CFG
+        ).count()
+        == 0
+    )
