@@ -2366,6 +2366,29 @@ def q_phrase_synonym(spark, sf):
     )
 
 
+def q_agg_percentile_ranks(spark, sf):
+    """ES percentile_ranks: % of Q1-matched docs at or below each dl
+    value (exact path)."""
+    out = esaggs.percentile_ranks(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1), [5.0, 8.0, 12.0],
+        cfg=_docs_index_cfg(),
+    )
+    return out.select("value", F.round("pct", 4).alias("pct")).orderBy("value")
+
+
+def q_agg_top_metrics(spark, sf):
+    """ES top_metrics: the dl of the matched doc ranked first by the
+    (unique) conv_id sort key — deterministic single-row answer."""
+    row = esaggs.top_metrics(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1),
+        sort_col="conv_id", metric_cols=("dl",), cfg=_docs_index_cfg(),
+    )
+    return row.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("dl").cast("long").alias("dl"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -2424,6 +2447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup_exact": q_semantic_dedup,
         "bm25_match_export": q_match_export,
         "bm25_phrase_synonym": q_phrase_synonym,
+        "agg_percentile_ranks": q_agg_percentile_ranks,
+        "agg_top_metrics": q_agg_top_metrics,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "bm25_delete_by_query": q_bm25_deleted,
@@ -3706,6 +3731,26 @@ sc AS (
 SELECT m.doc_id, m.n_hits, round(sc.s, 4) AS score
 FROM m JOIN sc USING (doc_id)
 ORDER BY round(sc.s, 4) DESC, m.doc_id ASC LIMIT 40
+""",
+        "agg_percentile_ranks": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT toks.doc_id FROM toks, unnest(toks.tl) AS u(term)
+      WHERE u.term IN ('spark', 'join', 'query') GROUP BY 1),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks WHERE doc_id IN (SELECT doc_id FROM m)),
+vals AS (SELECT unnest([5.0, 8.0, 12.0]) AS value)
+SELECT v.value,
+       round(100.0 * (SELECT count(*) FROM dl WHERE dl.dl <= v.value)
+             / (SELECT count(*) FROM dl), 4) AS pct
+FROM vals v ORDER BY v.value
+""",
+        "agg_top_metrics": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT toks.doc_id FROM toks, unnest(toks.tl) AS u(term)
+      WHERE u.term IN ('spark', 'join', 'query') GROUP BY 1),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks)
+SELECT m.doc_id, dl.dl
+FROM m JOIN dl USING (doc_id)
+ORDER BY m.doc_id::VARCHAR DESC LIMIT 1
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES

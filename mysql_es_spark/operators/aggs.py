@@ -994,3 +994,86 @@ def missing_agg(
             F.count(F.lit(1)).alias("n_matched"),
         )
     )
+
+
+def percentile_ranks(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    values: list[float],
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``percentile_ranks`` over the matched docs' analyzed length:
+    for each requested value, the percentage of matched docs at or below
+    it (exact, not the TDigest approximation — this engine's percentiles
+    agg documents the same choice). One conditional-count hash agg; the
+    requested values ride along as literals, so a 50-value request is
+    still a single pass.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    vals = [float(v) for v in values]
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None or not vals:
+        return tbl.local_rows_df(spark, [], "value double, pct double")
+    dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
+    row = matched.join(dls, "docid", "inner").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col("dl") <= v, 1).otherwise(0)).alias(f"c{i}")
+            for i, v in enumerate(vals)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(v).alias("value"),
+                (F.col(f"c{i}") * 100.0 / F.col("n")).alias("pct"),
+            )
+            for i, v in enumerate(vals)
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("z"))
+        .select(F.col("z.value").alias("value"), F.col("z.pct").alias("pct"))
+        .orderBy("value")
+    )
+
+
+def top_metrics(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    sort_col: str = "ts",
+    metric_cols: tuple[str, ...] = ("dl",),
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``top_metrics``: the metric values of the single matched doc
+    ranked first by ``sort_col`` descending (docid asc tiebreak, so the
+    answer is deterministic). One row: (sort value, *metrics, docid).
+
+    Scale shape: matched docids join the column-pruned forward/doc_lens
+    scan, then one TakeOrdered(1) — no window function, no full sort.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    need_dl = "dl" in metric_cols
+    fwd_cols = [c for c in {sort_col, *metric_cols} if c != "dl"]
+    schema = (
+        f"{sort_col} string, "
+        + ", ".join(f"{c} string" for c in metric_cols)
+        + ", docid long"
+    )
+    if matched is None:
+        return tbl.local_rows_df(spark, [], schema)
+    out = matched
+    if fwd_cols:
+        fwd = tbl.read(spark, index_dir, "forward").select("docid", *fwd_cols)
+        out = out.join(fwd, "docid", "inner")
+    if need_dl:
+        dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
+        out = out.join(dls, "docid", "inner")
+    return (
+        out.orderBy(F.col(sort_col).desc(), F.col("docid").asc())
+        .limit(1)
+        .select(sort_col, *metric_cols, "docid")
+    )

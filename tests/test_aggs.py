@@ -545,3 +545,50 @@ def test_missing_agg(spark, built_index):
     row = missing_agg(spark, built_index, "w0 w3", "tool", cfg=TEST_CFG).collect()[0]
     assert row.n_matched == len(matched)
     assert row.n_missing == n_missing
+
+
+def test_percentile_ranks(spark, built_index):
+    from mysql_es_spark.operators.aggs import percentile_ranks
+    from mysql_es_spark.operators.query import bm25_topk
+
+    dls = {
+        r.docid: r.dl
+        for r in spark.read.parquet(f"{built_index}/doc_lens").collect()
+    }
+    matched = {
+        r.docid
+        for r in bm25_topk(
+            spark, built_index, "w0 w3", k=10**6, cfg=TEST_CFG, mode="simple"
+        ).collect()
+    }
+    vals = [3.0, 7.0, 100000.0]
+    got = percentile_ranks(spark, built_index, "w0 w3", vals, cfg=TEST_CFG).collect()
+    assert [r.value for r in got] == vals
+    for r in got:
+        want = 100.0 * sum(1 for d in matched if dls[d] <= r.value) / len(matched)
+        assert r.pct == pytest.approx(want)
+    assert got[-1].pct == 100.0
+
+
+def test_top_metrics(spark, built_index):
+    from mysql_es_spark.operators.aggs import top_metrics
+    from mysql_es_spark.operators.query import bm25_topk
+
+    fwd = {
+        r.docid: r.ts
+        for r in spark.read.parquet(f"{built_index}/forward").select("docid", "ts").collect()
+    }
+    dls = {
+        r.docid: r.dl
+        for r in spark.read.parquet(f"{built_index}/doc_lens").collect()
+    }
+    matched = {
+        r.docid
+        for r in bm25_topk(
+            spark, built_index, "w0 w3", k=10**6, cfg=TEST_CFG, mode="simple"
+        ).collect()
+    }
+    want_doc = sorted(matched, key=lambda d: (fwd[d], -d), reverse=True)[0]
+    row = top_metrics(spark, built_index, "w0 w3", "ts", ("dl",), cfg=TEST_CFG).collect()[0]
+    assert row.docid == want_doc
+    assert row.dl == dls[want_doc]
