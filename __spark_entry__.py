@@ -2389,6 +2389,63 @@ def q_agg_top_metrics(spark, sf):
     )
 
 
+def q_agg_value_count(spark, sf):
+    """ES value_count: non-null values of a forward field among matched
+    docs (tool == documents.source)."""
+    return esaggs.value_count(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1), "tool",
+        cfg=_docs_index_cfg(),
+    )
+
+
+def q_agg_mad(spark, sf):
+    """ES median_absolute_deviation over matched docs' analyzed length
+    (exact, linear-interpolated medians)."""
+    out = esaggs.median_absolute_deviation(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1), cfg=_docs_index_cfg()
+    )
+    return out.select(F.round("mad", 4).alias("mad"))
+
+
+def q_agg_boxplot(spark, sf):
+    """ES boxplot agg: min/q1/q2/q3/max of matched docs' analyzed length."""
+    out = esaggs.boxplot_agg(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1), cfg=_docs_index_cfg()
+    )
+    return out.select(
+        "min_dl",
+        F.round("q1", 4).alias("q1"),
+        F.round("q2", 4).alias("q2"),
+        F.round("q3", 4).alias("q3"),
+        "max_dl",
+    )
+
+
+def q_agg_string_stats(spark, sf):
+    """ES string_stats over matched docs' raw text: count, char-length
+    min/max/avg, Shannon entropy of the pooled character distribution."""
+    out = esaggs.string_stats(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1), cfg=_docs_index_cfg()
+    )
+    return out.select(
+        "n_values", "min_len", "max_len",
+        F.round("avg_len", 4).alias("avg_len"),
+        F.round("entropy", 4).alias("entropy"),
+    )
+
+
+def q_agg_sampler_stats(spark, sf):
+    """ES sampler agg: length stats restricted to the top-20 BM25 matches
+    (plain sampler; agg_sampler covers the diversified variant)."""
+    out = esaggs.sampler_agg(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1),
+        shard_size=20, cfg=_docs_index_cfg(),
+    )
+    return out.select(
+        "n_docs", "min_dl", "max_dl", F.round("avg_dl", 4).alias("avg_dl")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -2449,6 +2506,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_synonym": q_phrase_synonym,
         "agg_percentile_ranks": q_agg_percentile_ranks,
         "agg_top_metrics": q_agg_top_metrics,
+        "agg_value_count": q_agg_value_count,
+        "agg_mad": q_agg_mad,
+        "agg_boxplot": q_agg_boxplot,
+        "agg_string_stats": q_agg_string_stats,
+        "agg_sampler_stats": q_agg_sampler_stats,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "bm25_delete_by_query": q_bm25_deleted,
@@ -3751,6 +3813,69 @@ dl AS (SELECT doc_id, len(tl) AS dl FROM toks)
 SELECT m.doc_id, dl.dl
 FROM m JOIN dl USING (doc_id)
 ORDER BY m.doc_id::VARCHAR DESC LIMIT 1
+""",
+        "agg_value_count": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+matched AS (SELECT doc_id FROM toks WHERE list_has_any(tl, ['spark','join','query']))
+SELECT 'tool' AS field, CAST(count(d.source) AS BIGINT) AS n_values
+FROM matched m JOIN documents d USING (doc_id)
+""",
+        "agg_mad": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT len(tl) AS dl FROM toks WHERE list_has_any(tl, ['spark','join','query'])),
+med AS (SELECT quantile_cont(dl, 0.5) AS med FROM m)
+SELECT round(quantile_cont(abs(m.dl - med.med), 0.5), 4) AS mad
+FROM m, med
+""",
+        "agg_boxplot": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT len(tl) AS dl FROM toks WHERE list_has_any(tl, ['spark','join','query']))
+SELECT CAST(min(dl) AS BIGINT) AS min_dl,
+       round(quantile_cont(dl, 0.25), 4) AS q1,
+       round(quantile_cont(dl, 0.50), 4) AS q2,
+       round(quantile_cont(dl, 0.75), 4) AS q3,
+       CAST(max(dl) AS BIGINT) AS max_dl
+FROM m
+""",
+        "agg_string_stats": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT doc_id FROM toks WHERE list_has_any(tl, ['spark','join','query'])),
+tx AS (SELECT d.text AS text FROM m JOIN documents d USING (doc_id)),
+ch AS (SELECT u.ch AS ch, count(*) AS c
+       FROM tx, unnest(string_split(tx.text, '')) AS u(ch)
+       WHERE u.ch <> '' GROUP BY 1),
+ln AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
+              CAST(min(length(text)) AS INT) AS min_len,
+              CAST(max(length(text)) AS INT) AS max_len,
+              round(avg(length(text)), 4) AS avg_len
+       FROM tx),
+e AS (SELECT round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy FROM ch)
+SELECT ln.*, e.entropy FROM ln, e
+""",
+        "agg_sampler_stats": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark','join','query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+top AS (SELECT doc_id FROM scores ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(dl.dl) AS BIGINT) AS min_dl,
+       CAST(max(dl.dl) AS BIGINT) AS max_dl,
+       round(avg(dl.dl), 4) AS avg_dl
+FROM top JOIN dl USING (doc_id)
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES

@@ -1077,3 +1077,159 @@ def top_metrics(
         .limit(1)
         .select(sort_col, *metric_cols, "docid")
     )
+
+
+def value_count(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    field: str,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``value_count``: how many matched docs carry a non-null value
+    of a forward field (single-valued fields here, so docs == values).
+    One conditional count over the docid ⋈ column-pruned forward scan —
+    the cheapest possible metric agg, and the one every dashboard pairs
+    with ``avg`` to expose missing-data skew."""
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(spark, [(field, 0)], "field string, n_values long")
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", field)
+    return (
+        matched.join(fwd, "docid", "inner")
+        .agg(F.count(field).alias("n_values"))
+        .select(F.lit(field).alias("field"), "n_values")
+    )
+
+
+def median_absolute_deviation(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``median_absolute_deviation`` over the matched docs' analyzed
+    length: ``median(|dl - median(dl)|)``. ES approximates with TDigest;
+    this engine computes the exact value (the same determinism choice the
+    percentiles agg documents). Two aggregation passes — the inner median
+    is a one-row frame crossed back in (broadcast NL join of a scalar),
+    never a driver collect."""
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(spark, [], "mad double")
+    dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
+    m = matched.join(dls, "docid", "inner")
+    med = m.agg(F.percentile("dl", F.lit(0.5)).alias("med"))
+    return (
+        m.crossJoin(F.broadcast(med))
+        .agg(F.percentile(F.abs(F.col("dl") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+
+
+def boxplot_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``boxplot`` agg over the matched docs' analyzed length:
+    min / q1 / q2 / q3 / max in one hash-agg pass (quartiles linearly
+    interpolated, exact — matching this engine's percentiles contract)."""
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(
+            spark, [], "min_dl long, q1 double, q2 double, q3 double, max_dl long"
+        )
+    dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
+    row = matched.join(dls, "docid", "inner").agg(
+        F.min("dl").cast("long").alias("min_dl"),
+        F.percentile("dl", F.lit([0.25, 0.5, 0.75])).alias("qs"),
+        F.max("dl").cast("long").alias("max_dl"),
+    )
+    return row.select(
+        "min_dl",
+        F.col("qs")[0].alias("q1"),
+        F.col("qs")[1].alias("q2"),
+        F.col("qs")[2].alias("q3"),
+        "max_dl",
+    )
+
+
+def string_stats(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    field: str = "text",
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``string_stats`` over a forward text field of the matched docs:
+    value count, min/max/avg character length, and the Shannon entropy
+    (bits) of the field's pooled character distribution — ES's exact
+    definition (all values concatenated, probability per character).
+
+    Scale shape: the length stats are one hash agg over the docid ⋈
+    column-pruned forward join. The entropy pass explodes characters —
+    rows ∝ total characters of MATCHED docs only — but the immediate
+    map-side partial agg collapses them to ≤ |alphabet| keys per task, so
+    what crosses the shuffle is a few hundred (char, count) pairs per
+    partition, then a second one-row agg computes −Σ p·log2 p."""
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(
+            spark,
+            [],
+            "n_values long, min_len int, max_len int, avg_len double, entropy double",
+        )
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", field)
+    m = matched.join(fwd, "docid", "inner").where(F.col(field).isNotNull())
+    lens = m.agg(
+        F.count(field).alias("n_values"),
+        F.min(F.length(field)).alias("min_len"),
+        F.max(F.length(field)).alias("max_len"),
+        F.avg(F.length(field)).alias("avg_len"),
+    )
+    chars = (
+        m.select(F.explode(F.split(F.col(field), "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # H = -Σ p·log2 p = log2(T) - (Σ c·log2 c)/T — one agg pass, no window
+    ent = chars.agg(
+        (
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+        ).alias("entropy")
+    )
+    return lens.crossJoin(F.broadcast(ent))
+
+
+def sampler_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    shard_size: int = 100,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``sampler`` agg: restrict sub-aggregations to the best-scoring
+    ``shard_size`` matches (ES samples per shard; a single logical sample
+    here, deterministic via the engine-wide (score desc, docid asc)
+    tie-break). Sub-agg = extended length stats over the sample — the
+    canonical "profile the head of the result set cheaply" shape.
+
+    Plan: one BM25 top-``shard_size`` (block-max pruned like any other
+    top-k) feeding a single hash agg; the sample, not the corpus, crosses
+    the second stage."""
+    from .query import bm25_topk
+
+    top = bm25_topk(spark, index_dir, query, k=int(shard_size), cfg=cfg)
+    dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
+    return top.join(dls, "docid", "inner").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("dl").cast("long").alias("min_dl"),
+        F.max("dl").cast("long").alias("max_dl"),
+        F.avg("dl").alias("avg_dl"),
+    )

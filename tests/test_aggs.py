@@ -592,3 +592,48 @@ def test_top_metrics(spark, built_index):
     row = top_metrics(spark, built_index, "w0 w3", "ts", ("dl",), cfg=TEST_CFG).collect()[0]
     assert row.docid == want_doc
     assert row.dl == dls[want_doc]
+
+
+def test_value_count(spark, built_index, fwd, matched):
+    want = sum(1 for d in matched if fwd[d].tool is not None)
+    row = aggs.value_count(spark, built_index, Q, "tool", cfg=TEST_CFG).collect()[0]
+    assert row.field == "tool" and row.n_values == want
+
+
+def test_median_absolute_deviation(spark, built_index, fwd, matched):
+    dls = np.array([len(tokenize_text(fwd[d].text)) for d in matched], dtype=np.float64)
+    med = np.percentile(dls, 50)  # linear interpolation, same as F.percentile
+    want = np.percentile(np.abs(dls - med), 50)
+    row = aggs.median_absolute_deviation(spark, built_index, Q, cfg=TEST_CFG).collect()[0]
+    assert math.isclose(row.mad, want, rel_tol=1e-9)
+
+
+def test_boxplot(spark, built_index, fwd, matched):
+    dls = np.array([len(tokenize_text(fwd[d].text)) for d in matched], dtype=np.float64)
+    row = aggs.boxplot_agg(spark, built_index, Q, cfg=TEST_CFG).collect()[0]
+    assert row.min_dl == int(dls.min()) and row.max_dl == int(dls.max())
+    for got, q in ((row.q1, 25), (row.q2, 50), (row.q3, 75)):
+        assert math.isclose(got, np.percentile(dls, q), rel_tol=1e-9)
+
+
+def test_string_stats(spark, built_index, fwd, matched):
+    texts = [fwd[d].text for d in matched]
+    lens = [len(t) for t in texts]
+    pooled = Counter("".join(texts))
+    total = sum(pooled.values())
+    ent = -sum((c / total) * math.log2(c / total) for c in pooled.values())
+    row = aggs.string_stats(spark, built_index, Q, cfg=TEST_CFG).collect()[0]
+    assert row.n_values == len(texts)
+    assert row.min_len == min(lens) and row.max_len == max(lens)
+    assert math.isclose(row.avg_len, sum(lens) / len(lens), rel_tol=1e-12)
+    assert math.isclose(row.entropy, ent, rel_tol=1e-9)
+
+
+def test_sampler_agg(spark, built_index, fwd):
+    oix = build_oracle_index([(d, r.text) for d, r in fwd.items()])
+    top = [d for d, _ in score_query(oix, Q, k=25)]
+    dls = [len(tokenize_text(fwd[d].text)) for d in top]
+    row = aggs.sampler_agg(spark, built_index, Q, shard_size=25, cfg=TEST_CFG).collect()[0]
+    assert row.n_docs == len(top)
+    assert row.min_dl == min(dls) and row.max_dl == max(dls)
+    assert math.isclose(row.avg_dl, sum(dls) / len(dls), rel_tol=1e-12)
