@@ -34,6 +34,7 @@ from mysql_es_spark.operators.query import (
     direct_bm25,
     dis_max_topk,
     distance_feature_topk,
+    rank_feature_topk,
     fuzzy_topk,
     ids_topk,
     match_aggregate,
@@ -2446,6 +2447,52 @@ def q_agg_sampler_stats(spark, sf):
     )
 
 
+def q_agg_percentiles_bucket(spark, sf):
+    """ES percentiles_bucket: exact percentiles of the day-histogram's
+    n_docs bucket stream."""
+    out = esaggs.percentiles_bucket_agg(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1),
+        percents=(25.0, 50.0, 90.0), cfg=_docs_index_cfg(),
+    )
+    return out.select("pct", F.round("value", 4).alias("value"))
+
+
+def q_agg_normalize(spark, sf):
+    """ES normalize pipeline agg (percent_of_sum) over the day buckets."""
+    out = esaggs.normalize_agg(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1),
+        method="percent_of_sum", cfg=_docs_index_cfg(),
+    )
+    return out.select("period", "n_docs", F.round("value", 4).alias("value"))
+
+
+def q_agg_cumulative_cardinality(spark, sf):
+    """ES cumulative_cardinality: distinct tools (documents.source) seen
+    up to each day bucket among matched docs."""
+    return esaggs.cumulative_cardinality_agg(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1),
+        field="tool", cfg=_docs_index_cfg(),
+    )
+
+
+def q_bm25_rank_feature(spark, sf):
+    """ES rank_feature (saturation): BM25 over Q1 plus the additive
+    static-feature signal boost·f/(f+pivot), f = char length."""
+    top = rank_feature_topk(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1),
+        feature="length(text)", function="saturation", pivot=200.0,
+        boost=2.0, k=25, cfg=_docs_index_cfg(), with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -2511,6 +2558,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_boxplot": q_agg_boxplot,
         "agg_string_stats": q_agg_string_stats,
         "agg_sampler_stats": q_agg_sampler_stats,
+        "agg_percentiles_bucket": q_agg_percentiles_bucket,
+        "agg_normalize": q_agg_normalize,
+        "agg_cumulative_cardinality": q_agg_cumulative_cardinality,
+        "bm25_rank_feature": q_bm25_rank_feature,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "bm25_delete_by_query": q_bm25_deleted,
@@ -3876,6 +3927,70 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(max(dl.dl) AS BIGINT) AS max_dl,
        round(avg(dl.dl), 4) AS avg_dl
 FROM top JOIN dl USING (doc_id)
+""",
+        "agg_percentiles_bucket": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+matched AS (SELECT doc_id FROM toks WHERE list_has_any(tl, ['spark','join','query'])),
+hist AS (SELECT strftime(DATE '2026-01-01' + (doc_id % 10)::INT, '%Y-%m-%d') AS period,
+                count(*) AS n_docs
+         FROM matched GROUP BY 1),
+q AS (SELECT quantile_cont(n_docs, [0.25, 0.50, 0.90]) AS qs FROM hist)
+SELECT p.pct, round(q.qs[p.i], 4) AS value
+FROM q, (VALUES (25.0, 1), (50.0, 2), (90.0, 3)) AS p(pct, i)
+ORDER BY p.pct
+""",
+        "agg_normalize": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+matched AS (SELECT doc_id FROM toks WHERE list_has_any(tl, ['spark','join','query'])),
+hist AS (SELECT strftime(DATE '2026-01-01' + (doc_id % 10)::INT, '%Y-%m-%d') AS period,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM matched GROUP BY 1)
+SELECT period, n_docs,
+       round(n_docs / (SELECT sum(n_docs) FROM hist) * 100.0, 4) AS value
+FROM hist ORDER BY period
+""",
+        "agg_cumulative_cardinality": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+matched AS (SELECT doc_id FROM toks WHERE list_has_any(tl, ['spark','join','query'])),
+m AS (SELECT d.doc_id,
+             strftime(DATE '2026-01-01' + (d.doc_id % 10)::INT, '%Y-%m-%d') AS period,
+             d.source
+      FROM matched JOIN documents d USING (doc_id)),
+hist AS (SELECT period, CAST(count(*) AS BIGINT) AS n_docs FROM m GROUP BY 1),
+firsts AS (SELECT min(period) AS period, source FROM m
+           WHERE source IS NOT NULL GROUP BY source),
+newv AS (SELECT period, count(*) AS new_values FROM firsts GROUP BY 1)
+SELECT h.period, h.n_docs,
+       CAST(sum(coalesce(n.new_values, 0))
+            OVER (ORDER BY h.period) AS BIGINT) AS cum_unique
+FROM hist h LEFT JOIN newv n USING (period)
+ORDER BY h.period
+""",
+        "bm25_rank_feature": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+boosted AS (
+  SELECT s.doc_id,
+         s.s + 2.0 * length(d.text) / (length(d.text) + 200.0) AS s
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, round(s, 4) AS score FROM boosted
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 25
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES

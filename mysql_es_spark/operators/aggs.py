@@ -72,7 +72,9 @@ def date_histogram(
 ) -> DataFrame:
     """ES ``date_histogram`` over matching docs: one row per calendar
     ``interval`` bucket of the forward ``ts`` column with its doc count.
-    Empty buckets are omitted (ES ``min_doc_count: 1``)."""
+    Empty buckets are omitted (ES ``min_doc_count: 1``). Day-or-coarser
+    buckets key as ``yyyy-MM-dd``; sub-day buckets keep the full
+    truncated timestamp so distinct hours don't collapse."""
     cfg = effective_config(spark, index_dir, cfg)
     matched = _matched_docids(spark, index_dir, query, cfg)
     if matched is None:
@@ -80,10 +82,20 @@ def date_histogram(
     fwd = tbl.read(spark, index_dir, "forward").select("docid", "ts")
     return (
         matched.join(fwd, "docid", "inner")
-        .groupBy(F.date_format(F.date_trunc(interval, "ts"), "yyyy-MM-dd").alias("period"))
+        .groupBy(_period_col(interval).alias("period"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("period")
     )
+
+
+def _period_col(interval: str, ts: str = "ts"):
+    """Bucket key for a date_histogram interval (see date_histogram)."""
+    fmt = (
+        "yyyy-MM-dd"
+        if interval in ("day", "week", "month", "quarter", "year")
+        else "yyyy-MM-dd HH:mm:ss"
+    )
+    return F.date_format(F.date_trunc(interval, ts), fmt)
 
 
 def histogram(
@@ -1232,4 +1244,136 @@ def sampler_agg(
         F.min("dl").cast("long").alias("min_dl"),
         F.max("dl").cast("long").alias("max_dl"),
         F.avg("dl").alias("avg_dl"),
+    )
+
+
+def percentiles_bucket_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    interval: str = "day",
+    percents: tuple[float, ...] = (25.0, 50.0, 75.0),
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``percentiles_bucket`` sibling pipeline agg: percentiles of the
+    parent date_histogram's ``n_docs`` bucket stream (exact,
+    linearly interpolated — this engine's percentiles contract; ES itself
+    is exact here too, since pipeline aggs see the reduced bucket list).
+    One row per requested percent: (pct, value).
+
+    Scale shape: the parent histogram is the distributed matched ⋈
+    forward agg; this pass aggregates its OUTPUT — cardinality ∝ bucket
+    count, never corpus size — into a single row, then explodes to
+    (pct, value) rows."""
+    pcts = [float(p) for p in percents]
+    if not pcts or any(not (0.0 <= p <= 100.0) for p in pcts):
+        raise ValueError(f"percentiles_bucket_agg: bad percents {percents!r}")
+    hist = date_histogram(spark, index_dir, query, interval, cfg)
+    row = hist.agg(
+        F.percentile("n_docs", F.lit([p / 100.0 for p in pcts])).alias("qs")
+    )
+    z = row.select(
+        F.explode(
+            F.arrays_zip(F.lit(pcts).alias("pct"), F.col("qs").alias("value"))
+        ).alias("z")
+    )
+    return z.select(F.col("z.pct").alias("pct"), F.col("z.value").alias("value"))
+
+
+def normalize_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    interval: str = "day",
+    method: str = "percent_of_sum",
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``normalize`` pipeline agg: rescale the parent date_histogram's
+    ``n_docs`` per bucket. Methods (the ES set): ``percent_of_sum``
+    (v/Σv · 100), ``rescale_0_1``, ``rescale_0_100``, ``mean``
+    ((v-avg)/(max-min)), ``z-score`` ((v-avg)/σ_pop), ``softmax``
+    (computed stably as exp(v-max)/Σexp(v-max), mathematically identical
+    to ES's plain softmax without overflowing on large counts).
+
+    The cross-bucket stats come from a one-row agg broadcast back over
+    the bucket stream — no window, no driver round-trip."""
+    hist = date_histogram(spark, index_dir, query, interval, cfg)
+    stats = hist.agg(
+        F.sum("n_docs").alias("_sum"),
+        F.min("n_docs").alias("_min"),
+        F.max("n_docs").alias("_max"),
+        F.avg("n_docs").alias("_avg"),
+        F.stddev_pop("n_docs").alias("_std"),
+    )
+    j = hist.crossJoin(F.broadcast(stats))
+    v = F.col("n_docs").cast("double")
+    # spread-normalized methods use try_divide: a single-bucket / zero-
+    # spread stream yields null (the analog of ES's Java NaN there)
+    if method == "percent_of_sum":
+        val = v / F.col("_sum") * 100.0
+    elif method == "rescale_0_1":
+        val = F.try_divide(v - F.col("_min"), F.col("_max") - F.col("_min"))
+    elif method == "rescale_0_100":
+        val = F.try_divide(v - F.col("_min"), F.col("_max") - F.col("_min")) * 100.0
+    elif method == "mean":
+        val = F.try_divide(v - F.col("_avg"), F.col("_max") - F.col("_min"))
+    elif method == "z-score":
+        val = F.try_divide(v - F.col("_avg"), F.col("_std"))
+    elif method == "softmax":
+        num = F.exp(v - F.col("_max"))
+        den = F.sum(F.exp(v - F.col("_max"))).over(W.partitionBy())
+        val = num / den
+    else:
+        raise ValueError(f"normalize_agg: unknown method {method!r}")
+    return j.select("period", "n_docs", val.alias("value")).orderBy("period")
+
+
+def cumulative_cardinality_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    field: str = "tool",
+    interval: str = "day",
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline agg: per date bucket, how
+    many DISTINCT values of ``field`` have been seen in matched docs up
+    to and including that bucket (the "new users over time" panel).
+    Missing (null) values are skipped, like the cardinality agg.
+
+    Scale shape: ES computes this by merging per-bucket HLL sketches in
+    bucket order; the exact distributed realization here is
+    first-occurrence assignment — min(period) per value (one hash agg,
+    keyed by the value, never the corpus), new-value counts per bucket,
+    then a cumulative sum over the bucket stream (single-partition window
+    over ∝ time-range rows, the one place that's scale-safe). Buckets
+    with matches but no new values still appear, carrying the running
+    total forward."""
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(
+            spark, [], "period string, n_docs long, cum_unique long"
+        )
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", field, "ts")
+    m = matched.join(fwd, "docid", "inner").withColumn(
+        "period", _period_col(interval)
+    )
+    hist = m.groupBy("period").agg(F.count(F.lit(1)).alias("n_docs"))
+    firsts = (
+        m.where(F.col(field).isNotNull())
+        .groupBy(field)
+        .agg(F.min("period").alias("period"))
+        .groupBy("period")
+        .agg(F.count(F.lit(1)).alias("new_values"))
+    )
+    w = W.orderBy("period")
+    return (
+        hist.join(firsts, "period", "left")
+        .select(
+            "period",
+            "n_docs",
+            F.sum(F.coalesce(F.col("new_values"), F.lit(0))).over(w).alias("cum_unique"),
+        )
+        .orderBy("period")
     )

@@ -2924,6 +2924,62 @@ def distance_feature_topk(
     )
 
 
+def rank_feature_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    feature: str = "length(text)",
+    function: str = "saturation",
+    pivot: float = 10.0,
+    scaling_factor: float = 1.0,
+    exponent: float = 1.0,
+    boost: float = 1.0,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``bool { must: match, should: rank_feature }``: BM25 relevance
+    plus an additive static-feature signal (pagerank, popularity, code
+    quality…). ``feature`` is a SQL expression over the forward columns;
+    the score contribution follows ES's rank_feature functions exactly:
+
+    - ``saturation``: boost · f/(f+pivot)  (ES default; pivot required
+      here for determinism — ES otherwise estimates it from the index)
+    - ``log``:        boost · ln(1 + scaling_factor·f)
+    - ``sigmoid``:    boost · f^exp/(f^exp + pivot^exp)
+
+    Delegates to the function_score machinery in sum mode: an additive
+    doc-dependent feature invalidates BM25-only block bounds, so every
+    matched doc is scored once (single postings decode, one docid shuffle
+    to the column-pruned forward scan). All math stays JVM-side."""
+    f = F.expr(feature).cast("double")
+    if function == "saturation":
+        if pivot <= 0:
+            raise ValueError(f"rank_feature_topk: pivot must be > 0, got {pivot}")
+        mod = f / (f + F.lit(float(pivot)))
+    elif function == "log":
+        mod = F.log(F.lit(1.0) + F.lit(float(scaling_factor)) * f)
+    elif function == "sigmoid":
+        if pivot <= 0 or exponent <= 0:
+            raise ValueError(
+                f"rank_feature_topk: pivot/exponent must be > 0, got {pivot}/{exponent}"
+            )
+        fe = F.pow(f, F.lit(float(exponent)))
+        mod = fe / (fe + F.lit(float(pivot) ** float(exponent)))
+    else:
+        raise ValueError(f"rank_feature_topk: unknown function {function!r}")
+    return function_score_topk(
+        spark,
+        index_dir,
+        query,
+        F.lit(float(boost)) * mod,
+        k=k,
+        boost_mode="sum",
+        cfg=cfg,
+        with_keys=with_keys,
+    )
+
+
 def pinned_topk(
     spark: SparkSession,
     index_dir: str,

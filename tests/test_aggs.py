@@ -637,3 +637,71 @@ def test_sampler_agg(spark, built_index, fwd):
     assert row.n_docs == len(top)
     assert row.min_dl == min(dls) and row.max_dl == max(dls)
     assert math.isclose(row.avg_dl, sum(dls) / len(dls), rel_tol=1e-12)
+
+
+def _hour_hist(fwd, matched):
+    return Counter(fwd[d].ts.strftime("%Y-%m-%d %H:00:00") for d in matched)
+
+
+def test_percentiles_bucket(spark, built_index, fwd, matched):
+    vals = np.array(sorted(_hour_hist(fwd, matched).values()), dtype=np.float64)
+    got = aggs.percentiles_bucket_agg(
+        spark, built_index, Q, interval="hour", percents=(25.0, 50.0, 90.0), cfg=TEST_CFG
+    ).collect()
+    assert [r.pct for r in got] == [25.0, 50.0, 90.0]
+    for r in got:
+        assert math.isclose(r.value, np.percentile(vals, r.pct), rel_tol=1e-9)
+
+
+def test_normalize_agg(spark, built_index, fwd, matched):
+    hist = _hour_hist(fwd, matched)
+    tot = sum(hist.values())
+    got = {
+        r.period: r.value
+        for r in aggs.normalize_agg(
+            spark, built_index, Q, interval="hour", cfg=TEST_CFG
+        ).collect()
+    }
+    assert got.keys() == set(hist)
+    for p, v in got.items():
+        assert math.isclose(v, hist[p] / tot * 100.0, rel_tol=1e-12)
+    vals = np.array(list(hist.values()), dtype=np.float64)
+    gz = {
+        r.period: r.value
+        for r in aggs.normalize_agg(
+            spark, built_index, Q, interval="hour", method="z-score", cfg=TEST_CFG
+        ).collect()
+    }
+    for p, v in gz.items():
+        assert math.isclose(v, (hist[p] - vals.mean()) / vals.std(), rel_tol=1e-9)
+    ex = np.exp(vals - vals.max())
+    sm = {v: e / ex.sum() for v, e in zip(hist.values(), ex)}
+    gs = {
+        r.period: r.value
+        for r in aggs.normalize_agg(
+            spark, built_index, Q, interval="hour", method="softmax", cfg=TEST_CFG
+        ).collect()
+    }
+    for p, v in gs.items():
+        assert math.isclose(v, sm[hist[p]], rel_tol=1e-9)
+    with pytest.raises(ValueError):
+        aggs.normalize_agg(spark, built_index, Q, method="nope", cfg=TEST_CFG)
+
+
+def test_cumulative_cardinality(spark, built_index, fwd, matched):
+    periods = sorted(_hour_hist(fwd, matched))
+    seen: set = set()
+    want = {}
+    for p in periods:
+        for d in matched:
+            if fwd[d].ts.strftime("%Y-%m-%d %H:00:00") == p and fwd[d].tool is not None:
+                seen.add(fwd[d].tool)
+        want[p] = len(seen)
+    got = aggs.cumulative_cardinality_agg(
+        spark, built_index, Q, field="tool", interval="hour", cfg=TEST_CFG
+    ).collect()
+    assert [r.period for r in got] == periods
+    hist = _hour_hist(fwd, matched)
+    for r in got:
+        assert r.n_docs == hist[r.period]
+        assert r.cum_unique == want[r.period], (r.period, r.cum_unique, want[r.period])

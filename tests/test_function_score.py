@@ -87,3 +87,52 @@ def test_sql_string_modifier_and_validation(spark, built_index, base_scores):
     with pytest.raises(ValueError):
         function_score_topk(spark, built_index, Q, "1.0", boost_mode="max", cfg=TEST_CFG)
     assert function_score_topk(spark, built_index, "", "1.0", cfg=TEST_CFG).count() == 0
+
+
+def test_rank_feature_saturation(spark, built_index, fwd, base_scores):
+    from mysql_es_spark.operators.query import rank_feature_topk
+
+    sat = lambda d: 1.5 * (len(fwd[d].text) / (len(fwd[d].text) + 40.0))
+    want = sorted(
+        ((d, s + sat(d)) for d, s in base_scores.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = rank_feature_topk(
+        spark, built_index, Q, feature="length(text)", function="saturation",
+        pivot=40.0, boost=1.5, k=10, cfg=TEST_CFG,
+    ).collect()
+    assert [r.docid for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r.score, s, rel_tol=1e-12)
+
+
+def test_rank_feature_log_and_sigmoid(spark, built_index, fwd, base_scores):
+    from mysql_es_spark.operators.query import rank_feature_topk
+
+    lg = lambda d: math.log(1.0 + 0.1 * len(fwd[d].text))
+    want = sorted(
+        ((d, s + lg(d)) for d, s in base_scores.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    got = rank_feature_topk(
+        spark, built_index, Q, feature="length(text)", function="log",
+        scaling_factor=0.1, k=5, cfg=TEST_CFG,
+    ).collect()
+    assert [r.docid for r in got] == [d for d, _ in want]
+
+    sig = lambda d: (len(fwd[d].text) ** 2.0) / (len(fwd[d].text) ** 2.0 + 50.0**2.0)
+    want = sorted(
+        ((d, s + sig(d)) for d, s in base_scores.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    got = rank_feature_topk(
+        spark, built_index, Q, feature="length(text)", function="sigmoid",
+        pivot=50.0, exponent=2.0, k=5, cfg=TEST_CFG,
+    ).collect()
+    assert [r.docid for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r.score, s, rel_tol=1e-12)
+    with pytest.raises(ValueError):
+        rank_feature_topk(spark, built_index, Q, function="nope", cfg=TEST_CFG)
+    with pytest.raises(ValueError):
+        rank_feature_topk(spark, built_index, Q, function="saturation", pivot=0, cfg=TEST_CFG)
