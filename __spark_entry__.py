@@ -2493,6 +2493,39 @@ def q_bm25_rank_feature(spark, sf):
     )
 
 
+def q_agg_matrix_stats(spark, sf):
+    """ES matrix_stats: population moments + covariance/correlation of
+    (analyzed length, char length) over the matched docs."""
+    r = esaggs.matrix_stats_agg(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1), cfg=_docs_index_cfg()
+    )
+    return r.select(
+        "n",
+        *[F.round(c, 4).alias(c) for c in (
+            "mean_x", "var_x", "skew_x", "kurt_x",
+            "mean_y", "var_y", "skew_y", "kurt_y", "cov_xy", "corr_xy",
+        )],
+    )
+
+
+def q_agg_t_test(spark, sf):
+    """ES t_test (Welch): analyzed lengths of Q1-matched vs Q2-matched."""
+    r = esaggs.t_test_agg(
+        spark, _index_for_documents(spark, sf),
+        " ".join(BM25_Q1), " ".join(BM25_Q2), cfg=_docs_index_cfg(),
+    )
+    return r.select("n_a", "n_b", F.round("t", 4).alias("t"), F.round("df", 4).alias("df"))
+
+
+def q_agg_rate(spark, sf):
+    """ES rate agg: day-bucket doc counts as per-hour rates."""
+    r = esaggs.rate_agg(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1),
+        interval="day", unit="hour", cfg=_docs_index_cfg(),
+    )
+    return r.select("period", "n_docs", F.round("rate", 4).alias("rate"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -2562,6 +2595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_normalize": q_agg_normalize,
         "agg_cumulative_cardinality": q_agg_cumulative_cardinality,
         "bm25_rank_feature": q_bm25_rank_feature,
+        "agg_matrix_stats": q_agg_matrix_stats,
+        "agg_t_test": q_agg_t_test,
+        "agg_rate": q_agg_rate,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "bm25_delete_by_query": q_bm25_deleted,
@@ -3991,6 +4027,54 @@ boosted AS (
 )
 SELECT doc_id, round(s, 4) AS score FROM boosted
 ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 25
+""",
+        "agg_matrix_stats": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT toks.doc_id, len(tl)::DOUBLE AS x, length(d.text)::DOUBLE AS y
+      FROM toks JOIN documents d USING (doc_id)
+      WHERE list_has_any(tl, ['spark','join','query'])),
+s AS (SELECT count(*)::DOUBLE AS n,
+             sum(x) AS sx1, sum(x*x) AS sx2, sum(x*x*x) AS sx3, sum(x*x*x*x) AS sx4,
+             sum(y) AS sy1, sum(y*y) AS sy2, sum(y*y*y) AS sy3, sum(y*y*y*y) AS sy4,
+             sum(x*y) AS sxy
+      FROM m),
+mo AS (SELECT n,
+              sx1/n AS mx, sx2/n - (sx1/n)^2 AS vx,
+              sx3/n - 3*(sx1/n)*(sx2/n) + 2*(sx1/n)^3 AS m3x,
+              sx4/n - 4*(sx1/n)*(sx3/n) + 6*(sx1/n)^2*(sx2/n) - 3*(sx1/n)^4 AS m4x,
+              sy1/n AS my, sy2/n - (sy1/n)^2 AS vy,
+              sy3/n - 3*(sy1/n)*(sy2/n) + 2*(sy1/n)^3 AS m3y,
+              sy4/n - 4*(sy1/n)*(sy3/n) + 6*(sy1/n)^2*(sy2/n) - 3*(sy1/n)^4 AS m4y,
+              sxy/n - (sx1/n)*(sy1/n) AS cxy
+       FROM s)
+SELECT CAST(n AS BIGINT) AS n,
+       round(mx, 4) AS mean_x, round(vx, 4) AS var_x,
+       round(m3x / vx^1.5, 4) AS skew_x, round(m4x / vx^2, 4) AS kurt_x,
+       round(my, 4) AS mean_y, round(vy, 4) AS var_y,
+       round(m3y / vy^1.5, 4) AS skew_y, round(m4y / vy^2, 4) AS kurt_y,
+       round(cxy, 4) AS cov_xy, round(cxy / sqrt(vx * vy), 4) AS corr_xy
+FROM mo
+""",
+        "agg_t_test": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+a AS (SELECT count(*)::DOUBLE AS n_a, avg(len(tl)) AS mean_a, var_samp(len(tl)) AS var_a
+      FROM toks WHERE list_has_any(tl, ['spark','join','query'])),
+b AS (SELECT count(*)::DOUBLE AS n_b, avg(len(tl)) AS mean_b, var_samp(len(tl)) AS var_b
+      FROM toks WHERE list_has_any(tl, ['window','agg','batch','scan']))
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round((mean_a - mean_b) / sqrt(var_a/n_a + var_b/n_b), 4) AS t,
+       round((var_a/n_a + var_b/n_b)^2 /
+             ((var_a/n_a)^2/(n_a-1) + (var_b/n_b)^2/(n_b-1)), 4) AS df
+FROM a, b
+""",
+        "agg_rate": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+matched AS (SELECT doc_id FROM toks WHERE list_has_any(tl, ['spark','join','query'])),
+hist AS (SELECT strftime(DATE '2026-01-01' + (doc_id % 10)::INT, '%Y-%m-%d') AS period,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM matched GROUP BY 1)
+SELECT period, n_docs, round(n_docs * 3600.0 / 86400.0, 4) AS rate
+FROM hist ORDER BY period
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES

@@ -1377,3 +1377,171 @@ def cumulative_cardinality_agg(
         )
         .orderBy("period")
     )
+
+
+def matrix_stats_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``matrix_stats`` over two numeric per-doc fields of the matched
+    set — x = analyzed length (dl), y = raw character length: per-field
+    count/mean/variance/skewness/kurtosis plus the cross-field covariance
+    and Pearson correlation.
+
+    All moments are POPULATION moments computed from power sums in ONE
+    hash-agg pass (n, Σx, Σx², Σx³, Σx⁴, Σy…, Σxy) — the same
+    map-side-combining shape as extended_stats, engine-portable because
+    the formulas are explicit rather than delegated to library
+    skewness/kurtosis (whose sample-vs-population conventions differ
+    between engines). Kurtosis is plain m4/m2² (not excess)."""
+    cfg = effective_config(spark, index_dir, cfg)
+    schema = (
+        "n long, mean_x double, var_x double, skew_x double, kurt_x double, "
+        "mean_y double, var_y double, skew_y double, kurt_y double, "
+        "cov_xy double, corr_xy double"
+    )
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(spark, [], schema)
+    dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
+    fwd = tbl.read(spark, index_dir, "forward").select(
+        "docid", F.length("text").alias("ylen")
+    )
+    m = (
+        matched.join(dls, "docid", "inner")
+        .join(fwd, "docid", "inner")
+        .select(F.col("dl").cast("double").alias("x"), F.col("ylen").cast("double").alias("y"))
+    )
+    sums = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.pow(c, p)).alias(f"s{c}{p}")
+            for c in ("x", "y")
+            for p in (1, 2, 3, 4)
+        ],
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+
+    def moments(c):
+        n = F.col("n").cast("double")
+        mu = F.col(f"s{c}1") / n
+        m2 = F.col(f"s{c}2") / n - mu * mu
+        m3 = F.col(f"s{c}3") / n - 3 * mu * F.col(f"s{c}2") / n + 2 * mu * mu * mu
+        m4 = (
+            F.col(f"s{c}4") / n
+            - 4 * mu * F.col(f"s{c}3") / n
+            + 6 * mu * mu * F.col(f"s{c}2") / n
+            - 3 * mu * mu * mu * mu
+        )
+        return mu, m2, F.try_divide(m3, F.pow(m2, 1.5)), F.try_divide(m4, m2 * m2)
+
+    mux, varx, skx, kux = moments("x")
+    muy, vary, sky, kuy = moments("y")
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") / n - mux * muy
+    corr = F.try_divide(cov, F.sqrt(varx * vary))
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        mux.alias("mean_x"), varx.alias("var_x"),
+        skx.alias("skew_x"), kux.alias("kurt_x"),
+        muy.alias("mean_y"), vary.alias("var_y"),
+        sky.alias("skew_y"), kuy.alias("kurt_y"),
+        cov.alias("cov_xy"), corr.alias("corr_xy"),
+    )
+
+
+def t_test_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query_a: str,
+    query_b: str,
+    mode: str = "heteroscedastic",
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``t_test`` between the analyzed lengths of two queries' matched
+    sets: Student's t statistic, ``heteroscedastic`` (Welch, the ES
+    default — Welch–Satterthwaite df) or ``homoscedastic`` (pooled
+    variance, df = nₐ+n_b-2). Sample (n-1) variances, as the test
+    demands. Returns one row (n_a, n_b, t, df).
+
+    Scale shape: each side is the usual presence-only postings decode ⋈
+    doc_lens reduced to a single (n, Σx, Σx²) row; the t math happens on
+    the 1×1 cross join. Docs matching both queries land in both groups
+    (unpaired test, like ES's field-level t_test on filtered aggs)."""
+    if mode not in ("heteroscedastic", "homoscedastic"):
+        raise ValueError(f"t_test_agg: unknown mode {mode!r}")
+    cfg = effective_config(spark, index_dir, cfg)
+    dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
+
+    def side(q, tag):
+        matched = _matched_docids(spark, index_dir, q, cfg)
+        if matched is None:
+            return tbl.local_rows_df(
+                spark, [(0, None, None)], f"n_{tag} long, mean_{tag} double, var_{tag} double"
+            )
+        return matched.join(dls, "docid", "inner").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.avg("dl").alias(f"mean_{tag}"),
+            F.var_samp("dl").alias(f"var_{tag}"),
+        )
+
+    j = side(query_a, "a").crossJoin(F.broadcast(side(query_b, "b")))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    va, vb = F.col("var_a"), F.col("var_b")
+    diff = F.col("mean_a") - F.col("mean_b")
+    if mode == "heteroscedastic":
+        se2 = va / na + vb / nb
+        t = F.try_divide(diff, F.sqrt(se2))
+        df = F.try_divide(
+            se2 * se2,
+            F.pow(va / na, 2) / (na - 1) + F.pow(vb / nb, 2) / (nb - 1),
+        )
+    else:
+        sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+        t = F.try_divide(diff, F.sqrt(sp2 * (1 / na + 1 / nb)))
+        df = na + nb - 2
+    return j.select("n_a", "n_b", t.alias("t"), df.alias("df"))
+
+
+_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def rate_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    interval: str = "day",
+    unit: str = "hour",
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``rate`` agg inside a date_histogram: each bucket's doc count
+    converted to a per-``unit`` rate. Fixed-length buckets divide by the
+    constant ratio; calendar buckets (month/quarter/year) divide by that
+    bucket's ACTUAL length in days (ES's calendar-aware contract — a
+    February rate uses 28 days). Pure arithmetic over the histogram's
+    output — no second scan."""
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(f"rate_agg: unsupported unit {unit!r}")
+    hist = date_histogram(spark, index_dir, query, interval, cfg)
+    usec = float(_UNIT_SECONDS[unit])
+    if interval in _UNIT_SECONDS:
+        bucket_sec = F.lit(float(_UNIT_SECONDS[interval]))
+    elif interval in ("month", "quarter", "year"):
+        start = F.to_date("period")
+        nxt = F.add_months(start, {"month": 1, "quarter": 3, "year": 12}[interval])
+        bucket_sec = F.date_diff(nxt, start).cast("double") * 86400.0
+    else:
+        raise ValueError(f"rate_agg: unsupported interval {interval!r}")
+    return hist.select(
+        "period",
+        "n_docs",
+        (F.col("n_docs") * F.lit(usec) / bucket_sec).alias("rate"),
+    ).orderBy("period")

@@ -705,3 +705,63 @@ def test_cumulative_cardinality(spark, built_index, fwd, matched):
     for r in got:
         assert r.n_docs == hist[r.period]
         assert r.cum_unique == want[r.period], (r.period, r.cum_unique, want[r.period])
+
+
+def test_matrix_stats(spark, built_index, fwd, matched):
+    x = np.array([len(tokenize_text(fwd[d].text)) for d in matched], dtype=np.float64)
+    y = np.array([len(fwd[d].text) for d in matched], dtype=np.float64)
+    r = aggs.matrix_stats_agg(spark, built_index, Q, cfg=TEST_CFG).collect()[0]
+    assert r.n == len(x)
+    assert math.isclose(r.mean_x, x.mean(), rel_tol=1e-12)
+    assert math.isclose(r.var_x, x.var(), rel_tol=1e-9)
+    m3 = ((x - x.mean()) ** 3).mean()
+    m4 = ((x - x.mean()) ** 4).mean()
+    assert math.isclose(r.skew_x, m3 / x.var() ** 1.5, rel_tol=1e-7)
+    assert math.isclose(r.kurt_x, m4 / x.var() ** 2, rel_tol=1e-7)
+    assert math.isclose(r.mean_y, y.mean(), rel_tol=1e-12)
+    cov = ((x - x.mean()) * (y - y.mean())).mean()
+    assert math.isclose(r.cov_xy, cov, rel_tol=1e-9)
+    assert math.isclose(r.corr_xy, cov / (x.std() * y.std()), rel_tol=1e-9)
+
+
+def test_t_test(spark, built_index, fwd):
+    qa, qb = "w0 w3", "w1"
+    def dls(q):
+        qt = set(query_terms(q))
+        return np.array(
+            [len(tokenize_text(r.text)) for r in fwd.values() if qt & set(tokenize_text(r.text))],
+            dtype=np.float64,
+        )
+    a, b = dls(qa), dls(qb)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    na, nb = len(a), len(b)
+    r = aggs.t_test_agg(spark, built_index, qa, qb, cfg=TEST_CFG).collect()[0]
+    assert (r.n_a, r.n_b) == (na, nb)
+    se2 = va / na + vb / nb
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    df = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert math.isclose(r.t, t, rel_tol=1e-9)
+    assert math.isclose(r.df, df, rel_tol=1e-9)
+    rh = aggs.t_test_agg(spark, built_index, qa, qb, mode="homoscedastic", cfg=TEST_CFG).collect()[0]
+    sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    th = (a.mean() - b.mean()) / math.sqrt(sp2 * (1 / na + 1 / nb))
+    assert math.isclose(rh.t, th, rel_tol=1e-9)
+    assert rh.df == na + nb - 2
+    with pytest.raises(ValueError):
+        aggs.t_test_agg(spark, built_index, qa, qb, mode="paired", cfg=TEST_CFG)
+
+
+def test_rate_agg(spark, built_index, fwd, matched):
+    hist = _hour_hist(fwd, matched)
+    got = aggs.rate_agg(
+        spark, built_index, Q, interval="hour", unit="minute", cfg=TEST_CFG
+    ).collect()
+    assert {r.period for r in got} == set(hist)
+    for r in got:
+        assert math.isclose(r.rate, hist[r.period] * 60.0 / 3600.0, rel_tol=1e-12)
+    # calendar bucket: one January month bucket, 31 days, per-day rate
+    gm = aggs.rate_agg(
+        spark, built_index, Q, interval="month", unit="day", cfg=TEST_CFG
+    ).collect()
+    assert len(gm) == 1 and gm[0].period == "2026-01-01"
+    assert math.isclose(gm[0].rate, len(matched) / 31.0, rel_tol=1e-12)
