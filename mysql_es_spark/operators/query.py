@@ -3750,3 +3750,107 @@ def phrase_synonym_topk(
         .limit(k)
     )
     return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
+def intervals_topk(
+    spark: SparkSession,
+    index_dir: str,
+    rule: dict,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``intervals`` query — the modern positional DSL — compiled onto
+    this engine's span machinery. Supported rule shapes (the common ES
+    forms; anything else raises):
+
+    - ``{"match": {"query": "...", "max_gaps": g, "ordered": o}}`` —
+      proximity over the analyzed tokens: in-order chains with total
+      stretch ≤ ``max_gaps`` (``ordered=True``, Lucene SpanNear
+      inOrder=true) or any-order windows (``ordered=False``). Defaults
+      g=0, o=True (exact phrase). → :func:`phrase_topk`.
+    - ``{"all_of": {"intervals": [...], "ordered": True, "max_gaps": g}}``
+      where every sub-interval is a single-token ``match`` →
+      :func:`phrase_topk` over the token sequence. With ``any_of``
+      sub-intervals (each a set of single-token matches), only the
+      consecutive form (g=0, ordered) is supported →
+      :func:`phrase_synonym_topk` (span_near over span_or).
+    - ``{"any_of": {"intervals": [...]}}`` at the top level: a doc
+      matches if ANY sub-rule matches; its score is the BEST sub-rule
+      score (dis-max — the same alternatives contract as synonym
+      scoring). Each sub-rule may be any supported shape.
+
+    Output: (docid, score). Top-level any_of is exact under per-sub
+    top-k: a doc in the combined top-k must sit in its best sub-rule's
+    top-k (every doc ranked above it there also outranks it combined),
+    so k rows per branch suffice — no unbounded union materializes.
+
+    Scale shape: each branch is the proven salt-pruned positional pass;
+    the combiner is a ≤ |branches|·k row outer join on the driver-free
+    path (no collect)."""
+    cfg = effective_config(spark, index_dir, cfg)
+    if not isinstance(rule, dict) or len(rule) != 1:
+        raise ValueError("intervals rule must be a single-key dict")
+    kind, body = next(iter(rule.items()))
+
+    def single_token(sub: dict) -> str | None:
+        if set(sub) == {"match"}:
+            toks = tokenize_text(sub["match"].get("query", ""))
+            if len(toks) == 1:
+                return toks[0]
+        return None
+
+    def alt_tokens(sub: dict) -> list[str] | None:
+        """any_of of single-token matches → its token alternatives."""
+        if set(sub) == {"any_of"}:
+            alts = [single_token(s) for s in sub["any_of"].get("intervals", [])]
+            if alts and all(a is not None for a in alts):
+                return alts  # type: ignore[return-value]
+        return None
+
+    if kind == "match":
+        q = body.get("query", "")
+        g = int(body.get("max_gaps", 0))
+        o = bool(body.get("ordered", True))
+        out = phrase_topk(spark, index_dir, q, k=k, cfg=cfg, slop=g, ordered=o)
+        scored = out.select("docid", "score")
+    elif kind == "all_of":
+        subs = body.get("intervals", [])
+        g = int(body.get("max_gaps", 0))
+        o = bool(body.get("ordered", True))
+        if not subs:
+            raise ValueError("all_of needs sub-intervals")
+        singles = [single_token(s) for s in subs]
+        if all(t is not None for t in singles):
+            out = phrase_topk(
+                spark, index_dir, " ".join(singles), k=k, cfg=cfg, slop=g, ordered=o
+            )
+        else:
+            slots = []
+            for s, t in zip(subs, singles):
+                alts = [t] if t is not None else alt_tokens(s)
+                if alts is None:
+                    raise ValueError(f"unsupported all_of sub-interval: {s!r}")
+                slots.append(alts)
+            if g != 0 or not o:
+                raise ValueError(
+                    "all_of with any_of alternatives supports only "
+                    "ordered consecutive spans (max_gaps=0, ordered=True)"
+                )
+            out = phrase_synonym_topk(spark, index_dir, slots, k=k, cfg=cfg)
+        scored = out.select("docid", "score")
+    elif kind == "any_of":
+        subs = body.get("intervals", [])
+        if not subs:
+            raise ValueError("any_of needs sub-intervals")
+        branches = [
+            intervals_topk(spark, index_dir, s, k=k, cfg=cfg) for s in subs
+        ]
+        scored = branches[0]
+        for b in branches[1:]:
+            scored = scored.unionByName(b)
+        scored = scored.groupBy("docid").agg(F.max("score").alias("score"))
+    else:
+        raise ValueError(f"unsupported intervals rule {kind!r}")
+    scored = scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
