@@ -2563,6 +2563,16 @@ def q_bm25_intervals(spark, sf):
     )
 
 
+def q_agg_auto_date_histogram(spark, sf):
+    """ES auto_date_histogram, target 12 buckets: the documents index
+    spans 10 midnight-anchored days, so hour overflows (>216) and day
+    (10 <= 12) is the finest fitting rung — the oracle fixes 'day'."""
+    return esaggs.auto_date_histogram(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1),
+        target_buckets=12, cfg=_docs_index_cfg(),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -2636,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_t_test": q_agg_t_test,
         "agg_rate": q_agg_rate,
         "bm25_intervals": q_bm25_intervals,
+        "agg_auto_date_histogram": q_agg_auto_date_histogram,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "bm25_delete_by_query": q_bm25_deleted,
@@ -4163,6 +4174,14 @@ comb AS (
   FROM sc_a FULL OUTER JOIN sc_b ON sc_a.doc_id = sc_b.doc_id)
 SELECT doc_id, round(s, 4) AS score FROM comb
 ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 40
+""",
+        "agg_auto_date_histogram": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+matched AS (SELECT doc_id FROM toks WHERE list_has_any(tl, ['spark','join','query']))
+SELECT 'day' AS interval,
+       strftime(DATE '2026-01-01' + (doc_id % 10)::INT, '%Y-%m-%d') AS period,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM matched GROUP BY 2 ORDER BY 2
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES

@@ -1545,3 +1545,75 @@ def rate_agg(
         "n_docs",
         (F.col("n_docs") * F.lit(usec) / bucket_sec).alias("rate"),
     ).orderBy("period")
+
+
+_AUTO_LADDER = ("second", "minute", "hour", "day", "week", "month", "quarter", "year")
+
+
+def _bucket_count(lo, hi, interval: str) -> int:
+    """Exact calendar bucket count covering [lo, hi] at ``interval``
+    (distinct date_trunc values — ISO Monday weeks, like Spark)."""
+    import datetime as _dt
+
+    if interval in _UNIT_SECONDS:
+        if interval == "week":
+            mon_lo = lo.date() - _dt.timedelta(days=lo.weekday())
+            mon_hi = hi.date() - _dt.timedelta(days=hi.weekday())
+            return (mon_hi - mon_lo).days // 7 + 1
+        sec = _UNIT_SECONDS[interval]
+        e_lo = int(lo.timestamp()) // sec
+        e_hi = int(hi.timestamp()) // sec
+        return e_hi - e_lo + 1
+    if interval == "month":
+        return (hi.year * 12 + hi.month) - (lo.year * 12 + lo.month) + 1
+    if interval == "quarter":
+        return (hi.year * 4 + (hi.month - 1) // 3) - (lo.year * 4 + (lo.month - 1) // 3) + 1
+    if interval == "year":
+        return hi.year - lo.year + 1
+    raise ValueError(f"unknown interval {interval!r}")
+
+
+def auto_date_histogram(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    target_buckets: int = 10,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the finest calendar interval whose
+    bucket count over the matched span stays ≤ ``target_buckets``, then
+    run the normal date_histogram at it. The ladder here is the calendar
+    units (second…year) without ES's sub-unit multiples (5s/30m/3h…) — a
+    documented simplification; the contract (finest resolution within
+    the budget, never more than target buckets unless even yearly
+    overflows) is the same. Returns (interval, period, n_docs).
+
+    Scale shape: the interval choice needs only the matched span —
+    min/max ts reduced to ONE driver row (the same cost class as the
+    corpus-stats read every query does) — never a trial aggregation per
+    ladder step; then one ordinary distributed histogram pass."""
+    if target_buckets < 1:
+        raise ValueError(f"auto_date_histogram: target_buckets must be >= 1")
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(
+            spark, [], "interval string, period string, n_docs long"
+        )
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", "ts")
+    span = (
+        matched.join(fwd, "docid", "inner")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()[0]
+    )
+    if span.lo is None:
+        return tbl.local_rows_df(
+            spark, [], "interval string, period string, n_docs long"
+        )
+    chosen = _AUTO_LADDER[-1]
+    for iv in _AUTO_LADDER:
+        if _bucket_count(span.lo, span.hi, iv) <= target_buckets:
+            chosen = iv
+            break
+    hist = date_histogram(spark, index_dir, query, chosen, cfg)
+    return hist.select(F.lit(chosen).alias("interval"), "period", "n_docs")

@@ -765,3 +765,36 @@ def test_rate_agg(spark, built_index, fwd, matched):
     ).collect()
     assert len(gm) == 1 and gm[0].period == "2026-01-01"
     assert math.isclose(gm[0].rate, len(matched) / 31.0, rel_tol=1e-12)
+
+
+def test_auto_date_histogram(spark, built_index, fwd, matched):
+    import datetime as dt
+
+    tss = [fwd[d].ts for d in matched]
+    lo, hi = min(tss), max(tss)
+
+    def n_buckets(iv):
+        if iv == "minute":
+            return int(hi.timestamp()) // 60 - int(lo.timestamp()) // 60 + 1
+        if iv == "hour":
+            return int(hi.timestamp()) // 3600 - int(lo.timestamp()) // 3600 + 1
+        return 1  # day+: fixture spans one day
+
+    # small budget → coarse; the fixture spans a few hours in one day
+    got = aggs.auto_date_histogram(spark, built_index, Q, target_buckets=3, cfg=TEST_CFG).collect()
+    assert got[0].interval == ("hour" if n_buckets("hour") <= 3 else "day")
+    # huge budget → finest rung that fits (minutes here)
+    big = aggs.auto_date_histogram(
+        spark, built_index, Q, target_buckets=100000, cfg=TEST_CFG
+    ).collect()
+    assert big[0].interval in ("second", "minute")
+    want = Counter(
+        fwd[d].ts.replace(second=0).strftime("%Y-%m-%d %H:%M:%S")
+        if big[0].interval == "minute"
+        else fwd[d].ts.strftime("%Y-%m-%d %H:%M:%S")
+        for d in matched
+    )
+    assert {r.period: r.n_docs for r in big} == dict(want)
+    assert sum(r.n_docs for r in got) == len(matched)
+    with pytest.raises(ValueError):
+        aggs.auto_date_histogram(spark, built_index, Q, target_buckets=0, cfg=TEST_CFG)
