@@ -2573,6 +2573,27 @@ def q_agg_auto_date_histogram(spark, sf):
     )
 
 
+def q_agg_scripted_metric(spark, sf):
+    """ES scripted_metric (algebraic form): avg chars-per-token over
+    matched docs, finalized to per-100-tokens."""
+    r = esaggs.scripted_metric_agg(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1),
+        "length(text) / dl", combine="avg", finalize_sql="value * 100",
+        cfg=_docs_index_cfg(),
+    )
+    return r.select(F.round("value", 4).alias("value"))
+
+
+def q_agg_moving_percentiles(spark, sf):
+    """ES moving_percentiles: trailing-3-bucket median of the day
+    histogram's doc counts."""
+    r = esaggs.moving_percentiles_agg(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1),
+        interval="day", window=3, pct=50.0, cfg=_docs_index_cfg(),
+    )
+    return r.select("period", "n_docs", F.round("moving_pct", 4).alias("moving_pct"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -2647,6 +2668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rate": q_agg_rate,
         "bm25_intervals": q_bm25_intervals,
         "agg_auto_date_histogram": q_agg_auto_date_histogram,
+        "agg_scripted_metric": q_agg_scripted_metric,
+        "agg_moving_percentiles": q_agg_moving_percentiles,
         "bm25_search_after": q_bm25_search_after,
         "lm_dirichlet_topk": q_lm_dirichlet,
         "bm25_delete_by_query": q_bm25_deleted,
@@ -4182,6 +4205,24 @@ SELECT 'day' AS interval,
        strftime(DATE '2026-01-01' + (doc_id % 10)::INT, '%Y-%m-%d') AS period,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM matched GROUP BY 2 ORDER BY 2
+""",
+        "agg_scripted_metric": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT toks.doc_id, len(tl) AS dl, d.text
+      FROM toks JOIN documents d USING (doc_id)
+      WHERE list_has_any(tl, ['spark','join','query']))
+SELECT round(avg(length(text)::DOUBLE / dl) * 100, 4) AS value FROM m
+""",
+        "agg_moving_percentiles": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+matched AS (SELECT doc_id FROM toks WHERE list_has_any(tl, ['spark','join','query'])),
+hist AS (SELECT strftime(DATE '2026-01-01' + (doc_id % 10)::INT, '%Y-%m-%d') AS period,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM matched GROUP BY 1)
+SELECT period, n_docs,
+       round(quantile_cont(n_docs, 0.5) OVER (
+           ORDER BY period ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_pct
+FROM hist ORDER BY period
 """,
         "bm25_msearch": f"""
 WITH qmap(qid, term) AS (VALUES

@@ -1617,3 +1617,79 @@ def auto_date_histogram(
             break
     hist = date_histogram(spark, index_dir, query, chosen, cfg)
     return hist.select(F.lit(chosen).alias("interval"), "period", "n_docs")
+
+
+_COMBINES = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "count": lambda c: F.count(c),
+}
+
+
+def scripted_metric_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    map_sql: str,
+    combine: str = "sum",
+    finalize_sql: str | None = None,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``scripted_metric`` in its distributable (algebraic) form:
+    ``map_sql`` is evaluated per matched doc over the forward columns +
+    ``dl``, ``combine`` reduces the mapped values (sum/min/max/avg/count
+    — the commutative monoids a correct ES map/combine/reduce script must
+    implement anyway to be shard-safe), and ``finalize_sql`` (optional,
+    over the one-row column ``value``) post-processes the reduced value —
+    ES's reduce_script analog. Arbitrary stateful scripts are
+    deliberately out of scope: they cannot be map-side combined and are
+    exactly what this engine's UDF policy avoids in hot paths.
+
+    Plan: docid ⋈ column-pruned forward/doc_lens scan → one
+    whole-stage-codegen projection → one hash agg. Returns (value)."""
+    if combine not in _COMBINES:
+        raise ValueError(f"scripted_metric_agg: unknown combine {combine!r}")
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(spark, [], "value double")
+    fwd = tbl.read(spark, index_dir, "forward")
+    dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
+    m = matched.join(fwd, "docid", "inner").join(dls, "docid", "inner")
+    mapped = m.select(F.expr(map_sql).cast("double").alias("v"))
+    out = mapped.agg(_COMBINES[combine]("v").cast("double").alias("value"))
+    if finalize_sql is not None:
+        out = out.select(F.expr(finalize_sql).cast("double").alias("value"))
+    return out
+
+
+def moving_percentiles_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    interval: str = "day",
+    window: int = 3,
+    pct: float = 50.0,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline agg: the ``pct`` percentile of
+    the trailing ``window`` buckets' ``n_docs`` (window INCLUDES the
+    current bucket — ES's shift=0 frame for moving_percentiles), exact
+    linear interpolation where ES merges TDigests. Null until the frame
+    has at least one bucket (always true), so every bucket emits.
+
+    Same single-partition bucket-stream window as the other pipeline
+    aggs — input cardinality ∝ time range, never corpus size."""
+    if window < 1:
+        raise ValueError(f"moving_percentiles_agg: window must be >= 1")
+    if not (0.0 <= pct <= 100.0):
+        raise ValueError(f"moving_percentiles_agg: bad pct {pct}")
+    hist = date_histogram(spark, index_dir, query, interval, cfg)
+    w = W.orderBy("period").rowsBetween(-(window - 1), 0)
+    return hist.select(
+        "period",
+        "n_docs",
+        F.percentile("n_docs", F.lit(pct / 100.0)).over(w).alias("moving_pct"),
+    ).orderBy("period")

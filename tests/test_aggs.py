@@ -798,3 +798,32 @@ def test_auto_date_histogram(spark, built_index, fwd, matched):
     assert sum(r.n_docs for r in got) == len(matched)
     with pytest.raises(ValueError):
         aggs.auto_date_histogram(spark, built_index, Q, target_buckets=0, cfg=TEST_CFG)
+
+
+def test_scripted_metric(spark, built_index, fwd, matched):
+    # map: chars per token; combine avg; finalize: scale to per-100-token
+    want = [len(fwd[d].text) / len(tokenize_text(fwd[d].text)) for d in matched]
+    r = aggs.scripted_metric_agg(
+        spark, built_index, Q, "length(text) / dl", combine="avg",
+        finalize_sql="value * 100", cfg=TEST_CFG,
+    ).collect()[0]
+    assert math.isclose(r.value, sum(want) / len(want) * 100, rel_tol=1e-9)
+    rmax = aggs.scripted_metric_agg(
+        spark, built_index, Q, "dl", combine="max", cfg=TEST_CFG
+    ).collect()[0]
+    assert rmax.value == max(len(tokenize_text(fwd[d].text)) for d in matched)
+    with pytest.raises(ValueError):
+        aggs.scripted_metric_agg(spark, built_index, Q, "dl", combine="fold", cfg=TEST_CFG)
+
+
+def test_moving_percentiles(spark, built_index, fwd, matched):
+    hist = _hour_hist(fwd, matched)
+    periods = sorted(hist)
+    vals = [hist[p] for p in periods]
+    got = aggs.moving_percentiles_agg(
+        spark, built_index, Q, interval="hour", window=3, pct=50.0, cfg=TEST_CFG
+    ).collect()
+    assert [r.period for r in got] == periods
+    for i, r in enumerate(got):
+        frame = np.array(vals[max(0, i - 2) : i + 1], dtype=np.float64)
+        assert math.isclose(r.moving_pct, np.percentile(frame, 50), rel_tol=1e-9)
