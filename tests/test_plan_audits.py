@@ -364,3 +364,52 @@ def test_terms_set_per_doc_threshold_prunes_forward(spark, built_index):
     ]
     assert fwd_reads, "expected a forward scan for the threshold column"
     assert all("text" not in r for r in fwd_reads)
+
+
+def test_matrix_stats_single_pass_partial_agg(spark, built_index):
+    """matrix_stats must be ONE map-side-combined hash agg over power
+    sums (single shuffle of an 11-column sum row), with the forward scan
+    pruned to docid+text."""
+    from mysql_es_spark.operators import aggs
+
+    df = aggs.matrix_stats_agg(spark, built_index, "w0 w3", cfg=TEST_CFG)
+    plan = plan_of(df)
+    assert "partial_sum" in plan  # map-side combine of the power sums
+    # the forward read feeding y must not drag role/tool/ts along
+    fwd_reads = [
+        seg.split("ReadSchema")[1].splitlines()[0]
+        for seg in plan.split("Scan parquet")[1:]
+        if "/forward" in seg and "ReadSchema" in seg
+    ]
+    assert fwd_reads, plan
+    for rs in fwd_reads:
+        assert "text" in rs and "role" not in rs and "tool" not in rs
+
+
+def test_string_stats_entropy_collapses_mapside(spark, built_index):
+    """The character explode must collapse to (char, count) partials on
+    the map side — only ≤|alphabet| keys per task cross the shuffle."""
+    from mysql_es_spark.operators import aggs
+
+    df = aggs.string_stats(spark, built_index, "w0 w3", cfg=TEST_CFG)
+    plan = plan_of(df)
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_cumulative_cardinality_first_occurrence_is_hash_agg(spark, built_index):
+    """cumulative_cardinality's heavy stage is the value-keyed min(period)
+    hash agg (map-side combined); the single-partition window sees only
+    bucket-count rows."""
+    from mysql_es_spark.operators import aggs
+
+    df = aggs.cumulative_cardinality_agg(spark, built_index, "w0 w3", cfg=TEST_CFG)
+    plan = plan_of(df)
+    assert "partial_min" in plan  # first-occurrence assignment combines map-side
+    fwd_reads = [
+        seg.split("ReadSchema")[1].splitlines()[0]
+        for seg in plan.split("Scan parquet")[1:]
+        if "/forward" in seg and "ReadSchema" in seg
+    ]
+    assert fwd_reads, plan
+    for rs in fwd_reads:
+        assert "text" not in rs
