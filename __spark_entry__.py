@@ -724,6 +724,24 @@ def q_dedup_clusters(spark, sf):
     return dedup.near_dup_clusters(docs, pairs)
 
 
+def q_dedup_keep_best(spark, sf):
+    """Quality-aware dedup winner selection: per near-dup component keep
+    the doc with the greatest analyzed length (ties → smallest id)."""
+    from mysql_es_spark.operators.postings import tokenized
+
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.15)
+    tok = tokenized(
+        docs.select(F.col("doc_id").cast("long").alias("docid"), "text"),
+        _docs_index_cfg(),
+    )
+    ids = (
+        tok.filter(F.col("term").isNull())
+        .select(F.col("docid").alias("doc_id"), F.col("dl").alias("q"))
+    )
+    return dedup.dedup_keep_best(ids, pairs, "q").orderBy("doc_id")
+
+
 def q_dedup_exact(spark, sf):
     return dedup.exact_dedup(_t(spark, sf, "documents"))
 
@@ -2725,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash_split": q_hash_split,
         "doc_ngram_jaccard_pairs": q_jaccard,
         "doc_dedup_clusters": q_dedup_clusters,
+        "doc_dedup_keep_best": q_dedup_keep_best,
         "doc_quality": q_quality,
         "doc_fingerprint": q_fp,
         "doc_prefix_search": q_prefix_search,
@@ -3204,6 +3223,39 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.src AS id, r.lbl FROM edges e JOIN r ON r.id = e.dst
             )
             SELECT id AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY id
+        """,
+        "doc_dedup_keep_best": f"""
+            WITH RECURSIVE
+            t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct(
+                     [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])) AS shingle
+                   FROM t WHERE len(toks) >= 2),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+              WHERE round(i * 1.0 / (za.sz + zb.sz - i), 4) >= 0.15),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            r AS (
+              SELECT doc_id AS id, doc_id AS lbl FROM documents
+              UNION
+              SELECT e.src AS id, r.lbl FROM edges e JOIN r ON r.id = e.dst
+            ),
+            comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY id),
+            q AS (SELECT doc_id, len(toks) AS q FROM t),
+            ranked AS (
+              SELECT comp.doc_id, comp.cluster_id,
+                     first_value(comp.doc_id) OVER (
+                       PARTITION BY comp.cluster_id
+                       ORDER BY q.q DESC, comp.doc_id ASC) AS winner
+              FROM comp JOIN q USING (doc_id))
+            SELECT doc_id, cluster_id, doc_id = winner AS kept
+            FROM ranked ORDER BY doc_id
         """,
         "doc_dedup_exact": f"""
             SELECT doc_id, fp FROM (

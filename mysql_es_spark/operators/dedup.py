@@ -939,3 +939,44 @@ def semantic_dedup(
         F.col(cluster_col).alias("cluster"),
         (F.col(idc) == F.col(cluster_col)).alias("keep"),
     )
+
+
+def dedup_keep_best(
+    ids: DataFrame,
+    pairs: DataFrame,
+    priority_col: str,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup winner selection: one KEPT doc per connected component of
+    the pair graph — the highest-``priority_col`` member, ties to the
+    smallest id. Production curation keeps the best-quality duplicate
+    (longest, highest LM score, freshest), not the smallest docid; this
+    composes :func:`near_dup_clusters` with that policy. ``ids`` carries
+    (id_col, priority_col); singletons keep themselves.
+
+    Returns (id_col, cluster_id, kept) for every input id.
+
+    Scale shape: components via min-label propagation (O(diameter)
+    shuffles), then winner = one max_by((priority, -id)) hash agg keyed
+    by cluster — never a global sort, nothing driver-side."""
+    clusters = near_dup_clusters(
+        ids.select(id_col), pairs, id_col=id_col, max_iter=max_iter
+    )
+    j = clusters.join(ids, id_col, "inner")
+    # max_by on a struct orders lexicographically: (priority asc, -id asc)
+    # → max = highest priority, smallest id on ties
+    winners = j.groupBy("cluster_id").agg(
+        F.max_by(
+            id_col,
+            F.struct(F.col(priority_col).alias("p"), (-F.col(id_col)).alias("ni")),
+        ).alias("winner")
+    )
+    return (
+        j.join(winners, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            (F.col(id_col) == F.col("winner")).alias("kept"),
+        )
+    )

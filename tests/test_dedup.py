@@ -295,3 +295,20 @@ def test_semantic_dedup_cells_refine(spark):
     for cl, members in groups.items():
         assert cl == min(members)
         assert len({full[m] for m in members}) == 1, "cell split crossed a component"
+
+
+def test_dedup_keep_best(spark):
+    from mysql_es_spark.operators.dedup import dedup_keep_best
+
+    # components: {1,2,3} (path graph), {4,5}, {6} singleton
+    ids = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (5, 0.1), (6, 0.0)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    out = {r.doc_id: (r.cluster_id, r.kept) for r in dedup_keep_best(ids, pairs, "q").collect()}
+    # winner of {1,2,3}: q=0.9 tie between 2 and 3 -> smallest id 2
+    assert out[1] == (1, False) and out[2] == (1, True) and out[3] == (1, False)
+    assert out[4] == (4, True) and out[5] == (4, False)
+    assert out[6] == (6, True)
+    assert len(out) == 6
