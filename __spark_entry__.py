@@ -1453,6 +1453,17 @@ def q_agg_significant_terms(spark, sf):
     return st.select("term", "fg_df", "bg_df", F.round("jlh", 6).alias("jlh"))
 
 
+def q_agg_significant_text(spark, sf):
+    """ES significant_text: JLH with filter_duplicate_text — exact dup
+    texts contribute once (which duplicate survives is irrelevant to the
+    fg counts, so engine/oracle representative choice can differ)."""
+    ix = _index_for_documents(spark, sf)
+    st = esaggs.significant_text(
+        spark, ix, " ".join(BM25_Q1), size=12, min_doc_count=3, cfg=_docs_index_cfg()
+    )
+    return st.select("term", "fg_df", "bg_df", F.round("jlh", 6).alias("jlh"))
+
+
 def q_agg_date_range(spark, sf):
     """ES date_range agg: explicit [from, to) timestamp buckets (open ends,
     one overlapping) over the matched docs' forward ts; empty kept."""
@@ -2700,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cardinality": q_agg_cardinality,
         "agg_top_hits": q_agg_top_hits,
         "agg_significant_terms": q_agg_significant_terms,
+        "agg_significant_text": q_agg_significant_text,
         "bm25_via_compacted": q_bm25_compacted,
         "bm25_more_like_this": q_more_like_this,
         "withs_3hop": q_withs_3hop,
@@ -4592,6 +4604,39 @@ SELECT lang, doc_id, score, rank FROM ranked WHERE rank <= 3
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
 n_bg AS (SELECT count(*) AS n FROM toks),
 matched AS (SELECT doc_id, tl FROM toks WHERE list_has_any(tl, ['spark','join','query'])),
+n_fg AS (SELECT count(*) AS n FROM matched),
+fg AS (
+  SELECT u.term, CAST(count(*) AS BIGINT) AS fg_df
+  FROM matched, unnest(list_distinct(matched.tl)) AS u(term)
+  GROUP BY 1 HAVING count(*) >= 3
+),
+bg AS (
+  SELECT u.term, CAST(count(*) AS BIGINT) AS bg_df
+  FROM toks, unnest(list_distinct(toks.tl)) AS u(term)
+  WHERE u.term IN (SELECT term FROM fg)
+  GROUP BY 1
+),
+scored AS (
+  SELECT fg.term, fg.fg_df, bg.bg_df,
+         (fg.fg_df / CAST(n_fg.n AS DOUBLE) - bg.bg_df / CAST(n_bg.n AS DOUBLE))
+           * ((fg.fg_df / CAST(n_fg.n AS DOUBLE)) / (bg.bg_df / CAST(n_bg.n AS DOUBLE)))
+           AS jlh
+  FROM fg JOIN bg USING (term) CROSS JOIN n_fg CROSS JOIN n_bg
+  WHERE fg.fg_df / CAST(n_fg.n AS DOUBLE) > bg.bg_df / CAST(n_bg.n AS DOUBLE)
+)
+SELECT term, fg_df, bg_df, round(jlh, 6) AS jlh FROM scored
+ORDER BY round(jlh, 9) DESC, term ASC LIMIT 12
+""",
+        "agg_significant_text": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+n_bg AS (SELECT count(*) AS n FROM toks),
+m0 AS (SELECT doc_id, tl FROM toks WHERE list_has_any(tl, ['spark','join','query'])),
+matched AS (
+  SELECT doc_id, tl FROM (
+    SELECT doc_id, tl,
+           row_number() OVER (PARTITION BY md5(array_to_string(tl, ' '))
+                              ORDER BY doc_id ASC) AS rn
+    FROM m0) WHERE rn = 1),
 n_fg AS (SELECT count(*) AS n FROM matched),
 fg AS (
   SELECT u.term, CAST(count(*) AS BIGINT) AS fg_df

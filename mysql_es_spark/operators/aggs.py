@@ -265,6 +265,7 @@ def significant_terms(
     size: int = 10,
     min_doc_count: int = 3,
     cfg: IndexConfig | None = None,
+    filter_duplicate_text: bool = False,
 ) -> DataFrame:
     """ES ``significant_terms``: terms over-represented in the matched
     docs relative to the whole corpus, scored with ES's JLH heuristic
@@ -294,6 +295,15 @@ def significant_terms(
     n_bg = int(stats["n_docs"])
     fwd = tbl.read(spark, index_dir, "forward").select("docid", "text")
     matched_docs = matched.join(fwd, "docid", "inner")
+    if filter_duplicate_text:
+        # ES significant_text's flagship knob: exact-duplicate analyzed
+        # texts contribute ONCE, so boilerplate/copypasta can't fake
+        # significance. Lowest-docid representative per fingerprint — a
+        # window keyed by fp (never global), then n_fg counts survivors.
+        from .dedup import exact_dedup
+
+        keep = exact_dedup(matched_docs, id_col="docid").select("docid")
+        matched_docs = matched_docs.join(keep, "docid", "inner")
     n_fg = matched_docs.count()
     if n_fg == 0:
         return tbl.local_rows_df(spark, [], schema)
@@ -1693,3 +1703,23 @@ def moving_percentiles_agg(
         "n_docs",
         F.percentile("n_docs", F.lit(pct / 100.0)).over(w).alias("moving_pct"),
     ).orderBy("period")
+
+
+def significant_text(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    size: int = 10,
+    min_doc_count: int = 3,
+    filter_duplicate_text: bool = True,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``significant_text``: significant_terms re-analyzed from the
+    matched docs' raw text with ``filter_duplicate_text`` ON by default —
+    the agg ES built specifically so copypasta/boilerplate can't dominate
+    the significance ranking. Same JLH scoring and two-narrow-shuffle
+    plan; the dedup adds one fingerprint window keyed by fp."""
+    return significant_terms(
+        spark, index_dir, query, size=size, min_doc_count=min_doc_count,
+        cfg=cfg, filter_duplicate_text=filter_duplicate_text,
+    )

@@ -827,3 +827,64 @@ def test_moving_percentiles(spark, built_index, fwd, matched):
     for i, r in enumerate(got):
         frame = np.array(vals[max(0, i - 2) : i + 1], dtype=np.float64)
         assert math.isclose(r.moving_pct, np.percentile(frame, 50), rel_tol=1e-9)
+
+
+def test_significant_text_filters_duplicates(spark, built_index, fwd, matched):
+    # without the filter: identical to significant_terms
+    a = aggs.significant_text(
+        spark, built_index, Q, size=5, filter_duplicate_text=False, cfg=TEST_CFG
+    ).collect()
+    b = aggs.significant_terms(spark, built_index, Q, size=5, cfg=TEST_CFG).collect()
+    assert [(r.term, r.fg_df) for r in a] == [(r.term, r.fg_df) for r in b]
+    # with the filter: fg counts follow the DEDUPED matched set
+    from mysql_es_spark.functions.analyze import tokenize_text as tt
+
+    seen, kept = set(), []
+    for d in sorted(matched):
+        fp = " ".join(tt(fwd[d].text))
+        if fp not in seen:
+            seen.add(fp)
+            kept.append(d)
+    n_fg = len(kept)
+    fg = Counter()
+    for d in kept:
+        for t in set(tt(fwd[d].text)):
+            fg[t] += 1
+    got = aggs.significant_text(spark, built_index, Q, size=5, cfg=TEST_CFG).collect()
+    for r in got:
+        assert r.fg_df == fg[r.term], (r.term, r.fg_df, fg[r.term])
+
+
+def test_significant_text_dedup_bites(spark, tmp_path_factory):
+    """Copypasta can't fake significance: 3 identical matched docs carry
+    a term once after the filter, twice-organic terms outrank it."""
+    from datetime import datetime
+
+    from mysql_es_spark.config import IndexConfig
+    from mysql_es_spark.plans.build import build_index
+
+    cfg = IndexConfig(n_buckets=2, wave_size=1, salt_docs=64, term_buckets=4, block_size=8)
+    docs = [
+        ("a0", "alpha spam spam boiler"),
+        ("a1", "alpha spam spam boiler"),   # exact dup of a0
+        ("a2", "alpha spam spam boiler"),   # exact dup of a0
+        ("a3", "alpha organic signal"),
+        ("a4", "alpha organic signal two"),
+        ("a5", "beta unrelated filler"),
+        ("a6", "beta other noise"),
+    ]
+    d = str(tmp_path_factory.mktemp("sigtext") / "ix")
+    df = spark.createDataFrame(
+        [(c, 0, "user", t, None, datetime(2026, 1, 1)) for c, t in docs],
+        schema="conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    build_index(spark, df, d, cfg)
+    raw = {r.term: r.fg_df for r in aggs.significant_terms(
+        spark, d, "alpha", size=10, min_doc_count=1, cfg=cfg).collect()}
+    ded = {r.term: r.fg_df for r in aggs.significant_text(
+        spark, d, "alpha", size=10, min_doc_count=1, cfg=cfg).collect()}
+    assert raw["spam"] == 3  # copypasta looks significant unfiltered
+    # after dedup spam's fg% (1/3) drops below its bg% (3/7): gone entirely
+    assert "spam" not in ded
+    assert ded["organic"] == 2
