@@ -3779,6 +3779,12 @@ def intervals_topk(
       matches if ANY sub-rule matches; its score is the BEST sub-rule
       score (dis-max — the same alternatives contract as synonym
       scoring). Each sub-rule may be any supported shape.
+    - ``{"prefix": {"prefix": "sc", "max_expansions": N}}`` — ES's
+      intervals prefix source. Top-level → :func:`prefix_topk`
+      (dictionary StartsWith pushdown, best-expansion scoring). As an
+      ``all_of``/``any_of`` sub-interval its df-desc dictionary
+      expansions become that slot's alternatives (consecutive ordered
+      form only, like any_of alternatives); zero expansions → no match.
 
     Output: (docid, score). Top-level any_of is exact under per-sub
     top-k: a doc in the combined top-k must sit in its best sub-rule's
@@ -3800,20 +3806,50 @@ def intervals_topk(
                 return toks[0]
         return None
 
+    def prefix_tokens(sub: dict) -> list[str] | None:
+        """prefix source → its df-desc dictionary expansions (may be [])."""
+        if set(sub) != {"prefix"}:
+            return None
+        norm = tokenize_text(sub["prefix"].get("prefix", ""))
+        if len(norm) != 1:
+            raise ValueError(f"intervals prefix must analyze to one token: {sub!r}")
+        mx = int(sub["prefix"].get("max_expansions", 50))
+        rows = (
+            spark.read.parquet(tbl.p(index_dir, "term_dict"))
+            .filter(F.col("term").startswith(norm[0]))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(mx)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def expand(sub: dict) -> list[str] | None:
+        """tokens a sub-interval stands for (alternatives), else None."""
+        t = single_token(sub)
+        if t is not None:
+            return [t]
+        return prefix_tokens(sub)
+
     def alt_tokens(sub: dict) -> list[str] | None:
-        """any_of of single-token matches → its token alternatives."""
+        """any_of of single-token/prefix sources → token alternatives."""
         if set(sub) == {"any_of"}:
-            alts = [single_token(s) for s in sub["any_of"].get("intervals", [])]
-            if alts and all(a is not None for a in alts):
-                return alts  # type: ignore[return-value]
+            parts = [expand(s) for s in sub["any_of"].get("intervals", [])]
+            if parts and all(p is not None for p in parts):
+                return [t for p in parts for t in p]  # type: ignore[union-attr]
         return None
 
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
     if kind == "match":
         q = body.get("query", "")
         g = int(body.get("max_gaps", 0))
         o = bool(body.get("ordered", True))
         out = phrase_topk(spark, index_dir, q, k=k, cfg=cfg, slop=g, ordered=o)
         scored = out.select("docid", "score")
+    elif kind == "prefix":
+        scored = prefix_topk(
+            spark, index_dir, body.get("prefix", ""), k=k, cfg=cfg,
+            max_expansions=int(body.get("max_expansions", 50)),
+        )
     elif kind == "all_of":
         subs = body.get("intervals", [])
         g = int(body.get("max_gaps", 0))
@@ -3827,14 +3863,18 @@ def intervals_topk(
             )
         else:
             slots = []
-            for s, t in zip(subs, singles):
-                alts = [t] if t is not None else alt_tokens(s)
+            for s in subs:
+                alts = expand(s)
+                if alts is None:
+                    alts = alt_tokens(s)
                 if alts is None:
                     raise ValueError(f"unsupported all_of sub-interval: {s!r}")
+                if not alts:  # prefix with zero dictionary expansions
+                    return _with_keys(spark, index_dir, empty) if with_keys else empty
                 slots.append(alts)
             if g != 0 or not o:
                 raise ValueError(
-                    "all_of with any_of alternatives supports only "
+                    "all_of with any_of/prefix alternatives supports only "
                     "ordered consecutive spans (max_gaps=0, ordered=True)"
                 )
             out = phrase_synonym_topk(spark, index_dir, slots, k=k, cfg=cfg)

@@ -149,3 +149,42 @@ def test_unsupported_shapes_raise(spark, ivix):
                                       {"any_of": {"intervals": [{"match": {"query": "x y"}}]}}]}},
             cfg=CFG,
         )
+
+
+def test_prefix_source_top_level(spark, ivix):
+    from mysql_es_spark.operators.query import prefix_topk
+
+    got = _rows(intervals_topk(spark, ivix, {"prefix": {"prefix": "sc"}}, k=10, cfg=CFG))
+    want = _rows(prefix_topk(spark, ivix, "sc", k=10, cfg=CFG))
+    assert got == want and got
+
+
+def test_prefix_source_inside_all_of(spark, ivix):
+    rule = {
+        "all_of": {
+            "intervals": [
+                {"match": {"query": "fast"}},
+                {"prefix": {"prefix": "ta"}},
+            ],
+            "ordered": True,
+        }
+    }
+    got = _rows(intervals_topk(spark, ivix, rule, k=10, cfg=CFG))
+    # "ta*" expands to exactly {"table"} in this corpus's dictionary
+    want = _rows(
+        phrase_synonym_topk(spark, ivix, ["fast", ["table"]], k=10, cfg=CFG).select(
+            "docid", "score"
+        )
+    )
+    assert got == want and got
+    # a prefix with zero dictionary expansions can never match
+    dead = {
+        "all_of": {
+            "intervals": [
+                {"match": {"query": "fast"}},
+                {"prefix": {"prefix": "zzz"}},
+            ],
+            "ordered": True,
+        }
+    }
+    assert intervals_topk(spark, ivix, dead, k=10, cfg=CFG).count() == 0
