@@ -3779,12 +3779,16 @@ def intervals_topk(
       matches if ANY sub-rule matches; its score is the BEST sub-rule
       score (dis-max — the same alternatives contract as synonym
       scoring). Each sub-rule may be any supported shape.
-    - ``{"prefix": {"prefix": "sc", "max_expansions": N}}`` — ES's
-      intervals prefix source. Top-level → :func:`prefix_topk`
-      (dictionary StartsWith pushdown, best-expansion scoring). As an
-      ``all_of``/``any_of`` sub-interval its df-desc dictionary
-      expansions become that slot's alternatives (consecutive ordered
-      form only, like any_of alternatives); zero expansions → no match.
+    - ``{"prefix": {"prefix": "sc", "max_expansions": N}}``,
+      ``{"wildcard": {"pattern": "sc?n*"}}``,
+      ``{"fuzzy": {"term": "tabel", "fuzziness": "auto"}}`` — ES's
+      multi-term intervals sources. Top-level they delegate to
+      :func:`prefix_topk` / :func:`wildcard_topk` / :func:`fuzzy_topk`
+      (dictionary-pushdown expansion, best-expansion scoring). As
+      ``all_of``/``any_of`` sub-intervals their dictionary expansions
+      (df-desc; fuzzy: distance asc first) become that slot's
+      alternatives (consecutive ordered form only, like any_of
+      alternatives); zero expansions → no match.
 
     Output: (docid, score). Top-level any_of is exact under per-sub
     top-k: a doc in the combined top-k must sit in its best sub-rule's
@@ -3823,12 +3827,65 @@ def intervals_topk(
         )
         return [r["term"] for r in rows]
 
+    def wildcard_tokens(sub: dict) -> list[str] | None:
+        """wildcard source → anchored-regex dictionary expansions."""
+        if set(sub) != {"wildcard"}:
+            return None
+        pattern = sub["wildcard"].get("pattern", "").strip().lower()
+        if not pattern:
+            return []
+        mx = int(sub["wildcard"].get("max_expansions", 50))
+        regex = "".join(
+            ".*" if c == "*" else ("." if c == "?" else re.escape(c)) for c in pattern
+        )
+        lit = re.split(r"[*?]", pattern, maxsplit=1)[0]
+        td = spark.read.parquet(tbl.p(index_dir, "term_dict"))
+        if lit:
+            td = td.filter(F.col("term").startswith(lit))
+        rows = (
+            td.filter(F.col("term").rlike(f"^{regex}$"))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(mx)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def fuzzy_tokens(sub: dict) -> list[str] | None:
+        """fuzzy source → edit-budget dictionary expansions, ranked the
+        DirectSpellChecker way (distance asc, df desc, term asc)."""
+        if set(sub) != {"fuzzy"}:
+            return None
+        norm = tokenize_text(sub["fuzzy"].get("term", ""))
+        if len(norm) != 1:
+            raise ValueError(f"intervals fuzzy must analyze to one token: {sub!r}")
+        t = norm[0]
+        fz = sub["fuzzy"].get("fuzziness", "auto")
+        fz = _auto_fuzziness(t) if fz == "auto" else int(fz)
+        pl = int(sub["fuzzy"].get("prefix_length", 0))
+        mx = int(sub["fuzzy"].get("max_expansions", 50))
+        td = spark.read.parquet(tbl.p(index_dir, "term_dict"))
+        if pl > 0:
+            td = td.filter(F.col("term").startswith(t[:pl]))
+        rows = (
+            td.filter(F.abs(F.length("term") - len(t)) <= fz)
+            .withColumn("d", F.levenshtein(F.col("term"), F.lit(t)))
+            .filter(F.col("d") <= fz)
+            .orderBy(F.col("d").asc(), F.col("df").desc(), F.col("term").asc())
+            .limit(mx)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
     def expand(sub: dict) -> list[str] | None:
         """tokens a sub-interval stands for (alternatives), else None."""
         t = single_token(sub)
         if t is not None:
             return [t]
-        return prefix_tokens(sub)
+        for fn in (prefix_tokens, wildcard_tokens, fuzzy_tokens):
+            alts = fn(sub)
+            if alts is not None:
+                return alts
+        return None
 
     def alt_tokens(sub: dict) -> list[str] | None:
         """any_of of single-token/prefix sources → token alternatives."""
@@ -3848,6 +3905,18 @@ def intervals_topk(
     elif kind == "prefix":
         scored = prefix_topk(
             spark, index_dir, body.get("prefix", ""), k=k, cfg=cfg,
+            max_expansions=int(body.get("max_expansions", 50)),
+        )
+    elif kind == "wildcard":
+        scored = wildcard_topk(
+            spark, index_dir, body.get("pattern", ""), k=k, cfg=cfg,
+            max_expansions=int(body.get("max_expansions", 50)),
+        )
+    elif kind == "fuzzy":
+        scored = fuzzy_topk(
+            spark, index_dir, body.get("term", ""), k=k, cfg=cfg,
+            fuzziness=body.get("fuzziness", "auto"),
+            prefix_length=int(body.get("prefix_length", 0)),
             max_expansions=int(body.get("max_expansions", 50)),
         )
     elif kind == "all_of":

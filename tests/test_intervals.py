@@ -188,3 +188,53 @@ def test_prefix_source_inside_all_of(spark, ivix):
         }
     }
     assert intervals_topk(spark, ivix, dead, k=10, cfg=CFG).count() == 0
+
+
+def test_wildcard_and_fuzzy_sources(spark, ivix):
+    from mysql_es_spark.operators.query import fuzzy_topk, wildcard_topk
+
+    got = _rows(intervals_topk(spark, ivix, {"wildcard": {"pattern": "sc?n"}}, k=10, cfg=CFG))
+    want = _rows(wildcard_topk(spark, ivix, "sc?n", k=10, cfg=CFG))
+    assert got == want and got
+
+    # classic Levenshtein: tabel->table is 2 edits (no transposition credit)
+    got = _rows(intervals_topk(
+        spark, ivix, {"fuzzy": {"term": "tabel", "fuzziness": 2}}, k=10, cfg=CFG))
+    want = _rows(fuzzy_topk(spark, ivix, "tabel", k=10, fuzziness=2, cfg=CFG))
+    assert got == want and got
+
+    # inside all_of: "fast" then any term matching wildcard "ta?le"
+    rule = {
+        "all_of": {
+            "intervals": [
+                {"match": {"query": "fast"}},
+                {"wildcard": {"pattern": "ta?le"}},
+            ],
+            "ordered": True,
+        }
+    }
+    got = _rows(intervals_topk(spark, ivix, rule, k=10, cfg=CFG))
+    want = _rows(
+        phrase_synonym_topk(spark, ivix, ["fast", ["table"]], k=10, cfg=CFG).select(
+            "docid", "score"
+        )
+    )
+    assert got == want and got
+
+    # fuzzy slot: "merge" within 1 edit of "merg"
+    rule = {
+        "all_of": {
+            "intervals": [
+                {"match": {"query": "fast"}},
+                {"fuzzy": {"term": "merg", "fuzziness": 1}},
+            ],
+            "ordered": True,
+        }
+    }
+    got = _rows(intervals_topk(spark, ivix, rule, k=10, cfg=CFG))
+    want = _rows(
+        phrase_synonym_topk(spark, ivix, ["fast", ["merge"]], k=10, cfg=CFG).select(
+            "docid", "score"
+        )
+    )
+    assert got == want and got
