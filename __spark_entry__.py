@@ -789,6 +789,28 @@ def q_bm25_conjunctive(spark, sf):
     )
 
 
+SV_WEIGHTS = {"spark": 2.0, "window": 0.5, "agg": 1.5, "scan": 0.8}
+
+
+def q_sparse_vector(spark, sf):
+    """ES sparse_vector (learned-sparse / ELSER-style): caller-supplied
+    token weights replace idf — score = Σ w_t · BM25 tf-saturation —
+    over the same posting index, block-max pruning intact."""
+    from mysql_es_spark.operators.query import sparse_vector_topk
+
+    ix = _index_for_documents(spark, sf)
+    top = sparse_vector_topk(
+        spark, ix, SV_WEIGHTS, k=60, cfg=_docs_index_cfg(), mode="pruned", with_keys=True
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 def q_phrase_via_index(spark, sf):
     """Indexed match_phrase: positional index + salt-pruned adjacency
     verification; BM25-scored, re-keyed to doc_id for the oracle."""
@@ -2632,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- flagship: full index build + query engine (SURVEY §2.9) ---
         "bm25_via_index": q_bm25_index,
+        "bm25_sparse_vector": q_sparse_vector,
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_phrase_via_index": q_phrase_via_index,
         "bm25_prefix_via_index": q_prefix_via_index,
@@ -4663,6 +4686,27 @@ ORDER BY round(jlh, 9) DESC, term ASC LIMIT 12
         "bm25_direct": _bm25_sql(BM25_Q1, 20),
         "bm25_direct_q2": _bm25_sql(BM25_Q2, 15),
         "bm25_via_index": _bm25_sql(BM25_Q1, 20),
+        "bm25_sparse_vector": f"""
+WITH w AS (SELECT * FROM (VALUES ('spark', 2.0), ('window', 0.5), ('agg', 1.5),
+                                 ('scan', 0.8)) AS v(term, wt)),
+toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN (SELECT term FROM w)
+  GROUP BY 1, 2
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( w.wt * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
+""",
         "bm25_via_compacted": _bm25_sql(BM25_Q2, 15),
         "bm25_more_like_this": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),

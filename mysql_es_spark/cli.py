@@ -428,6 +428,18 @@ def cmd_query(args) -> dict:
         from .operators.query import match_bool_prefix_topk
 
         df = match_bool_prefix_topk(spark, args.index_dir, args.query, **common)
+    elif args.mode == "sv":
+        from .operators.query import sparse_vector_topk
+
+        # "term:weight term2:weight2 bare_term" — bare terms weigh 1.0
+        weights: dict[str, float] = {}
+        for part in args.query.split():
+            tok, _, w = part.partition(":")
+            weights[tok] = weights.get(tok, 0.0) + (float(w) if w else 1.0)
+        df = sparse_vector_topk(
+            spark, args.index_dir, weights,
+            min_score=getattr(args, "min_score", None), **common,
+        )
     elif getattr(args, "ids", None):
         from .operators.query import ids_topk
 
@@ -503,7 +515,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--mode",
         choices=["simple", "pruned", "conjunctive", "phrase", "span", "qs", "lm",
-                 "wildcard", "regexp", "sqs", "constant", "mbp"],
+                 "wildcard", "regexp", "sqs", "constant", "mbp", "sv"],
         default="pruned",
     )
     q.add_argument("--slop", type=int, default=1, help="span/phrase proximity slop")

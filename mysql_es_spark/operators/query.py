@@ -316,6 +316,7 @@ def bm25_topk(
     with_keys: bool = False,
     after: tuple[float, int] | None = None,
     min_score: float | None = None,
+    weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the built index. Returns (docid, score[, keys…]).
 
@@ -326,7 +327,13 @@ def bm25_topk(
 
     ``min_score`` is the ES request-level floor: hits scoring below it are
     dropped. It only ever removes rows, so block-max pruning stays exact
-    (the un-floored tau is <= any floored tau)."""
+    (the un-floored tau is <= any floored tau).
+
+    ``weights`` replaces the corpus idf with caller-supplied per-term
+    weights (ES ``sparse_vector`` / learned-sparse retrieval): score =
+    Σ_t w_t · tf-saturation(t, d). The block-max machinery is untouched —
+    per-salt upper bounds are Σ_t weight_t · max-block tfnorm, so every
+    pruning path (driver-ranked and distributed) stays exact."""
     cfg = effective_config(spark, index_dir, cfg)
     terms = query_terms(query)
     stats = corpus_stats(spark, index_dir)
@@ -337,8 +344,12 @@ def bm25_topk(
     order = [F.col("score").desc(), F.col("docid").asc()]
 
     if mode == "simple":
-        idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
-        terms = [t for t in terms if t in idf]
+        if weights is not None:
+            idf = {t: float(weights[t]) for t in terms}
+            buckets = sorted(set(term_buckets_of(spark, terms, cfg.term_buckets).values()))
+        else:
+            idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
+            terms = [t for t in terms if t in idf]
         if not terms:
             return empty
         blocks = _matching_blocks(spark, index_dir, terms, buckets)
@@ -375,7 +386,7 @@ def bm25_topk(
     predicted_salts = stats["n_docs"] // max(1, cfg.salt_docs) + 1
     if predicted_salts > cfg.max_driver_salts:
         scored = _pruned_topk_distributed(
-            spark, blocks, terms, stats, cfg, k, tf_bound, after, dels, min_score
+            spark, blocks, terms, stats, cfg, k, tf_bound, after, dels, min_score, weights
         )
         return _with_keys(spark, index_dir, scored) if with_keys else scored
     meta_rows = (
@@ -390,9 +401,12 @@ def bm25_topk(
     for r in meta_rows:
         df_of[r["term"]] = df_of.get(r["term"], 0) + int(r["n_t"])
     n_docs = stats["n_docs"]
-    idf = {
-        t: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))) for t, df in df_of.items()
-    }
+    if weights is not None:
+        idf = {t: float(weights[t]) for t in df_of}
+    else:
+        idf = {
+            t: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))) for t, df in df_of.items()
+        }
     terms = [t for t in terms if t in idf]
     # per (term, salt) the bound is idf · max-block tfnorm; per salt the
     # conjunctive-free bound is the sum over terms. n_cand ≈ docs touched.
@@ -503,6 +517,7 @@ def _pruned_topk_distributed(
     after: tuple[float, int] | None = None,
     dels: DataFrame | None = None,
     min_score: float | None = None,
+    weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """Block-max pruned top-k with NO driver-side pass over salt metadata —
     the 10^12-doc path (a head term spans n_docs/salt_docs ≈ 10^7 ranges).
@@ -525,14 +540,21 @@ def _pruned_topk_distributed(
     )
     salts = None
     try:
-        df_rows = meta.groupBy("term").agg(F.sum("n_t").alias("df")).collect()
-        if not df_rows:
-            return empty
-        n_docs = stats["n_docs"]
-        idf = {
-            r["term"]: float(np.log(1.0 + (n_docs - int(r["df"]) + 0.5) / (int(r["df"]) + 0.5)))
-            for r in df_rows
-        }
+        if weights is not None:
+            # caller-supplied weights need no df — skip the per-term
+            # collect job entirely (absent terms simply match no blocks)
+            idf = {t: float(weights[t]) for t in terms}
+        else:
+            df_rows = meta.groupBy("term").agg(F.sum("n_t").alias("df")).collect()
+            if not df_rows:
+                return empty
+            n_docs = stats["n_docs"]
+            idf = {
+                r["term"]: float(
+                    np.log(1.0 + (n_docs - int(r["df"]) + 0.5) / (int(r["df"]) + 0.5))
+                )
+                for r in df_rows
+            }
         idf_col = F.element_at(
             F.create_map(*[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))]),
             F.col("term"),
@@ -3963,3 +3985,52 @@ def intervals_topk(
         raise ValueError(f"unsupported intervals rule {kind!r}")
     scored = scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
     return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
+def sparse_vector_topk(
+    spark: SparkSession,
+    index_dir: str,
+    token_weights: dict[str, float],
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    mode: str = "simple",
+    with_keys: bool = False,
+    min_score: float | None = None,
+) -> DataFrame:
+    """ES ``sparse_vector`` query — learned-sparse (ELSER-style) retrieval.
+
+    The query is a sparse token→weight vector; the engine analog of ES's
+    stored per-token weight is the BM25 tf-saturation the posting blocks
+    already carry, so score(d) = Σ_t w_t · tf_td / (tf_td + k1·(1-b+b·dl/avgdl)).
+    No idf is involved — relevance is entirely the model-supplied weights,
+    which is exactly how ES scores sparse_vector against rank_features-
+    indexed token weights (reference analog: mysql-es delegates fulltext
+    scoring to ES; sparse_vector is the modern ES surface for it).
+
+    Tokens are normalized through the same analyzer as indexing (a token
+    that normalizes to nothing is dropped; collisions sum their weights),
+    and non-positive weights are dropped, matching ES's prune semantics.
+    Every ``bm25_topk`` execution path is reused — weights are a drop-in
+    for idf, so block-max pruning (driver-ranked or fully distributed)
+    stays exact: per-salt upper bound = Σ_t w_t · max-block tfnorm ≥ any
+    per-doc score in the salt.
+    """
+    norm: dict[str, float] = {}
+    for tok, w in token_weights.items():
+        if float(w) <= 0.0:
+            continue
+        for t in query_terms(tok):
+            norm[t] = norm.get(t, 0.0) + float(w)
+    if not norm:
+        return tbl.local_rows_df(spark, [], "docid long, score double")
+    return bm25_topk(
+        spark,
+        index_dir,
+        " ".join(norm),
+        k=k,
+        cfg=cfg,
+        mode=mode,
+        with_keys=with_keys,
+        min_score=min_score,
+        weights=norm,
+    )

@@ -445,3 +445,31 @@ def test_cli_new_query_modes(spark, tmp_path, capsys):
     )
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert {h["doc_key"] for h in out["hits"]} == {"c00000000:0", "c00000001:0"}
+
+
+def test_cli_sparse_vector_mode(spark, tmp_path, capsys):
+    corpus_dir = str(tmp_path / "corpus")
+    ix = str(tmp_path / "svix")
+    assert cli_main(["gen", "--out", corpus_dir, "--turns", "400", "--seed", "7"]) == 0
+    capsys.readouterr()
+    common = ["--n-buckets", "2", "--wave-size", "2", "--salt-docs", "256"]
+    assert (
+        cli_main(
+            [*common, "build", "--input", f"{corpus_dir}/transcripts",
+             "--index-dir", ix]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    # weighted tokens ("term:weight", bare term → 1.0): heavy w1, light w2
+    assert (
+        cli_main(
+            [*common, "query", "--index-dir", ix, "--query", "w1:3.5 w2:0.2 w9",
+             "-k", "5", "--mode", "sv"]
+        )
+        == 0
+    )
+    q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert q["mode"] == "sv" and len(q["hits"]) == 5
+    scores = [h["score"] for h in q["hits"]]
+    assert scores == sorted(scores, reverse=True)
