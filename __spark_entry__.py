@@ -2486,6 +2486,16 @@ def q_agg_string_stats(spark, sf):
     )
 
 
+def q_agg_categorize(spark, sf):
+    """ES categorize_text: matched docs grouped into message categories by
+    their first stable (letter-only) tokens; digit-bearing tokens are the
+    variable parts ES's categorizer masks out."""
+    return esaggs.categorize_text(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1),
+        max_tokens=4, size=12, cfg=_docs_index_cfg(),
+    )
+
+
 def q_agg_sampler_stats(spark, sf):
     """ES sampler agg: length stats restricted to the top-20 BM25 matches
     (plain sampler; agg_sampler covers the diversified variant)."""
@@ -2710,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_mad": q_agg_mad,
         "agg_boxplot": q_agg_boxplot,
         "agg_string_stats": q_agg_string_stats,
+        "agg_categorize_text": q_agg_categorize,
         "agg_sampler_stats": q_agg_sampler_stats,
         "agg_percentiles_bucket": q_agg_percentiles_bucket,
         "agg_normalize": q_agg_normalize,
@@ -4097,6 +4108,21 @@ ln AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
        FROM tx),
 e AS (SELECT round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy FROM ch)
 SELECT ln.*, e.entropy FROM ln, e
+""",
+        "agg_categorize_text": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT doc_id FROM toks WHERE list_has_any(tl, ['spark','join','query'])),
+cat AS (
+  SELECT array_to_string(
+           list_slice(
+             list_filter(string_split_regex(lower(d.text), '[^0-9a-z]+'),
+                         x -> x <> '' AND NOT regexp_matches(x, '[0-9]')),
+             1, 4), ' ') AS category
+  FROM m JOIN documents d USING (doc_id)
+)
+SELECT category, CAST(count(*) AS BIGINT) AS doc_count
+FROM cat WHERE category <> ''
+GROUP BY 1 ORDER BY doc_count DESC, category ASC LIMIT 12
 """,
         "agg_sampler_stats": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),

@@ -375,6 +375,8 @@ def cmd_aggs(args) -> dict:
         df = esaggs.cardinality(spark, args.index_dir, args.query, args.field, cfg=cfg)
     elif kind == "top_hits":
         df = esaggs.top_hits(spark, args.index_dir, args.query, args.field, size=args.size, cfg=cfg)
+    elif kind == "categorize_text":
+        df = esaggs.categorize_text(spark, args.index_dir, args.query, size=args.size, cfg=cfg)
     else:
         df = esaggs.significant_terms(spark, args.index_dir, args.query, size=args.size, cfg=cfg)
     return {"agg": kind, "buckets": [r.asDict() for r in df.collect()]}
@@ -611,7 +613,7 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument(
         "--agg",
         choices=["date_histogram", "histogram", "extended_stats", "cardinality",
-                 "top_hits", "significant_terms"],
+                 "top_hits", "significant_terms", "categorize_text"],
         required=True,
     )
     a.add_argument("--field", default="role", help="group/target field where applicable")

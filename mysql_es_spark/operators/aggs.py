@@ -1723,3 +1723,50 @@ def significant_text(
         spark, index_dir, query, size=size, min_doc_count=min_doc_count,
         cfg=cfg, filter_duplicate_text=filter_duplicate_text,
     )
+
+
+def categorize_text(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    field: str = "text",
+    max_tokens: int = 4,
+    size: int = 10,
+    min_doc_count: int = 1,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``categorize_text``: group the matched docs' semi-structured
+    text into message categories. ES's categorizer drafts a token pattern
+    by dropping the tokens its ml_standard tokenizer flags as variable
+    (numbers, hex ids, paths); the deterministic engine analog keeps the
+    first ``max_tokens`` letter-only lowercase tokens as the category key
+    (digit-bearing tokens are the variable parts of log/transcript lines
+    — ids, counts, timestamps — exactly what ES's categorizer masks out).
+    Docs whose text yields no stable token fall into no category, as in
+    ES. Returns (category, doc_count), doc_count desc / category asc,
+    top ``size`` buckets with >= ``min_doc_count`` docs.
+
+    Scale shape: the key is one JVM expression chain (split/filter/slice)
+    over the column-pruned forward join — no token explode, no Python.
+    The groupBy shuffles only (category, partial count) pairs: map-side
+    combine collapses each task to its distinct categories, and category
+    cardinality is ~template-count, not doc-count."""
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    out_schema = "category string, doc_count long"
+    if matched is None:
+        return tbl.local_rows_df(spark, [], out_schema)
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", field)
+    toks = F.split(F.lower(F.col(field)), "[^0-9a-z]+")
+    stable = F.filter(toks, lambda x: (x != "") & (~x.rlike("[0-9]")))
+    key = F.array_join(F.slice(stable, 1, max_tokens), " ")
+    return (
+        matched.join(fwd, "docid", "inner")
+        .select(key.alias("category"))
+        .where(F.col("category") != "")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .where(F.col("doc_count") >= int(min_doc_count))
+        .orderBy(F.col("doc_count").desc(), F.col("category").asc())
+        .limit(size)
+    )

@@ -888,3 +888,37 @@ def test_significant_text_dedup_bites(spark, tmp_path_factory):
     # after dedup spam's fg% (1/3) drops below its bg% (3/7): gone entirely
     assert "spam" not in ded
     assert ded["organic"] == 2
+
+
+def _py_category(text: str, max_tokens: int = 4) -> str:
+    import re
+
+    toks = [t for t in re.split(r"[^0-9a-z]+", text.lower())
+            if t and not re.search(r"[0-9]", t)]
+    return " ".join(toks[:max_tokens])
+
+
+def test_categorize_text(spark, built_index, fwd, matched):
+    want = Counter(c for c in (_py_category(fwd[d].text) for d in matched) if c)
+    got = aggs.categorize_text(
+        spark, built_index, Q, size=len(want) + 5, cfg=TEST_CFG
+    ).collect()
+    assert {r.category: r.doc_count for r in got} == dict(want)
+    # engine order: doc_count desc, category asc
+    keys = [(r.doc_count, r.category) for r in got]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1]))
+
+
+def test_categorize_text_min_doc_count_and_size(spark, built_index, fwd, matched):
+    want = Counter(c for c in (_py_category(fwd[d].text) for d in matched) if c)
+    floor = 2
+    kept = {c: n for c, n in want.items() if n >= floor}
+    got = aggs.categorize_text(
+        spark, built_index, Q, size=3, min_doc_count=floor, cfg=TEST_CFG
+    ).collect()
+    exp = sorted(kept.items(), key=lambda t: (-t[1], t[0]))[:3]
+    assert [(r.category, r.doc_count) for r in got] == exp
+
+
+def test_categorize_text_no_match(spark, built_index):
+    assert aggs.categorize_text(spark, built_index, "zzzznope", cfg=TEST_CFG).count() == 0
