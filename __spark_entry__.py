@@ -2021,6 +2021,15 @@ def q_emb_topk(spark, sf):
     return similarity.cosine_topk(emb, [float(x) for x in qv], k=10)
 
 
+def q_emb_knn_filtered(spark, sf):
+    """ES kNN with filter context: exact cosine top-k restricted to a
+    structural predicate (label = 2) BEFORE the search — all k hits
+    satisfy the filter, ES's pre-filter semantics."""
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk(emb, [float(x) for x in qv], k=10, where="label = 2")
+
+
 def q_emb_near_dups(spark, sf):
     return dedup.embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.30)
 
@@ -2669,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_via_index": q_phrase_via_index,
         "bm25_prefix_via_index": q_prefix_via_index,
         "emb_cosine_topk": q_emb_topk,
+        "emb_knn_filtered": q_emb_knn_filtered,
         "emb_near_dups": q_emb_near_dups,
         # --- round-2 features ---
         "bm25_ngram_phrase_via_index": q_ngram_phrase_via_index,
@@ -5635,6 +5645,17 @@ ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 25
                    round(list_cosine_similarity(embedding::DOUBLE[],
                      (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cos
             FROM embeddings
+            ORDER BY round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        "emb_knn_filtered": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cos
+            FROM embeddings
+            WHERE label = 2
             ORDER BY round(list_cosine_similarity(embedding::DOUBLE[],
                      (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) DESC,
                      vec_id ASC

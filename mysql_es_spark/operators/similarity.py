@@ -39,9 +39,19 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: one scan, map-side partial top-k via Spark's
-    TakeOrdered (orderBy+limit), no shuffle of the vectors themselves."""
+    TakeOrdered (orderBy+limit), no shuffle of the vectors themselves.
+
+    ``where`` is ES's kNN ``filter`` context: a SQL predicate over the
+    embedding table's columns applied BEFORE the search (ES pre-filters,
+    so the k results all satisfy the filter — never a post-filtered
+    short page). A plain column predicate pushes down to the parquet
+    scan, so a selective filter prunes row groups before any vector
+    math."""
+    if where is not None:
+        emb = emb.filter(where)
     v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     scored = (
         v.withColumn("__q", _query_lit(query_vec))

@@ -184,3 +184,22 @@ def test_pq_validation(spark, emb_df):
     q = [float(x) for x in M[0]]
     with pytest.raises(ValueError):
         similarity.pq_topk(codes, q, B, rerank=50)  # no emb table
+
+
+def test_cosine_topk_filtered(spark, emb_df):
+    """ES kNN filter context: pre-filter, so results == brute force over
+    the filtered subset only (never a post-filtered short page)."""
+    df, M = emb_df
+    from pyspark.sql import functions as F
+
+    labeled = df.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+    q = [float(x) for x in M[7]]
+    got = [r.vec_id for r in
+           similarity.cosine_topk(labeled, q, k=10, where="label = 1").collect()]
+    keep = [i for i in range(len(M)) if i % 3 == 1]
+    cos = (M[keep] @ np.array(q)) / (
+        np.linalg.norm(M[keep], axis=1) * np.linalg.norm(np.array(q)))
+    exp = [keep[i] for i in sorted(range(len(keep)),
+                                   key=lambda i: (-round(cos[i], 4), keep[i]))][:10]
+    assert got == exp
+    assert all(v % 3 == 1 for v in got)
