@@ -811,6 +811,29 @@ def q_sparse_vector(spark, sf):
     )
 
 
+def q_intervals_filter(spark, sf):
+    """ES intervals filter rule over the positional index: source spans
+    'spark join' kept only when they end BEFORE some 'query' occurrence;
+    admitted docs score full-tf BM25 of the source terms (the engine's
+    span convention), n_hits = surviving spans."""
+    from mysql_es_spark.operators.query import intervals_filter_topk
+
+    ix = _index_for_documents(spark, sf, positions=True)
+    top = intervals_filter_topk(
+        spark, ix, "spark join", "before", "query", k=60,
+        cfg=_docs_index_cfg(True), with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+            "n_hits",
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(30)
+    )
+
+
 def q_phrase_via_index(spark, sf):
     """Indexed match_phrase: positional index + salt-pruned adjacency
     verification; BM25-scored, re-keyed to doc_id for the oracle."""
@@ -2740,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_t_test": q_agg_t_test,
         "agg_rate": q_agg_rate,
         "bm25_intervals": q_bm25_intervals,
+        "bm25_intervals_filter": q_intervals_filter,
         "agg_auto_date_histogram": q_agg_auto_date_histogram,
         "agg_scripted_metric": q_agg_scripted_metric,
         "agg_moving_percentiles": q_agg_moving_percentiles,
@@ -4270,6 +4294,41 @@ hist AS (SELECT strftime(DATE '2026-01-01' + (doc_id % 10)::INT, '%Y-%m-%d') AS 
          FROM matched GROUP BY 1)
 SELECT period, n_docs, round(n_docs * 3600.0 / 86400.0, 4) AS rate
 FROM hist ORDER BY period
+""",
+        "bm25_intervals_filter": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+pos AS (SELECT doc_id, unnest(tl) AS term, generate_subscripts(tl, 1) AS i FROM toks),
+src AS (
+  SELECT a.doc_id, a.i AS ss, a.i + 1 AS se
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  WHERE a.term = 'spark' AND b.term = 'join'
+),
+flt AS (SELECT doc_id, i FROM pos WHERE term = 'query'),
+kept AS (
+  SELECT s.doc_id, count(*) AS n_hits
+  FROM src s
+  WHERE EXISTS (SELECT 1 FROM flt f WHERE f.doc_id = s.doc_id AND s.se < f.i)
+  GROUP BY 1
+),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT k.doc_id, round(s.s, 4) AS score, CAST(k.n_hits AS BIGINT) AS n_hits
+FROM kept k JOIN scores s USING (doc_id)
+ORDER BY round(s.s, 4) DESC, k.doc_id ASC LIMIT 30
 """,
         "bm25_intervals": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),

@@ -3922,8 +3922,29 @@ def intervals_topk(
         q = body.get("query", "")
         g = int(body.get("max_gaps", 0))
         o = bool(body.get("ordered", True))
-        out = phrase_topk(spark, index_dir, q, k=k, cfg=cfg, slop=g, ordered=o)
-        scored = out.select("docid", "score")
+        if "filter" in body:
+            # ES interval filter rules: {"match": {"query": ..., "filter":
+            # {"not_overlapping": {"match": {"query": ...}}}}}. Source and
+            # filter are the consecutive-span shapes (g=0, ordered).
+            if g != 0 or not o:
+                raise ValueError(
+                    "intervals filter supports only consecutive ordered "
+                    "sources (max_gaps=0, ordered=True)"
+                )
+            flt = body["filter"]
+            if not isinstance(flt, dict) or len(flt) != 1:
+                raise ValueError("intervals filter must be {rule: {match: …}}")
+            frule, fbody = next(iter(flt.items()))
+            if set(fbody) != {"match"}:
+                raise ValueError("intervals filter side must be a match rule")
+            out = intervals_filter_topk(
+                spark, index_dir, q, frule, fbody["match"].get("query", ""),
+                k=k, cfg=cfg,
+            )
+            scored = out.select("docid", "score")
+        else:
+            out = phrase_topk(spark, index_dir, q, k=k, cfg=cfg, slop=g, ordered=o)
+            scored = out.select("docid", "score")
     elif kind == "prefix":
         scored = prefix_topk(
             spark, index_dir, body.get("prefix", ""), k=k, cfg=cfg,
@@ -4034,3 +4055,221 @@ def sparse_vector_topk(
         min_score=min_score,
         weights=norm,
     )
+
+
+_INTERVAL_FILTER_RULES = (
+    "overlapping", "not_overlapping", "containing", "not_containing",
+    "contained_by", "not_contained_by", "before", "after",
+)
+
+
+def intervals_filter_topk(
+    spark: SparkSession,
+    index_dir: str,
+    source: str,
+    rule: str,
+    filter_query: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``intervals`` filter rules: keep the SOURCE intervals whose
+    position relation to the FILTER intervals holds, per doc; a doc
+    matches when ≥1 source interval survives. ``source`` and
+    ``filter_query`` each analyze to a single term or a consecutive
+    ordered phrase (the span shapes this engine's positional machinery
+    produces exactly). Supported rules — ES's full set minus ``script``:
+
+    - ``overlapping`` / ``not_overlapping``: source span overlaps (does
+      not overlap) ANY filter span.
+    - ``containing`` / ``not_containing``: source span contains (never
+      contains) a whole filter span.
+    - ``contained_by`` / ``not_contained_by``: source span lies inside
+      (never inside) a filter span.
+    - ``before``: source span ends before the start of SOME filter span.
+    - ``after``: source span starts after the end of SOME filter span.
+
+    Scoring keeps this engine's span convention (span_not_topk,
+    phrase_topk): the interval relation is a structural mask; admitted
+    docs score full-tf BM25 over the source's unique terms. ``n_hits`` =
+    surviving source-interval count.
+
+    Scale shape: one salt-co-located positional pass over the source +
+    filter terms' blocks only (salts restricted to those holding the
+    source's lead term). Every relation test is O(S log X) numpy
+    searchsorted over composite (local docid · shift + position) keys —
+    cross-doc leakage is impossible because a doc's keys live in a
+    disjoint [local·shift, (local+1)·shift) band, and the prefix-max /
+    suffix-min end-key accumulations can only carry values from OTHER
+    bands, which the band inequality rejects. No per-occurrence Python,
+    nothing collected to the driver.
+    """
+    if rule not in _INTERVAL_FILTER_RULES:
+        raise ValueError(f"unsupported intervals filter rule {rule!r}")
+    cfg = effective_config(spark, index_dir, cfg)
+    src_t, flt_t = tokenize_text(source), tokenize_text(filter_query)
+    if not src_t or not flt_t:
+        raise ValueError("source and filter must each analyze to >=1 token")
+    stats = corpus_stats(spark, index_dir)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double, n_hits long")
+    all_terms = list(dict.fromkeys([*src_t, *flt_t]))
+    idf, buckets = term_meta(spark, index_dir, all_terms, stats["n_docs"], cfg)
+    if any(t not in idf for t in src_t):
+        return empty  # a missing source term ⇒ no source span anywhere
+    negated = rule.startswith("not_")
+    if any(t not in idf for t in flt_t):
+        # no filter span exists anywhere: positives can't hold, negations
+        # degrade to the plain source match (ES/Lucene same)
+        if not negated:
+            return empty
+        present = [t for t in all_terms if t in idf]
+        all_terms = present
+    blocks = _matching_blocks(
+        spark, index_dir, [t for t in all_terms if t in idf], buckets
+    )
+    if "pos_blob" not in blocks.columns:
+        raise ValueError("intervals_filter_topk needs with_positions=True")
+    lead = src_t[0]
+    src_salts = blocks.filter(F.col("term") == lead).select("salt").distinct()
+    if stats["n_docs"] // max(1, cfg.salt_docs) + 1 <= cfg.max_driver_salts:
+        src_salts = F.broadcast(src_salts)
+    surv = (
+        blocks.join(src_salts, "salt")
+        .select("salt", "term", "n", "blob", "pos_blob")
+        .repartition("salt")
+        .sortWithinPartitions("salt", "term", "start_docid")
+    )
+    k1, b, avgdl, salt_docs = cfg.k1, cfg.b, stats["avgdl"], cfg.salt_docs
+    src_terms, flt_terms, rule_l = list(src_t), list(flt_t), rule
+    idf_l = {t: float(v) for t, v in idf.items()}
+
+    def spans_of(per: dict, tokens: list[str], salt: int, shift: np.int64):
+        """Start keys of consecutive-phrase occurrences + their doc ids."""
+        if any(t not in per for t in tokens):
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        ids1, tfs1, _dls1, pos1 = per[tokens[0]]
+        local1 = ids1 - np.int64(salt * salt_docs)
+        keys = np.repeat(local1, tfs1) * shift + pos1
+        docs = np.repeat(ids1, tfs1)
+        alive = np.ones(len(keys), dtype=bool)
+        for j, tok in enumerate(tokens[1:], start=1):
+            idsj, tfsj, _dlsj, posj = per[tok]
+            localj = idsj - np.int64(salt * salt_docs)
+            keysj = np.sort(np.repeat(localj, tfsj) * shift + posj)
+            want = keys + j
+            idx = np.searchsorted(keysj, want)
+            ok = idx < len(keysj)
+            ok[ok] = keysj[idx[ok]] == want[ok]
+            alive &= ok
+        return np.sort(keys[alive]), docs[alive][np.argsort(keys[alive], kind="stable")]
+
+    def match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        out_doc, out_score, out_hits = [], [], []
+        for salt, grp in pdf.groupby("salt", sort=False):
+            per: dict[str, tuple] = {}
+            max_pos = 0
+            for term, tg in grp.groupby("term", sort=False):
+                ids_l, tfs_l, dls_l, pos_l = [], [], [], []
+                for n, blob, pblob in zip(tg["n"], tg["blob"], tg["pos_blob"]):
+                    ids, tfs, dls = decode_block(blob, int(n))
+                    if pblob is None:
+                        raise ValueError(
+                            "index lacks positions; rebuild with with_positions=True"
+                        )
+                    pos_l.append(decode_positions(pblob, tfs))
+                    ids_l.append(ids)
+                    tfs_l.append(tfs)
+                    dls_l.append(dls)
+                pos_a = np.concatenate(pos_l)
+                if len(pos_a):
+                    max_pos = max(max_pos, int(pos_a.max()))
+                per[term] = (
+                    np.concatenate(ids_l),
+                    np.concatenate(tfs_l),
+                    np.concatenate(dls_l),
+                    pos_a,
+                )
+            span_w = max(len(src_terms), len(flt_terms))
+            shift = np.int64(max_pos + span_w + 2)
+            s_start, s_docs = spans_of(per, src_terms, int(salt), shift)
+            if not len(s_start):
+                continue
+            s_end = s_start + np.int64(len(src_terms) - 1)
+            f_start, _f_docs = spans_of(per, flt_terms, int(salt), shift)
+            f_end = f_start + np.int64(len(flt_terms) - 1)
+            s_band = (s_start // shift) * shift  # this doc's key-band floor
+            if len(f_start):
+                pmax_end = np.maximum.accumulate(f_end)
+                smin_end = np.minimum.accumulate(f_end[::-1])[::-1]
+                if rule_l in ("overlapping", "not_overlapping"):
+                    # ∃f: f_start<=s_end ∧ f_end>=s_start (same band)
+                    i = np.searchsorted(f_start, s_end, side="right") - 1
+                    pos_ok = (i >= 0) & (pmax_end[np.maximum(i, 0)] >= s_start)
+                elif rule_l in ("containing", "not_containing"):
+                    # ∃f: f_start>=s_start ∧ f_end<=s_end
+                    i = np.searchsorted(f_start, s_start, side="left")
+                    pos_ok = (i < len(f_start)) & (
+                        smin_end[np.minimum(i, len(f_start) - 1)] <= s_end
+                    )
+                elif rule_l in ("contained_by", "not_contained_by"):
+                    # ∃f: f_start<=s_start ∧ f_end>=s_end
+                    i = np.searchsorted(f_start, s_start, side="right") - 1
+                    pos_ok = (i >= 0) & (pmax_end[np.maximum(i, 0)] >= s_end)
+                elif rule_l == "before":
+                    # ∃f in same band: f_start > s_end
+                    i = np.searchsorted(f_start, s_end, side="right")
+                    pos_ok = (i < len(f_start)) & (
+                        f_start[np.minimum(i, len(f_start) - 1)] < s_band + shift
+                    )
+                else:  # after: ∃f in same band: f_end < s_start
+                    fe_sorted = np.sort(f_end)
+                    i = np.searchsorted(fe_sorted, s_start, side="left") - 1
+                    pos_ok = (i >= 0) & (
+                        fe_sorted[np.maximum(i, 0)] >= s_band
+                    )
+            else:
+                pos_ok = np.zeros(len(s_start), dtype=bool)
+            alive = ~pos_ok if negated else pos_ok
+            if not alive.any():
+                continue
+            a_docs = s_docs[alive]
+            docs_u, hits = np.unique(a_docs, return_counts=True)
+            # full-tf BM25 over unique source terms for admitted docs
+            score = np.zeros(len(docs_u), dtype=np.float64)
+            for tok in dict.fromkeys(src_terms):
+                ids, tfs, dls, _pos = per[tok]
+                o = np.argsort(ids, kind="stable")
+                ids_s, tfs_s, dls_s = ids[o], tfs[o], dls[o]
+                j = np.searchsorted(ids_s, docs_u)
+                ok = (j < len(ids_s)) & (ids_s[np.minimum(j, len(ids_s) - 1)] == docs_u)
+                tf_f = tfs_s[np.minimum(j, len(ids_s) - 1)].astype(np.float64)
+                dl_f = dls_s[np.minimum(j, len(ids_s) - 1)].astype(np.float64)
+                contrib = idf_l[tok] * tf_f / (
+                    tf_f + k1 * (1.0 - b + b * dl_f / avgdl)
+                )
+                score += np.where(ok, contrib, 0.0)
+            out_doc.append(docs_u)
+            out_score.append(score)
+            out_hits.append(hits)
+        if out_doc:
+            yield pd.DataFrame(
+                {
+                    "docid": np.concatenate(out_doc),
+                    "score": np.concatenate(out_score),
+                    "n_hits": np.concatenate(out_hits),
+                }
+            )
+
+    scored = (
+        _mask_deleted(
+            surv.mapInPandas(match, schema="docid long, score double, n_hits long"),
+            deleted_docids(spark, index_dir),
+        )
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return _with_keys(spark, index_dir, scored) if with_keys else scored
