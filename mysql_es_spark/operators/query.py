@@ -4273,3 +4273,38 @@ def intervals_filter_topk(
         .limit(k)
     )
     return _with_keys(spark, index_dir, scored) if with_keys else scored
+
+
+def span_containing_topk(
+    spark: SparkSession,
+    index_dir: str,
+    big: str,
+    little: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``span_containing``: spans of ``big`` that enclose a span of
+    ``little``. Direct delegate to the interval span-relation machinery
+    (rule=``containing``); both clauses are single terms or consecutive
+    phrases, scored by this engine's span convention."""
+    return intervals_filter_topk(
+        spark, index_dir, big, "containing", little, k=k, cfg=cfg, with_keys=with_keys
+    )
+
+
+def span_within_topk(
+    spark: SparkSession,
+    index_dir: str,
+    little: str,
+    big: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``span_within``: spans of ``little`` that lie inside a span of
+    ``big`` (the mirror of span_containing, scored on the little side).
+    Delegate to rule=``contained_by``."""
+    return intervals_filter_topk(
+        spark, index_dir, little, "contained_by", big, k=k, cfg=cfg, with_keys=with_keys
+    )

@@ -162,3 +162,28 @@ def test_dsl_filter_path(spark, iv_index):
         intervals_topk(spark, ix, {"match": {"query": "beta gamma", "max_gaps": 2,
                                              "filter": {"before": {"match": {"query": "alpha"}}}}},
                        cfg=CFG)
+
+
+def test_span_containing_and_within(spark, iv_index):
+    """span_containing(big, little) == rule 'containing'; span_within is
+    the mirror scored on the little side."""
+    from mysql_es_spark.operators.query import (
+        span_containing_topk,
+        span_within_topk,
+    )
+
+    ix, docmap = iv_index
+    cont = {
+        docmap[r.docid]: (r.n_hits, r.score)
+        for r in span_containing_topk(spark, ix, "beta gamma", "gamma", k=20, cfg=CFG).collect()
+    }
+    exp = _py_rule("beta gamma", "containing", "gamma")
+    assert {c: h for c, (h, _) in cont.items()} == {c: h for c, (h, _) in exp.items()}
+
+    within = {
+        docmap[r.docid]: (r.n_hits, r.score)
+        for r in span_within_topk(spark, ix, "gamma", "beta gamma", k=20, cfg=CFG).collect()
+    }
+    exp_w = _py_rule("gamma", "contained_by", "beta gamma")
+    assert {c: h for c, (h, _) in within.items()} == {c: h for c, (h, _) in exp_w.items()}
+    assert within  # the corpus has gamma inside beta-gamma spans
