@@ -2528,6 +2528,15 @@ def q_agg_categorize(spark, sf):
     )
 
 
+def q_agg_frequent_item_sets(spark, sf):
+    """ES frequent_item_sets (market-basket): transactions = users, items
+    = the event types each user triggered; singleton + pair supports."""
+    return esaggs.frequent_item_sets_df(
+        _t(spark, sf, "events"), "user_id", "event_type",
+        min_support=0.2, size=10,
+    )
+
+
 def q_agg_sampler_stats(spark, sf):
     """ES sampler agg: length stats restricted to the top-20 BM25 matches
     (plain sampler; agg_sampler covers the diversified variant)."""
@@ -2754,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_boxplot": q_agg_boxplot,
         "agg_string_stats": q_agg_string_stats,
         "agg_categorize_text": q_agg_categorize,
+        "agg_frequent_item_sets": q_agg_frequent_item_sets,
         "agg_sampler_stats": q_agg_sampler_stats,
         "agg_percentiles_bucket": q_agg_percentiles_bucket,
         "agg_normalize": q_agg_normalize,
@@ -4142,6 +4152,20 @@ ln AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
        FROM tx),
 e AS (SELECT round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy FROM ch)
 SELECT ln.*, e.entropy FROM ln, e
+""",
+        "agg_frequent_item_sets": """
+WITH t AS (SELECT DISTINCT user_id AS txn, event_type AS item
+           FROM events WHERE event_type IS NOT NULL),
+n AS (SELECT count(DISTINCT txn) AS n FROM t),
+s1 AS (SELECT item AS itemset, 1 AS set_size, count(*) AS doc_count FROM t GROUP BY 1),
+s2 AS (SELECT a.item || ' ' || b.item AS itemset, 2 AS set_size, count(*) AS doc_count
+       FROM t a JOIN t b ON a.txn = b.txn AND a.item < b.item GROUP BY 1),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+SELECT itemset, CAST(set_size AS INT) AS set_size,
+       CAST(doc_count AS BIGINT) AS doc_count,
+       round(doc_count * 1.0 / n.n, 4) AS support
+FROM u, n WHERE doc_count * 1.0 / n.n >= 0.2
+ORDER BY doc_count DESC, itemset ASC LIMIT 10
 """,
         "agg_categorize_text": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),

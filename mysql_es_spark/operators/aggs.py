@@ -1770,3 +1770,97 @@ def categorize_text(
         .orderBy(F.col("doc_count").desc(), F.col("category").asc())
         .limit(size)
     )
+
+
+def frequent_item_sets_df(
+    df: DataFrame,
+    txn_col: str,
+    item_col: str,
+    max_set_size: int = 2,
+    min_support: float = 0.1,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``frequent_item_sets`` (8.4+ market-basket analysis) over an
+    arbitrary frame: transactions are the distinct ``txn_col`` values,
+    items the distinct ``item_col`` values seen in each. Emits itemsets of
+    size 1..``max_set_size`` (1 or 2 — ES's own mining is eclat-bounded;
+    higher orders explode combinatorially and are out of scope here) with
+    ``support`` = fraction of transactions containing the whole set, kept
+    when >= ``min_support``, ranked support desc / itemset asc. The
+    itemset renders as a space-joined sorted string so results are
+    engine-portable.
+
+    Scale shape: one distinct (txn, item) shuffle; singles are a hash agg
+    over it; pairs are a self equi-join on txn — fan-out bounded by
+    (items-per-transaction choose 2), which for categorical fields is
+    tiny and independent of corpus size. Support counts shuffle only
+    (itemset, partial count) pairs. The transaction count is the only
+    driver-side scalar."""
+    if not 1 <= int(max_set_size) <= 2:
+        raise ValueError("frequent_item_sets: max_set_size must be 1 or 2")
+    if not 0.0 < float(min_support) <= 1.0:
+        raise ValueError("frequent_item_sets: min_support must be in (0, 1]")
+    t = (
+        df.where(F.col(item_col).isNotNull())
+        .select(F.col(txn_col).alias("txn"), F.col(item_col).cast("string").alias("item"))
+        .distinct()
+        .persist()
+    )
+    try:
+        n_txn = t.select("txn").distinct().count()
+        if n_txn == 0:
+            return tbl.local_rows_df(
+                df.sparkSession, [],
+                "itemset string, set_size int, doc_count long, support double",
+            )
+        sets = t.groupBy(F.col("item").alias("itemset")).agg(
+            F.count(F.lit(1)).alias("doc_count")
+        ).withColumn("set_size", F.lit(1))
+        if max_set_size >= 2:
+            a, b = t.alias("a"), t.alias("b")
+            pairs = (
+                a.join(b, (F.col("a.txn") == F.col("b.txn")) & (F.col("a.item") < F.col("b.item")))
+                .select(F.concat_ws(" ", F.col("a.item"), F.col("b.item")).alias("itemset"))
+                .groupBy("itemset")
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .withColumn("set_size", F.lit(2))
+            )
+            sets = sets.unionByName(pairs)
+        out = (
+            sets.withColumn("support", F.round(F.col("doc_count") / F.lit(float(n_txn)), 4))
+            .where(F.col("doc_count") / F.lit(float(n_txn)) >= float(min_support))
+            .select("itemset", "set_size", "doc_count", "support")
+            .orderBy(F.col("doc_count").desc(), F.col("itemset").asc())
+            .limit(size)
+        )
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        t.unpersist()
+
+
+def frequent_item_sets(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    item_field: str = "tool",
+    txn_field: str = "conv_id",
+    max_set_size: int = 2,
+    min_support: float = 0.1,
+    size: int = 10,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``frequent_item_sets`` over the index: transactions are the
+    matched docs' ``txn_field`` groups (conversations by default), items
+    their distinct ``item_field`` values (tools used). See
+    :func:`frequent_item_sets_df` for semantics and scale shape."""
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    empty_schema = "itemset string, set_size int, doc_count long, support double"
+    if matched is None:
+        return tbl.local_rows_df(spark, [], empty_schema)
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", txn_field, item_field)
+    return frequent_item_sets_df(
+        matched.join(fwd, "docid", "inner"),
+        txn_field, item_field, max_set_size, min_support, size,
+    )

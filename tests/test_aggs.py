@@ -922,3 +922,75 @@ def test_categorize_text_min_doc_count_and_size(spark, built_index, fwd, matched
 
 def test_categorize_text_no_match(spark, built_index):
     assert aggs.categorize_text(spark, built_index, "zzzznope", cfg=TEST_CFG).count() == 0
+
+
+def test_frequent_item_sets_df(spark):
+    rows = [
+        ("t1", "a"), ("t1", "b"), ("t1", "c"),
+        ("t2", "a"), ("t2", "b"),
+        ("t3", "a"), ("t3", "b"), ("t3", "b"),  # dup item in txn counts once
+        ("t4", "c"), ("t4", None),
+        ("t5", "a"),
+    ]
+    df = spark.createDataFrame(rows, schema="txn string, item string")
+    got = [
+        (r.itemset, r.set_size, r.doc_count, r.support)
+        for r in aggs.frequent_item_sets_df(
+            df, "txn", "item", min_support=0.4, size=10
+        ).collect()
+    ]
+    # 5 transactions; a:4 b:3 c:2 ab:3 (others under 0.4 support)
+    assert got == [
+        ("a", 1, 4, 0.8),
+        ("a b", 2, 3, 0.6),
+        ("b", 1, 3, 0.6),
+        ("c", 1, 2, 0.4),
+    ]
+
+
+def test_frequent_item_sets_index(spark, built_index, fwd, matched):
+    from collections import Counter as C
+
+    conv_of = {
+        r.docid: (r.conv_id, r.tool)
+        for r in spark.read.parquet(f"{built_index}/forward")
+        .select("docid", "conv_id", "tool")
+        .collect()
+    }
+    txns = {}
+    for d in matched:
+        conv, tool = conv_of[d]
+        if tool is not None:
+            txns.setdefault(conv, set()).add(tool)
+    # count over ALL matched conversations (incl. all-null ones? no — a
+    # txn enters only via a non-null item row, same as the operator)
+    n = len(txns)
+    singles = C()
+    pairs = C()
+    for items in txns.values():
+        for it in items:
+            singles[it] += 1
+        ss = sorted(items)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                pairs[f"{ss[i]} {ss[j]}"] += 1
+    exp = [(k, 1, c) for k, c in singles.items() if c / n >= 0.05]
+    exp += [(k, 2, c) for k, c in pairs.items() if c / n >= 0.05]
+    exp.sort(key=lambda t: (-t[2], t[0]))
+    got = [
+        (r.itemset, r.set_size, r.doc_count)
+        for r in aggs.frequent_item_sets(
+            spark, built_index, Q, min_support=0.05, size=len(exp) + 5, cfg=TEST_CFG
+        ).collect()
+    ]
+    assert got == exp[: len(got)] and got
+
+
+def test_frequent_item_sets_validation(spark):
+    df = spark.createDataFrame([("t", "a")], schema="txn string, item string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_set_size"):
+        aggs.frequent_item_sets_df(df, "txn", "item", max_set_size=3)
+    with _pt.raises(ValueError, match="min_support"):
+        aggs.frequent_item_sets_df(df, "txn", "item", min_support=0.0)
