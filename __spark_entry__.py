@@ -931,6 +931,27 @@ def q_cross_fields(spark, sf):
     )
 
 
+def q_combined_fields(spark, sf):
+    """ES combined_fields: fields scored as ONE synthetic field (simple
+    BM25F — weighted tf/dl sums, one df/avgdl statistics space), the
+    term-centric successor to cross_fields."""
+    from mysql_es_spark.plans.multi_field import combined_fields_topk, field_dir
+
+    root = _multi_field_index_for_documents(spark, sf)
+    top = combined_fields_topk(
+        spark, root, "row src7 join", k=60, cfg=_docs_index_cfg()
+    )
+    fwd = spark.read.parquet(f"{field_dir(root, 'text')}/forward").select(
+        "docid", F.col("conv_id").cast("long").alias("doc_id")
+    )
+    return (
+        top.join(fwd, "docid")
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(40)
+    )
+
+
 def q_phrase_prefix(spark, sf):
     """ES match_phrase_prefix: 'row s' = exact token 'row' immediately
     followed by any dictionary expansion of 's' (df-desc cutoff at 4);
@@ -2716,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_ngram_phrase_via_index": q_ngram_phrase_via_index,
         "bm25_multi_match": q_multi_match,
         "bm25_cross_fields": q_cross_fields,
+        "bm25_combined_fields": q_combined_fields,
         "bm25_phrase_prefix": q_phrase_prefix,
         "bm25_boosting": q_boosting,
         "doc_lm_quality": q_lm_quality,
@@ -5621,6 +5643,35 @@ FROM documents d LEFT JOIN per USING (doc_id)
         # cross_fields: per-TERM dis-max across the text and source field
         # contributions (each field's own stats, boost 2.0 on source),
         # summed per doc
+        "bm25_combined_fields": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+stoks AS (SELECT doc_id,
+          regexp_extract_all(lower(strip_accents(source)), '[0-9a-z]+') AS tl
+          FROM documents),
+dlc AS (SELECT t.doc_id, 1.0 * len(t.tl) + 2.0 * len(s.tl) AS dlc
+        FROM toks t JOIN stoks s USING (doc_id)),
+stats AS (SELECT count(*) AS n, avg(dlc) AS avgdl FROM dlc),
+tf1 AS (SELECT toks.doc_id, u.term, count(*) AS tf
+        FROM toks, unnest(toks.tl) AS u(term)
+        WHERE u.term IN ('row', 'src7', 'join') GROUP BY 1, 2),
+tf2 AS (SELECT stoks.doc_id, u.term, count(*) AS tf
+        FROM stoks, unnest(stoks.tl) AS u(term)
+        WHERE u.term IN ('row', 'src7', 'join') GROUP BY 1, 2),
+tfc AS (SELECT doc_id, term, sum(wtf) AS tfc FROM (
+          SELECT doc_id, term, 1.0 * tf AS wtf FROM tf1
+          UNION ALL SELECT doc_id, term, 2.0 * tf AS wtf FROM tf2) u
+        GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+scores AS (
+  SELECT tfc.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tfc.tfc / (tfc.tfc + 1.2 * (0.25 + 0.75 * dlc.dlc / stats.avgdl)) ) AS s
+  FROM tfc JOIN dfreq USING (term) JOIN dlc USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 40
+""",
         "bm25_cross_fields": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
 dl AS (SELECT doc_id, len(tl) AS dl FROM toks),

@@ -182,13 +182,16 @@ def cmd_build_mf(args) -> dict:
 
 
 def cmd_query_mf(args) -> dict:
-    from .plans.multi_field import multi_match_topk
+    from .plans.multi_field import combined_fields_topk, multi_match_topk
 
     spark = _session(args)
-    rows = multi_match_topk(
-        spark, args.root, args.query, k=args.k, mtype=args.type,
-        tie_breaker=args.tie_breaker,
-    ).collect()
+    if args.type == "combined_fields":
+        rows = combined_fields_topk(spark, args.root, args.query, k=args.k).collect()
+    else:
+        rows = multi_match_topk(
+            spark, args.root, args.query, k=args.k, mtype=args.type,
+            tie_breaker=args.tie_breaker,
+        ).collect()
     return {"hits": [{"docid": r.docid, "score": round(r.score, 4)} for r in rows]}
 
 
@@ -635,7 +638,8 @@ def main(argv: list[str] | None = None) -> int:
     qm.add_argument("--query", required=True)
     qm.add_argument("-k", type=int, default=10)
     qm.add_argument(
-        "--type", choices=["best_fields", "most_fields", "cross_fields"],
+        "--type",
+        choices=["best_fields", "most_fields", "cross_fields", "combined_fields"],
         default="best_fields",
     )
     qm.add_argument("--tie-breaker", type=float, default=0.0, dest="tie_breaker")

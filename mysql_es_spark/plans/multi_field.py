@@ -35,6 +35,7 @@ from ..config import IndexConfig
 from ..operators.query import (
     _decode_contribs,
     _decode_scores,
+    _decode_tf_dl,
     _mask_deleted,
     _matching_blocks,
     corpus_stats,
@@ -194,3 +195,117 @@ def multi_match_topk(
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )
+
+
+def combined_fields_topk(
+    spark: SparkSession,
+    root: str,
+    query: str,
+    k: int = 10,
+    fields: dict[str, float] | None = None,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``combined_fields`` (7.13+, the principled successor to
+    cross_fields): the fields are scored as ONE synthetic combined field —
+    simple BM25F with per-field weights folded into term frequency and
+    length:
+
+        tf_c(t,d)  = Σ_f w_f · tf(t, f, d)
+        dl_c(d)    = Σ_f w_f · len(f, d)
+        df_c(t)    = |{d : t appears in ANY field of d}|
+        score(d)   = Σ_t idf(df_c) · tf_c / (tf_c + k1·(1−b+b·dl_c/avgdl_c))
+
+    Unlike cross_fields (per-term dis-max of per-field scores with each
+    field's own statistics), combined_fields is term-centric over ONE
+    statistics space, so scores are comparable across docs regardless of
+    which field matched.
+
+    Scale shape: dl_c is one hash agg over the sub-indexes' doc_lens
+    tables (docid+int rows — the smallest tables in the layout); the
+    per-field decodes are the standard pruned postings passes; the
+    combine is two hash aggs on (docid, term) then docid. Driver-side:
+    N/avgdl (two scalars) and per-term df (≤ |query| rows) only."""
+    fields = fields or stored_fields(spark, root)
+    terms = query_terms(query)
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    if not terms or not fields:
+        return empty
+    names = list(fields)
+    cfg0 = effective_config(spark, field_dir(root, names[0]), cfg)
+
+    lens = reduce(
+        DataFrame.unionByName,
+        [
+            tbl.read(spark, field_dir(root, n), "doc_lens").select(
+                "docid", (F.col("dl") * F.lit(float(w))).alias("wdl")
+            )
+            for n, w in fields.items()
+        ],
+    )
+    dlc = lens.groupBy("docid").agg(F.sum("wdl").alias("dlc")).persist()
+    try:
+        row = dlc.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dlc").alias("avgdl")
+        ).collect()[0]
+        n_docs, avgdl_c = int(row["n"]), float(row["avgdl"] or 0.0)
+        if n_docs == 0:
+            return empty
+
+        per, dels = [], []
+        for name, w in fields.items():
+            ix = field_dir(root, name)
+            cfgx = effective_config(spark, ix, cfg)
+            stats = corpus_stats(spark, ix)
+            idf, buckets = term_meta(spark, ix, terms, stats["n_docs"], cfgx)
+            ts = [t for t in terms if t in idf]
+            d = deleted_docids(spark, ix)
+            if d is not None:
+                dels.append(d)
+            if not ts:
+                continue
+            blocks = _matching_blocks(spark, ix, ts, buckets)
+            per.append(
+                _decode_tf_dl(blocks).select(
+                    "docid", "term", (F.col("tf") * F.lit(float(w))).alias("wtf")
+                )
+            )
+        if not per:
+            return empty
+        u = reduce(DataFrame.unionByName, per)
+        tfc = u.groupBy("docid", "term").agg(F.sum("wtf").alias("tfc"))
+        if dels:
+            tfc = _mask_deleted(tfc, reduce(DataFrame.unionByName, dels).distinct())
+        tfc = tfc.persist()
+        try:
+            df_rows = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
+            if not df_rows:
+                return empty
+            import numpy as np
+
+            idf_c = {
+                r["term"]: float(
+                    np.log(1.0 + (n_docs - int(r["df"]) + 0.5) / (int(r["df"]) + 0.5))
+                )
+                for r in df_rows
+            }
+            idf_col = F.element_at(
+                F.create_map(*[x for t, v in idf_c.items() for x in (F.lit(t), F.lit(v))]),
+                F.col("term"),
+            )
+            k1, b = F.lit(cfg0.k1), F.lit(cfg0.b)
+            contrib = idf_col * F.col("tfc") / (
+                F.col("tfc") + k1 * (F.lit(1.0) - b + b * F.col("dlc") / F.lit(avgdl_c))
+            )
+            out = (
+                tfc.join(dlc, "docid")
+                .select("docid", contrib.alias("c"))
+                .groupBy("docid")
+                .agg(F.sum("c").alias("score"))
+                .orderBy(F.col("score").desc(), F.col("docid").asc())
+                .limit(k)
+            )
+            return out.localCheckpoint(eager=True)
+        finally:
+            tfc.unpersist()
+    finally:
+        dlc.unpersist()

@@ -136,3 +136,53 @@ def test_validation(spark, mf_root):
     with pytest.raises(ValueError):
         build_multi_field(spark, None, mf_root, {}, TEST_CFG)
     assert multi_match_topk(spark, mf_root, "", cfg=TEST_CFG).count() == 0
+
+
+def test_combined_fields_matches_python_reference(spark, mf_root):
+    """combined_fields = simple BM25F: weighted tf/dl sums in ONE combined
+    statistics space (df over any-field presence, avgdl over combined
+    lengths)."""
+    from mysql_es_spark.functions.analyze import tokenize_text
+    from mysql_es_spark.plans.multi_field import combined_fields_topk
+
+    texts = {}
+    for name in BOOSTS:
+        rows = (
+            spark.read.parquet(f"{mf_root}/field={name}/forward")
+            .select("docid", "text")
+            .collect()
+        )
+        texts[name] = {r.docid: tokenize_text(r.text) for r in rows}
+    docids = set().union(*[set(m) for m in texts.values()])
+    qts = tokenize_text(Q)
+    dlc = {
+        d: sum(BOOSTS[f] * len(texts[f].get(d, [])) for f in BOOSTS) for d in docids
+    }
+    n = len(docids)
+    avgdl = sum(dlc.values()) / n
+    k1, b = TEST_CFG.k1, TEST_CFG.b
+    exp = []
+    for d in docids:
+        s = 0.0
+        for t in qts:
+            tfc = sum(BOOSTS[f] * texts[f].get(d, []).count(t) for f in BOOSTS)
+            if tfc <= 0:
+                continue
+            df_t = sum(
+                1 for d2 in docids if any(t in texts[f].get(d2, []) for f in BOOSTS)
+            )
+            idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            s += idf * tfc / (tfc + k1 * (1 - b + b * dlc[d] / avgdl))
+        if s > 0:
+            exp.append((d, s))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    got = combined_fields_topk(spark, mf_root, Q, k=15, cfg=TEST_CFG).collect()
+    assert [r.docid for r in got] == [d for d, _ in exp[:15]]
+    for r, (_, es) in zip(got, exp):
+        assert r.score == pytest.approx(es, abs=1e-9)
+
+
+def test_combined_fields_unknown_terms_empty(spark, mf_root):
+    from mysql_es_spark.plans.multi_field import combined_fields_topk
+
+    assert combined_fields_topk(spark, mf_root, "zzzznope", k=5, cfg=TEST_CFG).count() == 0
