@@ -42,9 +42,12 @@ def main() -> int:
     from mysql_es_spark.corpus import transcripts_df
     from mysql_es_spark.functions.analyze import tokenize_text
     from mysql_es_spark.operators.query import (
+        _INTERVAL_FILTER_RULES,
         bm25_topk,
         bm25_topk_conjunctive,
         bm25_topk_multi,
+        intervals_filter_topk,
+        sparse_vector_topk,
         boosting_topk,
         constant_score_topk,
         exists_topk,
@@ -128,6 +131,61 @@ def main() -> int:
             f"r{rnd}-conj",
             bm25_topk_conjunctive(spark, ix, q, k=k, cfg=cfg).collect(),
             want_c,
+        )
+
+        # sparse_vector: random weights replace idf, saturation unchanged
+        sv_w = {t: round(rng.uniform(0.1, 4.0), 3) for t in q_terms}
+        sv_sc = {}
+        for d, ts in toks.items():
+            tf = Counter(ts)
+            s = sum(
+                w * tf[t] / (tf[t] + 1.2 * (0.25 + 0.75 * len(ts) / oix.avgdl))
+                for t, w in sv_w.items()
+                if t in tf
+            )
+            if s > 0:
+                sv_sc[d] = s
+        want_sv = sorted(sv_sc.items(), key=lambda x: (-x[1], x[0]))[:k]
+        expect_rank(
+            f"r{rnd}-sparse_vector",
+            sparse_vector_topk(
+                spark, ix, sv_w, k=k, cfg=cfg,
+                mode=rng.choice(["simple", "pruned"]),
+            ).collect(),
+            want_sv,
+        )
+
+        # intervals filter rules: single-term source vs single-term filter
+        iv_rule = rng.choice(list(_INTERVAL_FILTER_RULES))
+        st, ft = rng.sample(vocab, 2)
+        n_d, avgdl_d = oix.n_docs, oix.avgdl
+        dfq = Counter(t for ts in toks.values() for t in set(ts))
+        base = iv_rule[4:] if iv_rule.startswith("not_") else iv_rule
+        iv_sc = {}
+        for d, ts in toks.items():
+            s_pos = [i for i, t in enumerate(ts) if t == st]
+            f_pos = [i for i, t in enumerate(ts) if t == ft]
+            keep = 0
+            for p in s_pos:
+                if base in ("overlapping", "containing", "contained_by"):
+                    hit = p in f_pos  # width-1 spans: all three reduce to equality
+                elif base == "before":
+                    hit = any(p < fp for fp in f_pos)
+                else:  # after
+                    hit = any(fp < p for fp in f_pos)
+                keep += (not hit) if iv_rule.startswith("not_") else hit
+            if keep:
+                w = float(np.log(1.0 + (n_d - dfq[st] + 0.5) / (dfq[st] + 0.5)))
+                tf_v = len(s_pos)
+                iv_sc[d] = w * tf_v / (
+                    tf_v + 1.2 * (0.25 + 0.75 * len(ts) / avgdl_d)
+                )
+        want_iv = sorted(iv_sc.items(), key=lambda x: (-x[1], x[0]))[:k]
+        expect_rank(
+            f"r{rnd}-ivfilter-{iv_rule}",
+            intervals_filter_topk(spark, ix, st, iv_rule, ft, k=k, cfg=cfg)
+            .select("docid", "score").collect(),
+            want_iv,
         )
 
         # synonyms (dis-max): 2 clauses with random expansion
