@@ -413,3 +413,30 @@ def test_cumulative_cardinality_first_occurrence_is_hash_agg(spark, built_index)
     assert fwd_reads, plan
     for rs in fwd_reads:
         assert "text" not in rs
+
+
+def test_sparse_vector_weights_skip_term_dict(spark, built_index):
+    """sparse_vector weights replace idf, so its simple-mode plan must
+    never read term_dict (no df lookup job) — only the postings scan."""
+    from mysql_es_spark.operators.query import sparse_vector_topk
+
+    df = sparse_vector_topk(
+        spark, built_index, {"w0": 2.0, "w3": 0.5}, k=5, cfg=TEST_CFG, mode="simple"
+    )
+    plan = plan_of(df)
+    assert "postings" in plan
+    assert "term_dict" not in plan
+
+
+def test_intervals_filter_blocks_scan_prunes_terms(spark, tiny_transcripts, tmp_path_factory):
+    """The span-relation kernel's postings scan must push the In(term)
+    filter down (row-group pruning) and restrict to the source salts."""
+    from mysql_es_spark.operators.query import intervals_filter_topk
+    from mysql_es_spark.plans.build import build_index
+
+    cfg = TEST_CFG.with_(with_positions=True)
+    d = str(tmp_path_factory.mktemp("ivf_audit") / "ix")
+    build_index(spark, tiny_transcripts, d, cfg)
+    df = intervals_filter_topk(spark, d, "w0", "before", "w3", k=5, cfg=cfg)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "term" in plan
