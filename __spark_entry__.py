@@ -1389,6 +1389,35 @@ def q_epoch_mix(spark, sf):
     )
 
 
+def q_dsir_weights(spark, sf):
+    """DSIR importance log-weights (hashed-unigram, add-1 smoothing):
+    how target-like ('src7' docs as the in-domain exemplar set) every
+    doc's token distribution is, for importance resampling."""
+    docs = _t(spark, sf, "documents")
+    w = sampling.dsir_logweights(docs, F.col("source") == "src7", n_buckets=1024)
+    return w.select("doc_id", "n_tokens", F.round("dsir_logw", 4).alias("dsir_logw"))
+
+
+def q_dsir_sample(spark, sf):
+    """DSIR resampling step: Gumbel-top-150 over the importance
+    log-weights — an exact sample-without-replacement ∝ exp(weight),
+    derandomized through the md5 contract."""
+    docs = _t(spark, sf, "documents")
+    w = sampling.dsir_logweights(docs, F.col("source") == "src7", n_buckets=1024)
+    top = sampling.dsir_select(w, k=150, seed="dsir")
+    return top.select("doc_id", F.round("gumbel_key", 4).alias("gumbel_key"))
+
+
+def q_temperature_mix(spark, sf):
+    """Temperature-based domain rebalancing (tau=0.7, budget=input
+    size): small sources upsampled, large ones thinned, realized as
+    deterministic fractional epochs."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    return sampling.temperature_mix(docs, "source", tau=0.7).select(
+        "doc_id", "source", F.col("epoch").cast("int").alias("epoch")
+    )
+
+
 def q_dup_spans(spark, sf):
     """Exact-substring dedup: merged cut spans of 5-token windows whose
     token sequence occurs elsewhere (first occurrence kept)."""
@@ -2846,6 +2875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_decontaminate,
         "phrase_suggest": q_phrase_suggest,
         "doc_epoch_mix": q_epoch_mix,
+        "doc_dsir_weights": q_dsir_weights,
+        "doc_dsir_sample": q_dsir_sample,
+        "doc_temperature_mix": q_temperature_mix,
         "doc_dup_spans": q_dup_spans,
         "bm25_count": q_bm25_count,
         "doc_mget": q_doc_mget,
@@ -5543,6 +5575,33 @@ unnest(range(0, floor(t.e)::BIGINT
              + CASE WHEN t.h < round((t.e - floor(t.e)) * 4294967296)::BIGINT
                     THEN 1 ELSE 0 END)) AS g(epoch)
 """,
+        # DSIR hashed-unigram importance log-weights, add-1 smoothing,
+        # 1024 md5 buckets, target = src7 docs
+        "doc_dsir_weights": (
+            "SELECT doc_id, n_tokens, round(dsir_logw, 4) AS dsir_logw FROM ("
+            + sampling.duckdb_dsir_sql("source = 'src7'", n_buckets=1024)
+            + ")"
+        ),
+        # DSIR Gumbel-top-k resample over the same weights
+        "doc_dsir_sample": (
+            "SELECT doc_id, round(gumbel_key, 4) AS gumbel_key FROM ("
+            + sampling.duckdb_dsir_select_sql(
+                sampling.duckdb_dsir_sql("source = 'src7'", n_buckets=1024),
+                k=150,
+                seed="dsir",
+            )
+            + ")"
+        ),
+        # temperature-0.7 domain rebalancing as fractional epochs
+        "doc_temperature_mix": (
+            "SELECT doc_id, "
+            + "source"
+            + ", epoch FROM ("
+            + sampling.duckdb_temperature_mix_sql(
+                "(SELECT doc_id, source FROM documents)", "source", tau=0.7
+            )
+            + ")"
+        ),
         # exact-substring dedup: duplicated 5-token windows, first
         # occurrence kept, later ones merged into per-doc cut spans
         "doc_dup_spans": f"""

@@ -153,3 +153,230 @@ def duckdb_epoch_mix_sql(
         f"SELECT t.*, CAST(g.epoch AS INT) AS epoch FROM {table} t, "
         f"unnest(range(0, {n})) AS g(epoch)"
     )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, dsir_logw) — DSIR importance log-weights (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling") with the hashed-unigram feature space.
+
+    ``target`` is a boolean Column over ``df`` marking the in-domain
+    exemplar docs (e.g. ``F.col("source") == "src7"``). Every token is
+    hashed into one of ``n_buckets`` feature buckets; the target and raw
+    bag-of-buckets distributions are estimated with add-``alpha``
+    smoothing, and a doc's weight is the sum over its tokens of
+    ``ln p_target(bucket) − ln p_raw(bucket)`` — the log importance
+    ratio under the hashed-unigram model. Docs with no tokens get 0.0.
+
+    Scale shape: one Arrow tokenize pass feeds a persisted (doc, bucket,
+    is-target) frame; bucket statistics are a ``n_buckets``-row groupBy
+    (map-side combined — at most B rows per task reach the shuffle), the
+    per-bucket weight table is broadcast, and the per-doc pass is one
+    equi-join + groupBy on the doc id. No per-row Python, no driver
+    materialization beyond the B-row weight table. The bucket hash is
+    the engine-portable md5 contract (see :func:`hash_bucket`) so the
+    DuckDB oracle can check values exactly.
+    """
+    from .textstats import with_tokens
+
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive for smoothing, got {alpha}")
+    b = float(n_buckets)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long") % n_buckets
+    )
+    tokb = (
+        with_tokens(df.withColumn("__tgt", target), text_col)
+        .select(F.col(id_col), F.col("__tgt"), F.explode("toks").alias("term"))
+        .select(id_col, "__tgt", bucket.alias("bucket"))
+        .persist()
+    )
+    cb = tokb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+    )
+    tot = cb.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    w = cb.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + alpha) / (F.col("tt") + alpha * b))
+            - F.log((F.col("cr") + alpha) / (F.col("tr") + alpha * b))
+        ).alias("lw"),
+    )
+    per = (
+        tokb.join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"), F.sum("lw").alias("lw"))
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("lw", F.lit(0.0)).alias("dsir_logw"),
+        )
+    )
+
+
+def duckdb_dsir_sql(
+    target_where: str,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    tok_expr: str = "regexp_extract_all(lower(strip_accents(text)), '[0-9a-z]+')",
+) -> str:
+    """DuckDB query equal to :func:`dsir_logweights` on ``documents``
+    (columns: doc_id, n_tokens, dsir_logw — unrounded; wrap for 4dp)."""
+    b = float(n_buckets)
+    a = float(alpha)
+    return f"""
+WITH toks AS (SELECT doc_id, ({target_where}) AS tgt, {tok_expr} AS tl FROM documents),
+tokb AS (SELECT toks.doc_id, tgt,
+                CAST(('0x' || substr(md5(u.term), 1, 8))::UBIGINT % {n_buckets} AS BIGINT) AS bucket
+         FROM toks, unnest(toks.tl) AS u(term)),
+cb AS (SELECT bucket, count(*) AS cr,
+              sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+       FROM tokb GROUP BY 1),
+tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cb),
+w AS (SELECT bucket,
+             ln((ct + {a}) / (tt + {a} * {b})) - ln((cr + {a}) / (tr + {a} * {b})) AS lw
+      FROM cb CROSS JOIN tot),
+per AS (SELECT tokb.doc_id, count(*) AS n_tokens, sum(w.lw) AS lw
+        FROM tokb JOIN w USING (bucket) GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(per.lw, 0.0) AS dsir_logw
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+def dsir_select(
+    weights: DataFrame,
+    k: int,
+    seed: str = "dsir",
+    id_col: str = "doc_id",
+    weight_col: str = "dsir_logw",
+) -> DataFrame:
+    """Top-``k`` Gumbel importance resample over DSIR log-weights.
+
+    Adding an independent Gumbel(0,1) draw to each log-weight and taking
+    the top k is exactly sampling k items WITHOUT replacement with
+    probability ∝ exp(weight) (the Gumbel-top-k trick) — the resampling
+    step of DSIR. The draw is derandomized through the engine-portable
+    md5 contract: u = (md5(seed‖id) mod 2^32 + 0.5) / 2^32, g = −ln(−ln
+    u), so the same rows are selected on any engine, at any scale, under
+    any partitioning. Pure projection + TakeOrdered — no shuffle beyond
+    the top-k reduction.
+    """
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(2**32)
+    )
+    u = (h.cast("double") + 0.5) / float(2**32)
+    key = F.col(weight_col) + (-F.log(-F.log(u)))
+    return (
+        weights.withColumn("gumbel_key", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+
+
+def duckdb_dsir_select_sql(
+    inner_sql: str, k: int, seed: str = "dsir", id_col: str = "doc_id",
+    weight_col: str = "dsir_logw",
+) -> str:
+    """DuckDB query equal to :func:`dsir_select` over ``inner_sql``."""
+    u = (
+        f"((('0x' || substr(md5('{seed}:' || {id_col}::VARCHAR), 1, 8))::UBIGINT % 4294967296)"
+        f"::DOUBLE + 0.5) / 4294967296"
+    )
+    return (
+        f"SELECT *, ({weight_col} + (-ln(-ln({u})))) AS gumbel_key "
+        f"FROM ({inner_sql}) ORDER BY gumbel_key DESC, {id_col} ASC LIMIT {int(k)}"
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    tau: float = 0.7,
+    budget: int | None = None,
+    id_col: str = "doc_id",
+    out: str = "epoch",
+) -> DataFrame:
+    """Temperature-based domain mixing (mT5 / multilingual-sampling
+    style): resample strata so stratum ``s`` contributes ∝ n_s**tau of
+    a ``budget``-row corpus (default budget = the input size, i.e. pure
+    rebalancing). tau < 1 upweights small strata and downweights large
+    ones; tau = 1 is the natural mix.
+
+    Realized as data-derived fractional epochs e_s = budget·p_s / n_s
+    (p_s ∝ n_s**tau) fed through the :func:`epoch_mix` mechanics —
+    floor(e) full passes plus one md5-thresholded fractional pass — so
+    the output is deterministic on every engine and the per-stratum
+    expected count is round-exact. Scale shape: the strata-count frame
+    is a tiny groupBy broadcast back onto the rows; everything else is
+    projection + one explode. No RNG, no shuffle of the data rows.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    tots = counts.agg(
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(float(tau)))).alias("__z"),
+        F.sum("__n").alias("__tot"),
+    )
+    e = counts.crossJoin(F.broadcast(tots)).select(
+        strata_col,
+        (
+            (F.lit(float(budget)) if budget is not None else F.col("__tot").cast("double"))
+            * F.pow(F.col("__n").cast("double"), F.lit(float(tau)))
+            / F.col("__z")
+            / F.col("__n").cast("double")
+        ).alias("__e"),
+    )
+    h = hash_bucket(id_col, 2**32)
+    full = F.floor("__e").cast("int")
+    frac_thr = F.round((F.col("__e") - full) * F.lit(float(2**32))).cast("long")
+    return (
+        df.join(F.broadcast(e), strata_col)
+        .withColumn("__np", full + F.when(h < frac_thr, 1).otherwise(0))
+        .filter(F.col("__np") > 0)
+        .withColumn(out, F.explode(F.expr("sequence(0, __np - 1)")))
+        .drop("__e", "__np")
+    )
+
+
+def duckdb_temperature_mix_sql(
+    table: str,
+    strata_col: str,
+    tau: float = 0.7,
+    budget: int | None = None,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB query equal to :func:`temperature_mix` (columns: t.*, epoch)."""
+    bud = f"{float(budget)}" if budget is not None else "(__tot::DOUBLE)"
+    h = duckdb_hash_bucket(id_col, 2**32)
+    return f"""
+WITH __c AS (SELECT {strata_col}, count(*) AS __n FROM {table} GROUP BY 1),
+__s AS (SELECT sum(pow(__n::DOUBLE, {float(tau)})) AS __z, sum(__n) AS __tot FROM __c),
+__e AS (SELECT {strata_col},
+               {bud} * pow(__n::DOUBLE, {float(tau)}) / __z / __n::DOUBLE AS __e
+        FROM __c CROSS JOIN __s)
+SELECT t.*, CAST(g.epoch AS INT) AS epoch
+FROM {table} t JOIN __e USING ({strata_col}),
+     unnest(range(0, floor(__e)::BIGINT
+            + CASE WHEN {h} < round((__e - floor(__e)) * 4294967296)::BIGINT
+                   THEN 1 ELSE 0 END)) AS g(epoch)
+"""
