@@ -2599,6 +2599,65 @@ def q_agg_sampler_stats(spark, sf):
     )
 
 
+def q_agg_random_sampler(spark, sf):
+    """ES random_sampler agg: length stats over a deterministic 50%
+    sample of the Q1 matches, doc_count reported background-scaled
+    (sampled count / probability)."""
+    out = esaggs.random_sampler_agg(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1),
+        probability=0.5, seed="rs", cfg=_docs_index_cfg(),
+    )
+    return out.select("n_sampled", "doc_count", F.round("avg_dl", 4).alias("avg_dl"))
+
+
+BUCKET_CORR_INDICATOR = [1.0, 2.0, 3.0, 4.0, 5.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def q_agg_bucket_correlation(spark, sf):
+    """ES bucket_correlation pipeline agg: Pearson correlation between
+    the Q1 day-histogram's bucket counts and a caller indicator series."""
+    out = esaggs.bucket_correlation_agg(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1),
+        BUCKET_CORR_INDICATOR, cfg=_docs_index_cfg(),
+    )
+    return out.select("n_buckets", F.round("corr", 4).alias("corr"))
+
+
+def q_agg_change_point(spark, sf):
+    """ES change_point pipeline agg (step form): the day-histogram split
+    maximizing the Welch t-statistic between prefix and suffix means."""
+    return esaggs.change_point_agg(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1),
+        cfg=_docs_index_cfg(),
+    )
+
+
+def q_terms_lookup(spark, sf):
+    """ES terms query with terms LOOKUP: the filter term set is doc 7's
+    analyzed text fetched at query time; every match scores the boost."""
+    from mysql_es_spark.operators.query import terms_lookup_topk
+
+    ix = _index_for_documents(spark, sf)
+    docs = _t(spark, sf, "documents")
+    top = terms_lookup_topk(
+        spark, ix, docs, F.col("doc_id") == 7, k=600, boost=1.0,
+        cfg=_docs_index_cfg(), with_keys=True,
+    )
+    return top.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    ).orderBy("doc_id")
+
+
+def q_emb_knn_min_sim(spark, sf):
+    """ES kNN similarity floor: exact cosine top-50 but vectors under
+    0.2 similarity are dropped before the cut (page may come back
+    short)."""
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk(emb, [float(x) for x in qv], k=50, min_sim=0.2)
+
+
 def q_agg_percentiles_bucket(spark, sf):
     """ES percentiles_bucket: exact percentiles of the day-histogram's
     n_docs bucket stream."""
@@ -2816,6 +2875,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_categorize_text": q_agg_categorize,
         "agg_frequent_item_sets": q_agg_frequent_item_sets,
         "agg_sampler_stats": q_agg_sampler_stats,
+        "agg_random_sampler": q_agg_random_sampler,
+        "agg_bucket_correlation": q_agg_bucket_correlation,
+        "agg_change_point": q_agg_change_point,
+        "terms_lookup": q_terms_lookup,
+        "emb_knn_min_sim": q_emb_knn_min_sim,
         "agg_percentiles_bucket": q_agg_percentiles_bucket,
         "agg_normalize": q_agg_normalize,
         "agg_cumulative_cardinality": q_agg_cumulative_cardinality,
@@ -4751,6 +4815,84 @@ SELECT strftime(DATE '2026-01-01' + (doc_id % 10)::INT, '%Y-%m-%d') AS period,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM matched GROUP BY 1 ORDER BY 1
 """,
+        # random_sampler: deterministic md5 50% sample of the matches,
+        # doc_count background-scaled by 1/p
+        "agg_random_sampler": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT toks.doc_id, len(tl) AS dl FROM toks
+      WHERE list_has_any(tl, ['spark','join','query'])),
+s AS (SELECT * FROM m
+      WHERE (('0x' || substr(md5('rs:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+             % 4294967296) < {int(round(0.5 * 2**32))})
+SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(round(count(*) / 0.5) AS BIGINT) AS doc_count,
+       round(avg(dl), 4) AS avg_dl
+FROM s
+""",
+        # bucket_correlation: Pearson corr of day-bucket counts vs the
+        # caller indicator series, joined by bucket ordinal
+        "agg_bucket_correlation": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT toks.doc_id FROM toks
+      WHERE list_has_any(tl, ['spark','join','query'])),
+hist AS (SELECT strftime(DATE '2026-01-01' + (doc_id % 10)::INT, '%Y-%m-%d') AS period,
+                count(*)::DOUBLE AS v
+         FROM m GROUP BY 1),
+idx AS (SELECT v, row_number() OVER (ORDER BY period) - 1 AS i FROM hist),
+ind AS (SELECT unnest(range(10)) AS i,
+               unnest([1.0,2.0,3.0,4.0,5.0,1.0,2.0,3.0,4.0,5.0]) AS w)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets, round(corr(v, w), 4) AS corr
+FROM idx JOIN ind USING (i)
+""",
+        # change_point (step form): argmax Welch t-stat split of the day
+        # histogram, >=2 buckets each side, tie-break rounded-stat/period
+        "agg_change_point": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT toks.doc_id FROM toks
+      WHERE list_has_any(tl, ['spark','join','query'])),
+hist AS (SELECT strftime(DATE '2026-01-01' + (doc_id % 10)::INT, '%Y-%m-%d') AS period,
+                count(*)::DOUBLE AS v
+         FROM m GROUP BY 1),
+pre AS (SELECT period,
+               count(v) OVER w1 AS n1, sum(v) OVER w1 AS s1, sum(v*v) OVER w1 AS q1
+        FROM hist
+        WINDOW w1 AS (ORDER BY period ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+tot AS (SELECT count(*) AS nt, sum(v) AS st, sum(v*v) AS qt FROM hist),
+j AS (SELECT period, n1, nt - n1 AS n2, s1, st - s1 AS s2, q1, qt - q1 AS q2
+      FROM pre CROSS JOIN tot),
+sc AS (SELECT period,
+              (s2/n2 - s1/n1)
+              / nullif(sqrt((q1 - s1*s1/n1)/n1/n1 + (q2 - s2*s2/n2)/n2/n2), 0) AS stat
+       FROM j WHERE n1 >= 2 AND n2 >= 2)
+SELECT period, round(stat, 4) AS stat,
+       CASE WHEN stat >= 0 THEN 'step_up' ELSE 'step_down' END AS type
+FROM sc WHERE stat IS NOT NULL
+ORDER BY round(abs(stat), 6) DESC, period ASC LIMIT 1
+""",
+        # terms lookup: filter term set = doc 7's analyzed tokens, every
+        # match scores the boost (filter context)
+        "terms_lookup": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+lkt AS (SELECT DISTINCT u.term FROM toks, unnest(toks.tl) AS u(term)
+        WHERE doc_id = 7),
+m AS (SELECT DISTINCT toks.doc_id FROM toks, unnest(toks.tl) AS u(term)
+      WHERE u.term IN (SELECT term FROM lkt))
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM m ORDER BY doc_id ASC
+""",
+        # kNN similarity floor: drop vectors under 0.2 cosine before the
+        # top-k cut
+        "emb_knn_min_sim": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cos
+            FROM embeddings
+            WHERE round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) >= 0.2
+            ORDER BY round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) DESC,
+                     vec_id ASC
+            LIMIT 50
+        """,
         "agg_extended_stats": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
 matched AS (SELECT doc_id, len(tl) AS dl FROM toks

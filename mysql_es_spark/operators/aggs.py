@@ -1864,3 +1864,162 @@ def frequent_item_sets(
         matched.join(fwd, "docid", "inner"),
         txn_field, item_field, max_set_size, min_support, size,
     )
+
+
+def random_sampler_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    probability: float = 0.3,
+    seed: str = "rs",
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``random_sampler`` agg: run the sub-aggregation on a random
+    ``probability`` fraction of the matched docs and report the
+    background-scaled doc count (ES divides the sampled count by p).
+    Sub-agg = analyzed-length stats, like :func:`sampler_agg`, so the
+    two are directly comparable (best-k sample vs uniform sample).
+
+    ES samples with a per-shard RNG; here the draw is derandomized
+    through the engine-portable md5 contract on the external key
+    (``seed``‖conv_id), so the same docs are sampled on every engine, at
+    every scale, under any partitioning — and the sample is a pushed-
+    down filter on the matched ⋈ forward join, never a corpus pass.
+    One row: (n_sampled, doc_count, avg_dl).
+    """
+    if not (0.0 < probability <= 1.0):
+        raise ValueError(f"probability must be in (0, 1], got {probability}")
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(
+            spark, [], "n_sampled long, doc_count long, avg_dl double"
+        )
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", "conv_id")
+    dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), F.lit(":"), F.col("conv_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(2**32)
+    )
+    thr = int(round(probability * 2**32))
+    return (
+        matched.join(fwd, "docid", "inner")
+        .filter(h < thr)
+        .join(dls, "docid", "inner")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.round(F.count(F.lit(1)) / F.lit(float(probability)))
+            .cast("long")
+            .alias("doc_count"),
+            F.avg("dl").alias("avg_dl"),
+        )
+    )
+
+
+def bucket_correlation_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    indicator: list[float],
+    interval: str = "day",
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``bucket_correlation`` sibling pipeline agg (count_correlation
+    function): Pearson correlation between the parent date_histogram's
+    per-bucket doc counts and a caller-supplied indicator series of the
+    same length (how ES scores a term's association with a metric
+    profile). One row: (n_buckets, corr) — sample correlation, matching
+    both engines' ``corr``.
+
+    The parent histogram is the distributed matched ⋈ forward agg; this
+    pass joins its OUTPUT (bucket-cardinality rows) against the
+    broadcast indicator by bucket ordinal — never corpus-sized. The
+    length check materializes only the bucket count (pipeline aggs see
+    the reduced bucket list by contract, same as ES's own reduce phase).
+    """
+    hist = date_histogram(spark, index_dir, query, interval, cfg)
+    n = hist.count()
+    if n != len(indicator):
+        raise ValueError(
+            f"indicator length {len(indicator)} != bucket count {n}"
+        )
+    w = W.orderBy("period")
+    idx = hist.select("period", "n_docs", (F.row_number().over(w) - 1).alias("__i"))
+    ind = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(indicator)], "__i int, __v double"
+    )
+    return idx.join(F.broadcast(ind), "__i", "inner").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.corr(F.col("n_docs").cast("double"), F.col("__v")).alias("corr"),
+    )
+
+
+def change_point_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    interval: str = "day",
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``change_point`` sibling pipeline agg (step-change form):
+    locate the bucket where the parent date_histogram's count series
+    shifts level, as the split maximizing the Welch t-statistic between
+    the prefix and suffix means. One row: (period, stat, type) with type
+    ``step_up``/``step_down`` by the shift's sign. (ES also classifies
+    spike/dip/trend; the step detector is the shape its docs lead with
+    and the one a count series over time needs first.)
+
+    Every candidate split is scored from cumulative sums over the
+    REDUCED bucket stream — two window passes and a one-row total
+    broadcast, cardinality ∝ bucket count. Splits need ≥2 buckets on
+    each side (both variances defined); the argmax tie-breaks on the
+    6-dp-rounded statistic then earliest period, the same cross-engine
+    determinism contract as every scored path here.
+    """
+    hist = date_histogram(spark, index_dir, query, interval, cfg)
+    w = W.orderBy("period").rowsBetween(W.unboundedPreceding, -1)
+    v = F.col("n_docs").cast("double")
+    pre = hist.select(
+        "period",
+        "n_docs",
+        F.count(v).over(w).alias("n1"),
+        F.sum(v).over(w).alias("s1"),
+        F.sum(v * v).over(w).alias("q1"),
+    )
+    tot = hist.agg(
+        F.count(v).alias("nt"), F.sum(v).alias("st"), F.sum(v * v).alias("qt")
+    )
+    j = pre.crossJoin(F.broadcast(tot)).select(
+        "period",
+        "n1",
+        (F.col("nt") - F.col("n1")).alias("n2"),
+        F.col("s1"),
+        (F.col("st") - F.col("s1")).alias("s2"),
+        F.col("q1"),
+        (F.col("qt") - F.col("q1")).alias("q2"),
+    )
+    m1 = F.col("s1") / F.col("n1")
+    m2 = F.col("s2") / F.col("n2")
+    var1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / F.col("n1")
+    var2 = (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / F.col("n2")
+    stat = F.try_divide(m2 - m1, F.sqrt(var1 / F.col("n1") + var2 / F.col("n2")))
+    scored = (
+        j.filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+        .select("period", stat.alias("stat"))
+        .filter(F.col("stat").isNotNull())
+    )
+    return (
+        scored.orderBy(F.round(F.abs("stat"), 6).desc(), F.col("period").asc())
+        .limit(1)
+        .select(
+            "period",
+            F.round("stat", 4).alias("stat"),
+            F.when(F.col("stat") >= 0, F.lit("step_up"))
+            .otherwise(F.lit("step_down"))
+            .alias("type"),
+        )
+    )

@@ -3270,6 +3270,42 @@ def terms_set_topk(
     return _with_keys(spark, index_dir, scored) if with_keys else scored
 
 
+def terms_lookup_topk(
+    spark: SparkSession,
+    index_dir: str,
+    lookup_df: DataFrame,
+    lookup_filter,
+    lookup_text_col: str = "text",
+    k: int = 10,
+    boost: float = 1.0,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``terms`` query with a terms LOOKUP: the term set is not given
+    by the caller but fetched at query time from another document
+    (``{"terms": {"field": {"index", "id", "path"}}}`` — reference
+    template.json uses inline terms; the lookup form is the ES-side
+    generalization). Matching docs score exactly ``boost`` (terms is a
+    filter-context query).
+
+    ``lookup_filter`` must select EXACTLY ONE row of ``lookup_df`` (the
+    ES GET-by-id contract); its ``lookup_text_col`` is analyzed and the
+    resulting distinct term set becomes the filter. The one-row fetch is
+    a driver GET — bounded like ES's own lookup (which refuses
+    multi-doc lookups) — and the match itself is the standard pruned
+    presence-only postings scan.
+    """
+    rows = lookup_df.filter(lookup_filter).select(lookup_text_col).limit(2).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"terms lookup must resolve to exactly one doc, got {len(rows)}"
+        )
+    terms = sorted(set(tokenize_text(rows[0][0] or "")))
+    return constant_score_topk(
+        spark, index_dir, " ".join(terms), k=k, boost=boost, cfg=cfg, with_keys=with_keys
+    )
+
+
 def ids_topk(
     spark: SparkSession,
     index_dir: str,

@@ -40,6 +40,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     where: str | None = None,
+    min_sim: float | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: one scan, map-side partial top-k via Spark's
     TakeOrdered (orderBy+limit), no shuffle of the vectors themselves.
@@ -49,7 +50,13 @@ def cosine_topk(
     so the k results all satisfy the filter — never a post-filtered
     short page). A plain column predicate pushes down to the parquet
     scan, so a selective filter prunes row groups before any vector
-    math."""
+    math.
+
+    ``min_sim`` is ES's kNN ``similarity`` floor: vectors scoring below
+    it are dropped BEFORE the top-k cut, so the page can come back short
+    — the contract callers use to mean "only results at least this
+    close". Applied to the 4-dp-rounded score (the engine's cross-engine
+    score contract), as a filter fused into the same scan stage."""
     if where is not None:
         emb = emb.filter(where)
     v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
@@ -58,6 +65,8 @@ def cosine_topk(
         .withColumn("cos", F.round(cosine_expr("v", "__q"), 4))
         .drop("__q", "v")
     )
+    if min_sim is not None:
+        scored = scored.filter(F.col("cos") >= float(min_sim))
     return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
 
 
