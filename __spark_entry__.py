@@ -1822,6 +1822,74 @@ def q_bm25_collapse(spark, sf):
     )
 
 
+def q_bm25_collapse_inner_hits(spark, sf):
+    """ES collapse + inner_hits: the top-5 language groups (ranked by
+    their best hit) each expanded to their 3 best hits."""
+    from mysql_es_spark.operators.query import bm25_collapse_topk
+
+    ix = _index_for_documents(spark, sf)
+    out = bm25_collapse_topk(
+        spark, ix, " ".join(BM25_Q1), "role", k=5, cfg=_docs_index_cfg(),
+        order_round=4, inner_hits=3,
+    )
+    fwd = spark.read.parquet(f"{ix}/forward").select("docid", "conv_id")
+    return out.join(fwd, "docid", "inner").select(
+        F.col("role").alias("lang"),
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.col("hit_rank").cast("int").alias("hit_rank"),
+    )
+
+
+def q_agg_children(spark, sf):
+    """ES children agg: matched docs bucketed by language, each bucket
+    stepping down to every turn of its matching conversations (single-
+    turn convs here; multi-turn fan-out is pytest-covered)."""
+    out = esaggs.children_agg(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1),
+        bucket_field="role", cfg=_docs_index_cfg(),
+    )
+    return out.select(
+        F.col("role").alias("lang"), "n_parents", "n_children",
+        F.round("avg_child_dl", 4).alias("avg_child_dl"),
+    )
+
+
+def q_hybrid_linear(spark, sf):
+    """ES linear retriever: minmax-normalize each retriever's top-40
+    window to [0,1], then weighted sum (BM25 0.7, cosine 0.3)."""
+    from mysql_es_spark.operators.fusion import linear_fuse
+
+    ix = _index_for_documents(spark, sf)
+    order = [F.desc("s"), F.asc("doc_id")]
+    bm = (
+        bm25_topk(
+            spark, ix, " ".join(BM25_Q1), k=60, cfg=_docs_index_cfg(), mode="pruned",
+            with_keys=True,
+        )
+        .select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("s"),
+        )
+        .orderBy(*order)
+        .limit(40)
+    )
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    vec = (
+        similarity.cosine_topk(emb, qv, k=60)
+        .select(F.col("vec_id").alias("doc_id"), F.col("cos").alias("s"))
+        .orderBy(*order)
+        .limit(40)
+    )
+    fused = linear_fuse(
+        [(bm, 0.7), (vec, 0.3)], k=20, score_decimals=6, normalize="minmax"
+    )
+    return fused.select(
+        "doc_id", F.round("score", 6).alias("score"), "n_retrievers"
+    )
+
+
 def q_conv_topk(spark, sf):
     """has_child score_mode=sum: conversation ranking by member-turn
     scores (documents are single-turn convs here; the multi-turn case is
@@ -2970,6 +3038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_span_near": q_bm25_span_near,
         "term_vectors": q_term_vectors,
         "bm25_collapse": q_bm25_collapse,
+        "bm25_collapse_inner_hits": q_bm25_collapse_inner_hits,
+        "agg_children": q_agg_children,
+        "hybrid_linear": q_hybrid_linear,
         "conv_rollup_topk": q_conv_topk,
         # --- ANN / multimodal (rows-only by design) ---
         "emb_ann_lsh_topk": q_ann,
@@ -5692,6 +5763,92 @@ u AS (SELECT doc_id, 1.0 / (60 + r) AS c FROM br
 SELECT doc_id, round(sum(c), 6) AS score, CAST(count(*) AS BIGINT) AS n_retrievers
 FROM u GROUP BY 1
 ORDER BY round(sum(c), 6) DESC, doc_id ASC LIMIT 20
+""",
+        # linear retriever: minmax-normalize each top-40 window, then
+        # 0.7*bm25 + 0.3*cosine over the union
+        "hybrid_linear": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+br AS (SELECT doc_id, round(s, 4) AS s,
+              row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS r
+       FROM scores QUALIFY r <= 40),
+bn AS (SELECT doc_id,
+              coalesce((s - min(s) OVER ())
+                       / nullif(max(s) OVER () - min(s) OVER (), 0), 0.0) AS sn
+       FROM br),
+ec AS (SELECT vec_id AS doc_id,
+        round(list_cosine_similarity(embedding::DOUBLE[],
+          (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS c
+       FROM embeddings),
+er AS (SELECT doc_id, c, row_number() OVER (ORDER BY c DESC, doc_id ASC) AS r
+       FROM ec QUALIFY r <= 40),
+en AS (SELECT doc_id,
+              coalesce((c - min(c) OVER ())
+                       / nullif(max(c) OVER () - min(c) OVER (), 0), 0.0) AS sn
+       FROM er),
+u AS (SELECT doc_id, 0.7 * sn AS c FROM bn
+      UNION ALL SELECT doc_id, 0.3 * sn FROM en)
+SELECT doc_id, round(sum(c), 6) AS score, CAST(count(*) AS BIGINT) AS n_retrievers
+FROM u GROUP BY 1
+ORDER BY round(sum(c), 6) DESC, doc_id ASC LIMIT 20
+""",
+        # collapse + inner_hits: top-5 language groups by their winner,
+        # each expanded to its 3 best hits
+        "bm25_collapse_inner_hits": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+ranked AS (
+  SELECT s.doc_id, round(s.s, 4) AS score, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY round(s.s, 4) DESC, s.doc_id ASC) AS rk
+  FROM scores s JOIN documents d USING (doc_id)
+),
+topg AS (SELECT lang FROM ranked WHERE rk = 1
+         ORDER BY score DESC, doc_id ASC LIMIT 5)
+SELECT lang, doc_id, score, CAST(rk AS INT) AS hit_rank
+FROM ranked WHERE rk <= 3 AND lang IN (SELECT lang FROM topg)
+""",
+        # children agg: matched docs bucketed by lang, stepping down to
+        # all turns of their (single-turn) conversations
+        "agg_children": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT toks.doc_id, len(tl) AS dl FROM toks
+      WHERE list_has_any(tl, ['spark','join','query'])),
+b AS (SELECT d.lang, m.doc_id, m.dl FROM m JOIN documents d USING (doc_id))
+SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_parents,
+       CAST(count(*) AS BIGINT) AS n_children,
+       round(avg(dl), 4) AS avg_child_dl
+FROM b GROUP BY 1 ORDER BY 1
 """,
         "bm25_count": f"""
 SELECT CAST(count(*) AS BIGINT) AS n_matches

@@ -2023,3 +2023,55 @@ def change_point_agg(
             .alias("type"),
         )
     )
+
+
+def children_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    bucket_field: str = "role",
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``children`` agg over the transcripts' join field: bucket the
+    MATCHED docs by ``bucket_field``, then per bucket step down to the
+    children of those docs' conversations — every turn of every conv
+    that had a matching doc in the bucket — and aggregate them
+    (n_parents = distinct convs, n_children = their total turns,
+    avg_child_dl). This is ES's parent/child ``children`` sub-agg
+    rephrased onto the flat (conv_id = join field) layout the engine
+    indexes, same answer a nested parent/child mapping would give.
+
+    Scale shape: matched ⋈ forward for (bucket, conv) — distinct'd to
+    parent grain BEFORE the fan-out — then one equi-join on conv_id
+    against the column-pruned forward+lengths scan and a hash agg on the
+    bucket. The distinct bounds the join's left side by the parent
+    count; no driver materialization.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    out_schema = (
+        f"{bucket_field} string, n_parents long, n_children long, avg_child_dl double"
+    )
+    if matched is None:
+        return tbl.local_rows_df(spark, [], out_schema)
+    fwd = tbl.read(spark, index_dir, "forward").select(
+        "docid", "conv_id", bucket_field
+    )
+    parents = (
+        matched.join(fwd, "docid", "inner")
+        .select(bucket_field, "conv_id")
+        .distinct()
+    )
+    kids = tbl.read(spark, index_dir, "forward").select("docid", "conv_id")
+    dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
+    children = kids.join(dls, "docid", "inner")
+    return (
+        parents.join(children, "conv_id", "inner")
+        .groupBy(bucket_field)
+        .agg(
+            F.countDistinct("conv_id").cast("long").alias("n_parents"),
+            F.count(F.lit(1)).cast("long").alias("n_children"),
+            F.avg("dl").alias("avg_child_dl"),
+        )
+        .orderBy(bucket_field)
+    )

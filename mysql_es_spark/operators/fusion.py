@@ -72,6 +72,7 @@ def linear_fuse(
     id_col: str = "doc_id",
     score_col: str = "s",
     score_decimals: int | None = None,
+    normalize: str | None = None,
 ) -> DataFrame:
     """ES ``knn`` + query combination (pre-RRF hybrid): score(d) =
     Σ_i w_i · s_i(d), docs from the UNION of the retrievers' outputs, a
@@ -79,11 +80,48 @@ def linear_fuse(
     adds ``boost × similarity`` onto the query score). Inputs are
     (frame, weight) with frames carrying (id_col, score_col).
     Returns (id, score, n_retrievers) top-k; ``score_decimals`` ranks on
-    the rounded sum (cross-engine determinism contract)."""
+    the rounded sum (cross-engine determinism contract).
+
+    ``normalize`` is the ES ``linear`` retriever's normalizer, applied
+    per retriever BEFORE weighting so BM25 and cosine land on one scale:
+    ``"minmax"`` maps each frame's scores to [0,1] over its retrieved
+    window ((s−min)/(max−min), 0 when the window is constant — ES's
+    identical-scores case), ``"l2"`` divides by the window's L2 norm.
+    The window stats are a one-row agg per frame broadcast back — frames
+    are top-N by contract, so this never touches corpus-scale data."""
     if not scored:
         raise ValueError("linear_fuse needs at least one scored frame")
+    if normalize not in (None, "minmax", "l2"):
+        raise ValueError(f"unknown normalize {normalize!r}")
+
+    def _norm(df: DataFrame) -> DataFrame:
+        s = F.col(score_col).cast("double")
+        if normalize == "minmax":
+            st = df.agg(F.min(s).alias("_mn"), F.max(s).alias("_mx"))
+            return (
+                df.crossJoin(F.broadcast(st))
+                .withColumn(
+                    score_col,
+                    F.coalesce(
+                        F.try_divide(s - F.col("_mn"), F.col("_mx") - F.col("_mn")),
+                        F.lit(0.0),
+                    ),
+                )
+                .drop("_mn", "_mx")
+            )
+        if normalize == "l2":
+            st = df.agg(F.sqrt(F.sum(s * s)).alias("_nrm"))
+            return (
+                df.crossJoin(F.broadcast(st))
+                .withColumn(
+                    score_col, F.coalesce(F.try_divide(s, F.col("_nrm")), F.lit(0.0))
+                )
+                .drop("_nrm")
+            )
+        return df
+
     parts = [
-        df.select(
+        _norm(df).select(
             F.col(id_col), (F.col(score_col) * F.lit(float(w))).alias("c")
         )
         for df, w in scored

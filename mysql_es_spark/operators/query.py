@@ -1921,6 +1921,7 @@ def bm25_collapse_topk(
     k: int = 10,
     cfg: IndexConfig | None = None,
     order_round: int | None = None,
+    inner_hits: int | None = None,
 ) -> DataFrame:
     """ES ``collapse``: the top-k hits with at most ONE hit per value of
     ``collapse_field`` (dedupe-by-group in ranked order — "best turn per
@@ -1933,6 +1934,15 @@ def bm25_collapse_topk(
     shuffle on the key, per-partition top-1 — no driver state), then the
     global top-k of the winners. ``order_round`` ranks on the rounded
     score for cross-engine determinism. Returns (docid, score, <field>).
+
+    ``inner_hits=N`` is ES's collapse ``inner_hits``: instead of only
+    the winners, return each surviving group's top-N hits flattened as
+    (<field>, docid, score, hit_rank) — "best conversation, with its N
+    best turns". The group set is still the winners' top-k; the per-
+    group expansion reuses the already-scored frame with a second
+    window pass restricted (semi-join on the ≤k winning keys, broadcast
+    by construction) before the rank filter, so no rescoring and no
+    unbounded fan-out.
     """
     cfg = effective_config(spark, index_dir, cfg)
     terms = query_terms(query)
@@ -1951,14 +1961,24 @@ def bm25_collapse_topk(
     fwd = tbl.read(spark, index_dir, "forward").select("docid", collapse_field)
     key = F.round("score", order_round) if order_round is not None else F.col("score")
     w = Window.partitionBy(collapse_field).orderBy(key.desc(), F.col("docid").asc())
-    return (
-        scored.join(fwd, "docid", "inner")
-        .withColumn("_rn", F.row_number().over(w))
+    keyed = scored.join(fwd, "docid", "inner")
+    winners = (
+        keyed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
         .select("docid", "score", collapse_field)
         .orderBy(key.desc(), F.col("docid").asc())
         .limit(k)
+    )
+    if inner_hits is None:
+        return winners
+    groups = winners.select(collapse_field)
+    return (
+        keyed.join(F.broadcast(groups), collapse_field, "left_semi")
+        .withColumn("hit_rank", F.row_number().over(w))
+        .filter(F.col("hit_rank") <= int(inner_hits))
+        .select(collapse_field, "docid", "score", "hit_rank")
+        .orderBy(collapse_field, "hit_rank")
     )
 
 
