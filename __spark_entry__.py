@@ -2547,6 +2547,37 @@ def q_match_export(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_match_export_slice(spark, sf):
+    """Sliced export (ES sliced scroll): slice 1 of 3 of the full Q1
+    match set, membership by the md5 contract on the external key —
+    disjoint and collectively exhaustive across consumers."""
+    from mysql_es_spark.operators.query import match_export
+
+    ix = _index_for_documents(spark, sf)
+    out = match_export(
+        spark, ix, " ".join(BM25_Q1), cfg=_docs_index_cfg(), with_keys=True,
+        slice_id=1, slice_max=3,
+    )
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    ).orderBy("doc_id")
+
+
+def q_parent_id(spark, sf):
+    """ES parent_id query: all live children of conversation '42' at the
+    boost score (single-turn convs here; multi-turn is pytest-covered)."""
+    from mysql_es_spark.operators.query import parent_id_topk
+
+    ix = _index_for_documents(spark, sf)
+    out = parent_id_topk(spark, ix, "42", k=100, boost=1.5, with_keys=True)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_phrase_synonym(spark, sf):
     """Synonym-graph match_phrase (span_near over span_or): 'row' followed
     by merge|window at the next position; per-slot dis-max scoring."""
@@ -2933,6 +2964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_aggs_runtime": q_match_aggs_runtime,
         "emb_semantic_dedup_exact": q_semantic_dedup,
         "bm25_match_export": q_match_export,
+        "bm25_export_slice": q_match_export_slice,
+        "parent_id_children": q_parent_id,
         "bm25_phrase_synonym": q_phrase_synonym,
         "agg_percentile_ranks": q_agg_percentile_ranks,
         "agg_top_metrics": q_agg_top_metrics,
@@ -4248,6 +4281,34 @@ scores AS (
   GROUP BY 1
 )
 SELECT doc_id, round(s, 4) AS score FROM scores ORDER BY doc_id ASC
+""",
+        # sliced export: slice 1 of 3 by md5(doc_id) of the full match set
+        "bm25_export_slice": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 3) = 1
+ORDER BY doc_id ASC
+""",
+        # parent_id: all children of conv '42' at the boost score
+        "parent_id_children": """
+SELECT doc_id, 0 AS turn_idx, CAST(1.5 AS DOUBLE) AS score
+FROM documents WHERE doc_id = 42
 """,
         "bm25_phrase_synonym": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),

@@ -3290,6 +3290,38 @@ def terms_set_topk(
     return _with_keys(spark, index_dir, scored) if with_keys else scored
 
 
+def parent_id_topk(
+    spark: SparkSession,
+    index_dir: str,
+    parent: str,
+    k: int = 10,
+    boost: float = 1.0,
+    cfg: IndexConfig | None = None,
+    with_keys: bool = False,
+) -> DataFrame:
+    """ES ``parent_id`` query: every live child doc of one parent (all
+    turns of conversation ``parent``), each scoring exactly ``boost`` —
+    the join-field point lookup ES's parent/child mapping answers with a
+    global-ordinals seek.
+
+    Plan: a pushed-down conv_id equality on the column-pruned forward
+    scan (the forward table is written bucketed by conv hash, so the
+    predicate prunes files before any read), delete mask, docid-ordered
+    limit. No postings touched — parent_id is structural, not textual.
+    """
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", "conv_id")
+    kids = fwd.filter(F.col("conv_id") == str(parent)).select("docid")
+    dels = deleted_docids(spark, index_dir)
+    if dels is not None:
+        kids = kids.join(dels, "docid", "left_anti")
+    out = (
+        kids.withColumn("score", F.lit(float(boost)))
+        .orderBy(F.col("docid").asc())
+        .limit(int(k))
+    )
+    return _with_keys(spark, index_dir, out) if with_keys else out
+
+
 def terms_lookup_topk(
     spark: SparkSession,
     index_dir: str,
@@ -3626,6 +3658,8 @@ def match_export(
     out_dir: str | None = None,
     cfg: IndexConfig | None = None,
     with_keys: bool = False,
+    slice_id: int | None = None,
+    slice_max: int | None = None,
 ) -> DataFrame:
     """ES scroll/PIT's actual job — bulk-export EVERY match with its BM25
     score, no top-k, no pagination state. Returns the full scored set
@@ -3633,10 +3667,22 @@ def match_export(
     parquet (the 100 TB path: the export never routes through the driver,
     unlike scroll's cursor batches).
 
+    ``slice_id``/``slice_max`` is ES's sliced scroll: partition the
+    export into ``slice_max`` disjoint, collectively-exhaustive slices
+    by a hash of the external key, so N independent consumers each pull
+    their own slice. The hash is the engine-portable md5 contract on
+    conv_id (ES slices on _id the same way), so slice membership is
+    stable across engines, scales, and repartitionings — a pure filter
+    fused into the scoring plan, not a post-partition pass.
+
     Scale shape: identical to the simple scoring path (partition +
     row-group pruned decode, one docid groupBy) followed by a straight
     distributed write — deep pagination disappears as a concept.
     """
+    if (slice_id is None) != (slice_max is None):
+        raise ValueError("pass slice_id and slice_max together")
+    if slice_id is not None and not (0 <= slice_id < slice_max):
+        raise ValueError(f"slice_id {slice_id} out of range for max {slice_max}")
     cfg = effective_config(spark, index_dir, cfg)
     terms = query_terms(query)
     stats = corpus_stats(spark, index_dir)
@@ -3651,11 +3697,19 @@ def match_export(
         scored = _decode_scores(
             blocks, idf, cfg, stats["avgdl"], deleted_docids(spark, index_dir)
         )
-    if with_keys:
+    if with_keys or slice_id is not None:
         fwd = tbl.read(spark, index_dir, "forward").select(
             "docid", "doc_key", "conv_id", "turn_idx", "text"
         )
         scored = scored.join(fwd, "docid", "inner")
+    if slice_id is not None:
+        h = (
+            F.conv(F.substring(F.md5(F.col("conv_id")), 1, 8), 16, 10).cast("long")
+            % int(slice_max)
+        )
+        scored = scored.filter(h == int(slice_id))
+        if not with_keys:
+            scored = scored.select("docid", "score")
     if out_dir is not None:
         scored.write.mode("overwrite").parquet(out_dir)
         return spark.read.parquet(out_dir)

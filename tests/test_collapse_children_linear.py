@@ -114,3 +114,36 @@ def test_linear_fuse_l2_and_constant_window(spark):
     assert outc == {1: 0.0, 2: 0.0}
     with pytest.raises(ValueError):
         linear_fuse([(a, 1.0)], normalize="softmax")
+
+
+def test_parent_id_multiturn(spark, built_index, fwd):
+    from mysql_es_spark.operators.query import parent_id_topk
+
+    convs = Counter(r.conv_id for r in fwd.values())
+    conv, n = next((c, n) for c, n in convs.most_common() if n >= 2)
+    out = parent_id_topk(spark, built_index, conv, k=1000, boost=2.5).collect()
+    want = sorted(d for d, r in fwd.items() if r.conv_id == conv)
+    assert [r.docid for r in out] == want
+    assert len(out) == n and all(r.score == 2.5 for r in out)
+    # unknown parent: empty, no error
+    assert parent_id_topk(spark, built_index, "no-such-conv").count() == 0
+
+
+def test_export_slices_partition(spark, built_index, fwd):
+    from mysql_es_spark.operators.query import match_export
+
+    full = {r.docid for r in match_export(spark, built_index, Q, cfg=TEST_CFG).collect()}
+    parts = [
+        {r.docid for r in match_export(
+            spark, built_index, Q, cfg=TEST_CFG, slice_id=i, slice_max=3
+        ).collect()}
+        for i in range(3)
+    ]
+    # disjoint and collectively exhaustive
+    assert set().union(*parts) == full
+    assert sum(len(p) for p in parts) == len(full)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        match_export(spark, built_index, Q, cfg=TEST_CFG, slice_id=3, slice_max=3)
+    with _pt.raises(ValueError):
+        match_export(spark, built_index, Q, cfg=TEST_CFG, slice_id=1)
