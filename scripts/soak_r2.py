@@ -576,6 +576,141 @@ def main() -> int:
         mismatches += 1
         fails.append(f"percolate: {len(got_pc ^ want_pc)} diffs")
 
+    # collapse inner_hits: winners' groups expanded, ranks/order vs Python
+    from mysql_es_spark.operators.query import bm25_collapse_topk, parent_id_topk
+
+    role_of = {
+        r.docid: r.role
+        for r in spark.read.parquet(f"{ix}/forward").select("docid", "role").collect()
+    }
+    for i in range(6):
+        q = " ".join(rng.sample(vocab, rng.randint(1, 3)))
+        kg, nh = rng.choice([1, 2, 3]), rng.choice([1, 2, 4])
+        full = score_query(oix, q, k=len(docs))
+        per_g: dict[str, list] = {}
+        for d, s in full:
+            per_g.setdefault(role_of[d], []).append((d, round(s, 4)))
+        ranked_g = {
+            g: sorted(rows, key=lambda x: (-x[1], x[0])) for g, rows in per_g.items()
+        }
+        wins = sorted(
+            ((rows[0][1], rows[0][0], g) for g, rows in ranked_g.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:kg]
+        want_ih = set()
+        for _, _, g in wins:
+            for rk, (d, s) in enumerate(ranked_g[g][:nh], 1):
+                want_ih.add((g, d, s, rk))
+        got_ih = {
+            (r.role, r.docid, round(r.score, 4), r.hit_rank)
+            for r in bm25_collapse_topk(
+                spark, ix, q, "role", k=kg, cfg=cfg, order_round=4, inner_hits=nh
+            ).collect()
+        }
+        checks += 1
+        if got_ih != want_ih:
+            mismatches += 1
+            fails.append(f"collapse_ih{i}: {len(got_ih ^ want_ih)} diffs")
+
+    # terms lookup: term set from a synthetic lookup doc, constant-score set
+    from mysql_es_spark.operators.query import terms_lookup_topk
+
+    for i in range(4):
+        lk_terms = rng.sample(vocab, rng.randint(1, 4))
+        lk = spark.createDataFrame(
+            [(1, " ".join(lk_terms)), (2, "decoy")], "lid long, text string"
+        )
+        got_tl = sorted(
+            r.docid
+            for r in terms_lookup_topk(
+                spark, ix, lk, F.col("lid") == 1, k=len(docs) + 10, cfg=cfg
+            ).collect()
+        )
+        want_tl = sorted(d for d, ts in toks.items() if set(lk_terms) & set(ts))
+        checks += 1
+        if got_tl != want_tl:
+            mismatches += 1
+            fails.append(f"terms_lookup{i}: {len(set(got_tl) ^ set(want_tl))} diffs")
+
+    # parent_id: children of a random conv
+    convs = sorted(set(conv_of.values()))
+    for i in range(4):
+        c = rng.choice(convs)
+        got_pid = [r.docid for r in parent_id_topk(spark, ix, c, k=10_000).collect()]
+        want_pid = sorted(d for d, cv in conv_of.items() if cv == c)
+        checks += 1
+        if got_pid != want_pid:
+            mismatches += 1
+            fails.append(f"parent_id{i}: got {len(got_pid)} want {len(want_pid)}")
+
+    # random_sampler agg: md5-thresholded sample counts vs Python
+    import hashlib
+
+    from mysql_es_spark.operators.aggs import random_sampler_agg
+
+    for i in range(3):
+        q = " ".join(rng.sample(vocab, 2))
+        p = rng.choice([0.25, 0.5, 0.75])
+        seed = f"soak{i}"
+        thr = int(round(p * 2**32))
+        m_docs = {d for d, _ in score_query(oix, q, k=len(docs))}
+        samp = [
+            d
+            for d in m_docs
+            if int(hashlib.md5(f"{seed}:{conv_of[d]}".encode()).hexdigest()[:8], 16)
+            % 2**32
+            < thr
+        ]
+        row = random_sampler_agg(spark, ix, q, probability=p, seed=seed, cfg=cfg).collect()[0]
+        checks += 1
+        if row.n_sampled != len(samp) or row.doc_count != round(len(samp) / p):
+            mismatches += 1
+            fails.append(f"random_sampler{i}: {row.n_sampled} vs {len(samp)}")
+
+    # dsir weights: hashed-unigram importance ratio vs Python
+    from mysql_es_spark.operators.sampling import dsir_logweights
+
+    for i in range(3):
+        tgt_term = rng.choice(vocab)
+        B = rng.choice([64, 256])
+        bucket = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % B
+        cr: Counter = Counter()
+        ct: Counter = Counter()
+        for d, ts in toks.items():
+            is_t = tgt_term in ts
+            for t in ts:
+                b = bucket(t)
+                cr[b] += 1
+                if is_t:
+                    ct[b] += 1
+        tr, tt = sum(cr.values()), sum(ct.values())
+        lw = {
+            b: math.log((ct[b] + 1.0) / (tt + B)) - math.log((cr[b] + 1.0) / (tr + B))
+            for b in cr
+        }
+        want_w = {
+            d: round(sum(lw[bucket(t)] for t in ts), 4) if ts else 0.0
+            for d, ts in toks.items()
+        }
+        pdf = spark.read.parquet(f"{ix}/forward").select(
+            F.col("docid").alias("doc_id"), "text"
+        )
+        # target membership from the python tokenization, so both sides
+        # agree on the exemplar set and only the weight math is under test
+        got_w = {
+            r.doc_id: round(r.dsir_logw, 4)
+            for r in dsir_logweights(
+                pdf,
+                F.col("doc_id").isin([d for d, ts in toks.items() if tgt_term in ts]),
+                n_buckets=B,
+            ).collect()
+        }
+        checks += 1
+        bad = sum(1 for d in want_w if abs(got_w.get(d, 1e9) - want_w[d]) > 1e-3)
+        if bad:
+            mismatches += 1
+            fails.append(f"dsir{i}: {bad} docs off")
+
     print(
         json.dumps(
             {

@@ -440,3 +440,69 @@ def test_intervals_filter_blocks_scan_prunes_terms(spark, tiny_transcripts, tmp_
     df = intervals_filter_topk(spark, d, "w0", "before", "w3", k=5, cfg=cfg)
     plan = plan_of(df)
     assert "PushedFilters" in plan and "term" in plan
+
+
+def test_dsir_weight_table_broadcasts(spark, tiny_transcripts):
+    """The B-row bucket-weight table must broadcast into the per-token
+    join (a shuffle join against a 1k-row table is the wrong plan), and
+    the plan must never sort or window the corpus-sized token frame."""
+    from mysql_es_spark.operators.sampling import dsir_logweights
+
+    docs = tiny_transcripts.selectExpr("xxhash64(conv_id, turn_idx) as doc_id", "text")
+    out = dsir_logweights(docs, F.col("text").contains("w0"), n_buckets=256)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "GlobalSort" not in plan
+
+
+def test_temperature_mix_counts_broadcast(spark, tiny_transcripts):
+    """The per-stratum epoch table (|strata| rows) must broadcast back
+    onto the data rows — the data itself is never shuffled."""
+    from mysql_es_spark.operators.sampling import temperature_mix
+
+    docs = tiny_transcripts.selectExpr("xxhash64(conv_id, turn_idx) as doc_id", "role")
+    plan = plan_of(temperature_mix(docs, "role", tau=0.7, id_col="doc_id"))
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges are for the tiny strata-count agg, never a
+    # repartition of the data rows on a data column
+    assert "hashpartitioning(doc_id" not in plan
+
+
+def test_parent_id_pushes_conv_filter(spark, built_index):
+    """parent_id is a structural point lookup: the conv_id equality must
+    reach the forward parquet scan as a pushed filter, and postings must
+    never be read."""
+    from mysql_es_spark.operators.query import parent_id_topk
+
+    plan = plan_of(parent_id_topk(spark, built_index, "c42", k=10))
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "EqualTo(conv_id" in pushed
+    assert "postings" not in plan
+
+
+def test_export_slice_adds_no_exchange(spark, built_index):
+    """Slicing is a fused filter, not a repartition: the sliced plan must
+    have exactly as many exchanges as the unsliced export."""
+    from mysql_es_spark.operators.query import match_export
+
+    base = plan_of(match_export(spark, built_index, "w0 w3", cfg=TEST_CFG, with_keys=True))
+    sliced = plan_of(
+        match_export(
+            spark, built_index, "w0 w3", cfg=TEST_CFG, with_keys=True,
+            slice_id=1, slice_max=3,
+        )
+    )
+    assert sliced.count("Exchange (") == base.count("Exchange (")
+
+
+def test_collapse_inner_hits_groups_broadcast_semi(spark, built_index):
+    """The <=k winning group keys must broadcast into the expansion
+    semi-join (never re-shuffle the scored frame for membership)."""
+    from mysql_es_spark.operators.query import bm25_collapse_topk
+
+    out = bm25_collapse_topk(
+        spark, built_index, "w0 w3", "role", k=2, cfg=TEST_CFG,
+        order_round=4, inner_hits=3,
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
