@@ -3620,6 +3620,107 @@ def exists_topk(
     return _with_keys(spark, index_dir, scored) if with_keys else scored
 
 
+def sorted_search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    sort: list[tuple[str, str]],
+    size: int = 10,
+    search_after: list | None = None,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES sort-by-field search: the filter-context match set of ``query``
+    (any analyzed term present — scores never computed) ordered by
+    arbitrary forward fields instead of relevance, with ``search_after``
+    deep paging on the full sort tuple. ES contract: ``sort`` is
+    ``[(field, "asc"|"desc"), ...]``; ``docid`` asc is appended as the
+    implicit ``_shard_doc`` tiebreak, making the order total;
+    ``search_after`` is the complete sort tuple (including the docid
+    tiebreak value) of the last hit of the previous page, and the next
+    page is every match strictly after it in that order.
+
+    Nulls sort last in both directions (DuckDB's default; ES's
+    ``missing: _last``), via ``asc_nulls_last``/``desc_nulls_last``.
+
+    Scale shape: partition + row-group pruned postings scan, presence-only
+    docid decode, one semi-join against the forward table (sort fields +
+    docid only — text is never read), and the cursor predicate applied
+    BEFORE the top-k so deep pages stay O(size): orderBy().limit() is a
+    TakeOrdered, never a global sort. ES pre-search_after offset paging
+    (from/size) is deliberately absent — this is the scalable form.
+    """
+    if not sort:
+        raise ValueError("sort must name at least one field")
+    cfg = effective_config(spark, index_dir, cfg)
+    keys: list[tuple[str, str]] = []
+    for field, order in sort:
+        order = order.lower()
+        if order not in ("asc", "desc"):
+            raise ValueError(f"sort order {order!r} must be asc or desc")
+        keys.append((field, order))
+    keys.append(("docid", "asc"))
+
+    terms = query_terms(query)
+    sel_cols = [f for f, _ in keys if f != "docid"]
+    empty = tbl.local_rows_df(spark, [], "docid long")
+    if terms:
+        stats = corpus_stats(spark, index_dir)
+        idf, buckets = term_meta(spark, index_dir, terms, stats["n_docs"], cfg)
+        terms = [t for t in terms if t in idf]
+    if not terms:
+        matched = empty
+    else:
+        blocks = _matching_blocks(spark, index_dir, terms, buckets)
+        matched = _mask_deleted(_decode_docids(blocks), deleted_docids(spark, index_dir))
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", "doc_key", *sel_cols)
+    hits = matched.join(fwd, "docid", "inner")
+
+    if search_after is not None:
+        if len(search_after) != len(keys):
+            raise ValueError(
+                f"search_after must carry {len(keys)} values "
+                f"(sort fields + docid tiebreak), got {len(search_after)}"
+            )
+        # lexicographic strictly-after: OR over i of
+        #   (key_j == after_j for all j < i) AND key_i beyond after_i
+        cond = F.lit(False)
+        prev_eq = F.lit(True)
+        for (field, order), val in zip(keys, search_after):
+            col = F.col(field)
+            beyond = (col > F.lit(val)) if order == "asc" else (col < F.lit(val))
+            cond = cond | (prev_eq & beyond)
+            prev_eq = prev_eq & (col == F.lit(val))
+        hits = hits.filter(cond)
+
+    order_cols = [
+        (F.col(f).asc_nulls_last() if o == "asc" else F.col(f).desc_nulls_last())
+        for f, o in keys
+    ]
+    return hits.orderBy(*order_cols).limit(size).select("docid", "doc_key", *sel_cols)
+
+
+def field_caps(spark: SparkSession, index_dirs: list[str]) -> dict:
+    """ES ``_field_caps``: per-field capabilities across a set of indexes —
+    the type each index stores the field as, whether the type is
+    consistent across indexes, and which field is the analyzed/searchable
+    one. Metadata-only (parquet footers), no data scan.
+    """
+    per_field: dict[str, dict[str, set]] = {}
+    for ix in index_dirs:
+        for f in tbl.read(spark, ix, "forward").schema.fields:
+            per_field.setdefault(f.name, {}).setdefault(f.dataType.simpleString(), set()).add(ix)
+    out: dict[str, dict] = {}
+    for name, by_type in sorted(per_field.items()):
+        out[name] = {
+            "types": sorted(by_type),
+            "consistent": len(by_type) == 1,
+            "searchable": name == "text",
+            "aggregatable": name != "text",
+            "indices_by_type": {t: sorted(ixs) for t, ixs in sorted(by_type.items())},
+        }
+    return out
+
+
 def index_mapping(spark: SparkSession, index_dir: str) -> dict:
     """ES ``_mapping``: what this index stores and how it analyzes — the
     forward-table field schema (the ``_source`` shape), the analyzer
