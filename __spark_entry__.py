@@ -2904,6 +2904,22 @@ def q_agg_moving_percentiles(spark, sf):
     return r.select("period", "n_docs", F.round("moving_pct", 4).alias("moving_pct"))
 
 
+def q_seeded_shuffle(spark, sf):
+    """Deterministic training-data shuffle: the first 100 documents of
+    the seed='ep1' global permutation (ORDER BY md5('ep1:'||id), id) —
+    a TakeOrdered over a pure projection, engine-portable by the md5
+    contract."""
+    from mysql_es_spark.operators.sampling import seeded_shuffle
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return (
+        seeded_shuffle(docs, "ep1")
+        .orderBy("shuffle_key", "doc_id")
+        .limit(100)
+        .select("doc_id", "shuffle_key")
+    )
+
+
 def q_sorted_search(spark, sf):
     """ES sort-by-field search + search_after deep paging: the
     filter-context match set of Q1 ordered by (lang asc, ts desc,
@@ -3059,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": q_pack,
         "doc_contamination": q_contamination,
         "doc_stratified_sample": q_doc_stratified,
+        "doc_seeded_shuffle": q_seeded_shuffle,
         "agg_composite": q_agg_composite,
         "agg_subaggs_tree": q_agg_tree,
         "agg_pipeline": q_agg_pipeline,
@@ -5966,6 +5983,13 @@ SELECT doc_id::VARCHAR || ':0' AS doc_key, doc_id::VARCHAR AS conv_id,
        0 AS turn_idx, lang AS role, text, source AS tool
 FROM documents
 WHERE doc_id IN (7, 42, 123)
+""",
+        # seeded deterministic shuffle: first 100 of the ep1 permutation
+        "doc_seeded_shuffle": """
+SELECT doc_id, md5('ep1:' || doc_id::VARCHAR) AS shuffle_key
+FROM documents
+ORDER BY shuffle_key, doc_id
+LIMIT 100
 """,
         # epoch mixing: floor(e) full passes + md5-thresholded fractional
         # pass, 0-based epoch index per emitted row

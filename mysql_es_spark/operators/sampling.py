@@ -380,3 +380,44 @@ FROM {table} t JOIN __e USING ({strata_col}),
             + CASE WHEN {h} < round((__e - floor(__e)) * 4294967296)::BIGINT
                    THEN 1 ELSE 0 END)) AS g(epoch)
 """
+
+
+def seeded_shuffle(df: DataFrame, seed: str, id_col: str = "doc_id", out: str = "shuffle_key") -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: attach
+    ``out = md5(seed ':' id)``; the permutation is ``ORDER BY (out, id)``.
+
+    ``df.orderBy(rand(seed))`` is partitioning- and engine-dependent; a
+    training pipeline needs the SAME document order on every engine, at
+    every scale, and a FRESH order per epoch. A content-hash sort key
+    gives both: the key is a pure projection (no shuffle, no state), the
+    order is total (id tiebreak), and a new ``seed`` (e.g. the epoch
+    number) yields an independent permutation of the same corpus.
+
+    Scale shape: consumers materialize the order with
+    ``repartitionByRange(N, out, id).sortWithinPartitions(out, id)`` —
+    one range shuffle, shard files globally ordered by filename, never a
+    single-machine sort. :func:`write_shuffled` packages that.
+    """
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    return df.withColumn(out, key)
+
+
+def write_shuffled(
+    df: DataFrame, out_dir: str, seed: str, n_shards: int, id_col: str = "doc_id"
+) -> None:
+    """Write ``df`` as ``n_shards`` parquet shards in seeded-shuffle order:
+    shard boundaries by range of the shuffle key (so concatenating shards
+    in filename order replays the exact global permutation), rows sorted
+    within each shard. One range shuffle; no driver materialization."""
+    keyed = seeded_shuffle(df, seed, id_col)
+    (
+        keyed.repartitionByRange(int(n_shards), F.col("shuffle_key"), F.col(id_col))
+        .sortWithinPartitions("shuffle_key", id_col)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def duckdb_seeded_shuffle_key(seed: str, id_col: str = "doc_id") -> str:
+    """The DuckDB expression equal to :func:`seeded_shuffle`'s key."""
+    return f"md5('{seed}:' || {id_col}::VARCHAR)"
