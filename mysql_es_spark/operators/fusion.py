@@ -134,3 +134,81 @@ def linear_fuse(
         .orderBy(key.desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def retriever_tree(
+    node: dict,
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Compile an ES retriever tree (8.16+ ``retriever`` section) into one
+    composed plan. Nodes are single-key dicts:
+
+    - ``{"retriever": df}`` — leaf: an already-reduced top-N scored frame
+      carrying ``(id_col, "s")`` (a BM25 top-k, an ANN top-k, …).
+    - ``{"rrf": {"retrievers": [...], "rank_constant": 60,
+      "rank_window_size": 50}}`` — reciprocal-rank fusion of child nodes:
+      each child is evaluated to its top ``rank_window_size``, ranked, and
+      fused with :func:`rrf_fuse`.
+    - ``{"linear": {"retrievers": [...], "weights": [...],
+      "normalize": None|"minmax"|"l2", "rank_window_size": 50}}`` —
+      weighted-sum fusion via :func:`linear_fuse`.
+    - ``{"rescorer": {"retriever": ..., "rescore": fn,
+      "rank_window_size": 50}}`` — ES's rescorer retriever: the child's
+      top-window ids are re-scored by ``rescore`` (a callable taking the
+      child's ``(id_col, "s")`` window frame and returning a frame with
+      the same two columns — e.g. a phrase-precision pass); docs outside
+      the window are dropped, exactly ES's window contract.
+
+    Children compose to any depth (rrf of linear of rescorer of leaves).
+    Every intermediate is a top-N frame by construction, so the whole
+    tree stays in the bounded-window regime of this module: fusion cost
+    is O(Σ windows), independent of corpus size.
+
+    ``score_decimals`` applies the cross-engine determinism contract at
+    every rank/cut boundary in the tree.
+    """
+    if not isinstance(node, dict) or len(node) != 1:
+        raise ValueError(f"retriever node must be a single-key dict, got {node!r}")
+    kind, body = next(iter(node.items()))
+    key = (lambda c: F.round(c, score_decimals)) if score_decimals is not None else (lambda c: c)
+    order = [key(F.col("s")).desc(), F.col(id_col).asc()]
+
+    if kind == "retriever":
+        return body.select(F.col(id_col), F.col("s")).orderBy(*order).limit(k)
+
+    if kind in ("rrf", "linear"):
+        window = int(body.get("rank_window_size", max(k, 50)))
+        children = [
+            retriever_tree(c, k=window, id_col=id_col, score_decimals=score_decimals)
+            for c in body["retrievers"]
+        ]
+        if kind == "rrf":
+            ranked = [with_rank(c, order, id_col=id_col) for c in children]
+            fused = rrf_fuse(
+                ranked, k=k, rrf_k=int(body.get("rank_constant", 60)),
+                id_col=id_col, score_decimals=score_decimals,
+            )
+        else:
+            weights = body.get("weights") or [1.0] * len(children)
+            if len(weights) != len(children):
+                raise ValueError("linear retriever: len(weights) != len(retrievers)")
+            fused = linear_fuse(
+                list(zip(children, weights)), k=k, id_col=id_col,
+                score_col="s", score_decimals=score_decimals,
+                normalize=body.get("normalize"),
+            )
+        return fused.select(F.col(id_col), F.col("score").alias("s"))
+
+    if kind == "rescorer":
+        window = int(body.get("rank_window_size", max(k, 50)))
+        child = retriever_tree(
+            body["retriever"], k=window, id_col=id_col, score_decimals=score_decimals
+        )
+        rescored = body["rescore"](child).select(F.col(id_col), F.col("s"))
+        # window contract: only ids the child surfaced may appear
+        rescored = rescored.join(child.select(id_col), id_col, "inner")
+        return rescored.orderBy(*order).limit(k)
+
+    raise ValueError(f"unknown retriever kind {kind!r}")
