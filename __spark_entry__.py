@@ -2904,6 +2904,17 @@ def q_agg_moving_percentiles(spark, sf):
     return r.select("period", "n_docs", F.round("moving_pct", 4).alias("moving_pct"))
 
 
+def q_agg_vwh(spark, sf):
+    """ES variable_width_histogram (rows-only: the agglomerative merge is
+    not SQL-expressible; determinism + reference-equality covered by
+    tests/test_vwh.py): 6 variable-width doc-length clusters of the Q1
+    match set."""
+    return esaggs.variable_width_histogram(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1),
+        buckets=6, cfg=_docs_index_cfg(),
+    ).select("key", "min_dl", "max_dl", "n_docs")
+
+
 def q_seeded_shuffle(spark, sf):
     """Deterministic training-data shuffle: the first 100 documents of
     the seed='ep1' global permutation (ORDER BY md5('ep1:'||id), id) —
@@ -3076,6 +3087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": q_contamination,
         "doc_stratified_sample": q_doc_stratified,
         "doc_seeded_shuffle": q_seeded_shuffle,
+        "agg_variable_width_histogram": q_agg_vwh,
         "agg_composite": q_agg_composite,
         "agg_subaggs_tree": q_agg_tree,
         "agg_pipeline": q_agg_pipeline,

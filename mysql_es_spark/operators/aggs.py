@@ -2075,3 +2075,75 @@ def children_agg(
         )
         .orderBy(bucket_field)
     )
+
+
+def variable_width_histogram(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    buckets: int = 10,
+    cfg: IndexConfig | None = None,
+    max_distinct: int = 65536,
+) -> DataFrame:
+    """ES ``variable_width_histogram`` over the matched docs' analyzed
+    length: at most ``buckets`` variable-width clusters, each reported as
+    (key = centroid mean, min, max, n_docs), ordered by min — ES's
+    dynamically-sized alternative to fixed-interval ``histogram``.
+
+    ES's implementation is shard-approximate (per-shard nearest-centroid
+    streaming); this engine uses a DETERMINISTIC variant with the same
+    output shape: agglomerative merging of adjacent value-clusters by
+    smallest centroid gap (ties to the leftmost pair), which is exact on
+    the weighted distinct-value set and invariant under partitioning —
+    the cross-engine determinism contract approximate sketches can't meet.
+
+    Scale shape: the distributed work is one (value → weight) hash agg —
+    the clustering runs on the DISTINCT values (doc lengths: thousands,
+    not corpus-sized), guarded by ``max_distinct`` with a loud error, the
+    same bounded-driver pattern as IVF centroid training."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    cfg = effective_config(spark, index_dir, cfg)
+    out_schema = "key double, min_dl long, max_dl long, n_docs long"
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    if matched is None:
+        return tbl.local_rows_df(spark, [], out_schema)
+    dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
+    pairs = (
+        matched.join(dls, "docid", "inner")
+        .groupBy("dl")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .orderBy("dl")
+        .limit(max_distinct + 1)
+        .collect()
+    )
+    if len(pairs) > max_distinct:
+        raise ValueError(
+            f"variable_width_histogram: > {max_distinct} distinct values; "
+            "raise max_distinct or pre-bucket the field"
+        )
+    if not pairs:
+        return tbl.local_rows_df(spark, [], out_schema)
+
+    import numpy as np
+
+    vals = np.array([float(r.dl) for r in pairs])
+    wts = np.array([float(r.w) for r in pairs])
+    # clusters start as one per distinct value; stored as parallel arrays
+    sums, cnts = vals * wts, wts.copy()
+    mins, maxs = vals.copy(), vals.copy()
+    while len(cnts) > buckets:
+        cent = sums / cnts
+        gaps = cent[1:] - cent[:-1]
+        i = int(np.argmin(gaps))  # ties: leftmost (argmin contract)
+        sums[i] += sums[i + 1]
+        cnts[i] += cnts[i + 1]
+        maxs[i] = maxs[i + 1]
+        keep = np.ones(len(cnts), dtype=bool)
+        keep[i + 1] = False
+        sums, cnts, mins, maxs = sums[keep], cnts[keep], mins[keep], maxs[keep]
+    rows = [
+        (float(s / c), int(lo), int(hi), int(c))
+        for s, c, lo, hi in zip(sums, cnts, mins, maxs)
+    ]
+    return tbl.local_rows_df(spark, rows, out_schema)
