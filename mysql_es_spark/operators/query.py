@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import re
+import time
 from collections.abc import Iterator
 
 import numpy as np
@@ -317,8 +318,15 @@ def bm25_topk(
     after: tuple[float, int] | None = None,
     min_score: float | None = None,
     weights: dict[str, float] | None = None,
+    profile: dict | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the built index. Returns (docid, score[, keys…]).
+
+    ``profile``: pass a dict to collect an ES ``_profile``-style execution
+    breakdown into it (chosen path, per-phase wall clock, salt/term
+    counts) — a few dict writes, zero cost when None. Driver-materializing
+    phases time their real work; fully-lazy paths record plan-build only
+    (the caller's action pays the execution).
 
     ``after=(score, docid)`` is ES ``search_after`` pagination: return the
     next k hits strictly after that cursor in (score desc, docid asc)
@@ -339,6 +347,10 @@ def bm25_topk(
     stats = corpus_stats(spark, index_dir)
     dels = deleted_docids(spark, index_dir)
     empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    if profile is not None:
+        profile.update(
+            {"query": query, "mode": mode, "k": k, "terms": list(terms), "phases": []}
+        )
     if not terms:
         return empty
     order = [F.col("score").desc(), F.col("docid").asc()]
@@ -363,6 +375,11 @@ def bm25_topk(
             .orderBy(*order)
             .limit(k)
         )
+        if profile is not None:
+            profile["path"] = "simple"
+            profile["phases"].append(
+                {"name": "full-decode+topk", "lazy": True, "n_terms": len(terms)}
+            )
         return _with_keys(spark, index_dir, scored) if with_keys else scored
 
     if mode != "pruned":
@@ -384,17 +401,34 @@ def bm25_topk(
     # O(n_docs/salt_docs) rows — collectable at test scale, not at 10^12
     # docs. Predicted salt count costs no job (corpus stats are cached).
     predicted_salts = stats["n_docs"] // max(1, cfg.salt_docs) + 1
+    if profile is not None:
+        profile["predicted_salts"] = int(predicted_salts)
     if predicted_salts > cfg.max_driver_salts:
         scored = _pruned_topk_distributed(
             spark, blocks, terms, stats, cfg, k, tf_bound, after, dels, min_score, weights
         )
+        if profile is not None:
+            profile["path"] = "pruned-distributed"
+            profile["phases"].append(
+                {"name": "distributed-salt-ranking", "lazy": True}
+            )
         return _with_keys(spark, index_dir, scored) if with_keys else scored
+    _t0 = time.monotonic()
     meta_rows = (
         blocks.select("term", "salt", "n", tf_bound.alias("tfb"))
         .groupBy("term", "salt")
         .agg(F.max("tfb").alias("tfb"), F.sum("n").alias("n_t"))
         .collect()
     )
+    if profile is not None:
+        profile["path"] = "pruned-driver"
+        profile["phases"].append(
+            {
+                "name": "block-metadata",
+                "wall_ms": round((time.monotonic() - _t0) * 1000, 1),
+                "meta_rows": len(meta_rows),
+            }
+        )
     if not meta_rows:
         return empty
     df_of: dict[str, int] = {}
@@ -431,9 +465,16 @@ def bm25_topk(
             break
     p1_set = set(phase1)
 
+    if profile is not None:
+        profile["n_salts"] = len(salts)
+        profile["df"] = {t: int(df) for t, df in df_of.items()}
     if len(phase1) == len(salts):
         # adaptive shortcut: phase 1 would decode every range anyway, so
         # the threshold/second-pass machinery buys nothing — single pass.
+        if profile is not None:
+            profile["phases"].append(
+                {"name": "single-pass-decode", "lazy": True, "salts": len(salts)}
+            )
         scored = (
             _floor_filter(
                 _cursor_filter(
@@ -454,6 +495,7 @@ def bm25_topk(
     # bounds every doc's UNFILTERED score, and cursor-surviving docs are a
     # subset, so "ub >= tau" (tau from the filtered phase-1 top-k) still
     # covers every possible filtered winner in unexplored salts.
+    _t0 = time.monotonic()
     top1 = (
         _floor_filter(
             _cursor_filter(
@@ -468,6 +510,14 @@ def bm25_topk(
         .limit(k)
         .collect()
     )
+    if profile is not None:
+        profile["phases"].append(
+            {
+                "name": "phase1-decode",
+                "wall_ms": round((time.monotonic() - _t0) * 1000, 1),
+                "salts": len(phase1),
+            }
+        )
     # a short phase-1 page still bounds phase 2 by the floor: any winner
     # must clear min_score, so salts with ub below it can't contribute
     tau = (
@@ -481,6 +531,7 @@ def bm25_topk(
     # tiebreak can still prefer it over the phase-1 kth row
     phase2 = [s for s, ub, _n in salts if s not in p1_set and ub >= tau]
     top2 = []
+    _t0 = time.monotonic()
     if phase2:
         top2 = (
             _floor_filter(
@@ -495,6 +546,16 @@ def bm25_topk(
             .orderBy(*order)
             .limit(k)
             .collect()
+        )
+    if profile is not None:
+        profile["tau"] = None if tau == float("-inf") else float(tau)
+        profile["phases"].append(
+            {
+                "name": "phase2-decode",
+                "wall_ms": round((time.monotonic() - _t0) * 1000, 1),
+                "salts": len(phase2),
+                "pruned_salts": len(salts) - len(phase1) - len(phase2),
+            }
         )
     merged = sorted(
         ((r["docid"], r["score"]) for r in [*top1, *top2]),
@@ -3697,6 +3758,31 @@ def sorted_search(
         for f, o in keys
     ]
     return hits.orderBy(*order_cols).limit(size).select("docid", "doc_key", *sel_cols)
+
+
+def profile_search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    mode: str = "pruned",
+) -> dict:
+    """ES ``_profile``: run the query and return hits plus an execution
+    breakdown — chosen path (pruned-driver / pruned-distributed / simple),
+    per-phase wall clock and salt counts, per-term document frequencies,
+    the phase-1 threshold tau, and how many salt ranges block-max pruning
+    skipped. The companion to :func:`explain_score` (why this score) —
+    this answers "where did the time go".
+    """
+    prof: dict = {}
+    t0 = time.monotonic()
+    hits = bm25_topk(spark, index_dir, query, k=k, cfg=cfg, mode=mode, profile=prof)
+    rows = hits.collect()
+    prof["total_ms"] = round((time.monotonic() - t0) * 1000, 1)
+    prof["n_hits"] = len(rows)
+    prof["hits"] = [(int(r.docid), float(r.score)) for r in rows]
+    return prof
 
 
 def field_caps(spark: SparkSession, index_dirs: list[str]) -> dict:
