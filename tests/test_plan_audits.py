@@ -506,3 +506,37 @@ def test_collapse_inner_hits_groups_broadcast_semi(spark, built_index):
     )
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_sorted_search_prunes_text_and_takeordered(spark, built_index):
+    """sorted_search must never read the text column (sort fields + keys
+    only) and must realize its top-k as TakeOrdered, not a global sort."""
+    from mysql_es_spark.operators.query import sorted_search
+
+    q = sorted_search(
+        spark, built_index, "w0 w3", [("role", "asc"), ("ts", "desc")],
+        size=7, search_after=["user", None, 0], cfg=TEST_CFG,
+    )
+    plan = plan_of(q)
+    fwd_schemas = [
+        seg.splitlines()[0] for seg in plan.split("ReadSchema")[1:] if "role" in seg.splitlines()[0]
+    ]
+    assert fwd_schemas, "forward scan present"
+    assert all("text" not in s for s in fwd_schemas), "text column must be pruned"
+    assert "TakeOrderedAndProject" in plan, "top-k must not be a global sort"
+
+
+def test_seeded_shuffle_writer_is_one_range_exchange(spark, tiny_transcripts):
+    from mysql_es_spark.operators.sampling import seeded_shuffle
+
+    df = tiny_transcripts.select("conv_id").distinct()
+    keyed = (
+        seeded_shuffle(df, "ep1", id_col="conv_id")
+        .repartitionByRange(4, F.col("shuffle_key"), F.col("conv_id"))
+        .sortWithinPartitions("shuffle_key", "conv_id")
+    )
+    plan = plan_of(keyed)
+    # formatted explain separates the node name from its arguments
+    assert plan.count("rangepartitioning(shuffle_key") == 1
+    # Sort node arguments: [...keys...], <global>, 0 — must be local (false)
+    assert "Arguments: [shuffle_key" in plan and "], false, 0" in plan
