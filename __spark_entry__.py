@@ -1855,6 +1855,21 @@ def q_agg_children(spark, sf):
     )
 
 
+def q_agg_parent(spark, sf):
+    """ES parent agg: matched docs bucketed by language, stepping UP to
+    their (single-turn) conversations — each parent counted once per
+    bucket; multi-turn dedup is pytest-covered."""
+    out = esaggs.parent_agg(
+        spark, _index_for_documents(spark, sf), " ".join(BM25_Q1),
+        bucket_field="role", cfg=_docs_index_cfg(),
+    )
+    return out.select(
+        F.col("role").alias("lang"), "n_parents",
+        F.round("avg_parent_turns", 4).alias("avg_parent_turns"),
+        F.round("avg_parent_dl", 4).alias("avg_parent_dl"),
+    )
+
+
 def q_hybrid_linear(spark, sf):
     """ES linear retriever: minmax-normalize each retriever's top-40
     window to [0,1], then weighted sum (BM25 0.7, cosine 0.3)."""
@@ -1919,6 +1934,34 @@ def q_term_vectors(spark, sf):
     )
     out = term_vectors(spark, ix, int(docid), cfg=_docs_index_cfg(True))
     return out.select(
+        "term",
+        "tf",
+        F.concat_ws(",", F.col("positions").cast("array<string>")).alias("positions"),
+    )
+
+
+def q_mterm_vectors(spark, sf):
+    """ES _mtermvectors for docs 7/42/123: one salt-pruned pass decodes
+    each surviving posting block exactly once for all three docs."""
+    from mysql_es_spark.operators.query import term_vectors_multi
+
+    ix = _index_for_documents(spark, sf, positions=True)
+    fwd = (
+        spark.read.parquet(f"{ix}/forward")
+        .filter(F.col("conv_id").isin(["7", "42", "123"]))
+        .select("conv_id", "docid")
+        .collect()
+    )
+    ids = {int(r.conv_id): int(r.docid) for r in fwd}
+    out = term_vectors_multi(
+        spark, ix, list(ids.values()), cfg=_docs_index_cfg(True)
+    )
+    back = {d: c for c, d in ids.items()}
+    mapping = F.create_map(
+        [F.lit(x) for kv in back.items() for x in kv]
+    )
+    return out.select(
+        mapping[F.col("docid")].cast("long").alias("doc_id"),
         "term",
         "tf",
         F.concat_ws(",", F.col("positions").cast("array<string>")).alias("positions"),
@@ -3124,9 +3167,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonyms": q_bm25_synonyms,
         "bm25_span_near": q_bm25_span_near,
         "term_vectors": q_term_vectors,
+        "mterm_vectors": q_mterm_vectors,
         "bm25_collapse": q_bm25_collapse,
         "bm25_collapse_inner_hits": q_bm25_collapse_inner_hits,
         "agg_children": q_agg_children,
+        "agg_parent": q_agg_parent,
         "hybrid_linear": q_hybrid_linear,
         "conv_rollup_topk": q_conv_topk,
         # --- ANN / multimodal (rows-only by design) ---
@@ -3791,6 +3836,17 @@ pos AS (
 SELECT term, CAST(count(*) AS BIGINT) AS tf,
        array_to_string(list(p ORDER BY p), ',') AS positions
 FROM pos GROUP BY term ORDER BY term
+""",
+        "mterm_vectors": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents
+              WHERE doc_id IN (7, 42, 123)),
+pos AS (
+  SELECT doc_id, u.term, u.p - 1 AS p
+  FROM toks, (SELECT unnest(tl) AS term, generate_subscripts(tl, 1) AS p) u
+)
+SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+       array_to_string(list(p ORDER BY p), ',') AS positions
+FROM pos GROUP BY doc_id, term ORDER BY doc_id, term
 """,
         "bm25_span_near": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
@@ -5983,6 +6039,18 @@ b AS (SELECT d.lang, m.doc_id, m.dl FROM m JOIN documents d USING (doc_id))
 SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_parents,
        CAST(count(*) AS BIGINT) AS n_children,
        round(avg(dl), 4) AS avg_child_dl
+FROM b GROUP BY 1 ORDER BY 1
+""",
+        # parent agg: matched docs bucketed by lang, stepping UP to their
+        # (single-turn) conversations, each parent counted once
+        "agg_parent": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT toks.doc_id, len(tl) AS dl FROM toks
+      WHERE list_has_any(tl, ['spark','join','query'])),
+b AS (SELECT d.lang, m.doc_id, m.dl FROM m JOIN documents d USING (doc_id))
+SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_parents,
+       round(avg(1.0), 4) AS avg_parent_turns,
+       round(avg(dl), 4) AS avg_parent_dl
 FROM b GROUP BY 1 ORDER BY 1
 """,
         "bm25_count": f"""

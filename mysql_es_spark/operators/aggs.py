@@ -2077,6 +2077,64 @@ def children_agg(
     )
 
 
+def parent_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    bucket_field: str = "role",
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``parent`` agg — the step-UP inverse of ``children_agg``: bucket
+    the MATCHED child docs (turns) by ``bucket_field``, then aggregate at
+    the PARENT grain (conversation = join field). Each parent counts once
+    per bucket no matter how many of its turns matched, exactly as ES
+    dedups parent docs inside a ``parent`` sub-agg. Metrics per bucket:
+    ``n_parents`` (distinct convs), ``avg_parent_turns`` (conv size over
+    those parents), ``avg_parent_dl`` (total tokens per conv).
+
+    Scale shape: the parent rollup is a hash agg of the column-pruned
+    forward+lengths scan at conv grain; the matched side is distinct'd to
+    (bucket, conv) BEFORE joining it, so the join's left side is bounded
+    by the parent count. No driver materialization.
+    """
+    cfg = effective_config(spark, index_dir, cfg)
+    matched = _matched_docids(spark, index_dir, query, cfg)
+    out_schema = (
+        f"{bucket_field} string, n_parents long,"
+        " avg_parent_turns double, avg_parent_dl double"
+    )
+    if matched is None:
+        return tbl.local_rows_df(spark, [], out_schema)
+    fwd = tbl.read(spark, index_dir, "forward").select(
+        "docid", "conv_id", bucket_field
+    )
+    parents = (
+        matched.join(fwd, "docid", "inner")
+        .select(bucket_field, "conv_id")
+        .distinct()
+    )
+    kids = tbl.read(spark, index_dir, "forward").select("docid", "conv_id")
+    dls = tbl.read(spark, index_dir, "doc_lens").select("docid", "dl")
+    rollup = (
+        kids.join(dls, "docid", "inner")
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("dl").cast("long").alias("conv_dl"),
+        )
+    )
+    return (
+        parents.join(rollup, "conv_id", "inner")
+        .groupBy(bucket_field)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parents"),
+            F.avg("n_turns").alias("avg_parent_turns"),
+            F.avg("conv_dl").alias("avg_parent_dl"),
+        )
+        .orderBy(bucket_field)
+    )
+
+
 def variable_width_histogram(
     spark: SparkSession,
     index_dir: str,

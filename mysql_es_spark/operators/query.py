@@ -2229,6 +2229,78 @@ def term_vectors(
     )
 
 
+def term_vectors_multi(
+    spark: SparkSession,
+    index_dir: str,
+    docids: list[int],
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """ES ``_mtermvectors``: (docid, term, tf[, positions]) for a SET of
+    docs in one pass. The scan prunes to the union of the docs' salts and
+    each surviving posting block is decoded exactly once no matter how
+    many requested docs it contains — the batched analog of calling
+    ``term_vectors`` per doc, minus the per-call scans. Deleted docs are
+    dropped up front (same contract as the single-doc API). Cost is
+    O(distinct salts / n_salts) of the corpus blocks, independent of how
+    the requested docids cluster."""
+    cfg = effective_config(spark, index_dir, cfg)
+    with_pos = "pos_blob" in tbl.read(spark, index_dir, "postings").columns
+    schema = "docid long, term string, tf long" + (
+        ", positions array<int>" if with_pos else ""
+    )
+    targets = sorted({int(d) for d in docids})
+    dels = deleted_docids(spark, index_dir)
+    if dels is not None and targets:
+        gone = {
+            r.docid for r in dels.filter(F.col("docid").isin(targets)).collect()
+        }
+        targets = [d for d in targets if d not in gone]
+    if not targets:
+        return tbl.local_rows_df(spark, [], schema)
+    salts = sorted({d // cfg.salt_docs for d in targets})
+    tarr = np.asarray(targets, dtype=np.int64)
+    blocks = (
+        tbl.read(spark, index_dir, "postings")
+        .filter(F.col("salt").isin([int(s) for s in salts]))
+        .filter(F.col("start_docid") <= int(targets[-1]))
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            doc_out, terms_out, tf_out, pos_out = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                ids, tfs, _dls = decode_block(row.blob, int(row.n))
+                hit, ia, _ib = np.intersect1d(
+                    ids, tarr, assume_unique=True, return_indices=True
+                )
+                if not len(hit):
+                    continue
+                if with_pos:
+                    flat = decode_positions(row.pos_blob, tfs)
+                    starts = np.concatenate(([0], np.cumsum(tfs)))
+                for j, d in zip(ia, hit):
+                    doc_out.append(int(d))
+                    terms_out.append(row.term)
+                    tf_out.append(int(tfs[j]))
+                    if with_pos:
+                        s = int(starts[j])
+                        pos_out.append(
+                            flat[s : s + int(tfs[j])].astype("int32")
+                        )
+            if terms_out:
+                out = {"docid": doc_out, "term": terms_out, "tf": tf_out}
+                if with_pos:
+                    out["positions"] = pos_out
+                yield pd.DataFrame(out)
+
+    cols = ["term", "n", "blob"] + (["pos_blob"] if with_pos else [])
+    return (
+        blocks.select(*cols)
+        .mapInPandas(decode, schema=schema)
+        .orderBy(F.col("docid").asc(), F.col("term").asc())
+    )
+
+
 # term-count ceiling for In()-literal term selection in bm25_topk_multi;
 # above it the plan switches to a broadcast semi-join (tests pin it low to
 # force the join path)

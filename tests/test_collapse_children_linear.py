@@ -84,6 +84,35 @@ def test_children_agg_multiturn_fanout(spark, built_index, fwd, dls):
     assert any(r.n_children > r.n_parents for r in got)
 
 
+def test_parent_agg_dedups_parents(spark, built_index, fwd, dls):
+    qt = set(query_terms(Q))
+    matched = {d for d, r in fwd.items() if qt & set(tokenize_text(r.text))}
+    parents = {(fwd[d].role, fwd[d].conv_id) for d in matched}
+    conv_docs = defaultdict(list)
+    for d, r in fwd.items():
+        conv_docs[r.conv_id].append(d)
+    want = {}
+    for role in {b for b, _ in parents}:
+        convs = sorted({c for b, c in parents if b == role})
+        turns = [len(conv_docs[c]) for c in convs]
+        conv_dl = [sum(dls[d] for d in conv_docs[c]) for c in convs]
+        want[role] = (
+            len(convs),
+            float(np.mean(turns)),
+            float(np.mean(conv_dl)),
+        )
+    got = aggs.parent_agg(spark, built_index, Q, "role", cfg=TEST_CFG).collect()
+    assert {r.role for r in got} == set(want)
+    for r in got:
+        np_, avt, avd = want[r.role]
+        assert r.n_parents == np_
+        assert abs(r.avg_parent_turns - avt) < 1e-9
+        assert abs(r.avg_parent_dl - avd) < 1e-9
+    # parents really deduped: matched turns outnumber parents in some bucket
+    by_role = Counter(fwd[d].role for d in matched)
+    assert any(by_role[r.role] > r.n_parents for r in got)
+
+
 def test_linear_fuse_minmax(spark):
     a = spark.createDataFrame(
         [(1, 10.0), (2, 5.0), (3, 0.0)], "doc_id long, s double"
