@@ -345,6 +345,15 @@ def cmd_analyze(args) -> dict:
     return {"tokens": toks}
 
 
+def cmd_validate(args) -> dict:
+    """ES _validate/query?explain=true: compile the query against the
+    index without executing it (metadata-only)."""
+    from .operators.query import validate_query
+
+    spark = _session(args)
+    return validate_query(spark, args.index_dir, args.type, args.query, cfg=_cfg(args))
+
+
 def cmd_explain(args) -> dict:
     from .operators.query import explain_score
 
@@ -603,6 +612,13 @@ def main(argv: list[str] | None = None) -> int:
     an = sub.add_parser("analyze", help="ES _analyze: the analyzer's token stream")
     an.add_argument("--text", required=True)
     an.set_defaults(fn=cmd_analyze)
+
+    va = sub.add_parser("validate", help="ES _validate/query: compile without executing")
+    va.add_argument("--index-dir", required=True)
+    va.add_argument("--type", default="match",
+                    help="match|match_phrase|match_phrase_prefix|prefix|wildcard|regexp|query_string|exists")
+    va.add_argument("--query", required=True)
+    va.set_defaults(fn=cmd_validate)
 
     e = sub.add_parser("explain", help="per-term BM25 breakdown for one doc")
     e.add_argument("--index-dir", required=True)

@@ -3910,6 +3910,89 @@ def index_mapping(spark: SparkSession, index_dir: str) -> dict:
     }
 
 
+def _render_qs_ast(node) -> str:
+    """Lucene-style rendering of a parsed query_string AST (for
+    ``validate_query`` explanations)."""
+    kind = node[0]
+    if kind == "term":
+        return f"text:{node[1]}"
+    if kind == "true":
+        return "*:*"
+    if kind == "not":
+        return f"-({_render_qs_ast(node[1])})"
+    sep = " AND " if kind == "and" else " OR "
+    return "(" + sep.join(_render_qs_ast(p) for p in node[1]) + ")"
+
+
+def validate_query(
+    spark: SparkSession,
+    index_dir: str,
+    qtype: str,
+    body: str,
+    cfg: IndexConfig | None = None,
+) -> dict:
+    """ES ``_validate/query?explain=true``: parse + compile a query
+    against this index WITHOUT executing it. Returns ``{"valid": True,
+    "explanation": <rewritten query>}`` or ``{"valid": False, "error":
+    <why>}``. Catches what would fail (or silently match nothing) at
+    search time: query-language syntax errors, positional queries on a
+    positionless index, regex syntax, and missing fields for ``exists``.
+    Metadata-only — the analyzer plus parquet footers; no data scan, so
+    cost is independent of corpus size."""
+    import re as _re
+
+    from ..functions.querystring import QueryStringError, parse_query_string
+
+    cfg = effective_config(spark, index_dir, cfg)
+    positional = {"match_phrase", "match_phrase_prefix", "span_near", "intervals"}
+    if qtype in positional and not cfg.with_positions:
+        return {
+            "valid": False,
+            "error": f"{qtype} requires positions; index was built with "
+                     "with_positions=False",
+        }
+    if qtype == "match":
+        terms = query_terms(body)
+        if not terms:
+            return {"valid": True, "explanation": "MatchNoDocsQuery (analyzer produced no tokens)"}
+        return {"valid": True, "explanation": " ".join(f"text:{t}" for t in terms)}
+    if qtype in ("match_phrase", "span_near"):
+        terms = tokenize_text(body)
+        if len(terms) == 0:
+            return {"valid": True, "explanation": "MatchNoDocsQuery (analyzer produced no tokens)"}
+        return {"valid": True, "explanation": 'text:"' + " ".join(terms) + '"'}
+    if qtype == "match_phrase_prefix":
+        terms = tokenize_text(body)
+        if not terms:
+            return {"valid": True, "explanation": "MatchNoDocsQuery (analyzer produced no tokens)"}
+        return {"valid": True, "explanation": 'text:"' + " ".join(terms[:-1] + [terms[-1] + "*"]) + '"'}
+    if qtype == "prefix":
+        terms = tokenize_text(body)
+        if len(terms) != 1:
+            return {"valid": False, "error": f"prefix needs exactly one analyzed token, got {len(terms)}"}
+        return {"valid": True, "explanation": f"text:{terms[0]}*"}
+    if qtype == "wildcard":
+        return {"valid": True, "explanation": f"text:{body.lower()}"}
+    if qtype == "regexp":
+        try:
+            _re.compile(body)
+        except _re.error as exc:
+            return {"valid": False, "error": f"invalid regexp: {exc}"}
+        return {"valid": True, "explanation": f"text:/{body}/"}
+    if qtype == "query_string":
+        try:
+            ast = parse_query_string(body)
+        except QueryStringError as exc:
+            return {"valid": False, "error": str(exc)}
+        return {"valid": True, "explanation": _render_qs_ast(ast)}
+    if qtype == "exists":
+        fields = {f.name for f in tbl.read(spark, index_dir, "forward").schema.fields}
+        if body not in fields:
+            return {"valid": False, "error": f"unknown field {body!r}; forward fields: {sorted(fields)}"}
+        return {"valid": True, "explanation": f"_exists_:{body}"}
+    return {"valid": False, "error": f"unsupported query type {qtype!r}"}
+
+
 def match_export(
     spark: SparkSession,
     index_dir: str,

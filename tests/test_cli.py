@@ -298,6 +298,22 @@ def test_cli_multifield_and_percolate(spark, tmp_path, capsys):
     assert pm["matches"] and {m["query_id"] for m in pm["matches"]} == {"a", "b"}
 
 
+def test_cli_validate(spark, built_index, capsys):
+    assert cli_main(["validate", "--index-dir", built_index,
+                     "--query", "Hello WORLD"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"valid": True, "explanation": "text:hello text:world"}
+    # phrase on a positionless index is flagged without running anything
+    assert cli_main(["validate", "--index-dir", built_index,
+                     "--type", "match_phrase", "--query", "w0 w3"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["valid"] is False and "with_positions" in out["error"]
+    assert cli_main(["validate", "--index-dir", built_index,
+                     "--type", "query_string", "--query", "a AND (b OR"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["valid"] is False
+
+
 def test_cli_analyze(capsys):
     assert cli_main(["analyze", "--text", "CafÉ Spark-SQL!"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
