@@ -345,6 +345,15 @@ def cmd_analyze(args) -> dict:
     return {"tokens": toks}
 
 
+def cmd_disk_usage(args) -> dict:
+    """ES _disk_usage: per-table/per-field compressed byte footprint from
+    the parquet footers (no data scan)."""
+    from .operators.query import disk_usage
+
+    spark = _session(args)
+    return disk_usage(spark, args.index_dir)
+
+
 def cmd_validate(args) -> dict:
     """ES _validate/query?explain=true: compile the query against the
     index without executing it (metadata-only)."""
@@ -612,6 +621,10 @@ def main(argv: list[str] | None = None) -> int:
     an = sub.add_parser("analyze", help="ES _analyze: the analyzer's token stream")
     an.add_argument("--text", required=True)
     an.set_defaults(fn=cmd_analyze)
+
+    du = sub.add_parser("disk-usage", help="ES _disk_usage: per-field byte footprint")
+    du.add_argument("--index-dir", required=True)
+    du.set_defaults(fn=cmd_disk_usage)
 
     va = sub.add_parser("validate", help="ES _validate/query: compile without executing")
     va.add_argument("--index-dir", required=True)

@@ -2171,6 +2171,49 @@ def index_stats(spark: SparkSession, index_dir: str) -> dict:
     return out
 
 
+def disk_usage(spark: SparkSession, index_dir: str) -> dict:
+    """ES ``_disk_usage``: per-field on-disk footprint of the index,
+    broken down by table and column from the parquet footers (compressed
+    column-chunk sizes summed across files/row groups). Footer-only — no
+    data pages are read, so cost is O(files), independent of corpus size.
+    The answer a capacity planner needs: which column (posting blobs?
+    positions? stored text?) owns the bytes."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    out: dict[str, dict] = {}
+    grand = 0
+    for table in ("postings", "forward", "doc_lens", "term_dict"):
+        root_dir = tbl.p(index_dir, table)
+        if not _os.path.isdir(root_dir):
+            continue
+        per_col: dict[str, int] = {}
+        n_files = 0
+        for root, _dirs, files in _os.walk(root_dir):
+            for f in files:
+                if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                    continue
+                n_files += 1
+                md = _pq.ParquetFile(_os.path.join(root, f)).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        # root name only: list/struct leaves fold into their field
+                        name = col.path_in_schema.split(".")[0]
+                        per_col[name] = per_col.get(name, 0) + col.total_compressed_size
+        total = sum(per_col.values())
+        grand += total
+        out[table] = {
+            "total_bytes": total,
+            "n_files": n_files,
+            "fields": dict(sorted(per_col.items(), key=lambda kv: -kv[1])),
+        }
+    out["all_fields_bytes"] = grand
+    return out
+
+
 def term_vectors(
     spark: SparkSession,
     index_dir: str,

@@ -84,3 +84,21 @@ def test_cli_mapping(spark, built_index, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["fields"]["conv_id"] == "string"
     assert out["physical"]["salt_docs"] == 256
+
+
+def test_disk_usage_footers_account_all_tables(spark, built_index):
+    from mysql_es_spark.operators.query import disk_usage, index_stats
+
+    du = disk_usage(spark, built_index)
+    st = index_stats(spark, built_index)
+    for table in ("postings", "forward", "doc_lens", "term_dict"):
+        assert du[table]["n_files"] > 0
+        assert du[table]["total_bytes"] > 0
+        # footer-accounted compressed bytes can't exceed the file bytes
+        assert du[table]["total_bytes"] <= st[f"{table}_bytes"]
+    # the blob column owns the postings bytes; text owns the forward bytes
+    assert max(du["postings"]["fields"], key=du["postings"]["fields"].get) == "blob"
+    assert "text" in du["forward"]["fields"]
+    assert du["all_fields_bytes"] == sum(
+        du[t]["total_bytes"] for t in ("postings", "forward", "doc_lens", "term_dict")
+    )
