@@ -1997,6 +1997,43 @@ def q_agg_percentiles(spark, sf):
 SYN_MAP = {"spark": ["stream"], "join": ["merge"], "query": ["filter"]}
 
 
+def _syn_index_for_documents(spark, sf_dir):
+    """Index built with the index-time synonym rule spark<->stream."""
+    ix, marker = _ixcache_dir(sf_dir, "-syn")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(ix, ignore_errors=True)
+        docs = _documents_as_transcripts(_t(spark, sf_dir, "documents"))
+        build_index(
+            spark, docs, ix, _docs_index_cfg().with_(synonyms=("spark, stream",))
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return ix
+
+
+def q_bm25_index_synonyms(spark, sf):
+    """Index-time synonyms (spark<->stream injected at the same position):
+    querying either member scores the merged class — tf sums both surface
+    forms, df counts docs containing either, dl stays the original token
+    count (Lucene discountOverlaps)."""
+    ix = _syn_index_for_documents(spark, sf)
+    top = bm25_topk(
+        spark, ix, "stream", k=60,
+        cfg=_docs_index_cfg().with_(synonyms=("spark, stream",)),
+        mode="pruned", with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 def q_bm25_synonyms(spark, sf):
     """Query-time synonym expansion, dis-max per clause: spark|stream,
     join|merge, query|filter — best expansion scores, never double-counts."""
@@ -3165,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest": q_term_suggest,
         "agg_percentiles": q_agg_percentiles,
         "bm25_synonyms": q_bm25_synonyms,
+        "bm25_index_synonyms": q_bm25_index_synonyms,
         "bm25_span_near": q_bm25_span_near,
         "term_vectors": q_term_vectors,
         "mterm_vectors": q_mterm_vectors,
@@ -3943,6 +3981,28 @@ scores AS (
 )
 SELECT period, doc_id, round(s, 4) AS score FROM scores
 ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 25
+""",
+        # index-time synonyms: {{spark, stream}} behaves as ONE merged term
+        # (tf sums both forms, df counts docs with either, dl unchanged)
+        "bm25_index_synonyms": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'stream')
+  GROUP BY 1
+),
+dfreq AS (SELECT count(*) AS df FROM tf),
+scores AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM tf CROSS JOIN dfreq JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
 """,
         "bm25_query_string": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),

@@ -31,6 +31,13 @@ class IndexConfig:
     # default). Off by default: the transcripts north rule needs only BM25,
     # and positions add ~log2(gap) bits per token occurrence.
     with_positions: bool = False
+    # index-time synonym rules in ES synonym-file syntax, e.g.
+    # ("car, auto", "tv => television"). Equivalence rules inject the
+    # other class members at the SAME position (Lucene posincr 0, not
+    # counted in dl — discountOverlaps); explicit rules REPLACE the LHS
+    # tokens with the RHS. Applied by the index analyzer only; the search
+    # analyzer stays synonym-free (the standard ES index-time setup).
+    synonyms: tuple[str, ...] = ()
 
     # --- physical layout ---
     # Postings per encoded block (delta-gap + FOR bit-packing; block_max

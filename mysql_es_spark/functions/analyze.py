@@ -88,6 +88,52 @@ def edge_ngrams_with_positions(
     return grams, pos
 
 
+def parse_synonym_rules(rules) -> dict[str, tuple[bool, tuple[str, ...]]]:
+    """ES synonym-file rule syntax → expansion map.
+
+    Returns ``term -> (keep_original, targets)``:
+
+    - ``"a, b, c"`` (equivalence, expand): each member maps to the other
+      members, original kept — Lucene injects them at the same position.
+    - ``"a, b => c, d"`` (explicit): every LHS term maps to the RHS terms
+      and the original is dropped (Lucene replaces the token).
+
+    Every side is run through the analyzer's fold+tokenize; multi-token
+    synonyms (phrases) are out of scope and raise, as does a term that
+    appears as the LHS of more than one rule (ES merges them; we keep the
+    contract strict so the oracle stays simple)."""
+    out: dict[str, tuple[bool, tuple[str, ...]]] = {}
+
+    def one_token(raw: str) -> str:
+        toks = tokenize_text(raw)
+        if len(toks) != 1:
+            raise ValueError(
+                f"synonym side {raw!r} must analyze to exactly one token, got {toks}"
+            )
+        return toks[0]
+
+    for rule in rules:
+        if "=>" in rule:
+            lhs_raw, rhs_raw = rule.split("=>", 1)
+            lhs = [one_token(x) for x in lhs_raw.split(",") if x.strip()]
+            rhs = tuple(dict.fromkeys(one_token(x) for x in rhs_raw.split(",") if x.strip()))
+            if not lhs or not rhs:
+                raise ValueError(f"bad explicit synonym rule {rule!r}")
+            for src in lhs:
+                if src in out:
+                    raise ValueError(f"term {src!r} appears in more than one synonym rule")
+                out[src] = (False, tuple(t for t in rhs if t != src) or rhs)
+        else:
+            members = list(dict.fromkeys(one_token(x) for x in rule.split(",") if x.strip()))
+            if len(members) < 2:
+                raise ValueError(f"equivalence synonym rule {rule!r} needs >= 2 terms")
+            for src in members:
+                if src in out:
+                    raise ValueError(f"term {src!r} appears in more than one synonym rule")
+                out[src] = (True, tuple(m for m in members if m != src))
+    return out
+
+
 def fold_series(s: pd.Series) -> pd.Series:
     """Vectorized fold: NFKD → strip combining marks → lower."""
     filled = s.fillna("")

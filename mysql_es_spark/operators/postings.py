@@ -60,6 +60,13 @@ def tokenized(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     pandas path remains for the edge-ngram analyzer variant (T1 with
     ngrams), which pyarrow can't express cleanly.
     """
+    syn_map = None
+    if cfg.synonyms:
+        if cfg.edge_ngram:
+            raise ValueError("index-time synonyms cannot combine with edge_ngram")
+        from ..functions.analyze import parse_synonym_rules
+
+        syn_map = parse_synonym_rules(cfg.synonyms)
     if cfg.edge_ngram:
         return _tokenized_pandas(df, cfg)
     with_pos = cfg.with_positions
@@ -102,6 +109,46 @@ def tokenized(df: DataFrame, cfg: IndexConfig) -> DataFrame:
                     positions = idx
                 tok_cols["pos"] = pa.array(positions.astype(np.int32))
                 aggs.append(("pos", "list"))
+            if syn_map:
+                # index-time synonym application on the analyzed stream.
+                # Equivalence members are INJECTED at the source token's
+                # position (Lucene posincr 0); explicit-rule LHS tokens are
+                # REPLACED by their RHS. dl below still aggregates the
+                # ORIGINAL doc_per_term: posincr-0 injections never count
+                # toward field length (Lucene discountOverlaps) and
+                # replacements keep the original's increment.
+                t_np = terms.to_numpy(zero_copy_only=False)
+                d_np = doc_per_term.to_numpy(zero_copy_only=False).astype(np.int64)
+                p_np = positions.astype(np.int32) if with_pos else None
+                keep_m = np.ones(len(t_np), dtype=bool)
+                segs_t, segs_d, segs_p = [], [], []
+                for src, (keep, targets) in syn_map.items():
+                    m = t_np == src
+                    if not m.any():
+                        continue
+                    if not keep:
+                        keep_m &= ~m
+                    for tgt in targets:
+                        segs_t.append(np.full(int(m.sum()), tgt, dtype=object))
+                        segs_d.append(d_np[m])
+                        if with_pos:
+                            segs_p.append(p_np[m])
+                if segs_t or not keep_m.all():
+                    t_np = np.concatenate([t_np[keep_m]] + segs_t) if segs_t else t_np[keep_m]
+                    d_np = np.concatenate([d_np[keep_m]] + segs_d) if segs_d else d_np[keep_m]
+                    if with_pos:
+                        p_np = (
+                            np.concatenate([p_np[keep_m]] + segs_p) if segs_p else p_np[keep_m]
+                        )
+                        # per-(doc,term) position lists must stay ascending
+                        order = np.lexsort((p_np, d_np))
+                        t_np, d_np, p_np = t_np[order], d_np[order], p_np[order]
+                    tok_cols = {
+                        "docid": pa.array(d_np),
+                        "term": pa.array(t_np, type=pa.string()),
+                    }
+                    if with_pos:
+                        tok_cols["pos"] = pa.array(p_np)
             tf = (
                 pa.table(tok_cols)
                 .group_by(["docid", "term"], use_threads=False)

@@ -110,7 +110,14 @@ def effective_config(
         if not tbl.exists(index_dir, "index_meta"):
             return cfg or IndexConfig()
         row = spark.read.parquet(tbl.p(index_dir, "index_meta")).collect()[0]
-        stored = IndexConfig(**{f: row[f] for f in _PHYSICAL_FIELDS})
+        d = row.asDict()
+        kw = {f: d[f] for f in _PHYSICAL_FIELDS}
+        # pre-synonym indexes lack the column; stored as a JSON list
+        if d.get("synonyms"):
+            import json as _json
+
+            kw["synonyms"] = tuple(_json.loads(d["synonyms"]))
+        stored = IndexConfig(**kw)
         _CFG_CACHE[index_dir] = stored
     if cfg is None:
         return stored
@@ -3938,6 +3945,8 @@ def index_mapping(spark: SparkSession, index_dir: str) -> dict:
         analyzer["edge_ngram"] = {
             "min_gram": cfg.edge_ngram_min, "max_gram": cfg.edge_ngram_max,
         }
+    if cfg.synonyms:
+        analyzer["synonyms"] = list(cfg.synonyms)
     return {
         "fields": fields,
         "analyzer": analyzer,

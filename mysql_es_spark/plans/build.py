@@ -27,6 +27,7 @@ is partition pruning, not a rescan.
 
 from __future__ import annotations
 
+import json
 import time
 from datetime import datetime, timezone
 
@@ -282,6 +283,7 @@ def finalize(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> None:
             cfg.k1, cfg.b, cfg.edge_ngram, cfg.edge_ngram_min, cfg.edge_ngram_max,
             cfg.with_positions, cfg.block_size, cfg.n_buckets, cfg.wave_size,
             cfg.salt_docs, cfg.term_buckets,
+            json.dumps(list(cfg.synonyms)) if cfg.synonyms else None,
         )],
         tbl.INDEX_META_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(tbl.p(index_dir, "index_meta"))
