@@ -140,7 +140,19 @@ def cmd_compact(args) -> dict:
 
     spark = _session(args)
     t0 = time.monotonic()
-    stats = compact_index(spark, args.index_dir, args.out, purge_deletes=not args.no_purge)
+    reshard = {
+        k: v
+        for k, v in (
+            ("salt_docs", args.reshard_salt_docs),
+            ("term_buckets", args.reshard_term_buckets),
+            ("block_size", args.reshard_block_size),
+        )
+        if v is not None
+    }
+    stats = compact_index(
+        spark, args.index_dir, args.out,
+        purge_deletes=not args.no_purge, reshard=reshard or None,
+    )
     stats["compact_sec"] = round(time.monotonic() - t0, 2)
     return stats
 
@@ -567,6 +579,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="carry soft deletes along instead of physically purging them",
     )
+    c.add_argument("--reshard-salt-docs", type=int, default=None,
+                   help="re-encode with a new docids-per-salt (ES _split/_shrink analog)")
+    c.add_argument("--reshard-term-buckets", type=int, default=None,
+                   help="re-encode with a new term partition count")
+    c.add_argument("--reshard-block-size", type=int, default=None,
+                   help="re-encode with a new postings-per-block")
     c.set_defaults(fn=cmd_compact)
 
     st = sub.add_parser("stats", help="index observability: docs/terms/deletes/bytes")

@@ -88,12 +88,19 @@ def decoded_postings(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> D
     )
 
 
+# physical knobs a reshard may change: all three are pure functions of
+# (docid, term) recomputed by the encode path — docids, positions, and the
+# forward layout (n_buckets) never move, so no re-tokenize is needed
+_RESHARD_KEYS = frozenset({"salt_docs", "term_buckets", "block_size"})
+
+
 def compact_index(
     spark: SparkSession,
     src_dir: str,
     dst_dir: str,
     cfg: IndexConfig | None = None,
     purge_deletes: bool = True,
+    reshard: dict | None = None,
 ) -> dict:
     """Rewrite ``src_dir`` as a single-wave optimized index at ``dst_dir``.
 
@@ -105,10 +112,25 @@ def compact_index(
     and term_dict/corpus_stats recomputed from the survivors, so idf and
     avgdl shift exactly as ES/Lucene scores shift after a merge. The
     compacted index carries no deletes table.
-    Returns {blocks_before, blocks_after, n_docs, docs_purged}.
+
+    ``reshard`` is the ES ``_split``/``_shrink`` analog: a dict of new
+    physical settings (``salt_docs``, ``term_buckets``, ``block_size``)
+    the re-encode applies — repartitioning a built index for a different
+    cluster width or query fan-out WITHOUT re-tokenizing (the expensive
+    stage). Docids, scores, and positions are unchanged; the new layout
+    is persisted in the destination's index_meta, so queries pick it up
+    automatically. Returns {blocks_before, blocks_after, n_docs,
+    docs_purged}.
     """
     t0 = time.monotonic()
     cfg = effective_config(spark, src_dir, cfg)
+    if reshard:
+        bad = set(reshard) - _RESHARD_KEYS
+        if bad:
+            raise ValueError(
+                f"reshard can only change {sorted(_RESHARD_KEYS)}, got {sorted(bad)}"
+            )
+        cfg = cfg.with_(**{k: int(v) for k, v in reshard.items()})
     dels = deleted_docids(spark, src_dir) if purge_deletes else None
     docs_purged = int(dels.count()) if dels is not None else 0
     if docs_purged == 0:

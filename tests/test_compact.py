@@ -95,3 +95,53 @@ def test_compacted_positional_phrase(spark, tmp_path_factory):
         assert [r.docid for r in src_rows] == [r.docid for r in dst_rows]
         for a, b in zip(src_rows, dst_rows):
             assert math.isclose(a.score, b.score, rel_tol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def resharded(spark, built_index, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("reshard") / "ix")
+    stats = compact_index(
+        spark, built_index, dst,
+        reshard={"salt_docs": 64, "term_buckets": 4, "block_size": 32},
+    )
+    return dst, stats
+
+
+def test_reshard_new_layout_persisted(spark, resharded):
+    from mysql_es_spark.operators.query import effective_config
+
+    dst, _ = resharded
+    eff = effective_config(spark, dst, None)
+    assert (eff.salt_docs, eff.term_buckets, eff.block_size) == (64, 4, 32)
+    # physical reality matches the persisted meta
+    buckets = {
+        r.term_bucket
+        for r in spark.read.parquet(f"{dst}/postings").select("term_bucket").distinct().collect()
+    }
+    assert buckets <= set(range(4)) and buckets
+    bad = spark.read.parquet(f"{dst}/postings").filter("n > 32").count()
+    assert bad == 0
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_reshard_rank_identity(spark, built_index, resharded, q):
+    dst, _ = resharded
+    src = [
+        (r.docid, round(r.score, 9))
+        for r in bm25_topk(spark, built_index, q, k=15, cfg=TEST_CFG, mode="simple").collect()
+    ]
+    for mode in ("simple", "pruned"):
+        # no cfg passed: the resharded meta must drive the salt/bucket math
+        got = [
+            (r.docid, round(r.score, 9))
+            for r in bm25_topk(spark, dst, q, k=15, mode=mode).collect()
+        ]
+        assert got == src, (mode, q)
+
+
+def test_reshard_rejects_non_physical_keys(spark, built_index, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("reshardbad") / "ix")
+    with pytest.raises(ValueError):
+        compact_index(spark, built_index, dst, reshard={"n_buckets": 2})
+    with pytest.raises(ValueError):
+        compact_index(spark, built_index, dst, reshard={"with_positions": True})
