@@ -2280,6 +2280,34 @@ def q_minhash(spark, sf):
     )
 
 
+def q_incremental_dedup(spark, sf):
+    """Incremental near-dup ingest: docs >= 400 arrive as a new batch and
+    dedup against a persisted MinHash store of docs < 400 — the store is
+    signatures+bands only (old texts never re-read); md5 base hash makes
+    the whole signature/band/estimate pipeline reproducible in SQL."""
+    from mysql_es_spark.operators.dedup import build_minhash_store, store_near_dups
+
+    d, marker = _ixcache_dir(sf, "-mhstore")
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        build_minhash_store(
+            spark, docs.filter("doc_id < 400"), d,
+            n=2, num_perm=64, bands=16, seed=42, base_hash="md5",
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    out = store_near_dups(
+        spark, docs.filter("doc_id >= 400"), d,
+        threshold=0.15, include_new_pairs=True,
+    )
+    return out.select(
+        "doc_id", "dup_of", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
 def q_simhash(spark, sf):
     """max_hamming=3 (the banding completeness bound) + md5 base hash: the
     oracle recomputes SimHash brute-force in SQL, so this also proves the
@@ -3146,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- documents / training-data pipeline (round-2 tri-match dedup:
         # VERDICT item 7 requires driver rows, keep inside the window) ---
         "doc_minhash_lsh_pairs": q_minhash,
+        "doc_incremental_dedup": q_incremental_dedup,
         "doc_winnow_overlap": q_winnow,
         "doc_simhash_near_dups": q_simhash,
         # --- below the driver gate's 50-entry window: r01-green entries,
@@ -3316,6 +3345,53 @@ FROM inter i JOIN sizes za ON za.doc_id = i.id_a
 WHERE round(i.n / (za.sz + zb.sz - i.n), 4) >= 0.15
 """
 
+
+
+def _incremental_dedup_sql() -> str:
+    """DuckDB twin of q_incremental_dedup: same md5 signatures and band
+    keys for ALL docs, candidates = new (>=400) × earlier id sharing a
+    band, verification = signature-overlap estimate (what the store
+    actually compares — it holds no texts)."""
+    from mysql_es_spark.operators.dedup import _perm_params
+
+    a, b = _perm_params(64, 42)
+    perm_rows = ",".join(f"({j},{int(a[j])},{int(b[j])})" for j in range(64))
+    return f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, u.s AS shingle
+       FROM t, unnest([list_aggregate(toks[i:i+1], 'string_agg', ' ')
+                       FOR i IN range(1, len(toks))]) AS u(s)
+       WHERE len(toks) >= 2),
+perms(j, a, b) AS (VALUES {perm_rows}),
+hv AS (SELECT doc_id, shingle, md5_number_upper(shingle) AS h FROM sh),
+sig AS (
+  SELECT hv.doc_id, p.j,
+         min(CAST((((CAST(p.a AS HUGEINT) * CAST(hv.h AS HUGEINT))
+               % 18446744073709551616 + p.b) % 18446744073709551616)
+               % 2305843009213693951 AS BIGINT)) AS v
+  FROM hv CROSS JOIN perms p GROUP BY 1, 2
+),
+sigl AS (SELECT doc_id, list(v ORDER BY j) AS l FROM sig GROUP BY 1),
+banded AS (
+  SELECT doc_id, bb.b AS band_idx,
+         array_to_string(l[4 * bb.b + 1 : 4 * bb.b + 4], ',') AS key
+  FROM sigl, unnest(range(0, 16)) AS bb(b)
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_of
+  FROM banded n JOIN banded o
+    ON n.band_idx = o.band_idx AND n.key = o.key
+   AND n.doc_id >= 400 AND o.doc_id < n.doc_id
+),
+est AS (
+  SELECT c.doc_id, c.dup_of,
+         sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0 AS e
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_id
+              JOIN sig sb ON sb.doc_id = c.dup_of AND sb.j = sa.j
+  GROUP BY 1, 2
+)
+SELECT doc_id, dup_of, round(e, 4) AS est_jaccard FROM est WHERE e >= 0.15
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3728,6 +3804,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(i * 1.0 / (za.sz + zb.sz - i), 4) >= 0.15
         """,
         "doc_minhash_lsh_pairs": _minhash_sql(),
+        "doc_incremental_dedup": _incremental_dedup_sql(),
         "doc_winnow_overlap": f"""
             WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
             g AS (SELECT doc_id,

@@ -205,6 +205,19 @@ def minhash_signatures(
     )
 
 
+def _banded_df(sig: DataFrame, bands: int, rows: int, id_col: str) -> DataFrame:
+    """(id, sig) → (id, band_idx, band_hash): the LSH bucket keys."""
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b as band_idx, xxhash64(concat_ws(',', slice(sig, b * {rows} + 1, {rows}))) as band_hash))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band_idx", "bb.band_hash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     n: int = 3,
@@ -231,15 +244,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(
         df, n, num_perm, seed, id_col, text_col, shingles_df=sh, base_hash=base_hash
     )
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"struct(b as band_idx, xxhash64(concat_ws(',', slice(sig, b * {rows} + 1, {rows}))) as band_hash))"
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band_idx", "bb.band_hash")
+    banded = _banded_df(sig, bands, rows, id_col)
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     cand = (
@@ -300,6 +305,154 @@ def exact_jaccard_for_pairs(
         )
         .select("id_a", "id_b", "jaccard")
     )
+
+
+MINHASH_STORE_META = (
+    "n int, num_perm int, bands int, seed int, base_hash string, id_col string"
+)
+
+
+def build_minhash_store(
+    spark,
+    df: DataFrame,
+    store_dir: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base_hash: str = "xxhash64",
+) -> dict:
+    """Persist a corpus's near-dup identity — (id, sig) plus the banded
+    LSH keys — so FUTURE batches dedup against it without ever touching
+    the old documents again (the 100 TB ingest shape: the corpus is read
+    once, forever after only its signatures are joined). The store is
+    self-describing: (n, num_perm, bands, seed, base_hash) are persisted
+    and later calls load them, so signature parameters can never silently
+    drift between the corpus and an incremental batch.
+
+    Layout: ``sigs/`` (id, sig) and ``bands/`` (id, band_idx, band_hash)
+    partitioned by band_idx, plus a one-row ``store_meta``."""
+    import os
+
+    from ..sources.tables import local_rows_df
+
+    assert num_perm % bands == 0
+    sig = minhash_signatures(
+        df, n, num_perm, seed, id_col, text_col, base_hash=base_hash
+    )
+    sig.write.mode("overwrite").parquet(os.path.join(store_dir, "sigs"))
+    # band from the WRITTEN sigs: one signature computation total
+    stored = spark.read.parquet(os.path.join(store_dir, "sigs"))
+    _banded_df(stored, bands, num_perm // bands, id_col).write.partitionBy(
+        "band_idx"
+    ).mode("overwrite").parquet(os.path.join(store_dir, "bands"))
+    local_rows_df(
+        spark, [(n, num_perm, bands, seed, base_hash, id_col)], MINHASH_STORE_META
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(store_dir, "store_meta"))
+    return {"docs": stored.count()}
+
+
+def _store_meta(spark, store_dir: str) -> dict:
+    import os
+
+    return spark.read.parquet(os.path.join(store_dir, "store_meta")).collect()[0].asDict()
+
+
+def extend_minhash_store(spark, df: DataFrame, store_dir: str, text_col: str = "text") -> dict:
+    """Append a new batch's signatures/bands to an existing store using
+    the store's own persisted parameters (call AFTER deduping the batch
+    with :func:`store_near_dups` and dropping the dups)."""
+    import os
+
+    m = _store_meta(spark, store_dir)
+    sig = minhash_signatures(
+        df, m["n"], m["num_perm"], m["seed"], m["id_col"], text_col,
+        base_hash=m["base_hash"],
+    ).persist()
+    sig.write.mode("append").parquet(os.path.join(store_dir, "sigs"))
+    _banded_df(sig, m["bands"], m["num_perm"] // m["bands"], m["id_col"]).write.partitionBy(
+        "band_idx"
+    ).mode("append").parquet(os.path.join(store_dir, "bands"))
+    added = sig.count()
+    sig.unpersist()
+    return {"docs_added": int(added)}
+
+
+def store_near_dups(
+    spark,
+    df: DataFrame,
+    store_dir: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    include_new_pairs: bool = False,
+) -> DataFrame:
+    """Incremental near-dup detection: which docs of the NEW batch ``df``
+    duplicate something already in the store (and optionally each other).
+    Returns (id, dup_of, est_jaccard) — ``dup_of`` is the stored (or
+    earlier in-batch) id, ``est_jaccard`` the MinHash estimate
+    |sig_a == sig_b| / num_perm (the store holds signatures, not texts,
+    so verification is the estimator — its ±1/sqrt(num_perm) noise is the
+    standard LSH ingest trade; raise num_perm for tighter gates).
+
+    Scale shape: one signature pass over the batch, then equi-joins on
+    (band_idx, band_hash) against the band table — batch-proportional
+    work regardless of store size — and a signature compare on candidate
+    pairs only. Ids must be globally unique across store and batch."""
+    import os
+
+    m = _store_meta(spark, store_dir)
+    id_col, num_perm = m["id_col"], m["num_perm"]
+    est = (
+        f"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, "
+        f"(acc, v) -> acc + v) / {num_perm}"
+    )
+    new_sig = minhash_signatures(
+        df, m["n"], num_perm, m["seed"], id_col, text_col, base_hash=m["base_hash"]
+    ).persist()
+    new_banded = _banded_df(new_sig, m["bands"], num_perm // m["bands"], id_col)
+    old_banded = spark.read.parquet(os.path.join(store_dir, "bands"))
+    old_sig = spark.read.parquet(os.path.join(store_dir, "sigs"))
+
+    cand_old = (
+        new_banded.join(
+            old_banded.select(
+                F.col(id_col).alias("dup_of"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select(id_col, "dup_of")
+        .distinct()
+    )
+    pairs = cand_old.join(
+        new_sig.select(F.col(id_col), F.col("sig").alias("sig_a")), id_col
+    ).join(
+        old_sig.select(F.col(id_col).alias("dup_of"), F.col("sig").alias("sig_b")),
+        "dup_of",
+    )
+    out = pairs.select(id_col, "dup_of", F.expr(est).alias("est_jaccard"))
+    if include_new_pairs:
+        a = new_banded.select(F.col(id_col), "band_idx", "band_hash")
+        b = new_banded.select(
+            F.col(id_col).alias("dup_of"), "band_idx", "band_hash"
+        )
+        cand_new = (
+            a.join(b, ["band_idx", "band_hash"])
+            .filter(F.col("dup_of") < F.col(id_col))  # first-wins: earlier id
+            .select(id_col, "dup_of")
+            .distinct()
+        )
+        new_pairs = cand_new.join(
+            new_sig.select(F.col(id_col), F.col("sig").alias("sig_a")), id_col
+        ).join(
+            new_sig.select(F.col(id_col).alias("dup_of"), F.col("sig").alias("sig_b")),
+            "dup_of",
+        )
+        out = out.unionByName(
+            new_pairs.select(id_col, "dup_of", F.expr(est).alias("est_jaccard"))
+        )
+    return out.filter(F.col("est_jaccard") >= threshold)
 
 
 def near_dup_clusters(
