@@ -624,6 +624,12 @@ def q_pack(spark, sf):
     )
 
 
+def q_doc_chunks(spark, sf):
+    """Overlapping token windows per doc (RAG/context chunker): 64-token
+    chunks at stride 48 — JVM array expressions only, zero shuffle."""
+    return packing.chunk_documents(_t(spark, sf, "documents"), chunk=64, stride=48)
+
+
 def q_contamination(spark, sf):
     """Decontamination pass: every 97th doc plays the eval set; report
     train docs sharing a 3-gram with any probe (broadcast probe join)."""
@@ -3193,6 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_quality": q_gopher,
         "doc_pii_scrub": q_pii_scrub,
         "doc_pack_sequences": q_pack,
+        "doc_chunks": q_doc_chunks,
         "doc_contamination": q_contamination,
         "doc_stratified_sample": q_doc_stratified,
         "doc_seeded_shuffle": q_seeded_shuffle,
@@ -3594,6 +3601,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(array_to_string({TOK}, ' ')) AS fp FROM documents
         """,
         "doc_pack_sequences": packing.duckdb_pack_sequences(budget=512, n_shards=8),
+        # overlapping 64-token windows at stride 48 (inclusive duckdb slices)
+        "doc_chunks": f"""
+WITH t AS (SELECT doc_id, {TOK} AS tl FROM documents),
+st AS (
+  SELECT doc_id, tl, u.i
+  FROM t, unnest(range(0, CASE WHEN len(tl) = 0 THEN 0
+       ELSE 1 + CAST(greatest(0, ceil((len(tl) - 64) / 48.0)) AS INT) END)) AS u(i)
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx, CAST(i * 48 AS INT) AS start_tok,
+       CAST(len(tl[i*48+1 : i*48+64]) AS INT) AS n_tokens,
+       array_to_string(tl[i*48+1 : i*48+64], ' ') AS chunk_text
+FROM st
+""",
         "doc_contamination": f"""
             WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
             sh AS (SELECT doc_id, unnest(list_distinct(

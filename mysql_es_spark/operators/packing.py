@@ -98,3 +98,46 @@ SELECT {id_col}, n_tokens, CAST(shard AS BIGINT) AS shard,
        CAST(cum_before % {budget} AS BIGINT) AS pack_offset
 FROM c
 """
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document overlapping token windows (the RAG / context-window
+    chunker): (id, chunk_idx, start_tok, n_tokens, chunk_text).
+
+    Window i covers analyzer tokens [i*stride, i*stride + chunk); the
+    last window may be short, windows overlap by ``chunk - stride``
+    tokens, and a doc shorter than one chunk yields exactly one window.
+    Zero-token docs yield none. Unlike :func:`pack_sequences` (corpus
+    concat layout) this never crosses document boundaries.
+
+    Scale shape: one Arrow tokenize pass, then pure JVM array expressions
+    (sequence → slice → posexplode) — no shuffle at all; output
+    partitioning follows the input."""
+    if not (0 < stride <= chunk):
+        raise ValueError("need 0 < stride <= chunk")
+    starts = (
+        f"CASE WHEN size(toks) = 0 THEN array() ELSE "
+        f"sequence(0, CAST(greatest(0.0, ceil((size(toks) - {chunk}) / CAST({stride} AS DOUBLE))) AS INT)) END"
+    )
+    return (
+        with_tokens(df, text_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(f"transform({starts}, i -> slice(toks, i * {stride} + 1, {chunk}))")
+            ).alias("chunk_idx", "w"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("int").alias("start_tok"),
+            F.size("w").cast("int").alias("n_tokens"),
+            F.array_join("w", " ").alias("chunk_text"),
+        )
+    )

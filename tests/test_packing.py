@@ -66,3 +66,47 @@ def test_pack_offsets_bounded_and_monotone(spark, docs_df):
 def test_pack_bad_budget_raises(spark, docs_df):
     with pytest.raises(ValueError):
         pack_sequences(docs_df, budget=0)
+
+
+def test_chunk_documents_bruteforce(spark):
+    from mysql_es_spark.operators.packing import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(25))),   # 25 toks: 3 chunks @ (10, 8)
+        (2, "short text"),                            # 1 chunk
+        (3, ""),                                      # none
+        (4, None),                                    # none
+        (5, " ".join(f"u{i}" for i in range(10))),   # exactly one chunk
+        (6, " ".join(f"v{i}" for i in range(11))),   # 2 chunks, tail len 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.start_tok, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(df, chunk=10, stride=8).collect()
+    }
+    want = {}
+    for d, text in rows:
+        toks = tokenize_text(text)
+        if not toks:
+            continue
+        n_starts = 1 + max(0, -(-(len(toks) - 10) // 8))
+        for i in range(n_starts):
+            w = toks[i * 8 : i * 8 + 10]
+            want[(d, i)] = (i * 8, len(w), " ".join(w))
+    assert got == want
+    assert got[(1, 2)][1] == 9  # 25 tokens: last window covers 16..24
+    assert got[(6, 1)][1] == 3
+
+
+def test_chunk_documents_overlap_reconstructs(spark):
+    from mysql_es_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        chunk_documents(df, chunk=16, stride=16).collect(), key=lambda r: r.chunk_idx
+    )
+    # stride == chunk: windows tile the doc exactly
+    assert " ".join(c.chunk_text for c in chunks) == text
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk=8, stride=9)
