@@ -1147,6 +1147,27 @@ def q_wildcard_query(spark, sf):
     )
 
 
+def q_bm25_filtered_alias(spark, sf):
+    """Filtered alias (ES alias filter): a stored predicate rides on the
+    alias pointer and plain bm25_topk through it behaves as
+    filter-context search — same oracle as an explicit bool{filter}."""
+    from mysql_es_spark.plans.alias import set_alias
+
+    ix = _index_for_documents(spark, sf)
+    alias = ix + "-flt-alias"
+    set_alias(alias, ix, doc_filter="role = 'en' AND tool <> 'src3'")
+    top = bm25_topk(
+        spark, alias, " ".join(BM25_Q1), k=60, cfg=_docs_index_cfg(), with_keys=True
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 def q_bm25_filtered(spark, sf):
     """Filter-context search (ES bool{must, filter}): BM25 over the index,
     candidates masked by a structural predicate on the forward table
@@ -3104,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_has_parent": q_has_parent,
         "bm25_phrase_slop": q_phrase_slop,
         "bm25_filtered": q_bm25_filtered,
+        "bm25_filtered_alias": q_bm25_filtered_alias,
         "match_aggs_by_lang": q_match_aggs,
         "bm25_query_string": q_bm25_query_string,
         "bm25_rescore": q_bm25_rescore,
@@ -5481,6 +5503,29 @@ SELECT doc_id, round(s, 4) AS score FROM scores WHERE doc_id <> 42
 ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 15
 """,
         "bm25_filtered": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT s.doc_id, round(s.s, 4) AS score
+FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+WHERE d.lang = 'en' AND d.source <> 'src3'
+ORDER BY round(s.s, 4) DESC, s.doc_id ASC LIMIT 20
+""",
+        "bm25_filtered_alias": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
 dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
 stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),

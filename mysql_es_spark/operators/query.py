@@ -349,6 +349,18 @@ def bm25_topk(
     Σ_t w_t · tf-saturation(t, d). The block-max machinery is untouched —
     per-salt upper bounds are Σ_t weight_t · max-block tfnorm, so every
     pruning path (driver-ranked and distributed) stays exact."""
+    alias_flt = tbl.alias_filter(index_dir)
+    if alias_flt is not None:
+        # filtered alias (ES alias filter): delegate to filter-context
+        # search with the stored predicate — non-scoring mask, global stats
+        if after is not None or min_score is not None or weights or profile is not None:
+            raise ValueError(
+                "filtered aliases support plain top-k only "
+                "(no search_after/min_score/weights/profile)"
+            )
+        return bm25_filtered_topk(
+            spark, index_dir, query, alias_flt, k=k, cfg=cfg, with_keys=with_keys
+        )
     cfg = effective_config(spark, index_dir, cfg)
     terms = query_terms(query)
     stats = corpus_stats(spark, index_dir)
@@ -799,6 +811,12 @@ def bm25_filtered_topk(
     the full filtered conjunction rather than WAND-pruning non-scoring
     clauses).
     """
+    alias_flt = tbl.alias_filter(index_dir)
+    if alias_flt is not None:
+        # a filtered alias's predicate ANDs with the caller's (ES semantics)
+        doc_filter = F.expr(alias_flt) & (
+            F.expr(doc_filter) if isinstance(doc_filter, str) else doc_filter
+        )
     cfg = effective_config(spark, index_dir, cfg)
     terms = query_terms(query)
     stats = corpus_stats(spark, index_dir)
@@ -2805,6 +2823,10 @@ def match_count(
         return tbl.local_rows_df(spark, [(0,)], "n_matches long")
     blocks = _matching_blocks(spark, index_dir, terms, buckets)
     matched = _mask_deleted(_decode_docids(blocks), deleted_docids(spark, index_dir))
+    alias_flt = tbl.alias_filter(index_dir)
+    if alias_flt is not None:
+        keep = tbl.read(spark, index_dir, "forward").filter(alias_flt).select("docid")
+        matched = matched.join(keep, "docid", "left_semi")
     return matched.agg(F.count(F.lit(1)).alias("n_matches"))
 
 
@@ -4091,6 +4113,10 @@ def match_export(
         scored = _decode_scores(
             blocks, idf, cfg, stats["avgdl"], deleted_docids(spark, index_dir)
         )
+    alias_flt = tbl.alias_filter(index_dir)
+    if alias_flt is not None:
+        keep = tbl.read(spark, index_dir, "forward").filter(alias_flt).select("docid")
+        scored = scored.join(keep, "docid", "left_semi")
     if with_keys or slice_id is not None:
         fwd = tbl.read(spark, index_dir, "forward").select(
             "docid", "doc_key", "conv_id", "turn_idx", "text"

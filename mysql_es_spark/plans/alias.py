@@ -19,23 +19,32 @@ from ..operators.query import invalidate_stats_cache
 from ..sources import tables as tbl
 
 
-def set_alias(alias_dir: str, target_dir: str) -> None:
+def set_alias(alias_dir: str, target_dir: str, doc_filter: str | None = None) -> None:
     """Point ``alias_dir`` at ``target_dir`` (create or atomically swap).
 
     The pointer write is tmp-file + ``os.replace`` (atomic on POSIX), so
     a concurrent reader sees either the old or the new target, never a
     torn file. Driver-side caches (corpus stats, persisted config) keyed
     by the alias path are invalidated so the next query reads the new
-    target's metadata. Chained aliases are rejected."""
+    target's metadata. Chained aliases are rejected.
+
+    ``doc_filter`` makes it a FILTERED alias (ES alias ``filter``): a SQL
+    predicate over the forward columns (e.g. ``"role = 'en'"``) that the
+    core search surfaces — bm25_topk, match_count, match_export — apply
+    in filter context (non-scoring mask; idf/avgdl stay corpus-global,
+    exactly ES's filtered-alias behavior). Newlines are rejected (the
+    pointer file is line-oriented)."""
     target = os.path.abspath(target_dir)
     if os.path.isfile(os.path.join(target, tbl.ALIAS_FILE)):
         raise ValueError("alias chains are not supported; point at a real index")
     if not os.path.isdir(target):
         raise ValueError(f"alias target does not exist: {target}")
+    if doc_filter is not None and ("\n" in doc_filter or not doc_filter.strip()):
+        raise ValueError("doc_filter must be a non-empty single-line SQL predicate")
     os.makedirs(alias_dir, exist_ok=True)
     tmp = os.path.join(alias_dir, tbl.ALIAS_FILE + ".tmp")
     with open(tmp, "w") as f:
-        f.write(target)
+        f.write(target if doc_filter is None else f"{target}\n{doc_filter.strip()}")
     os.replace(tmp, os.path.join(alias_dir, tbl.ALIAS_FILE))
     invalidate_stats_cache(alias_dir)
 

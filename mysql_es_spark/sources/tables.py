@@ -56,12 +56,29 @@ ALIAS_FILE = "_ALIAS"
 
 
 def resolve(index_dir: str) -> str:
-    """Follow one level of alias indirection (non-chaining by contract)."""
+    """Follow one level of alias indirection (non-chaining by contract).
+    A filtered alias stores its doc_filter on line 2 (see alias_filter);
+    the target path is always line 1."""
     f = os.path.join(index_dir, ALIAS_FILE)
     if os.path.isfile(f):
         with open(f) as fh:
-            return fh.read().strip()
+            return fh.read().splitlines()[0].strip()
     return index_dir
+
+
+def alias_filter(index_dir: str) -> str | None:
+    """The doc_filter of a FILTERED alias (ES alias ``filter``): a SQL
+    predicate over the forward columns stored on the pointer file's
+    second line, or None for plain aliases / real index dirs. Honored by
+    the core search surfaces (bm25_topk, match_count, match_export);
+    see plans/alias.py set_alias."""
+    f = os.path.join(index_dir, ALIAS_FILE)
+    if os.path.isfile(f):
+        with open(f) as fh:
+            lines = fh.read().splitlines()
+        if len(lines) > 1 and lines[1].strip():
+            return lines[1].strip()
+    return None
 
 
 def p(index_dir: str, *parts: str) -> str:

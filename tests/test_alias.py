@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from mysql_es_spark.config import IndexConfig
 from mysql_es_spark.operators.query import bm25_topk, index_stats
@@ -47,3 +48,56 @@ def test_alias_validation(spark, tiny_transcripts, tmp_path_factory):
     with pytest.raises(ValueError):
         set_alias(str(base / "x"), str(base / "does_not_exist"))
     assert get_alias(ix) is None  # a real index is not an alias
+
+
+def test_filtered_alias(spark, built_index, tmp_path_factory):
+    from mysql_es_spark.operators.query import bm25_filtered_topk, match_count, match_export
+    from mysql_es_spark.sources.tables import alias_filter
+
+    base = tmp_path_factory.mktemp("aliases3")
+    alias = str(base / "en_only")
+    set_alias(alias, built_index, doc_filter="role = 'user'")
+    assert alias_filter(alias) == "role = 'user'"
+    assert alias_filter(built_index) is None
+
+    # bm25_topk through the filtered alias == explicit filter-context search
+    got = bm25_topk(spark, alias, "w0 w3", k=8, cfg=TEST_CFG).collect()
+    want = bm25_filtered_topk(
+        spark, built_index, "w0 w3", "role = 'user'", k=8, cfg=TEST_CFG
+    ).collect()
+    assert [(r.docid, round(r.score, 9)) for r in got] == [
+        (r.docid, round(r.score, 9)) for r in want
+    ]
+    assert got  # non-trivial
+    # every hit satisfies the filter
+    hit_roles = {
+        r.role
+        for r in spark.read.parquet(f"{built_index}/forward")
+        .filter(F.col("docid").isin([d.docid for d in got]))
+        .select("role")
+        .collect()
+    }
+    assert hit_roles == {"user"}
+
+    # match_count honors the filter
+    n_all = match_count(spark, built_index, "w0 w3", cfg=TEST_CFG).collect()[0][0]
+    n_flt = match_count(spark, alias, "w0 w3", cfg=TEST_CFG).collect()[0][0]
+    assert 0 < n_flt < n_all
+
+    # match_export honors it too and agrees with the count
+    n_exp = match_export(spark, alias, "w0 w3", cfg=TEST_CFG).count()
+    assert n_exp == n_flt
+
+    # direct filter-context calls AND the alias predicate
+    both = bm25_filtered_topk(
+        spark, alias, "w0 w3", "turn_idx >= 0", k=8, cfg=TEST_CFG
+    ).collect()
+    assert [(r.docid, round(r.score, 9)) for r in both] == [
+        (r.docid, round(r.score, 9)) for r in want
+    ]
+
+    # unsupported combinations fail loudly instead of ignoring the filter
+    with pytest.raises(ValueError):
+        bm25_topk(spark, alias, "w0 w3", k=8, cfg=TEST_CFG, min_score=0.1)
+    with pytest.raises(ValueError):
+        set_alias(alias, built_index, doc_filter="a\nb")
