@@ -2166,6 +2166,27 @@ def q_bm25_msearch(spark, sf):
     return keyed.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def q_hard_negatives(spark, sf):
+    """BM25 hard-negative mining (retrieval training data): per labeled
+    query, top-10 retrieved minus judged positives, one shared msearch
+    plan; ranks live in the external id space."""
+    from mysql_es_spark.operators.rankeval import mine_hard_negatives
+
+    ix = _index_for_documents(spark, sf)
+    req = {
+        "q1": (MSEARCH_QS["q1"], {277, 7}),
+        "q2": (MSEARCH_QS["q2"], set()),
+        "q3": (MSEARCH_QS["q3"], {100}),
+    }
+    out = mine_hard_negatives(spark, ix, req, k=10, cfg=_docs_index_cfg())
+    return out.select(
+        "qid",
+        F.col("ext_id").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "neg_rank",
+    )
+
+
 DIS_MAX_SUBS = ["spark join", "query batch", "scan"]
 # judgements mix retrieved docs (graded, scattered ranks) and docs the
 # query never returns — so every metric path (hit, miss, graded gain) is
@@ -3131,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rescore": q_bm25_rescore,
         "bm25_function_score": q_bm25_function_score,
         "bm25_msearch": q_bm25_msearch,
+        "bm25_hard_negatives": q_hard_negatives,
         "bm25_dis_max": q_bm25_dis_max,
         "bm25_rank_eval": q_bm25_rank_eval,
         "bm25_constant_score": q_constant_score,
@@ -5020,6 +5042,48 @@ ranked AS (
   FROM scores
 )
 SELECT qid, doc_id, score, rank FROM ranked WHERE rank <= 10
+""",
+        # hard negatives: msearch top-10 minus judged positives, re-ranked
+        "bm25_hard_negatives": f"""
+WITH qmap(qid, term) AS (VALUES
+  ('q1','spark'),('q1','join'),('q1','query'),
+  ('q2','window'),('q2','agg'),('q2','batch'),('q2','scan'),
+  ('q3','stream'),('q3','merge'),('q3','sort')
+),
+pos(qid, doc_id) AS (VALUES ('q1', 277), ('q1', 7), ('q3', 100)),
+toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN (SELECT DISTINCT term FROM qmap)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN qmap q USING (term) JOIN dfreq USING (term)
+          JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id, round(s, 4) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(s, 4) DESC, doc_id ASC) AS rank
+  FROM scores
+),
+neg AS (
+  SELECT r.qid, r.doc_id, r.score
+  FROM ranked r LEFT JOIN pos p ON p.qid = r.qid AND p.doc_id = r.doc_id
+  WHERE r.rank <= 10 AND p.doc_id IS NULL
+)
+SELECT qid, doc_id, score,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY score DESC, doc_id ASC) AS INT) AS neg_rank
+FROM neg
 """,
         # dis_max: per-sub BM25 sums, then max + 0.3*(sum-max) per doc
         "bm25_dis_max": f"""

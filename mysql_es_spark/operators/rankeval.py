@@ -155,3 +155,65 @@ def rank_eval(
             ).alias("ndcg"),
         )
     )
+
+
+def mine_hard_negatives(
+    spark: SparkSession,
+    index_dir: str,
+    requests: dict[str, tuple[str, set | dict]],
+    k: int = 20,
+    skip_top: int = 0,
+    per_query: int | None = None,
+    cfg: IndexConfig | None = None,
+    key: str = "conv_id",
+    order_round: int = 4,
+) -> DataFrame:
+    """BM25 hard-negative mining — the training-data half of _rank_eval:
+    for each labeled query ``qid -> (query_string, positive_ext_ids)``,
+    the top-k retrieved docs that are NOT judged positives, i.e. the
+    lexically-confusable negatives a dense retriever / reranker trains
+    against. ``skip_top`` drops the highest-ranked survivors (common
+    false-negative guard), ``per_query`` caps the emitted negatives.
+
+    One distributed plan for the whole batch (:func:`bm25_topk_multi`
+    decodes the union of all queries' postings once); positives leave by
+    an anti-join on (qid, ext_id); ranks live in the external-id space
+    with rounded scores, matching rank_eval and any cross-engine oracle.
+    Returns (qid, ext_id, score, neg_rank) with neg_rank 1.. per qid.
+    """
+    if k < 1:
+        raise ValueError(f"mine_hard_negatives: k must be >= 1, got {k}")
+    cfg = effective_config(spark, index_dir, cfg)
+    out_schema = "qid string, ext_id long, score double, neg_rank int"
+    if not requests:
+        return tbl.local_rows_df(spark, [], out_schema)
+    ranked = bm25_topk_multi(
+        spark,
+        index_dir,
+        {qid: q for qid, (q, _pos) in requests.items()},
+        k=k,
+        cfg=cfg,
+        order_round=order_round,
+    )
+    fwd = spark.read.parquet(tbl.p(index_dir, "forward")).select(
+        "docid", F.col(key).cast("long").alias("ext_id")
+    )
+    pos_rows = [
+        (str(qid), int(p))
+        for qid, (_q, pos) in requests.items()
+        for p in (pos or ())
+    ]
+    hits = ranked.join(fwd, "docid").select("qid", "ext_id", "score")
+    if pos_rows:
+        positives = tbl.local_rows_df(spark, pos_rows, "qid string, ext_id long")
+        hits = hits.join(positives, ["qid", "ext_id"], "left_anti")
+    w = Window.partitionBy("qid").orderBy(
+        F.round("score", order_round).desc(), F.col("ext_id").asc()
+    )
+    out = (
+        hits.withColumn("neg_rank", (F.row_number().over(w) - skip_top).cast("int"))
+        .filter(F.col("neg_rank") >= 1)
+    )
+    if per_query is not None:
+        out = out.filter(F.col("neg_rank") <= int(per_query))
+    return out.select("qid", "ext_id", "score", "neg_rank")

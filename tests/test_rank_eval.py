@@ -132,3 +132,34 @@ def test_validation(spark, built_index):
     with pytest.raises(ValueError):
         rank_eval(spark, built_index, {"q": ("w0", {})}, k=0, cfg=TEST_CFG)
     assert rank_eval(spark, built_index, {}, cfg=TEST_CFG).count() == 0
+
+
+def test_mine_hard_negatives(spark, built_index):
+    from mysql_es_spark.operators.rankeval import mine_hard_negatives
+
+    REQ = {"q1": ("w0 w3", set()), "q2": ("w1 w5", set())}
+    base = mine_hard_negatives(spark, built_index, REQ, k=10, cfg=TEST_CFG, key="docid").collect()
+    by_q = {}
+    for r in sorted(base, key=lambda r: (r.qid, r.neg_rank)):
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == {"q1", "q2"}
+    for rows in by_q.values():
+        assert [r.neg_rank for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(-round(r.score, 4), r.ext_id) for r in rows]
+        assert keys == sorted(keys)
+
+    # positives leave the list; the remainder keeps its relative order
+    top2 = {r.ext_id for r in by_q["q1"][:2]}
+    REQ2 = {"q1": ("w0 w3", top2)}
+    neg = mine_hard_negatives(spark, built_index, REQ2, k=10, cfg=TEST_CFG, key="docid").collect()
+    got = [r.ext_id for r in sorted(neg, key=lambda r: r.neg_rank)]
+    assert got == [r.ext_id for r in by_q["q1"] if r.ext_id not in top2]
+    assert sorted(r.neg_rank for r in neg) == list(range(1, len(got) + 1))
+
+    # skip_top drops the head; per_query caps the tail
+    skipped = mine_hard_negatives(
+        spark, built_index, REQ, k=10, skip_top=2, per_query=3, cfg=TEST_CFG,
+        key="docid",
+    ).collect()
+    sq1 = [r.ext_id for r in sorted(skipped, key=lambda r: r.neg_rank) if r.qid == "q1"]
+    assert sq1 == [r.ext_id for r in by_q["q1"][2:5]]
