@@ -540,3 +540,32 @@ def test_seeded_shuffle_writer_is_one_range_exchange(spark, tiny_transcripts):
     assert plan.count("rangepartitioning(shuffle_key") == 1
     # Sort node arguments: [...keys...], <global>, 0 — must be local (false)
     assert "Arguments: [shuffle_key" in plan and "], false, 0" in plan
+
+
+def test_filtered_alias_pushes_predicate(spark, built_index, tmp_path_factory):
+    """bm25_topk through a FILTERED alias must compile to the same shape
+    as explicit filter-context search: predicate pushed into the forward
+    parquet scan, no text/blob read on the filter side."""
+    from mysql_es_spark.operators.query import bm25_topk
+    from mysql_es_spark.plans.alias import set_alias
+
+    alias = str(tmp_path_factory.mktemp("pa_alias") / "flt")
+    set_alias(alias, built_index, doc_filter="role = 'assistant'")
+    plan = plan_of(bm25_topk(spark, alias, "w0 w3", k=5, cfg=TEST_CFG))
+    fwd_scans = [
+        seg for seg in plan.split("PushedFilters")[1:] if "role" in seg.splitlines()[0]
+    ]
+    assert fwd_scans, plan
+    assert "EqualTo(role,assistant)" in fwd_scans[0].splitlines()[0]
+    read_schema = fwd_scans[0].split("ReadSchema")[1].splitlines()[0]
+    assert "text" not in read_schema and "blob" not in read_schema
+
+
+def test_chunk_documents_has_no_shuffle(spark, tiny_transcripts):
+    """chunk_documents is one Arrow pass + JVM array expressions — the
+    plan must contain no Exchange at all."""
+    from mysql_es_spark.operators.packing import chunk_documents
+
+    df = tiny_transcripts.select(F.col("conv_id").alias("doc_id"), "text")
+    plan = plan_of(chunk_documents(df, chunk=16, stride=8, id_col="doc_id"))
+    assert "Exchange" not in plan, plan
