@@ -91,3 +91,29 @@ def render_stored(
 ) -> str:
     """ES _render/template over a stored id."""
     return render_template(get_template(spark, index_dir, template_id), params)
+
+
+def msearch_template(
+    spark: SparkSession,
+    index_dir: str,
+    requests: dict[str, tuple[str, dict]],
+    k: int = 10,
+    cfg=None,
+    order_round: int | None = 4,
+) -> DataFrame:
+    """ES ``_msearch/template``: a batch of ``qid -> (template_id,
+    params)`` requests rendered against the index's stored template store,
+    then executed as ONE distributed msearch plan (the union of all
+    rendered queries' postings decoded once — see bm25_topk_multi).
+    Rendering is driver-side string work over the tiny template table;
+    the search cost is identical to a plain _msearch of the same queries.
+    Returns (qid, docid, score, rank)."""
+    from ..operators.query import bm25_topk_multi
+
+    queries = {
+        str(qid): render_stored(spark, index_dir, tid, params)
+        for qid, (tid, params) in requests.items()
+    }
+    return bm25_topk_multi(
+        spark, index_dir, queries, k=k, cfg=cfg, order_round=order_round
+    )

@@ -53,3 +53,25 @@ def test_rendered_template_drives_search(spark, built_index):
         (r.docid, r.score) for r in direct
     ]
     assert via_template
+
+
+def test_msearch_template_matches_plain_msearch(spark, built_index):
+    from mysql_es_spark.functions.templates import msearch_template
+    from mysql_es_spark.operators.query import bm25_topk_multi
+
+    put_template(spark, built_index, "simple", "{{q}}")
+    put_template(spark, built_index, "pair", "{{a}} {{b}}")
+    got = msearch_template(
+        spark, built_index,
+        {"x": ("simple", {"q": "w0 w3"}), "y": ("pair", {"a": "w1", "b": "w5"})},
+        k=6, cfg=TEST_CFG,
+    ).collect()
+    want = bm25_topk_multi(
+        spark, built_index, {"x": "w0 w3", "y": "w1 w5"}, k=6, cfg=TEST_CFG,
+        order_round=4,
+    ).collect()
+    key = lambda r: (r.qid, r.rank)
+    assert [(r.qid, r.docid, round(r.score, 9)) for r in sorted(got, key=key)] == [
+        (r.qid, r.docid, round(r.score, 9)) for r in sorted(want, key=key)
+    ]
+    assert got
