@@ -630,6 +630,24 @@ def q_doc_chunks(spark, sf):
     return packing.chunk_documents(_t(spark, sf, "documents"), chunk=64, stride=48)
 
 
+def q_doc_ingest(spark, sf):
+    """ES ingest pipeline (processor chain as Catalyst column algebra):
+    drop → gsub → lowercase → rename → set, strictly in order."""
+    from mysql_es_spark.operators.ingest import apply_pipeline
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "lang", "source")
+    return apply_pipeline(
+        docs,
+        [
+            {"drop": {"if": "source = 'src3'"}},
+            {"gsub": {"field": "text", "pattern": "[0-9]+", "replacement": "#"}},
+            {"lowercase": {"field": "text"}},
+            {"rename": {"field": "lang", "target_field": "language"}},
+            {"set": {"field": "pipeline", "value": "v1"}},
+        ],
+    )
+
+
 def q_contamination(spark, sf):
     """Decontamination pass: every 97th doc plays the eval set; report
     train docs sharing a 3-gram with any probe (broadcast probe join)."""
@@ -3244,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_pii_scrub,
         "doc_pack_sequences": q_pack,
         "doc_chunks": q_doc_chunks,
+        "doc_ingest_pipeline": q_doc_ingest,
         "doc_contamination": q_contamination,
         "doc_stratified_sample": q_doc_stratified,
         "doc_seeded_shuffle": q_seeded_shuffle,
@@ -3645,6 +3664,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(array_to_string({TOK}, ' ')) AS fp FROM documents
         """,
         "doc_pack_sequences": packing.duckdb_pack_sequences(budget=512, n_shards=8),
+        "doc_ingest_pipeline": """
+SELECT doc_id, lower(regexp_replace(text, '[0-9]+', '#', 'g')) AS text,
+       lang AS language, source, 'v1' AS pipeline
+FROM documents WHERE source <> 'src3'
+""",
         # overlapping 64-token windows at stride 48 (inclusive duckdb slices)
         "doc_chunks": f"""
 WITH t AS (SELECT doc_id, {TOK} AS tl FROM documents),
