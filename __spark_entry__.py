@@ -1117,6 +1117,20 @@ def q_percolate(spark, sf):
     return percolate(spark, docs, PERCOLATE_QUERIES)
 
 
+def q_percolate_phrase(spark, sf):
+    """Stored match_phrase percolation: containment prefilter, then a
+    space-delimited substring probe on the joined token stream — strictly
+    tighter than the same query in 'all' mode."""
+    from mysql_es_spark.operators.percolate import percolate
+
+    docs = _t(spark, sf, "documents")
+    return percolate(
+        spark, docs,
+        [("p_spark_join", "spark join", "phrase"),
+         ("a_spark_join", "spark join", "all")],
+    )
+
+
 def q_fuzzy_query(spark, sf):
     """Typo-tolerant search: 'qury' expands against the term dictionary
     within 1 Levenshtein edit; best-expansion BM25 per doc."""
@@ -3154,6 +3168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boosting": q_boosting,
         "doc_lm_quality": q_lm_quality,
         "doc_percolate": q_percolate,
+        "doc_percolate_phrase": q_percolate_phrase,
         "bm25_date_routed": q_bm25_date_routed,
         "bm25_date_routed_dfs": q_bm25_date_routed_dfs,
         "bm25_bool_query": q_bool_query,
@@ -5999,6 +6014,15 @@ SELECT doc_id, 'q_window' FROM toks WHERE list_contains(tl, 'window')
 UNION ALL
 SELECT doc_id, 'q_agg_scan' FROM toks
 WHERE list_contains(tl, 'agg') AND list_contains(tl, 'scan')
+""",
+        "doc_percolate_phrase": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+s AS (SELECT doc_id, ' ' || array_to_string(tl, ' ') || ' ' AS ts, tl FROM toks)
+SELECT doc_id, 'p_spark_join' AS query_id FROM s
+WHERE instr(ts, ' spark join ') > 0
+UNION ALL
+SELECT doc_id, 'a_spark_join' FROM s
+WHERE list_contains(tl, 'spark') AND list_contains(tl, 'join')
 """,
         # range agg: explicit [from,to) buckets over matched docs' dl,
         # overlapping allowed, empty buckets kept (ES contract)

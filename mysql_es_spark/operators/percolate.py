@@ -40,36 +40,69 @@ def percolate(
 ) -> DataFrame:
     """(id, query_id) for every (doc, stored query) match.
 
-    ``queries``: (query_id, query_text, mode) with mode "all" | "any".
-    A query whose analyzer yields no terms matches nothing (ES returns
-    no percolator hits for an empty query).
+    ``queries``: (query_id, query_text, mode) with mode "all" | "any" |
+    "phrase". "phrase" is ES's stored match_phrase: the query's analyzed
+    tokens must appear CONSECUTIVELY in one of the id's rows (a phrase
+    never spans rows; "all"/"any" union terms across an id's rows). A
+    query whose analyzer yields no terms matches nothing (ES returns no
+    percolator hits for an empty query).
+
+    Phrase evaluation piggybacks on the containment prefilter: only
+    (doc, query) pairs whose docs hold ALL the phrase's terms reach the
+    adjacency check — a space-delimited substring probe on the doc's
+    joined token stream (JVM ``instr``; tokens contain no spaces, so the
+    delimiter makes the probe exactly consecutive-token equality).
     """
     rows = []
+    phrase_rows: list[tuple[str, str]] = []
     seen_ids: set[str] = set()
     for qid, qtext, mode in queries:
-        if mode not in ("all", "any"):
+        if mode not in ("all", "any", "phrase"):
             raise ValueError(f"query {qid!r}: unknown mode {mode!r}")
         if qid in seen_ids:
             raise ValueError(f"duplicate stored query id {qid!r}")
         seen_ids.add(qid)
-        terms = list(dict.fromkeys(tokenize_text(qtext)))
-        need = len(terms) if mode == "all" else 1
-        rows.extend((qid, t, need) for t in terms)
+        seq = tokenize_text(qtext)
+        terms = list(dict.fromkeys(seq))
+        if mode == "phrase":
+            if not seq:
+                continue
+            phrase_rows.append((qid, " " + " ".join(seq) + " "))
+            rows.extend((qid, t, len(terms)) for t in terms)
+        else:
+            need = len(terms) if mode == "all" else 1
+            rows.extend((qid, t, need) for t in terms)
     qterms = tbl.local_rows_df(
         spark, rows, "query_id string, term string, need int"
     )
     # distinct across ROWS too: a non-unique id_col (e.g. conv_id over
     # turns) must count each term once per id, or 'all' mode would accept
     # an id whose rows cover n_terms occurrences of one term
+    tokked = with_tokens(docs, text_col)
     toks = (
-        with_tokens(docs, text_col)
-        .select(F.col(id_col), F.explode(F.array_distinct("toks")).alias("term"))
+        tokked.select(F.col(id_col), F.explode(F.array_distinct("toks")).alias("term"))
         .distinct()
     )
-    return (
+    base = (
         toks.join(F.broadcast(qterms), "term")
         .groupBy(id_col, "query_id")
         .agg(F.count(F.lit(1)).alias("nt"), F.first("need").alias("need"))
         .filter(F.col("nt") >= F.col("need"))
         .select(id_col, "query_id")
     )
+    if not phrase_rows:
+        return base
+    ph = tbl.local_rows_df(spark, phrase_rows, "query_id string, phrase string")
+    docstr = tokked.select(
+        F.col(id_col),
+        F.concat(F.lit(" "), F.array_join("toks", " "), F.lit(" ")).alias("docstr"),
+    )
+    cand_ph = base.join(F.broadcast(ph), "query_id")
+    hits_ph = (
+        cand_ph.join(docstr, id_col)
+        .filter(F.expr("instr(docstr, phrase) > 0"))
+        .select(id_col, "query_id")
+        .distinct()
+    )
+    non_ph = base.join(F.broadcast(ph.select("query_id")), "query_id", "left_anti")
+    return non_ph.unionByName(hits_ph)

@@ -77,3 +77,45 @@ def test_percolate_non_unique_id(spark, tiny_transcripts):
 def test_percolate_duplicate_id_rejected(spark, docs):
     with pytest.raises(ValueError):
         percolate(spark, docs, [("q", "w0", "all"), ("q", "w1", "any")]).count()
+
+
+def test_percolate_phrase_mode(spark, docs):
+    rows = docs.collect()
+    queries = [
+        ("p1", "w0 w3", "phrase"),
+        ("p2", "w1 w1", "phrase"),  # repeated term: adjacency, not just presence
+        ("p_all", "w0 w3", "all"),
+        ("p_empty", " .. ", "phrase"),
+    ]
+    got = {
+        (r.doc_id, r.query_id)
+        for r in percolate(spark, docs, queries).collect()
+    }
+    want = set()
+    for r in rows:
+        toks = tokenize_text(r.text)
+        pairs = list(zip(toks, toks[1:]))
+        if ("w0", "w3") in pairs:
+            want.add((r.doc_id, "p1"))
+        if ("w1", "w1") in pairs:
+            want.add((r.doc_id, "p2"))
+        if {"w0", "w3"} <= set(toks):
+            want.add((r.doc_id, "p_all"))
+    assert got == want
+    # the phrase constraint is strictly tighter than containment
+    p1 = {d for d, q in got if q == "p1"}
+    pall = {d for d, q in got if q == "p_all"}
+    assert p1 < pall
+
+
+def test_percolate_phrase_never_spans_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (1, "gamma delta"), (2, "beta gamma")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.query_id)
+        for r in percolate(spark, df, [("p", "beta gamma", "phrase")]).collect()
+    }
+    # id 1 has beta (row 1) and gamma (row 2) but never adjacent in one row
+    assert got == {(2, "p")}
