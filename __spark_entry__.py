@@ -1285,6 +1285,18 @@ def q_agg_composite(spark, sf):
     )
 
 
+def q_agg_composite_mixed(spark, sf):
+    """ES composite with mixed source types: date_histogram(day over ts) +
+    terms(lang) keys, full export page in (day, role) order."""
+    ix = _index_for_documents(spark, sf)
+    return esaggs.composite_agg(
+        spark, ix, " ".join(BM25_Q1),
+        [{"day": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}},
+         "role"],
+        size=10**6, cfg=_docs_index_cfg(),
+    )
+
+
 def q_agg_pipeline(spark, sf):
     """ES pipeline aggs over a date_histogram parent: cumulative_sum,
     derivative (null first bucket), moving_fn unweighted avg of the 3
@@ -3283,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_seeded_shuffle": q_seeded_shuffle,
         "agg_variable_width_histogram": q_agg_vwh,
         "agg_composite": q_agg_composite,
+        "agg_composite_mixed": q_agg_composite_mixed,
         "agg_subaggs_tree": q_agg_tree,
         "agg_pipeline": q_agg_pipeline,
         "doc_decontaminate": q_decontaminate,
@@ -6059,6 +6072,14 @@ g AS (SELECT lang AS role, source AS tool, CAST(count(*) AS BIGINT) AS n_docs
       FROM m GROUP BY 1, 2)
 SELECT role, tool, n_docs FROM g WHERE (role, tool) > ('en', 'src3')
 ORDER BY role, tool LIMIT 10
+""",
+        # composite with mixed sources: calendar-day key + terms key
+        "agg_composite_mixed": f"""
+WITH t AS (SELECT doc_id, lang, {TOK} AS tl FROM documents),
+m AS (SELECT * FROM t WHERE list_has_any(tl, ['spark', 'join', 'query']))
+SELECT strftime(date '2026-01-01' + INTERVAL ((doc_id % 10)::INT) DAY, '%Y-%m-%d') AS day,
+       lang AS role, CAST(count(*) AS BIGINT) AS n_docs
+FROM m GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # pipeline aggs over the date_histogram parent: running total,
         # first-order diff, trailing-3 moving avg (frame excludes the

@@ -415,20 +415,52 @@ def filters_agg(
     return row.selectExpr(f"stack({len(names)}, {pairs}) AS (bucket, n_docs)")
 
 
+def _composite_sources(sources: list) -> list[tuple[str, str, object]]:
+    """Normalize composite sources to (out_name, forward_field, key expr).
+
+    A plain string is shorthand for a terms source named after its field;
+    the dict form is ES's: ``{name: {"terms"|"histogram"|"date_histogram":
+    {...}}}`` — histogram keys are floor(value/interval)*interval, date
+    keys the calendar truncation ``_period_col`` uses everywhere else."""
+    out: list[tuple[str, str, object]] = []
+    for s in sources:
+        if isinstance(s, str):
+            out.append((s, s, F.col(s)))
+            continue
+        (name, spec), = s.items()
+        (stype, p), = spec.items()
+        field = p["field"]
+        if stype == "terms":
+            col = F.col(field)
+        elif stype == "histogram":
+            iv = float(p["interval"])
+            col = (F.floor(F.col(field) / iv) * iv).cast("double")
+        elif stype == "date_histogram":
+            col = _period_col(p["calendar_interval"], field)
+        else:
+            raise ValueError(f"composite source {name!r}: unknown type {stype!r}")
+        out.append((name, field, col))
+    return out
+
+
 def composite_agg(
     spark: SparkSession,
     index_dir: str,
     query: str,
-    sources: list[str],
+    sources: list,
     size: int = 10,
     after: tuple | None = None,
     cfg: IndexConfig | None = None,
 ) -> DataFrame:
-    """ES ``composite`` aggregation: paginate ALL buckets of a multi-field
+    """ES ``composite`` aggregation: paginate ALL buckets of a multi-source
     group-by in deterministic (source-tuple asc, nulls first) order, one
     page of ``size`` buckets per call, resuming strictly after the
     ``after`` key — the ES API for exporting every bucket when a terms
     agg's top-N cutoff won't do (ETL / downstream joins).
+
+    ``sources`` mixes all three ES source types: a string (terms source
+    over that forward field) or ``{name: {"terms"|"histogram"|
+    "date_histogram": {...}}}`` (see :func:`_composite_sources`).
 
     Page cost at scale: one matched-docid decode + one hash agg + a
     TakeOrdered of ``size`` rows; the after-key is a lexicographic filter
@@ -438,32 +470,37 @@ def composite_agg(
     nulls-first prefix once paging has begun).
     """
     cfg = effective_config(spark, index_dir, cfg)
+    srcs = _composite_sources(sources)
+    names = [n for n, _f, _c in srcs]
+    fields = list(dict.fromkeys(f for _n, f, _c in srcs))
     matched = _matched_docids(spark, index_dir, query, cfg)
-    fwd = tbl.read(spark, index_dir, "forward").select("docid", *sources)
+    fwd = tbl.read(spark, index_dir, "forward").select("docid", *fields)
+    keyed_cols = [c.alias(n) for n, _f, c in srcs]
     if matched is None:
-        # empty page with the forward table's REAL source types (a string
-        # stand-in would break paging loops that union/compare pages)
+        # empty page with the REAL key types (a string stand-in would
+        # break paging loops that union/compare pages)
         return (
             fwd.limit(0)
-            .select(*sources)
+            .select(*keyed_cols)
             .withColumn("n_docs", F.lit(0).cast("long"))
         )
     g = (
         matched.join(fwd, "docid", "inner")
-        .groupBy(*sources)
+        .select(*keyed_cols)
+        .groupBy(*names)
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     if after is not None:
-        if len(after) != len(sources):
+        if len(after) != len(names):
             raise ValueError("after key arity must match sources")
         cond = F.lit(False)
-        for i in reversed(range(len(sources))):
-            gt_i = F.col(sources[i]) > F.lit(after[i])
+        for i in reversed(range(len(names))):
+            gt_i = F.col(names[i]) > F.lit(after[i])
             for j in range(i):
-                gt_i = gt_i & F.col(sources[j]).eqNullSafe(F.lit(after[j]))
+                gt_i = gt_i & F.col(names[j]).eqNullSafe(F.lit(after[j]))
             cond = cond | gt_i
         g = g.filter(cond)
-    return g.orderBy(*[F.asc_nulls_first(s) for s in sources]).limit(size)
+    return g.orderBy(*[F.asc_nulls_first(n) for n in names]).limit(size)
 
 
 # ---------------------------------------------------------------------------

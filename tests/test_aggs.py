@@ -994,3 +994,36 @@ def test_frequent_item_sets_validation(spark):
         aggs.frequent_item_sets_df(df, "txn", "item", max_set_size=3)
     with _pt.raises(ValueError, match="min_support"):
         aggs.frequent_item_sets_df(df, "txn", "item", min_support=0.0)
+
+
+def test_composite_mixed_sources(spark, built_index, matched):
+    """ES composite with all three source types at once: date_histogram +
+    terms + numeric histogram keys, full-bucket oracle + paging."""
+    rows = (
+        spark.read.parquet(f"{built_index}/forward")
+        .select("docid", "role", "ts", "turn_idx")
+        .collect()
+    )
+    info = {r.docid: r for r in rows}
+    srcs = [
+        {"day": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}},
+        "role",
+        {"ti4": {"histogram": {"field": "turn_idx", "interval": 4}}},
+    ]
+    got = aggs.composite_agg(
+        spark, built_index, Q, srcs, size=10**6, cfg=TEST_CFG
+    ).collect()
+    want = Counter()
+    for d in matched:
+        r = info[d]
+        want[(r.ts.strftime("%Y-%m-%d"), r.role, float((r.turn_idx // 4) * 4))] += 1
+    assert {(x.day, x.role, x.ti4): x.n_docs for x in got} == dict(want)
+    keys = [(x.day, x.role, x.ti4) for x in got]
+    assert keys == sorted(keys) and len(keys) > 6
+    # paging across the mixed after-key
+    first = aggs.composite_agg(spark, built_index, Q, srcs, size=3, cfg=TEST_CFG).collect()
+    after = (first[-1].day, first[-1].role, first[-1].ti4)
+    page2 = aggs.composite_agg(
+        spark, built_index, Q, srcs, size=3, after=after, cfg=TEST_CFG
+    ).collect()
+    assert [(x.day, x.role, x.ti4) for x in page2] == keys[3:6]
