@@ -630,6 +630,17 @@ def q_doc_chunks(spark, sf):
     return packing.chunk_documents(_t(spark, sf, "documents"), chunk=64, stride=48)
 
 
+def q_greedy_pack(spark, sf):
+    """Doc-atomic greedy shard packing: bounded-token windows per
+    (lang, md5-shard) group, never splitting a document — the writer's
+    counterpart to the straddling pack_sequences layout."""
+    from mysql_es_spark.operators.packing import greedy_pack
+
+    return greedy_pack(
+        _t(spark, sf, "documents"), budget=256, part_cols=("lang",), n_shards=8
+    )
+
+
 def q_doc_ingest(spark, sf):
     """ES ingest pipeline (processor chain as Catalyst column algebra):
     drop → gsub → lowercase → rename → set, strictly in order."""
@@ -3290,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": q_pack,
         "doc_chunks": q_doc_chunks,
         "doc_ingest_pipeline": q_doc_ingest,
+        "doc_greedy_pack": q_greedy_pack,
         "doc_contamination": q_contamination,
         "doc_stratified_sample": q_doc_stratified,
         "doc_seeded_shuffle": q_seeded_shuffle,
@@ -3696,6 +3708,32 @@ def oracle_sql() -> dict[str, str]:
 SELECT doc_id, lower(regexp_replace(text, '[0-9]+', '#', 'g')) AS text,
        lang AS language, source, 'v1' AS pipeline
 FROM documents WHERE source <> 'src3'
+""",
+        # greedy doc-atomic packing: recursive CTE replays the same
+        # fill-until-overflow recurrence per (lang, md5-shard) group
+        "doc_greedy_pack": f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, len({TOK}) AS nt,
+         CAST((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 8) AS INT) AS shard
+  FROM documents
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn
+  FROM toks
+),
+g AS (
+  SELECT lang, shard, rn, doc_id, nt, 0 AS win, nt AS acc
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.shard, o.rn, o.doc_id, o.nt,
+         CASE WHEN g.acc + o.nt <= 256 THEN g.win ELSE g.win + 1 END,
+         CASE WHEN g.acc + o.nt <= 256 THEN g.acc + o.nt ELSE o.nt END
+  FROM g JOIN ordered o
+    ON o.lang = g.lang AND o.shard = g.shard AND o.rn = g.rn + 1
+)
+SELECT doc_id, lang, shard, CAST(win AS INT) AS window_id,
+       CAST(nt AS INT) AS n_tokens
+FROM g
 """,
         # overlapping 64-token windows at stride 48 (inclusive duckdb slices)
         "doc_chunks": f"""

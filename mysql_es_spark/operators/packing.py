@@ -141,3 +141,67 @@ def chunk_documents(
             F.array_join("w", " ").alias("chunk_text"),
         )
     )
+
+
+def greedy_pack(
+    df: DataFrame,
+    budget: int = 2048,
+    part_cols: tuple[str, ...] = (),
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Doc-ATOMIC greedy shard packing: assign each document to a
+    bounded-token window WITHOUT ever splitting a document (the writer's
+    counterpart to :func:`pack_sequences`, which deliberately straddles).
+    Windows fill greedily in id order; a doc that would overflow the
+    current window starts the next one; a doc larger than the whole
+    budget gets a window of its own. Output: (id, part_cols..., shard,
+    window_id, n_tokens).
+
+    The greedy recurrence is inherently sequential, so the corpus is
+    first split into (part_cols, md5-shard) groups — the same
+    cross-engine hash contract as pack_sequences — and each group packs
+    independently; ``n_shards`` is the parallelism knob and bounds the
+    sequential span. The per-GROUP Python loop below iterates once per
+    document (never per token) over shard-bounded batches; everything
+    upstream (tokenize, shard, sort) is Arrow/JVM.
+    """
+    if budget <= 0:
+        raise ValueError(f"greedy_pack: budget must be positive, got {budget}")
+    import numpy as np
+    import pandas as pd
+
+    from .sampling import hash_bucket
+
+    keys = [*part_cols, "shard"]
+    base = (
+        with_tokens(df, text_col)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in part_cols],
+            hash_bucket(id_col, n_shards).cast("int").alias("shard"),
+            F.size("toks").cast("int").alias("n_tokens"),
+        )
+    )
+    out_schema = ", ".join(
+        [f"{id_col} long"]
+        + [f"{c} string" for c in part_cols]
+        + ["shard int", "window_id int", "n_tokens int"]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        nt = pdf["n_tokens"].to_numpy(dtype=np.int64)
+        win = np.zeros(len(nt), dtype=np.int32)
+        acc = w = 0
+        for i, t in enumerate(nt):
+            if i and acc + t > budget:
+                w += 1
+                acc = 0
+            win[i] = w
+            acc += t
+        pdf["window_id"] = win
+        return pdf[[id_col, *part_cols, "shard", "window_id", "n_tokens"]]
+
+    return base.groupBy(*keys).applyInPandas(pack, schema=out_schema)

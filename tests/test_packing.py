@@ -110,3 +110,56 @@ def test_chunk_documents_overlap_reconstructs(spark):
     assert " ".join(c.chunk_text for c in chunks) == text
     with pytest.raises(ValueError):
         chunk_documents(df, chunk=8, stride=9)
+
+
+def test_greedy_pack_doc_atomic(spark):
+    import hashlib
+
+    from mysql_es_spark.operators.packing import greedy_pack
+
+    rows = [(i, "en" if i % 3 else "fr", f"tok " * (5 + (i * 11) % 30)) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = greedy_pack(df, budget=40, part_cols=("lang",), n_shards=4).collect()
+    assert len(got) == 80
+
+    def shard(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 4
+
+    # brute-force the greedy recurrence per (lang, shard)
+    want = {}
+    groups = {}
+    for i, lang, text in rows:
+        groups.setdefault((lang, shard(i)), []).append((i, len(text.split())))
+    for key, docs in groups.items():
+        acc = w = 0
+        for j, (i, nt) in enumerate(sorted(docs)):
+            if j and acc + nt > 40:
+                w += 1
+                acc = 0
+            want[i] = (*key, w, nt)
+            acc += nt
+    assert {r.doc_id: (r.lang, r.shard, r.window_id, r.n_tokens) for r in got} == want
+    # no window exceeds budget unless it is a single oversized doc
+    sums = {}
+    for r in got:
+        sums.setdefault((r.lang, r.shard, r.window_id), []).append(r.n_tokens)
+    for members in sums.values():
+        assert sum(members) <= 40 or len(members) == 1
+
+
+def test_greedy_pack_oversized_doc_own_window(spark):
+    from mysql_es_spark.operators.packing import greedy_pack
+
+    df = spark.createDataFrame(
+        [(1, "a " * 5), (2, "b " * 100), (3, "c " * 5)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.window_id
+        for r in greedy_pack(df, budget=20, n_shards=1).collect()
+    }
+    assert got[2] not in (got[1], got[3])  # the giant is alone
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        greedy_pack(df, budget=0)
