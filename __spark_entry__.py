@@ -630,6 +630,14 @@ def q_doc_chunks(spark, sf):
     return packing.chunk_documents(_t(spark, sf, "documents"), chunk=64, stride=48)
 
 
+def q_quality_top_percent(spark, sf):
+    """Per-language quality-percentile curation: keep the best 40% of
+    docs by quality WITHIN each lang (low-resource langs never starved)."""
+    from mysql_es_spark.operators.textstats import quality_top_percent
+
+    return quality_top_percent(_t(spark, sf, "documents"), p=0.4, by=("lang",))
+
+
 def q_greedy_pack(spark, sf):
     """Doc-atomic greedy shard packing: bounded-token windows per
     (lang, md5-shard) group, never splitting a document — the writer's
@@ -3302,6 +3310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "doc_ingest_pipeline": q_doc_ingest,
         "doc_greedy_pack": q_greedy_pack,
+        "doc_quality_top_percent": q_quality_top_percent,
         "doc_contamination": q_contamination,
         "doc_stratified_sample": q_doc_stratified,
         "doc_seeded_shuffle": q_seeded_shuffle,
@@ -3708,6 +3717,28 @@ def oracle_sql() -> dict[str, str]:
 SELECT doc_id, lower(regexp_replace(text, '[0-9]+', '#', 'g')) AS text,
        lang AS language, source, 'v1' AS pipeline
 FROM documents WHERE source <> 'src3'
+""",
+        # per-lang quality percentile: rank by (quality desc, id asc),
+        # keep rank <= ceil(0.4 * group size)
+        "doc_quality_top_percent": f"""
+WITH t AS (SELECT doc_id, lang, text, {TOK} AS toks FROM documents),
+q AS (
+  SELECT doc_id, lang,
+         round(0.4 * least(1.0, len(toks) / 100.0)
+             + 0.4 * least(1.0, 3.0 * len(list_filter(toks, x -> x IN ({_STOP_EN})))
+                                 * 1.0 / greatest(len(toks), 1))
+             + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^0-9a-zA-Z ]', '', 'g')))
+                            * 1.0 / greatest(length(text), 1)), 4) AS quality
+  FROM t
+),
+r AS (
+  SELECT doc_id, lang, quality,
+         row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM q
+)
+SELECT doc_id, lang, quality, CAST(rk AS INT) AS q_rank
+FROM r WHERE rk <= ceil(0.4 * n)
 """,
         # greedy doc-atomic packing: recursive CTE replays the same
         # fill-until-overflow recurrence per (lang, md5-shard) group

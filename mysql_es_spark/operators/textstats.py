@@ -80,6 +80,43 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return t.select(F.col(id_col), q.alias("quality"))
 
 
+def quality_top_percent(
+    df: DataFrame,
+    p: float = 0.5,
+    by: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-percentile curation: keep the top ``p`` fraction of docs
+    by :func:`quality_score` WITHIN each ``by`` group (the standard
+    "best X% per language/domain" filter — a per-group percentile, so a
+    low-resource group is never starved by a high-quality majority
+    group). Ties break deterministically by (quality desc, id asc); the
+    cut is rank <= ceil(p * group_size). Returns (id, by..., quality,
+    q_rank).
+
+    Scale note: ranking partitions by ``by`` — one shuffle on the group
+    key. With ``by=()`` the rank is a single global window; pass a group
+    column for big corpora (or pre-shard, as greedy_pack does)."""
+    if not (0 < p <= 1):
+        raise ValueError(f"quality_top_percent: p must be in (0, 1], got {p}")
+    from pyspark.sql import Window
+
+    q = quality_score(df, id_col, text_col)
+    keyed = df.select(id_col, *by).join(q, id_col)
+    part = Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy(F.lit(1))
+    rnk = F.row_number().over(
+        part.orderBy(F.col("quality").desc(), F.col(id_col).asc())
+    )
+    n = F.count(F.lit(1)).over(part)
+    return (
+        keyed.withColumn("q_rank", rnk)
+        .withColumn("n_grp", n)
+        .filter(F.col("q_rank") <= F.ceil(F.lit(float(p)) * F.col("n_grp")))
+        .select(id_col, *by, "quality", F.col("q_rank").cast("int").alias("q_rank"))
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, fp) — md5 over the analyzer-normalized token stream: robust to
     case/accents/punctuation, the canonical exact-dedup key."""

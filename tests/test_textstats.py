@@ -135,3 +135,32 @@ def test_gopher_quality(spark):
     # mean word length is exact: sum(len)/n
     toks0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split()
     assert got[0].mean_word_len == round(sum(map(len, toks0)) / len(toks0), 4)
+
+
+def test_quality_top_percent(spark):
+    import math
+
+    rows = [(i, "en" if i % 2 else "fr", f"word " * (5 + (i * 13) % 60) + ("!!!" * (i % 4))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    q = {r.doc_id: r.quality for r in textstats.quality_score(df).collect()}
+    got = textstats.quality_top_percent(df, p=0.4, by=("lang",)).collect()
+    # brute-force per group
+    want = {}
+    for lang in ("en", "fr"):
+        members = sorted(
+            ((i, l) for i, l, _t in rows if l == lang),
+            key=lambda x: (-q[x[0]], x[0]),
+        )
+        keep = math.ceil(0.4 * len(members))
+        for rank, (i, _l) in enumerate(members[:keep], 1):
+            want[i] = (lang, q[i], rank)
+    assert {r.doc_id: (r.lang, r.quality, r.q_rank) for r in got} == want
+    # groups are filtered independently (both survive)
+    assert {r.lang for r in got} == {"en", "fr"}
+    # global variant (no by): top 25% of all docs
+    g = textstats.quality_top_percent(df, p=0.25).collect()
+    assert len(g) == math.ceil(0.25 * 40)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        textstats.quality_top_percent(df, p=0.0)
