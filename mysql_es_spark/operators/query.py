@@ -863,6 +863,7 @@ def more_like_this_topk(
     max_query_terms: int = 5,
     cfg: IndexConfig | None = None,
     with_keys: bool = False,
+    unlike: list[int] | None = None,
 ) -> DataFrame:
     """ES ``more_like_this``: find docs similar to a given one by turning
     its most characteristic terms into a disjunctive BM25 query.
@@ -873,6 +874,12 @@ def more_like_this_topk(
     ``max_query_terms`` (score rounded to 6 dp before ranking so the
     ordering is reproducible across float libraries; ties break by term).
     The source doc is excluded from the hits.
+
+    ``unlike`` is ES's negative-example list: any term appearing in those
+    docs' analyzed text is removed from the candidate set BEFORE the
+    top-terms cut (ES's "unlike" steers selection away from what the
+    negatives share), so the query is built only from what distinguishes
+    the source from the negatives.
 
     Driver-side cost is O(1) in corpus size: one row-group-pruned point
     fetch of the source doc's text from the forward table, a tiny
@@ -895,6 +902,17 @@ def more_like_this_topk(
     if not src or src[0]["text"] is None:
         return empty
     tf = Counter(tokenize_text(src[0]["text"]))
+    if unlike:
+        neg = (
+            tbl.read(spark, index_dir, "forward")
+            .filter(F.col("docid").isin([int(d) for d in unlike]))
+            .select("text")
+            .collect()
+        )
+        banned = {t for r in neg if r["text"] for t in tokenize_text(r["text"])}
+        tf = Counter({t: c for t, c in tf.items() if t not in banned})
+        if not tf:
+            return empty
     idf, _ = term_meta(spark, index_dir, sorted(tf), stats["n_docs"], cfg)
     ranked = sorted(
         ((round(tf[t] * idf[t], 6), t) for t in tf if t in idf),

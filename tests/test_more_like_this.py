@@ -55,3 +55,45 @@ def test_mlt_matches_oracle(spark, built_index, fwd_rows, oracle_ix, src_pos):
 
 def test_mlt_unknown_doc_empty(spark, built_index):
     assert more_like_this_topk(spark, built_index, 10**12, k=5, cfg=TEST_CFG).count() == 0
+
+
+def test_mlt_unlike_removes_negative_terms(spark, built_index, fwd_rows, oracle_ix):
+    src = fwd_rows[0]
+    negs = [fwd_rows[17], fwd_rows[101]]
+    banned = {t for r in negs if r.text for t in tokenize_text(r.text)}
+    # oracle: same MLT selection over the filtered tf
+    tf = Counter(t for t in tokenize_text(src.text) if t not in banned)
+    ranked = sorted(
+        (
+            (round(tf[t] * idf(oracle_ix.n_docs, len(oracle_ix.postings[t][0])), 6), t)
+            for t in tf
+            if t in oracle_ix.postings
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )
+    terms = [t for _, t in ranked[:5]]
+    got = [
+        (r.docid, r.score)
+        for r in more_like_this_topk(
+            spark, built_index, src.docid, k=10, max_query_terms=5, cfg=TEST_CFG,
+            unlike=[n.docid for n in negs],
+        ).collect()
+    ]
+    if terms:
+        want = [
+            (d, s)
+            for d, s in score_query(oracle_ix, " ".join(terms), 11)
+            if d != src.docid
+        ][:10]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-6
+    else:
+        assert got == []
+    # an unlike doc covering the whole source vocabulary yields no query
+    assert (
+        more_like_this_topk(
+            spark, built_index, src.docid, k=5, cfg=TEST_CFG, unlike=[src.docid]
+        ).count()
+        == 0
+    )
