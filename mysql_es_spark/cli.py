@@ -221,7 +221,13 @@ def cmd_percolate(args) -> dict:
 
 
 def cmd_snapshot(args) -> dict:
-    from .plans.snapshot import create_snapshot, list_snapshots, restore_snapshot
+    from .plans.snapshot import (
+        create_snapshot,
+        delete_snapshot,
+        list_snapshots,
+        prune_snapshots,
+        restore_snapshot,
+    )
 
     if args.snap_action in ("create", "restore") and not (args.name and args.index_dir):
         raise SystemExit("snapshot create/restore require --name and --index-dir")
@@ -229,6 +235,12 @@ def cmd_snapshot(args) -> dict:
         return create_snapshot(args.index_dir, args.repo, args.name)
     if args.snap_action == "restore":
         return restore_snapshot(args.repo, args.name, args.index_dir)
+    if args.snap_action == "delete":
+        if not args.name:
+            raise SystemExit("snapshot delete requires --name")
+        return delete_snapshot(args.repo, args.name)
+    if args.snap_action == "prune":
+        return prune_snapshots(args.repo, keep_last=args.keep_last)
     return {"snapshots": list_snapshots(args.repo)}
 
 
@@ -707,9 +719,11 @@ def main(argv: list[str] | None = None) -> int:
     ro.set_defaults(fn=cmd_rollover)
 
     sn = sub.add_parser("snapshot", help="incremental snapshot repo (ES _snapshot)")
-    sn.add_argument("snap_action", choices=["create", "restore", "list"])
+    sn.add_argument("snap_action", choices=["create", "restore", "list", "delete", "prune"])
     sn.add_argument("--repo", required=True, help="snapshot repository directory")
-    sn.add_argument("--name", default=None, help="snapshot name (create/restore)")
+    sn.add_argument("--name", default=None, help="snapshot name (create/restore/delete)")
+    sn.add_argument("--keep-last", type=int, default=5,
+                    help="retention for prune: newest snapshots to keep")
     sn.add_argument(
         "--index-dir", default=None,
         help="index to snapshot (create) or restore target (restore)",

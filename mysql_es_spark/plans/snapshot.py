@@ -129,3 +129,53 @@ def restore_snapshot(repo_dir: str, name: str, dest_dir: str) -> dict:
         shutil.copyfile(blob, dst)
         n_bytes += info["size"]
     return {"files": len(m["files"]), "bytes": n_bytes}
+
+
+def gc_blobs(repo_dir: str) -> dict:
+    """Remove blobs referenced by NO manifest (the repo-level GC ES runs
+    after snapshot deletion). Safe at any time: an interrupted snapshot's
+    orphan blobs are exactly what this reclaims."""
+    snap_dir = os.path.join(repo_dir, "snapshots")
+    blob_dir = os.path.join(repo_dir, "blobs")
+    referenced: set[str] = set()
+    if os.path.isdir(snap_dir):
+        for fn in os.listdir(snap_dir):
+            if fn.endswith(".json"):
+                with open(os.path.join(snap_dir, fn)) as f:
+                    m = json.load(f)
+                referenced.update(v["blob"] for v in m["files"].values())
+    removed = reclaimed = 0
+    if os.path.isdir(blob_dir):
+        for b in os.listdir(blob_dir):
+            if b not in referenced:
+                p = os.path.join(blob_dir, b)
+                reclaimed += os.path.getsize(p)
+                os.remove(p)
+                removed += 1
+    return {"blobs_removed": removed, "bytes_reclaimed": reclaimed}
+
+
+def delete_snapshot(repo_dir: str, name: str) -> dict:
+    """ES ``DELETE _snapshot/<repo>/<name>``: drop the manifest, then GC
+    blobs no remaining snapshot references. Manifest removal commits
+    first — a crash mid-GC leaves only unreferenced blobs (reclaimable by
+    a later :func:`gc_blobs`), never a manifest pointing at missing data."""
+    mp = _manifest_path(repo_dir, name)
+    if not os.path.exists(mp):
+        raise ValueError(f"no snapshot {name!r} in {repo_dir}")
+    os.remove(mp)
+    return {"deleted": name, **gc_blobs(repo_dir)}
+
+
+def prune_snapshots(repo_dir: str, keep_last: int) -> dict:
+    """SLM-style retention: keep the ``keep_last`` newest snapshots (by
+    name order — the date-stamped naming convention SLM uses), delete the
+    rest, GC once. Returns {deleted: [...], blobs_removed, bytes_reclaimed}."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    names = [s["name"] for s in list_snapshots(repo_dir)]
+    victims = names[:-keep_last] if len(names) > keep_last else []
+    for name in victims:
+        os.remove(_manifest_path(repo_dir, name))
+    out = gc_blobs(repo_dir)
+    return {"deleted": victims, **out}

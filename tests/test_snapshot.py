@@ -93,3 +93,47 @@ def test_snapshot_resolves_alias(spark, built_index, tmp_path):
     dest = str(tmp_path / "restored")
     restore_snapshot(repo, "via-alias", dest)
     assert _top(spark, dest) == _top(spark, built_index)
+
+
+def test_snapshot_retention_and_gc(spark, built_index, tmp_path):
+    """SLM retention: prune old snapshots, GC exactly the blobs only they
+    referenced; shared blobs survive and the newest snapshot still
+    restores byte-identically."""
+    from mysql_es_spark.plans.snapshot import delete_snapshot, gc_blobs, prune_snapshots
+
+    ix = str(tmp_path / "ix")
+    shutil.copytree(built_index, ix)
+    repo = str(tmp_path / "repo")
+    create_snapshot(ix, repo, "s1")
+    delete_by_query(spark, ix, "w3", cfg=TEST_CFG)
+    invalidate_stats_cache(ix)
+    create_snapshot(ix, repo, "s2")
+    after = _top(spark, ix)
+    blob_dir = os.path.join(repo, "blobs")
+    n_before = len(os.listdir(blob_dir))
+
+    out = delete_snapshot(repo, "s1")
+    assert out["deleted"] == "s1" and out["blobs_removed"] >= 0
+    assert [s["name"] for s in list_snapshots(repo)] == ["s2"]
+    # shared blobs survive: s2 still restores byte-identically
+    dest = str(tmp_path / "restored")
+    restore_snapshot(repo, "s2", dest)
+    assert _top(spark, dest) == after
+    assert len(os.listdir(blob_dir)) == n_before - out["blobs_removed"]
+    # gc on a consistent repo is a no-op
+    assert gc_blobs(repo) == {"blobs_removed": 0, "bytes_reclaimed": 0}
+
+    # prune keep_last
+    create_snapshot(ix, repo, "s3")  # identical to s2 → blobs_added == 0
+    create_snapshot(dest, repo, "s4")
+    pr = prune_snapshots(repo, keep_last=2)
+    assert pr["deleted"] == ["s2"]
+    assert [s["name"] for s in list_snapshots(repo)] == ["s3", "s4"]
+    # s3 shares every blob with the deleted s2 → nothing reclaimed
+    dest2 = str(tmp_path / "restored2")
+    restore_snapshot(repo, "s3", dest2)
+    assert _top(spark, dest2) == after
+    with pytest.raises(ValueError):
+        delete_snapshot(repo, "nope")
+    with pytest.raises(ValueError):
+        prune_snapshots(repo, keep_last=0)
