@@ -261,6 +261,20 @@ def cmd_rollover(args) -> dict:
     )
 
 
+def cmd_ilm(args) -> dict:
+    from .plans import ilm
+
+    if args.ilm_action == "put-policy":
+        return {"policy": ilm.put_policy(args.alias, json.loads(args.policy))}
+    if args.ilm_action == "explain":
+        now = args.now if args.now is not None else time.time()
+        return {"generations": ilm.explain_lifecycle(args.alias, now)}
+    # tick: the only action that needs a SparkSession (rollover/compact)
+    spark = _session(args)
+    now = args.now if args.now is not None else time.time()
+    return ilm.ilm_tick(spark, args.alias, now)
+
+
 def cmd_reindex(args) -> dict:
     from .plans.deletes import reindex
 
@@ -729,6 +743,14 @@ def main(argv: list[str] | None = None) -> int:
         help="index to snapshot (create) or restore target (restore)",
     )
     sn.set_defaults(fn=cmd_snapshot)
+
+    il = sub.add_parser("ilm", help="index lifecycle: policy-driven rollover/forcemerge/delete")
+    il.add_argument("ilm_action", choices=["put-policy", "tick", "explain"])
+    il.add_argument("--alias", required=True)
+    il.add_argument("--policy", default=None, help="policy JSON (put-policy)")
+    il.add_argument("--now", type=float, default=None,
+                    help="clock override in epoch seconds (default: wall clock)")
+    il.set_defaults(fn=cmd_ilm)
 
     args = ap.parse_args(argv)
     print(json.dumps(args.fn(args), default=str))
