@@ -3174,6 +3174,26 @@ def q_sorted_search(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_runtime_sorted(spark, sf):
+    """ES runtime fields (runtime_mappings): sort the filter-context
+    match set of Q1 on a query-time computed field (text length) that
+    was never indexed — compiled to a Catalyst column, column pruning
+    intact. conv_id asc makes the order total before the docid tiebreak
+    can fire, so the DuckDB oracle reproduces it exactly."""
+    from mysql_es_spark.operators.query import sorted_search
+
+    ix = _index_for_documents(spark, sf)
+    out = sorted_search(
+        spark, ix, " ".join(BM25_Q1),
+        [("tlen", "desc"), ("conv_id", "asc")], size=40,
+        runtime_mappings={"tlen": "length(text)"}, cfg=_docs_index_cfg(),
+    )
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("tlen").cast("long").alias("tlen"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the round-1 driver gate recorded
     exactly the first 50 entries, so the flagship index-path / embedding
@@ -3294,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- below the driver gate's 50-entry window: r01-green entries,
         # rows-only designs, and extras locally oracle-checked ---
         "bm25_sorted_search": q_sorted_search,
+        "bm25_runtime_sorted": q_runtime_sorted,
         "agg_date_range": q_agg_date_range,
         "agg_multi_terms": q_agg_multi_terms,
         "agg_rare_terms": q_agg_rare_terms,
@@ -4635,6 +4656,23 @@ r AS (
   ) AS rn FROM f
 )
 SELECT doc_id, lang, ts FROM r WHERE rn > 40 AND rn <= 80 ORDER BY doc_id
+""",
+        "bm25_runtime_sorted": f"""
+WITH toks AS (SELECT doc_id, text, {TOK} AS tl FROM documents),
+m AS (
+  SELECT DISTINCT toks.doc_id FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+),
+f AS (
+  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS tlen
+  FROM documents d JOIN m USING (doc_id)
+),
+r AS (
+  SELECT *, row_number() OVER (
+    ORDER BY tlen DESC, CAST(doc_id AS VARCHAR) ASC
+  ) AS rn FROM f
+)
+SELECT doc_id, tlen FROM r WHERE rn <= 40 ORDER BY doc_id
 """,
         "doc_dedup_ingest": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),

@@ -556,9 +556,14 @@ def agg_tree(
     query: str,
     spec: dict,
     cfg: IndexConfig | None = None,
+    runtime_mappings: dict[str, str] | None = None,
 ) -> DataFrame:
     """ES nested aggregations: a ``terms`` bucket tree with per-bucket
     metric sub-aggs, flattened to one row per deepest bucket.
+
+    ``runtime_mappings`` (ES runtime fields): name → SQL expression over
+    the forward columns; bucket and metric fields may name them, so
+    aggregating on a query-time computed value needs no reindex.
 
     ``spec`` is the ES ``aggs`` JSON shape::
 
@@ -590,9 +595,15 @@ def agg_tree(
         fields.append(field)
         fields.extend(mf for _, _, mf in metrics)
     fields = list(dict.fromkeys(fields))
-    fwd_cols = [c for c in fields if c != "dl"]
-    base = tbl.read(spark, index_dir, "forward").select("docid", *fwd_cols)
-    if "dl" in fields:
+    rt = runtime_mappings or {}
+    fwd_cols = [c for c in fields if c != "dl" and c not in rt]
+    base = tbl.read(spark, index_dir, "forward")
+    if rt:
+        from ..functions.runtime import compile_runtime_fields
+
+        base = compile_runtime_fields(base, rt)
+    base = base.select("docid", *fwd_cols, *[c for c in fields if c in rt])
+    if "dl" in fields and "dl" not in rt:
         base = base.join(tbl.read(spark, index_dir, "doc_lens").select("docid", "dl"), "docid")
     matched = _matched_docids(spark, index_dir, query, cfg)
     if matched is None:  # no usable query terms → zero rows, typed plan intact

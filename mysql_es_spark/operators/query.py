@@ -788,10 +788,17 @@ def bm25_filtered_topk(
     k: int = 10,
     cfg: IndexConfig | None = None,
     with_keys: bool = False,
+    runtime_mappings: dict[str, str] | None = None,
 ) -> DataFrame:
     """ES filter-context search: top-k BM25 restricted to docs whose
     forward-table row satisfies ``doc_filter`` (a Column or SQL string
     over the forward columns, e.g. ``"role = 'en' AND tool <> 'src3'"``).
+
+    ``runtime_mappings`` (ES runtime fields): name → SQL expression over
+    the forward columns, attached before the predicate runs, so the
+    filter can reference query-time computed fields that were never
+    indexed (functions/runtime.py validates them as pure per-document
+    transforms).
 
     Semantics follow ES ``bool{must: match, filter: …}`` (the reference's
     docs land in ES where exactly this query shape serves faceted search,
@@ -829,7 +836,12 @@ def bm25_filtered_topk(
         return empty
     blocks = _matching_blocks(spark, index_dir, terms, buckets)
     cond = F.expr(doc_filter) if isinstance(doc_filter, str) else doc_filter
-    allowed = tbl.read(spark, index_dir, "forward").filter(cond).select("docid")
+    fwd = tbl.read(spark, index_dir, "forward")
+    if runtime_mappings:
+        from ..functions.runtime import compile_runtime_fields
+
+        fwd = compile_runtime_fields(fwd, runtime_mappings)
+    allowed = fwd.filter(cond).select("docid")
     scored = (
         _decode_scores(blocks, idf, cfg, stats["avgdl"], deleted_docids(spark, index_dir))
         .join(allowed, "docid", "left_semi")
@@ -3851,6 +3863,7 @@ def sorted_search(
     size: int = 10,
     search_after: list | None = None,
     cfg: IndexConfig | None = None,
+    runtime_mappings: dict[str, str] | None = None,
 ) -> DataFrame:
     """ES sort-by-field search: the filter-context match set of ``query``
     (any analyzed term present — scores never computed) ordered by
@@ -3871,6 +3884,11 @@ def sorted_search(
     BEFORE the top-k so deep pages stay O(size): orderBy().limit() is a
     TakeOrdered, never a global sort. ES pre-search_after offset paging
     (from/size) is deliberately absent — this is the scalable form.
+
+    ``runtime_mappings`` (ES runtime fields): name → SQL expression over
+    the forward columns; sort fields may name them, so ordering on a
+    query-time computed value needs no reindex. Column pruning still
+    holds — only the expressions' source columns reach the scan.
     """
     if not sort:
         raise ValueError("sort must name at least one field")
@@ -3895,7 +3913,12 @@ def sorted_search(
     else:
         blocks = _matching_blocks(spark, index_dir, terms, buckets)
         matched = _mask_deleted(_decode_docids(blocks), deleted_docids(spark, index_dir))
-    fwd = tbl.read(spark, index_dir, "forward").select("docid", "doc_key", *sel_cols)
+    fwd = tbl.read(spark, index_dir, "forward")
+    if runtime_mappings:
+        from ..functions.runtime import compile_runtime_fields
+
+        fwd = compile_runtime_fields(fwd, runtime_mappings)
+    fwd = fwd.select("docid", "doc_key", *sel_cols)
     hits = matched.join(fwd, "docid", "inner")
 
     if search_after is not None:
