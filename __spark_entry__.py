@@ -1119,6 +1119,25 @@ def q_lm_quality(spark, sf):
     )
 
 
+def q_nb_classifier(spark, sf):
+    """Seed-set quality classifier (CCNet/fastText-style): fit NB
+    log-odds term weights on src0 (positive) vs src1 (negative), score
+    every document with the length-invariant token-weight mean."""
+    from mysql_es_spark.operators.textstats import classifier_score, fit_log_odds
+
+    docs = _t(spark, sf, "documents")
+    w = fit_log_odds(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") == "src1"),
+    )
+    return classifier_score(docs, w).select(
+        "doc_id",
+        "n_tokens",
+        F.round("score", 4).alias("score"),
+        "label",
+    ).orderBy("doc_id")
+
+
 PERCOLATE_QUERIES = [
     ("q_spark_join", "spark join", "all"),
     ("q_window", "window", "any"),
@@ -3218,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_prefix": q_phrase_prefix,
         "bm25_boosting": q_boosting,
         "doc_lm_quality": q_lm_quality,
+        "doc_nb_classifier": q_nb_classifier,
         "doc_percolate": q_percolate,
         "doc_percolate_phrase": q_percolate_phrase,
         "bm25_date_routed": q_bm25_date_routed,
@@ -6649,6 +6669,32 @@ per AS (
 SELECT d.doc_id, CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
        round(per.lp, 4) AS avg_logprob
 FROM documents d LEFT JOIN per USING (doc_id)
+""",
+        "doc_nb_classifier": f"""
+WITH toks AS (SELECT doc_id, source, {TOK} AS tl FROM documents),
+tok AS (SELECT toks.doc_id, toks.source, u.term
+        FROM toks, unnest(toks.tl) AS u(term)),
+counts AS (
+  SELECT term,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tfp,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS tfn
+  FROM tok WHERE source IN ('src0', 'src1') GROUP BY 1
+),
+tot AS (SELECT CAST(sum(tfp) AS DOUBLE) AS tp, CAST(sum(tfn) AS DOUBLE) AS tn,
+               CAST(count(*) AS DOUBLE) AS v FROM counts),
+w AS (SELECT term,
+             ln((tfp + 1.0) / (tp + v)) - ln((tfn + 1.0) / (tn + v)) AS weight
+      FROM counts CROSS JOIN tot),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+per AS (
+  SELECT tf.doc_id, sum(tf.tf) AS n_tokens,
+         sum(tf.tf * coalesce(w.weight, 0.0)) / sum(tf.tf) AS s
+  FROM tf LEFT JOIN w USING (term) GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(per.s, 4) AS score, per.s > 0 AS label
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
 """,
         # cross_fields: per-TERM dis-max across the text and source field
         # contributions (each field's own stats, boost 2.0 on source),

@@ -347,3 +347,104 @@ def lm_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
             "avg_logprob",
         )
     )
+
+
+def fit_log_odds(
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Multinomial-NB log-odds term weights from two seed corpora — the
+    distributable core of a CCNet/fastText-style quality classifier
+    (LLaMA's wiki-ref filter, GPT-3's WebText classifier): "looks like
+    the positive seed" becomes one number per document.
+
+    Returns one row per term in pos ∪ neg::
+
+        weight(t) = ln((tfp(t)+α)/(TP+αV)) − ln((tfn(t)+α)/(TN+αV))
+
+    with tfp/tfn the term's total frequency in each corpus, TP/TN the
+    corpus token totals, V the union vocabulary size — i.e. add-α
+    smoothed class-conditional log-likelihood ratios. Training is two
+    shuffles total (one groupBy(term) over the unioned token stream, one
+    1-row total) regardless of corpus size; the scalars ride a broadcast
+    cross-join so the whole fit stays lazy — no driver action, the
+    weights frame composes straight into classifier_score at any scale.
+    """
+    toked = (
+        with_tokens(pos.select(F.col(text_col)), text_col)
+        .select(F.explode("toks").alias("term"), F.lit(1).alias("is_pos"))
+        .unionByName(
+            with_tokens(neg.select(F.col(text_col)), text_col).select(
+                F.explode("toks").alias("term"), F.lit(0).alias("is_pos")
+            )
+        )
+    )
+    counts = toked.groupBy("term").agg(
+        F.sum("is_pos").cast("long").alias("tfp"),
+        F.sum(1 - F.col("is_pos")).cast("long").alias("tfn"),
+    )
+    totals = counts.agg(
+        F.sum("tfp").alias("tp"),
+        F.sum("tfn").alias("tn"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    a = float(alpha)
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        (
+            F.log((F.col("tfp") + a) / (F.col("tp") + a * F.col("v")))
+            - F.log((F.col("tfn") + a) / (F.col("tn") + a * F.col("v")))
+        ).alias("weight"),
+    )
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, score, label) — apply fit_log_odds weights to a
+    corpus: score = bias + mean over the doc's tokens of weight(token),
+    label = score > 0. The mean (not NB's sum) is the fastText/CCNet
+    convention — length-invariant, so a long doc can't buy its way past
+    the threshold on volume. Out-of-vocabulary tokens contribute 0 (they
+    say nothing about either class); they still count in the mean's
+    denominator, diluting confidence exactly as fastText's missing-bucket
+    average does. Zero-token docs get score = NULL, label = NULL.
+
+    Scale shape: tokenize once (Arrow pass) → per-(doc, term) tf (map-side
+    combined) → one equi-join with the weights on term → per-doc sum. The
+    join key is a single short string; weights is vocabulary-sized, so no
+    broadcast hint — AQE picks one when the vocab is small.
+    """
+    tf_df = (
+        with_tokens(df.select(F.col(id_col), F.col(text_col)), text_col)
+        .select(F.col(id_col), F.explode("toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per = (
+        tf_df.join(weights, "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                float(bias)
+                + F.sum(F.col("tf") * F.coalesce("weight", F.lit(0.0))) / F.sum("tf")
+            ).alias("score"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "score",
+            (F.col("score") > 0).alias("label"),
+        )
+    )
