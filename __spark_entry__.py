@@ -2381,6 +2381,23 @@ def q_emb_knn_filtered(spark, sf):
     return similarity.cosine_topk(emb, [float(x) for x in qv], k=10, where="label = 2")
 
 
+def q_emb_sq_topk(spark, sf):
+    """ES int8-quantized kNN: scalar-quantize every vector to 256 levels
+    over [-1, 1] (normalized components), then approximate cosine top-10
+    in the compressed domain — whole-stage-codegen zip_with/aggregate
+    over the 4x-smaller code table. Fixed bounds keep the entry
+    deterministic; the quantile-trained path is tests/test_sq.py."""
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    codes = similarity.sq_encode(emb, -1.0, 1.0)
+    scored = similarity.sq_topk(codes, qv, -1.0, 1.0, k=1_000_000)
+    return (
+        scored.select("vec_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 def q_emb_near_dups(spark, sf):
     return dedup.embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.30)
 
@@ -3227,6 +3244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_via_index": q_phrase_via_index,
         "bm25_prefix_via_index": q_prefix_via_index,
         "emb_cosine_topk": q_emb_topk,
+        "emb_sq_topk": q_emb_sq_topk,
         "emb_knn_filtered": q_emb_knn_filtered,
         "emb_near_dups": q_emb_near_dups,
         # --- round-2 features ---
@@ -6840,6 +6858,29 @@ ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 25
                      vec_id ASC
             LIMIT 10
         """,
+        "emb_sq_topk": """
+WITH q AS (
+  SELECT list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+enc AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> greatest(0.0, least(255.0,
+                round((x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                       + 1.0) / (2.0 / 255.0))))) AS b
+  FROM embeddings
+),
+s AS (
+  SELECT enc.vec_id,
+         list_dot_product(q.qv,
+           list_transform(enc.b, v -> -1.0 + (2.0 / 255.0) * v)) AS sc
+  FROM enc CROSS JOIN q
+)
+SELECT vec_id, round(sc, 4) AS score FROM s
+ORDER BY round(sc, 4) DESC, vec_id ASC LIMIT 10
+""",
         "emb_knn_filtered": """
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[],

@@ -440,3 +440,110 @@ def pq_topk(
     return cosine_topk(exact, query_vec, k=k, id_col=id_col, vec_col=vec_col).select(
         id_col, F.col("cos").alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (ES's default kNN vector compression)
+# ---------------------------------------------------------------------------
+
+
+def sq_params(
+    emb: DataFrame,
+    lo_q: float = 0.001,
+    hi_q: float = 0.999,
+    vec_col: str = "embedding",
+) -> tuple[float, float]:
+    """(lo, hi) component-value bounds for int8 scalar quantization,
+    estimated as distributed quantiles over the L2-normalized corpus —
+    the analog of ES's per-segment ``confidence_interval`` for
+    ``int8`` quantized dense_vector indexes. One exploded scan with an
+    approximate-quantile sketch; only two scalars come back."""
+    norm = F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    comp = emb.select(
+        F.explode(
+            F.transform(vec_col, lambda x: x / F.greatest(norm, F.lit(1e-12)))
+        ).alias("c")
+    )
+    row = comp.agg(
+        F.percentile_approx("c", lo_q, 100_000).alias("lo"),
+        F.percentile_approx("c", hi_q, 100_000).alias("hi"),
+    ).collect()[0]
+    if row.lo is None:
+        raise ValueError("sq_params: input embedding table is empty")
+    return float(row.lo), float(row.hi)
+
+
+def sq_encode(
+    emb: DataFrame,
+    lo: float,
+    hi: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code array<tinyint>) — each L2-normalized component mapped to
+    one of 256 levels over [lo, hi]: b = clip(round((x − lo)/Δ), 0, 255),
+    stored shifted to signed tinyint (b − 128). Pure Catalyst expressions
+    (normalize → quantize per element), no Python in the pass; the code
+    table is 4× smaller than float32 vectors and is the only thing a
+    query scans."""
+    if not hi > lo:
+        raise ValueError(f"sq_encode: need hi > lo, got [{lo}, {hi}]")
+    delta = (float(hi) - float(lo)) / 255.0
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    code = F.transform(
+        vec_col,
+        lambda x: (
+            F.greatest(
+                F.lit(0.0),
+                F.least(F.lit(255.0), F.round((x / F.greatest(norm, F.lit(1e-12)) - lo) / delta)),
+            )
+            - 128.0
+        ).cast("tinyint"),
+    )
+    return emb.select(F.col(id_col), code.alias("code"))
+
+
+def sq_topk(
+    codes: DataFrame,
+    query_vec: list[float],
+    lo: float,
+    hi: float,
+    k: int = 10,
+    emb: DataFrame | None = None,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over int8 scalar-quantized codes — the
+    query path of an ES ``int8``-quantized kNN index. Each stored
+    component is decoded as lo + Δ·(b+128) inside a JVM zip_with/aggregate
+    dot product with the normalized query — whole-stage codegen over the
+    compact code table, no Python, no shuffle (TakeOrdered).
+
+    With ``rerank > 0`` the approximate top-``rerank`` ids are exactly
+    re-scored against ``emb`` (4-dp rounded cosine), mirroring pq_topk's
+    contract: rerank = corpus size reproduces cosine_topk exactly.
+    Returns (id, score) in both modes."""
+    delta = (float(hi) - float(lo)) / 255.0
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    qlit = F.array(*[F.lit(float(x)) for x in qn])
+    decoded = F.zip_with(
+        "code", qlit, lambda b, qx: qx * (lo + delta * (b.cast("double") + 128.0))
+    )
+    score = F.aggregate(decoded, F.lit(0.0), lambda a, x: a + x)
+    approx = (
+        codes.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+    )
+    if not rerank:
+        return approx.limit(k)
+    if emb is None:
+        raise ValueError("rerank needs the original embedding table")
+    cand = [int(r[id_col]) for r in approx.limit(rerank).collect()]
+    exact = emb.filter(F.col(id_col).isin(cand))
+    return cosine_topk(exact, query_vec, k=k, id_col=id_col, vec_col=vec_col).select(
+        id_col, F.col("cos").alias("score")
+    )
