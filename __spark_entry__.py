@@ -1896,6 +1896,20 @@ def q_term_suggest(spark, sf):
     )
 
 
+def q_terms_enum(spark, sf):
+    """ES _terms_enum: dictionary prefix autocomplete — two search_after
+    pages of terms starting with 's', concatenated, with doc frequency.
+    Pure term_dict range scan (StartsWith pushdown); paging before the
+    limit so deep pages stay O(size)."""
+    from mysql_es_spark.operators.query import terms_enum
+
+    ix = _index_for_documents(spark, sf)
+    p1 = terms_enum(spark, ix, "s", size=3)
+    cursor = p1.orderBy(F.col("term").desc()).limit(1).collect()[0]["term"]
+    p2 = terms_enum(spark, ix, "s", size=3, search_after=cursor)
+    return p1.unionByName(p2).orderBy("term")
+
+
 def q_bm25_explain(spark, sf):
     """ES _explain: the per-term BM25 factor breakdown for the top-1 hit
     of Q1 — (term, tf, dl, df, idf, tf_norm, contrib) rows that sum to
@@ -3407,6 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_direct_q2": q_bm25_direct2,
         "bm25_explain": q_bm25_explain,
         "term_suggest": q_term_suggest,
+        "terms_enum": q_terms_enum,
         "agg_percentiles": q_agg_percentiles,
         "bm25_synonyms": q_bm25_synonyms,
         "bm25_index_synonyms": q_bm25_index_synonyms,
@@ -4110,6 +4125,16 @@ ranked AS (
     ON t.term <> i.input_term AND levenshtein(t.term, i.input_term) <= 2
 )
 SELECT input_term, suggestion, distance, df FROM ranked WHERE rk <= 5
+""",
+        "terms_enum": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+terms AS (
+  SELECT u.term, CAST(count(*) AS BIGINT) AS doc_freq
+  FROM (SELECT doc_id, unnest(list_distinct(tl)) AS term FROM toks) u
+  GROUP BY 1
+)
+SELECT term, doc_freq FROM terms
+WHERE term LIKE 's%' ORDER BY term LIMIT 6
 """,
         "bm25_explain": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),

@@ -2833,6 +2833,49 @@ def suggest_terms(
     return out
 
 
+def terms_enum(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str = "",
+    size: int = 10,
+    search_after: str | None = None,
+    case_insensitive: bool = False,
+) -> DataFrame:
+    """ES ``_terms_enum``: up to ``size`` dictionary terms starting with
+    ``prefix``, in term order, each with its document frequency — the
+    keyword-autocomplete primitive (the reference's users get it from ES
+    for free on every indexed field; template.json keyword subfields).
+
+    Pure dictionary work, never touches postings or the corpus: term_dict
+    is range-partitioned + sorted by term (plans/build.py finalize), so
+    the StartsWith predicate prunes to the few parquet files/row-groups
+    covering the prefix's lexicographic range — at a 10^8-term vocabulary
+    the scan stays O(matching range), and the top-``size`` is a
+    TakeOrdered, never a global sort. ES's documented caveat is preserved
+    deliberately: counts come from the dictionary, so terms that survive
+    only in soft-deleted docs still appear until a purge compaction
+    rewrites the dictionary (ES: "can return terms from deleted
+    documents").
+
+    ``search_after`` pages with a term cursor (strictly-greater filter
+    applied BEFORE the limit, so deep pages stay O(size)).
+    ``case_insensitive`` folds the prefix to the analyzer's lowercase
+    term space; the sensitive variant matches raw dictionary bytes, so an
+    uppercase prefix finds nothing — exactly ES on a lowercase-analyzed
+    field. Returns (term, doc_freq) in term order."""
+    td = spark.read.parquet(tbl.p(index_dir, "term_dict"))
+    pfx = prefix.lower() if case_insensitive else prefix
+    if pfx:
+        td = td.filter(F.col("term").startswith(pfx))
+    if search_after is not None:
+        td = td.filter(F.col("term") > str(search_after))
+    return (
+        td.select("term", F.col("df").alias("doc_freq"))
+        .orderBy("term")
+        .limit(int(size))
+    )
+
+
 def match_count(
     spark: SparkSession,
     index_dir: str,
