@@ -482,6 +482,28 @@ def q_running(spark, sf):
     )
 
 
+def q_eql_sequence(spark, sf):
+    """EQL sequence query (ES Event Query Language): per user, chains
+    view → click → purchase within 48 h, expelled by an intervening
+    'error' (until). One shuffle total: every window pass shares the
+    (user_id) partitioning. start_ts is the latest-possible chain start
+    (minimal span), which makes maxspan an exact existence test."""
+    from mysql_es_spark.operators.eql import sequence_matches
+
+    ev = _t(spark, sf, "events")
+    out = sequence_matches(
+        ev,
+        "user_id",
+        ["event_type = 'view'", "event_type = 'click'", "event_type = 'purchase'"],
+        tiebreak="event_id",
+        maxspan_seconds=172800,
+        until="event_type = 'error'",
+    )
+    return out.select("user_id", "start_ts", "end_ts", "end_event_id").orderBy(
+        "user_id", "end_event_id"
+    )
+
+
 def q_sessionize(spark, sf):
     ev = _t(spark, sf, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3422,6 +3444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_explain": q_bm25_explain,
         "term_suggest": q_term_suggest,
         "terms_enum": q_terms_enum,
+        "eql_sequence": q_eql_sequence,
         "agg_percentiles": q_agg_percentiles,
         "bm25_synonyms": q_bm25_synonyms,
         "bm25_index_synonyms": q_bm25_index_synonyms,
@@ -4125,6 +4148,38 @@ ranked AS (
     ON t.term <> i.input_term AND levenshtein(t.term, i.input_term) <= 2
 )
 SELECT input_term, suggestion, distance, df FROM ranked WHERE rk <= 5
+""",
+        "eql_sequence": """
+WITH ev AS (
+  SELECT event_id, ts, user_id, event_type,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS seg
+  FROM events
+),
+s1 AS (
+  SELECT *, CASE WHEN event_type = 'view' THEN ts END AS st1 FROM ev
+),
+s2 AS (
+  SELECT *, CASE WHEN event_type = 'click' THEN max(st1) OVER w END AS st2
+  FROM s1 WINDOW w AS (
+    PARTITION BY user_id, seg ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  )
+),
+s3 AS (
+  SELECT *, CASE WHEN event_type = 'purchase' THEN max(st2) OVER w END AS st3
+  FROM s2 WINDOW w AS (
+    PARTITION BY user_id, seg ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT user_id, st3 AS start_ts, ts AS end_ts, event_id AS end_event_id
+FROM s3
+WHERE st3 IS NOT NULL
+  AND epoch_us(ts) - epoch_us(st3) <= CAST(172800 AS BIGINT) * 1000000
+ORDER BY user_id, end_event_id
 """,
         "terms_enum": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
