@@ -504,6 +504,26 @@ def q_eql_sequence(spark, sf):
     )
 
 
+def q_esql_pipe(spark, sf):
+    """ES|QL pipe over the documents table: WHERE → EVAL → STATS BY →
+    SORT → LIMIT compiled to one Catalyst plan (filter pushed to the
+    scan, partial+final hash agg, TakeOrdered)."""
+    from mysql_es_spark.functions.esql import esql
+
+    docs = _t(spark, sf, "documents")
+    return esql(
+        """FROM documents
+           | WHERE lang IN ("en", "fr") OR n_chars > 400
+           | EVAL bucket = CAST(floor(n_chars / 100) AS INT)
+           | STATS n = COUNT(*), total = SUM(n_chars), widest = MAX(n_chars),
+                   med = MEDIAN(n_chars), nsrc = COUNT_DISTINCT(source)
+             BY lang, bucket
+           | SORT lang, bucket
+           | LIMIT 40""",
+        {"documents": docs},
+    )
+
+
 def q_sessionize(spark, sf):
     ev = _t(spark, sf, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3445,6 +3465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest": q_term_suggest,
         "terms_enum": q_terms_enum,
         "eql_sequence": q_eql_sequence,
+        "esql_pipe": q_esql_pipe,
         "agg_percentiles": q_agg_percentiles,
         "bm25_synonyms": q_bm25_synonyms,
         "bm25_index_synonyms": q_bm25_index_synonyms,
@@ -4148,6 +4169,20 @@ ranked AS (
     ON t.term <> i.input_term AND levenshtein(t.term, i.input_term) <= 2
 )
 SELECT input_term, suggestion, distance, df FROM ranked WHERE rk <= 5
+""",
+        "esql_pipe": """
+WITH f AS (
+  SELECT *, CAST(floor(n_chars / 100) AS INT) AS bucket FROM documents
+  WHERE lang IN ('en', 'fr') OR n_chars > 400
+)
+SELECT lang, bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total,
+       max(n_chars) AS widest,
+       CAST(median(n_chars) AS DOUBLE) AS med,
+       CAST(count(DISTINCT source) AS BIGINT) AS nsrc
+FROM f GROUP BY lang, bucket
+ORDER BY lang NULLS LAST, bucket LIMIT 40
 """,
         "eql_sequence": """
 WITH ev AS (

@@ -1,0 +1,155 @@
+"""ES|QL subset compiler: pipe semantics vs hand-built DataFrame ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_es_spark.functions.esql import EsqlError, esql
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    rows = [
+        (1, "en", "web", 100, ["a", "b"]),
+        (2, "en", "book", 250, ["c"]),
+        (3, "fr", "web", 50, []),
+        (4, "fr", "web", 300, None),
+        (5, "de", "book", 80, ["d", "e", "f"]),
+        (6, None, "web", 10, ["g"]),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long, tags array<string>"
+    )
+
+
+def test_where_eval_keep_sort_limit(spark, tdf):
+    out = esql(
+        """FROM docs
+           | WHERE n_chars >= 50 AND source == "web"
+           | EVAL kb = n_chars / 100.0, label = concat(lang, "-", source)
+           | KEEP doc_id, kb, label
+           | SORT kb DESC, doc_id ASC
+           | LIMIT 2""",
+        {"docs": tdf},
+    )
+    got = [(r.doc_id, r.kb, r.label) for r in out.collect()]
+    assert got == [(4, 3.0, "fr-web"), (1, 1.0, "en-web")]
+
+
+def test_stats_by_matches_groupby(spark, tdf):
+    out = esql(
+        "FROM docs | STATS n = COUNT(*), total = SUM(n_chars), top = MAX(n_chars) BY lang"
+        " | SORT lang",
+        {"docs": tdf},
+    ).collect()
+    want = (
+        tdf.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("total"),
+            F.max("n_chars").alias("top"),
+        )
+        .orderBy(F.col("lang").asc_nulls_last())
+        .collect()
+    )
+    assert [tuple(r) for r in out] == [tuple(r) for r in want]
+
+
+def test_stats_global_and_by_expression(spark, tdf):
+    row = esql(
+        "FROM docs | STATS m = MEDIAN(n_chars), d = COUNT_DISTINCT(source)",
+        {"docs": tdf},
+    ).collect()[0]
+    assert row.m == 90.0 and row.d == 2
+    byexpr = esql(
+        "FROM docs | STATS n = COUNT(*) BY big = n_chars >= 100 | SORT big NULLS FIRST",
+        {"docs": tdf},
+    ).collect()
+    assert [(r.big, r.n) for r in byexpr] == [(False, 3), (True, 3)]
+
+
+def test_sort_nulls_are_largest_by_default(spark, tdf):
+    asc = [r.lang for r in esql("FROM docs | SORT lang, doc_id", {"docs": tdf}).collect()]
+    assert asc[-1] is None  # ES|QL: null > any value → last on ASC
+    desc = [r.lang for r in esql("FROM docs | SORT lang DESC, doc_id", {"docs": tdf}).collect()]
+    assert desc[0] is None
+
+
+def test_keep_drop_wildcards_and_rename(spark, tdf):
+    out = esql(
+        "FROM docs | RENAME n_chars AS nc | KEEP doc_*, n*", {"docs": tdf}
+    )
+    assert out.columns == ["doc_id", "nc"]
+    out2 = esql("FROM docs | DROP t*, source", {"docs": tdf})
+    assert out2.columns == ["doc_id", "lang", "n_chars"]
+
+
+def test_mv_expand_null_keeps_row(spark, tdf):
+    out = esql(
+        "FROM docs | MV_EXPAND tags | KEEP doc_id, tags | SORT doc_id, tags",
+        {"docs": tdf},
+    ).collect()
+    got = [(r.doc_id, r.tags) for r in out]
+    assert (4, None) in got and (3, None) in got  # null + empty both survive
+    assert [t for d, t in got if d == 5] == ["d", "e", "f"]
+
+
+def test_from_multiple_tables_null_pads(spark, tdf):
+    extra = tdf.sparkSession.createDataFrame([(7, "es")], "doc_id long, lang string")
+    out = esql("FROM docs, extra | STATS n = COUNT(*)", {"docs": tdf, "extra": extra})
+    assert out.collect()[0].n == 7
+
+
+def test_row_source(spark, tdf):
+    out = esql('ROW a = 1, b = "x" | EVAL c = a + 1', {}, spark=spark).collect()
+    assert [tuple(r) for r in out] == [(1, "x", 2)]
+
+
+def test_eval_sequential_references(spark, tdf):
+    out = esql(
+        "FROM docs | EVAL a = n_chars * 2, b = a + 1 | KEEP doc_id, b | SORT doc_id | LIMIT 1",
+        {"docs": tdf},
+    ).collect()
+    assert out[0].b == 201
+
+
+def test_validation_rejects(spark, tdf):
+    with pytest.raises(EsqlError):
+        esql("FROM docs | WHERE rand() > 0.5", {"docs": tdf})
+    with pytest.raises(EsqlError):
+        esql("FROM docs | EVAL x = (SELECT 1)", {"docs": tdf})
+    with pytest.raises(EsqlError):
+        esql("FROM docs | STATS x = FANCY_AGG(n_chars)", {"docs": tdf})
+    with pytest.raises(EsqlError):
+        esql("FROM nope | LIMIT 1", {"docs": tdf})
+    with pytest.raises(EsqlError):
+        esql("FROM docs | KEEP zz*", {"docs": tdf})
+    with pytest.raises(EsqlError):
+        esql("FROM docs | FROBNICATE x", {"docs": tdf})
+
+
+def test_pipe_chars_inside_strings_survive(spark, tdf):
+    out = esql(
+        'FROM docs | EVAL s = concat(source, "|", lang) | KEEP s | SORT s | LIMIT 1',
+        {"docs": tdf},
+    ).collect()
+    assert out[0].s == "book-de".replace("-", "|")
+
+
+def test_single_plan_pushdown(spark, tdf, tmp_path):
+    from tests.test_plan_audits import plan_of
+
+    p = str(tmp_path / "docs")
+    tdf.write.parquet(p)
+    df = tdf.sparkSession.read.parquet(p)
+    out = esql(
+        'FROM docs | WHERE source == "web" | KEEP doc_id, n_chars | SORT n_chars DESC | LIMIT 3',
+        {"docs": df},
+    )
+    plan = plan_of(out)
+    # filter reaches the scan; projection prunes to 3 columns; TakeOrdered
+    assert "PushedFilters" in plan and "EqualTo(source,web)" in plan
+    assert "TakeOrderedAndProject" in plan
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "tags" not in read and "lang" not in read
