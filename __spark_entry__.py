@@ -504,6 +504,43 @@ def q_eql_sequence(spark, sf):
     )
 
 
+def q_transform_pivot(spark, sf):
+    """ES _transform (pivot): entity-centric rollup of events by user —
+    destination table hash-partitioned on the key so incremental ticks
+    rewrite only changed buckets (ticks covered by tests; the gate
+    checks the batch parity)."""
+    import tempfile
+
+    from mysql_es_spark.plans.transform import (
+        TransformConfig,
+        read_transform,
+        run_transform,
+    )
+
+    cfg = TransformConfig(
+        mode="pivot",
+        group_by=("user_id",),
+        aggs={
+            "n": "count(*)",
+            "total": "sum(value)",
+            "last_ts": "max(ts)",
+            "kinds": "count(DISTINCT event_type)",
+        },
+        sync_field="ts",
+        n_parts=8,
+    )
+    dest = tempfile.mkdtemp(prefix="transform_gate_")
+    run_transform(spark, _t(spark, sf, "events"), dest, cfg)
+    out = read_transform(spark, dest)
+    return out.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 4).alias("total"),
+        "last_ts",
+        F.col("kinds").cast("long").alias("kinds"),
+    ).orderBy("user_id")
+
+
 def q_esql_pipe(spark, sf):
     """ES|QL pipe over the documents table: WHERE → EVAL → STATS BY →
     SORT → LIMIT compiled to one Catalyst plan (filter pushed to the
@@ -3466,6 +3503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_enum": q_terms_enum,
         "eql_sequence": q_eql_sequence,
         "esql_pipe": q_esql_pipe,
+        "transform_pivot": q_transform_pivot,
         "agg_percentiles": q_agg_percentiles,
         "bm25_synonyms": q_bm25_synonyms,
         "bm25_index_synonyms": q_bm25_index_synonyms,
@@ -4169,6 +4207,14 @@ ranked AS (
     ON t.term <> i.input_term AND levenshtein(t.term, i.input_term) <= 2
 )
 SELECT input_term, suggestion, distance, df FROM ranked WHERE rk <= 5
+""",
+        "transform_pivot": """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS total,
+       max(ts) AS last_ts,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS kinds
+FROM events GROUP BY user_id ORDER BY user_id
 """,
         "esql_pipe": """
 WITH f AS (

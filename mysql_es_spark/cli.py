@@ -275,6 +275,28 @@ def cmd_ilm(args) -> dict:
     return ilm.ilm_tick(spark, args.alias, now)
 
 
+def cmd_transform(args) -> dict:
+    from .plans.transform import TransformConfig, run_transform, tick_transform
+
+    spec = json.loads(args.config)
+    cfg = TransformConfig(
+        mode=spec.get("mode", "pivot"),
+        group_by=tuple(spec.get("group_by", ())),
+        aggs=dict(spec.get("aggs", {})),
+        unique_key=tuple(spec.get("unique_key", ())),
+        sort_field=spec.get("sort_field", "ts"),
+        tiebreak=spec.get("tiebreak"),
+        sync_field=spec.get("sync_field", "ts"),
+        n_parts=int(spec.get("n_parts", 16)),
+    )
+    spark = _session(args)
+    src = spark.read.parquet(args.source)
+    t0 = time.monotonic()
+    fn = run_transform if args.transform_action == "run" else tick_transform
+    res = fn(spark, src, args.dest, cfg)
+    return {**res, "latency_sec": round(time.monotonic() - t0, 3)}
+
+
 def cmd_reindex(args) -> dict:
     from .plans.deletes import reindex
 
@@ -751,6 +773,19 @@ def main(argv: list[str] | None = None) -> int:
     il.add_argument("--now", type=float, default=None,
                     help="clock override in epoch seconds (default: wall clock)")
     il.set_defaults(fn=cmd_ilm)
+
+    tr = sub.add_parser(
+        "transform", help="ES _transform: pivot/latest entity table from a source table"
+    )
+    tr.add_argument("transform_action", choices=["run", "tick"])
+    tr.add_argument("--source", required=True, help="parquet path of the source table")
+    tr.add_argument("--dest", required=True, help="destination transform directory")
+    tr.add_argument(
+        "--config", required=True,
+        help='TransformConfig JSON, e.g. {"mode":"pivot","group_by":["user_id"],'
+             '"aggs":{"n":"count(*)"},"sync_field":"ts"}',
+    )
+    tr.set_defaults(fn=cmd_transform)
 
     args = ap.parse_args(argv)
     print(json.dumps(args.fn(args), default=str))

@@ -489,3 +489,45 @@ def test_cli_sparse_vector_mode(spark, tmp_path, capsys):
     assert q["mode"] == "sv" and len(q["hits"]) == 5
     scores = [h["score"] for h in q["hits"]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_transform(spark, tmp_path, capsys):
+    import datetime
+
+    src = str(tmp_path / "ev")
+    dest = str(tmp_path / "tdest")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), i % 4, float(i)) for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    ).write.parquet(src)
+    cfg = json.dumps(
+        {
+            "mode": "pivot",
+            "group_by": ["user_id"],
+            "aggs": {"n": "count(*)", "total": "sum(value)"},
+            "sync_field": "ts",
+            "n_parts": 4,
+        }
+    )
+    assert (
+        cli_main(["transform", "run", "--source", src, "--dest", dest, "--config", cfg])
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "full" and out["watermark"] is not None
+
+    # tick with no new data is a no-op
+    assert (
+        cli_main(["transform", "tick", "--source", src, "--dest", dest, "--config", cfg])
+        == 0
+    )
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["mode"] == "noop"
+
+    from mysql_es_spark.plans.transform import read_transform
+
+    got = {(r.user_id, r.n) for r in read_transform(spark, dest).collect()}
+    assert got == {(u, 10) for u in range(4)}
