@@ -504,6 +504,26 @@ def q_eql_sequence(spark, sf):
     )
 
 
+def q_esql_match(spark, sf):
+    """ES|QL full-text match() against the built index: the WHERE's
+    match() conjunct compiles to a postings match-set semi-join
+    (presence-only decode, partition-pruned), the scalar conjunct stays
+    a pushed-down filter, and the rest of the pipe is ordinary ES|QL."""
+    from mysql_es_spark.functions.esql import esql_search
+
+    ix = _index_for_documents(spark, sf)
+    return esql_search(
+        """FROM docs
+           | WHERE match(text, "spark join") AND role == "en"
+           | EVAL doc_id = CAST(conv_id AS BIGINT), tlen = CAST(length(text) AS BIGINT)
+           | KEEP doc_id, role, tool, tlen
+           | SORT doc_id""",
+        spark,
+        {"docs": ix},
+        cfg=_docs_index_cfg(),
+    )
+
+
 def q_transform_pivot(spark, sf):
     """ES _transform (pivot): entity-centric rollup of events by user —
     destination table hash-partitioned on the key so incremental ticks
@@ -3504,6 +3524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_sequence": q_eql_sequence,
         "esql_pipe": q_esql_pipe,
         "transform_pivot": q_transform_pivot,
+        "esql_match": q_esql_match,
         "agg_percentiles": q_agg_percentiles,
         "bm25_synonyms": q_bm25_synonyms,
         "bm25_index_synonyms": q_bm25_index_synonyms,
@@ -4207,6 +4228,18 @@ ranked AS (
     ON t.term <> i.input_term AND levenshtein(t.term, i.input_term) <= 2
 )
 SELECT input_term, suggestion, distance, df FROM ranked WHERE rk <= 5
+""",
+        "esql_match": f"""
+WITH toks AS (SELECT doc_id, text, lang, source, {TOK} AS tl FROM documents),
+m AS (
+  SELECT DISTINCT toks.doc_id FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join')
+)
+SELECT d.doc_id, d.lang AS role, d.source AS tool,
+       CAST(length(d.text) AS BIGINT) AS tlen
+FROM documents d JOIN m USING (doc_id)
+WHERE d.lang = 'en'
+ORDER BY d.doc_id
 """,
         "transform_pivot": """
 SELECT user_id,

@@ -34,9 +34,20 @@ validation as runtime fields (functions/runtime.py): nondeterministic
 functions and subqueries are rejected at compile time, so an ES|QL pipe
 can never smuggle in cardinality changes or side effects.
 
-Out of scope (documented): DISSECT/GROK (regexp_extract via EVAL covers
-the need), ENRICH (the withs relation planner is the join surface), and
-metadata fields.
+Index integration (``esql_search``): FROM an index name reads its live
+forward table, and WHERE supports ES|QL 8.16's full-text ``match(field,
+"query")`` function — compiled to a left-semi join against the
+postings-derived match set (presence-only decode, partition-pruned),
+never a per-row text scan. ES|QL's own restriction is enforced: match()
+must sit at WHERE's top level, combined only with AND.
+
+``ENRICH policy ON key [WITH c1, c2]`` attaches columns from a
+registered enrichment table by key lookup (broadcast left join — ES
+enrich indexes are small by contract). ``DISSECT col "%{a} %{b}"``
+compiles the dissect pattern to ONE regexp evaluated JVM-side.
+
+Out of scope (documented): GROK (regexp_extract via EVAL covers the
+need) and metadata fields.
 """
 
 from __future__ import annotations
@@ -101,6 +112,91 @@ def _split_top(s: str, sep: str) -> list[str]:
         i += 1
     parts.append("".join(buf))
     return parts
+
+
+def _split_keyword(s: str, kw: str) -> list[str]:
+    """Split on a word-bounded keyword at depth 0, outside strings."""
+    parts, depth, quote, last = [], 0, None, 0
+    i, n, k = 0, len(s), len(kw)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif (
+            depth == 0
+            and s[i : i + k].upper() == kw
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + k >= n or not (s[i + k].isalnum() or s[i + k] == "_"))
+        ):
+            parts.append(s[last:i])
+            i += k
+            last = i
+            continue
+        i += 1
+    parts.append(s[last:])
+    return parts
+
+
+_MATCH_CALL = re.compile(rf'^\s*match\s*\(\s*({_NAME})\s*,\s*"((?:[^"\\]|\\.)*)"\s*\)\s*$', re.I)
+
+
+def _compile_where(df: DataFrame, body: str, match_resolver, doc_key: str) -> DataFrame:
+    """WHERE with optional full-text match(): ES|QL requires match() at
+    the top level, AND-combined only — enforced here. Each match()
+    conjunct becomes a left-semi join against the resolver's match set;
+    scalar conjuncts stay one pushed-down filter."""
+    if not re.search(r"(?i)\bmatch\s*\(", body):
+        return df.filter(F.expr(_check_scalar(body, "WHERE")))
+    scalars = []
+    for conj in _split_keyword(body, "AND"):
+        m = _MATCH_CALL.match(conj)
+        if m:
+            if match_resolver is None:
+                raise EsqlError(
+                    "WHERE match(): no match_resolver — query an index via "
+                    "esql_search() to use full-text functions"
+                )
+            matched = match_resolver(m.group(1), m.group(2))
+            df = df.join(matched.select(doc_key), doc_key, "left_semi")
+        elif re.search(r"(?i)\bmatch\s*\(", conj):
+            raise EsqlError(
+                "match() must be a top-level WHERE conjunct combined only "
+                "with AND (the ES|QL full-text restriction)"
+            )
+        else:
+            scalars.append(f"({conj.strip()})")
+    if scalars:
+        df = df.filter(F.expr(_check_scalar(" AND ".join(scalars), "WHERE")))
+    return df
+
+
+def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
+    """Compile an ES dissect pattern (``%{name}`` fields between literal
+    separators) to one anchored regex + the field names in order."""
+    toks = re.split(r"%\{(\w*)\}", pattern)
+    names, rx = [], ["^"]
+    for i, t in enumerate(toks):
+        if i % 2 == 0:
+            rx.append(re.escape(t))
+        else:
+            if not t:
+                raise EsqlError("DISSECT: empty field name")
+            names.append(t)
+            rx.append("(.*?)" if i < len(toks) - 2 else "(.*)")
+    rx.append("$")
+    if not names:
+        raise EsqlError(f"DISSECT: pattern {pattern!r} has no %{{field}}s")
+    return "".join(rx), names
 
 
 def _check_scalar(expr: str, what: str) -> str:
@@ -187,13 +283,20 @@ def esql(
     query: str,
     tables: dict[str, DataFrame] | None = None,
     spark: SparkSession | None = None,
+    enrich: dict[str, tuple[DataFrame, str]] | None = None,
+    match_resolver=None,
+    doc_key: str = "docid",
 ) -> DataFrame:
     """Compile an ES|QL pipe into one DataFrame plan.
 
     ``tables`` maps FROM names to DataFrames (pass an index's forward
     table to query an index; any DataFrame works). ``spark`` is only
-    needed for the ``ROW`` literal source."""
+    needed for the ``ROW`` literal source. ``enrich`` maps ENRICH policy
+    names to (lookup_df, match_field). ``match_resolver(field, text)``
+    returns the full-text match set (a ``doc_key``-keyed frame) for
+    WHERE's ``match()`` — esql_search wires this to an index."""
     tables = tables or {}
+    enrich = enrich or {}
     pipes = [p.strip() for p in _split_top(query, "|")]
     if not pipes or not pipes[0]:
         raise EsqlError("empty query")
@@ -225,7 +328,39 @@ def esql(
             continue
         assert df is not None
         if kw == "WHERE":
-            df = df.filter(F.expr(_check_scalar(body, "WHERE")))
+            df = _compile_where(df, body, match_resolver, doc_key)
+        elif kw == "ENRICH":
+            mm = re.match(
+                rf"^({_NAME})\s+ON\s+({_NAME})(?:\s+WITH\s+(.+))?$", body, re.I | re.S
+            )
+            if not mm:
+                raise EsqlError(f"ENRICH: expected 'policy ON key [WITH cols]', got {body!r}")
+            pol, on, with_ = mm.group(1), mm.group(2), mm.group(3)
+            if pol not in enrich:
+                raise EsqlError(f"ENRICH: unknown policy {pol!r}")
+            lk, match_field = enrich[pol]
+            cols = (
+                [c.strip() for c in _split_top(with_, ",")]
+                if with_
+                else [c for c in lk.columns if c != match_field]
+            )
+            bad = [c for c in cols if c not in lk.columns]
+            if bad:
+                raise EsqlError(f"ENRICH: policy {pol!r} has no column(s) {bad}")
+            side = lk.select(F.col(match_field).alias(on), *cols)
+            # ES enrich indexes are small by contract → broadcast left join
+            df = df.join(F.broadcast(side), on, "left")
+        elif kw == "DISSECT":
+            mm = re.match(rf'^({_NAME})\s+"((?:[^"\\]|\\.)*)"\s*$', body, re.S)
+            if not mm:
+                raise EsqlError(f"DISSECT: expected '<col> \"pattern\"', got {body!r}")
+            col, pat = mm.group(1), mm.group(2)
+            if col not in df.columns:
+                raise EsqlError(f"DISSECT: unknown column {col!r}")
+            rx, names = _dissect_regex(pat)
+            df = df.withColumns(
+                {nm: F.regexp_extract(F.col(col), rx, i + 1) for i, nm in enumerate(names)}
+            )
         elif kw == "EVAL":
             for a, e in _parse_assignments(body, "EVAL"):
                 df = df.withColumn(a, F.expr(e))  # sequential: later sees earlier
@@ -272,3 +407,55 @@ def esql(
         else:
             raise EsqlError(f"unsupported command {kw!r}")
     return df
+
+
+def esql_search(
+    query: str,
+    spark: SparkSession,
+    indexes: dict[str, str],
+    enrich: dict[str, tuple[DataFrame, str]] | None = None,
+    cfg=None,
+) -> DataFrame:
+    """Run an ES|QL pipe against built indexes: FROM names resolve to
+    each index's LIVE forward table (soft-deleted docs masked, exactly
+    like every other query path), and ``match(field, "...")`` in WHERE
+    resolves through the postings — presence-only decode with partition
+    pruning, then a left-semi join, never a row-wise text scan.
+
+    match() restrictions (both ES|QL's own and this engine's honest
+    ones): top-level AND-combined only; single-index FROM; the indexed
+    field is ``text`` (multi-field roots have per-field sub-indexes —
+    point FROM at the sub-index to match another field)."""
+    from ..operators.aggs import _matched_docids
+    from ..operators.query import deleted_docids, effective_config
+    from ..sources import tables as tbl
+
+    tables: dict[str, DataFrame] = {}
+    for name, ix in indexes.items():
+        fwd = tbl.read(spark, ix, "forward")
+        dels = deleted_docids(spark, ix)
+        if dels is not None:
+            fwd = fwd.join(dels, "docid", "left_anti")
+        tables[name] = fwd
+
+    m = re.match(r"(?i)^\s*FROM\s+([^|]+)", query)
+    from_names = [n.strip() for n in _split_top(m.group(1), ",")] if m else []
+
+    def resolver(field: str, text: str) -> DataFrame:
+        if len(from_names) != 1:
+            raise EsqlError("match() needs a single-index FROM")
+        ixdir = indexes.get(from_names[0])
+        if ixdir is None:
+            raise EsqlError(f"match(): unknown index {from_names[0]!r}")
+        if field != "text":
+            raise EsqlError(
+                f"match(): field {field!r} is not indexed here — the indexed "
+                "field is 'text' (use a multi-field sub-index for others)"
+            )
+        ecfg = effective_config(spark, ixdir, cfg)
+        out = _matched_docids(spark, ixdir, text, ecfg)
+        if out is None:  # no usable terms → empty match set, typed
+            return tbl.local_rows_df(spark, [], "docid long")
+        return out
+
+    return esql(query, tables, spark=spark, enrich=enrich, match_resolver=resolver)

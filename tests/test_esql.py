@@ -153,3 +153,92 @@ def test_single_plan_pushdown(spark, tdf, tmp_path):
     assert "TakeOrderedAndProject" in plan
     read = plan.split("ReadSchema")[1].splitlines()[0]
     assert "tags" not in read and "lang" not in read
+
+
+def test_enrich_attaches_lookup_columns(spark, tdf):
+    lk = spark.createDataFrame(
+        [("en", "English", 1), ("fr", "French", 2)], "code string, name string, pop long"
+    )
+    out = esql(
+        "FROM docs | ENRICH langs ON lang WITH name | KEEP doc_id, lang, name | SORT doc_id",
+        {"docs": tdf},
+        enrich={"langs": (lk, "code")},
+    ).collect()
+    assert out[0].name == "English" and out[4].name is None  # de → no policy row
+    with pytest.raises(EsqlError):
+        esql("FROM docs | ENRICH nope ON lang", {"docs": tdf})
+    with pytest.raises(EsqlError):
+        esql(
+            "FROM docs | ENRICH langs ON lang WITH missing",
+            {"docs": tdf},
+            enrich={"langs": (lk, "code")},
+        )
+
+
+def test_dissect_extracts_fields(spark):
+    s = spark.createDataFrame(
+        [("alpha beta:7 rest of it",), ("x y:2 z",)], "line string"
+    )
+    out = esql(
+        'FROM t | DISSECT line "%{a} %{b}:%{n} %{tail}" | KEEP a, b, n, tail',
+        {"t": s},
+    ).collect()
+    assert tuple(out[0]) == ("alpha", "beta", "7", "rest of it")
+    assert tuple(out[1]) == ("x", "y", "2", "z")
+    with pytest.raises(EsqlError):
+        esql('FROM t | DISSECT line "no fields"', {"t": s})
+
+
+def test_match_against_index(spark, built_index):
+    from collections import Counter
+
+    from mysql_es_spark.functions.analyze import tokenize_text
+    from mysql_es_spark.functions.esql import esql_search
+
+    fwd = spark.read.parquet(f"{built_index}/forward").select("docid", "text").collect()
+    want = sorted(
+        r.docid
+        for r in fwd
+        if {"w1", "w3"} & set(tokenize_text(r.text))
+    )
+    out = esql_search(
+        'FROM ix | WHERE match(text, "w1 w3") | KEEP docid | SORT docid',
+        spark,
+        {"ix": built_index},
+    ).collect()
+    assert [r.docid for r in out] == want
+
+    # AND-combined with a scalar conjunct
+    want2 = sorted(
+        r.docid for r in fwd if "w1" in tokenize_text(r.text) and r.docid % 2 == 0
+    )
+    out2 = esql_search(
+        'FROM ix | WHERE match(text, "w1") AND docid % 2 == 0 | KEEP docid | SORT docid',
+        spark,
+        {"ix": built_index},
+    ).collect()
+    assert [r.docid for r in out2] == want2
+
+
+def test_match_restrictions(spark, built_index, tdf):
+    from mysql_es_spark.functions.esql import esql_search
+
+    with pytest.raises(EsqlError, match="AND"):
+        esql_search(
+            'FROM ix | WHERE match(text, "w1") OR docid == 1',
+            spark,
+            {"ix": built_index},
+        )
+    with pytest.raises(EsqlError, match="resolver"):
+        esql('FROM docs | WHERE match(lang, "en")', {"docs": tdf})
+    # unknown-term query → empty, not an error
+    from mysql_es_spark.functions.esql import esql_search as es
+
+    assert (
+        es(
+            'FROM ix | WHERE match(text, "zzzznotaterm")',
+            spark,
+            {"ix": built_index},
+        ).count()
+        == 0
+    )
