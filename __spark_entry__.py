@@ -524,6 +524,29 @@ def q_esql_match(spark, sf):
     )
 
 
+def q_events_downsample(spark, sf):
+    """ES _downsample: events rolled to one row per (event_type, day)
+    storing min/max/sum/value_count of the value metric — the closed
+    algebra that answers any coarser date_histogram later."""
+    import tempfile
+
+    from mysql_es_spark.plans.downsample import downsample, read_downsampled
+
+    dest = tempfile.mkdtemp(prefix="downsample_gate_")
+    downsample(
+        spark, _t(spark, sf, "events"), dest, "1 day", ["event_type"], ["value"]
+    )
+    out = read_downsampled(spark, dest)
+    return out.select(
+        "event_type",
+        F.col("ts_bucket").alias("day_ts"),
+        F.round("value_min", 4).alias("v_min"),
+        F.round("value_max", 4).alias("v_max"),
+        F.round("value_sum", 4).alias("v_sum"),
+        F.col("value_value_count").cast("long").alias("v_count"),
+    ).orderBy("event_type", "day_ts")
+
+
 def q_transform_pivot(spark, sf):
     """ES _transform (pivot): entity-centric rollup of events by user —
     destination table hash-partitioned on the key so incremental ticks
@@ -3525,6 +3548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_pipe": q_esql_pipe,
         "transform_pivot": q_transform_pivot,
         "esql_match": q_esql_match,
+        "events_downsample": q_events_downsample,
         "agg_percentiles": q_agg_percentiles,
         "bm25_synonyms": q_bm25_synonyms,
         "bm25_index_synonyms": q_bm25_index_synonyms,
@@ -4228,6 +4252,16 @@ ranked AS (
     ON t.term <> i.input_term AND levenshtein(t.term, i.input_term) <= 2
 )
 SELECT input_term, suggestion, distance, df FROM ranked WHERE rk <= 5
+""",
+        "events_downsample": """
+SELECT event_type,
+       date_trunc('day', ts) AS day_ts,
+       round(min(value), 4) AS v_min,
+       round(max(value), 4) AS v_max,
+       round(sum(value), 4) AS v_sum,
+       CAST(count(value) AS BIGINT) AS v_count
+FROM events GROUP BY event_type, date_trunc('day', ts)
+ORDER BY event_type, day_ts
 """,
         "esql_match": f"""
 WITH toks AS (SELECT doc_id, text, lang, source, {TOK} AS tl FROM documents),
