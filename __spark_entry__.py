@@ -547,6 +547,32 @@ def q_events_downsample(spark, sf):
     ).orderBy("event_type", "day_ts")
 
 
+LTR_JUDGED = {
+    "q1": (" ".join(BM25_Q1), {3: 2.0, 57: 0.0, 123: 1.0, 321: 1.0, 999999999: 0.0}),
+    "q2": (" ".join(BM25_Q2), {8: 1.0, 241: 2.0}),
+}
+
+
+def q_ltr_features(spark, sf):
+    """ES learning-to-rank feature logging: per labeled (query, doc)
+    pair, the feature vector (bm25 / matched_terms / query_len / dl) in
+    one batch plan — postings for the union of all queries decoded once,
+    judgments joined broadcast-side. Unknown docs log bm25=0, null dl."""
+    from mysql_es_spark.operators.rankeval import ltr_features
+
+    ix = _index_for_documents(spark, sf)
+    out = ltr_features(spark, ix, LTR_JUDGED, key="conv_id", cfg=_docs_index_cfg())
+    return out.select(
+        "qid",
+        "ext_id",
+        "label",
+        F.round("bm25", 4).alias("bm25"),
+        "matched_terms",
+        "query_len",
+        F.col("dl").cast("long").alias("dl"),
+    ).orderBy("qid", "ext_id")
+
+
 def q_transform_pivot(spark, sf):
     """ES _transform (pivot): entity-centric rollup of events by user —
     destination table hash-partitioned on the key so incremental ticks
@@ -3549,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_pivot": q_transform_pivot,
         "esql_match": q_esql_match,
         "events_downsample": q_events_downsample,
+        "ltr_features": q_ltr_features,
         "agg_percentiles": q_agg_percentiles,
         "bm25_synonyms": q_bm25_synonyms,
         "bm25_index_synonyms": q_bm25_index_synonyms,
@@ -4252,6 +4279,47 @@ ranked AS (
     ON t.term <> i.input_term AND levenshtein(t.term, i.input_term) <= 2
 )
 SELECT input_term, suggestion, distance, df FROM ranked WHERE rk <= 5
+""",
+        "ltr_features": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+judg(qid, ext_id, label) AS (VALUES
+  ('q1', 3, CAST(2.0 AS DOUBLE)), ('q1', 57, CAST(0.0 AS DOUBLE)),
+  ('q1', 123, CAST(1.0 AS DOUBLE)), ('q1', 321, CAST(1.0 AS DOUBLE)),
+  ('q1', 999999999, CAST(0.0 AS DOUBLE)),
+  ('q2', 8, CAST(1.0 AS DOUBLE)), ('q2', 241, CAST(2.0 AS DOUBLE))),
+qterms(qid, term) AS (VALUES
+  ('q1', 'spark'), ('q1', 'join'), ('q1', 'query'),
+  ('q2', 'window'), ('q2', 'agg'), ('q2', 'batch'), ('q2', 'scan')),
+qlen AS (SELECT qid, CAST(count(*) AS BIGINT) AS query_len FROM qterms GROUP BY 1),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN (SELECT term FROM qterms)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s,
+         CAST(count(DISTINCT tf.term) AS BIGINT) AS matched
+  FROM qterms q JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = tf.term
+  JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT j.qid, CAST(j.ext_id AS BIGINT) AS ext_id, j.label,
+       round(coalesce(s.s, 0), 4) AS bm25,
+       coalesce(s.matched, 0) AS matched_terms,
+       ql.query_len,
+       CAST(d.dl AS BIGINT) AS dl
+FROM judg j
+LEFT JOIN scores s ON s.qid = j.qid AND s.doc_id = j.ext_id
+LEFT JOIN dl d ON d.doc_id = j.ext_id
+JOIN qlen ql ON ql.qid = j.qid
+ORDER BY j.qid, j.ext_id
 """,
         "events_downsample": """
 SELECT event_type,

@@ -2409,7 +2409,7 @@ def bm25_topk_multi(
     spark: SparkSession,
     index_dir: str,
     queries: dict[str, str],
-    k: int = 10,
+    k: int | None = 10,
     cfg: IndexConfig | None = None,
     order_round: int | None = None,
 ) -> DataFrame:
@@ -2433,7 +2433,14 @@ def bm25_topk_multi(
     """
     cfg = effective_config(spark, index_dir, cfg)
     stats = corpus_stats(spark, index_dir)
-    schema = "qid string, docid long, score double, rank int"
+    # k=None: no rank window/cut — the FULL scored match set per query,
+    # with matched_terms (distinct query terms present), for feature
+    # logging and bulk export
+    schema = (
+        "qid string, docid long, score double, rank int"
+        if k is not None
+        else "qid string, docid long, score double, matched_terms long"
+    )
     term_qids: list[tuple[str, str]] = []
     for qid, q in queries.items():
         for t in query_terms(q):
@@ -2495,9 +2502,17 @@ def bm25_topk_multi(
         tf_dl.select("docid", "term", contrib.alias("contrib"))
         .join(mapping, "term")
         .groupBy("qid", "docid")
-        .agg(F.sum("contrib").alias("score")),
+        .agg(
+            F.sum("contrib").alias("score"),
+            # distinct query terms present in the doc — free at this agg
+            # (the frame is one row per (qid, docid, term) pre-agg) and
+            # the coverage feature LTR logging wants
+            F.count_distinct("term").alias("matched_terms"),
+        ),
         deleted_docids(spark, index_dir),
     )
+    if k is None:  # full scored match sets (feature logging / export)
+        return scored
     key = F.round("score", order_round) if order_round is not None else F.col("score")
     w = Window.partitionBy("qid").orderBy(key.desc(), F.col("docid").asc())
     return (
