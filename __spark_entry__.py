@@ -547,6 +547,23 @@ def q_events_downsample(spark, sf):
     ).orderBy("event_type", "day_ts")
 
 
+def q_graph_explore(spark, sf):
+    """ES Graph _explore (depth 1): the seed query's significant terms
+    (wave 0), then the significant terms of THOSE terms' match set with
+    wave-0 vertices excluded (wave 1) — two significant_terms plans, each
+    query-proportional; vertex lists never exceed top_vertices rows."""
+    from mysql_es_spark.operators.graph import graph_explore
+
+    ix = _index_for_documents(spark, sf)
+    verts, _conns = graph_explore(
+        spark, ix, " ".join(BM25_Q1), depth=1, top_vertices=4,
+        min_doc_count=3, cfg=_docs_index_cfg(),
+    )
+    return verts.select(
+        "term", "depth", "fg_df", "bg_df", F.round("jlh", 6).alias("jlh")
+    ).orderBy("depth", "term")
+
+
 LTR_JUDGED = {
     "q1": (" ".join(BM25_Q1), {3: 2.0, 57: 0.0, 123: 1.0, 321: 1.0, 999999999: 0.0}),
     "q2": (" ".join(BM25_Q2), {8: 1.0, 241: 2.0}),
@@ -3576,6 +3593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_match": q_esql_match,
         "events_downsample": q_events_downsample,
         "ltr_features": q_ltr_features,
+        "graph_explore": q_graph_explore,
         "agg_percentiles": q_agg_percentiles,
         "bm25_synonyms": q_bm25_synonyms,
         "bm25_index_synonyms": q_bm25_index_synonyms,
@@ -4279,6 +4297,41 @@ ranked AS (
     ON t.term <> i.input_term AND levenshtein(t.term, i.input_term) <= 2
 )
 SELECT input_term, suggestion, distance, df FROM ranked WHERE rk <= 5
+""",
+        "graph_explore": f"""
+WITH toks AS (SELECT doc_id, list_distinct({TOK}) AS tl FROM documents),
+dt AS (SELECT doc_id, unnest(tl) AS term FROM toks),
+nbg AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+bg AS (SELECT term, CAST(count(*) AS BIGINT) AS bg_df FROM dt GROUP BY 1),
+m0 AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ('spark', 'join', 'query')),
+n0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM m0),
+fg0 AS (SELECT term, CAST(count(*) AS BIGINT) AS fg_df
+        FROM dt JOIN m0 USING (doc_id) GROUP BY 1),
+s0 AS (
+  SELECT fg0.term, fg_df, bg.bg_df,
+         (fg_df / n0.n - bg_df / nbg.n) * ((fg_df / n0.n) / (bg_df / nbg.n)) AS jlh
+  FROM fg0 JOIN bg ON bg.term = fg0.term CROSS JOIN n0 CROSS JOIN nbg
+  WHERE fg_df >= 3 AND fg_df / n0.n > bg_df / nbg.n
+  ORDER BY round(jlh, 9) DESC, fg0.term ASC LIMIT 4
+),
+m1 AS (
+  SELECT DISTINCT doc_id FROM dt WHERE term IN (SELECT term FROM s0)
+),
+n1 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM m1),
+fg1 AS (SELECT term, CAST(count(*) AS BIGINT) AS fg_df
+        FROM dt JOIN m1 USING (doc_id) GROUP BY 1),
+s1 AS (
+  SELECT fg1.term, fg_df, bg.bg_df,
+         (fg_df / n1.n - bg_df / nbg.n) * ((fg_df / n1.n) / (bg_df / nbg.n)) AS jlh
+  FROM fg1 JOIN bg ON bg.term = fg1.term CROSS JOIN n1 CROSS JOIN nbg
+  WHERE fg_df >= 3 AND fg_df / n1.n > bg_df / nbg.n
+    AND fg1.term NOT IN (SELECT term FROM s0)
+  ORDER BY round(jlh, 9) DESC, fg1.term ASC LIMIT 4
+)
+SELECT term, 0 AS depth, fg_df, bg_df, round(jlh, 6) AS jlh FROM s0
+UNION ALL
+SELECT term, 1 AS depth, fg_df, bg_df, round(jlh, 6) AS jlh FROM s1
+ORDER BY depth, term
 """,
         "ltr_features": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
