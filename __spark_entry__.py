@@ -2577,6 +2577,24 @@ def q_emb_sq_topk(spark, sf):
     )
 
 
+def q_emb_bbq_hamming(spark, sf):
+    """1-bit binary-quantized kNN (BBQ-style): sign bits packed 64/long,
+    ranked by Hamming distance (xor + bit_count per word, whole-stage
+    codegen over the 32x-compressed table). Centroid 0 keeps the entry
+    deterministic AND SQL-checkable — normalization preserves sign, so
+    the oracle counts per-dimension sign disagreements directly; the
+    centroid-trained path and the exact-rerank contract are
+    tests/test_sq.py."""
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]]
+    dim = len(qv)
+    bits = similarity.bbq_encode(emb, [0.0] * dim)
+    return (
+        similarity.bbq_topk(bits, qv, [0.0] * dim, k=10)
+        .select("vec_id", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
 def q_emb_near_dups(spark, sf):
     return dedup.embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.30)
 
@@ -3424,6 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix_via_index": q_prefix_via_index,
         "emb_cosine_topk": q_emb_topk,
         "emb_sq_topk": q_emb_sq_topk,
+        "emb_bbq_hamming": q_emb_bbq_hamming,
         "emb_knn_filtered": q_emb_knn_filtered,
         "emb_near_dups": q_emb_near_dups,
         # --- round-2 features ---
@@ -7207,6 +7226,17 @@ ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 25
                      vec_id ASC
             LIMIT 10
         """,
+        "emb_bbq_hamming": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+h AS (
+  SELECT e.vec_id,
+         CAST(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qv),
+           s -> CASE WHEN (s[1] > 0) <> (s[2] > 0) THEN 1 ELSE 0 END)) AS INTEGER)
+           AS hamming
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, hamming FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 10
+""",
         "emb_sq_topk": """
 WITH q AS (
   SELECT list_transform(embedding::DOUBLE[],

@@ -547,3 +547,132 @@ def sq_topk(
     return cosine_topk(exact, query_vec, k=k, id_col=id_col, vec_col=vec_col).select(
         id_col, F.col("cos").alias("score")
     )
+
+
+def bbq_centroid(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> list[float]:
+    """Per-dimension mean of the L2-normalized corpus — the centering
+    vector binary quantization thresholds against (ES BBQ quantizes
+    residuals around the centroid; the sign-of-centered-component is the
+    1-bit version of that idea). One aggregate, dim floats back."""
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(vec_col, lambda x: x / F.greatest(norm, F.lit(1e-12)))
+    # posexplode → per-dimension partial avg: map-side combined, never a
+    # whole-corpus array in one aggregation buffer
+    rows = (
+        emb.select(F.posexplode(unit).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.avg("x").alias("m"))
+        .orderBy("d")
+        .collect()
+    )
+    return [float(r["m"]) for r in rows]
+
+
+def bbq_encode(
+    emb: DataFrame,
+    centroid: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bits array<long>) — 1-bit binary quantization (the BBQ idea
+    at its simplest honest form): each L2-normalized component keeps only
+    sign(x − centroid_d), packed 64 dims per long JVM-side. 32× smaller
+    than float32; the bit table is the only thing the approximate query
+    phase scans. Pure Catalyst expressions (normalize → center → sign →
+    shift/or-fold), no Python in the pass."""
+    dim = len(centroid)
+    n_words = (dim + 63) // 64
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.zip_with(
+        F.col(vec_col),
+        c,
+        lambda x, m: x / F.greatest(norm, F.lit(1e-12)) - m,
+    )
+    def word(w: int) -> F.Column:
+        # OR-fold of literal bit values (bit positions are static, so the
+        # shift amounts are compile-time constants; bit 63 wraps to the
+        # signed long's sign bit)
+        out = F.lit(0).cast("long")
+        for i in range(min(64, dim - w * 64)):
+            val = 1 << i
+            if val >= 1 << 63:
+                val -= 1 << 64
+            out = out.bitwiseOR(
+                F.when(
+                    F.element_at(F.col("_u"), w * 64 + i + 1) > 0,
+                    F.lit(val).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return out
+    return (
+        emb.withColumn("_u", unit)
+        .select(
+            id_col,
+            F.array(*[word(w) for w in range(n_words)]).alias("bits"),
+        )
+    )
+
+
+def _bbq_query_bits(query_vec: list[float], centroid: list[float]) -> list[int]:
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    u = q - np.asarray(centroid, dtype=np.float64)
+    dim = len(centroid)
+    words = []
+    for w in range((dim + 63) // 64):
+        acc = 0
+        for i in range(min(64, dim - w * 64)):
+            if u[w * 64 + i] > 0:
+                acc |= 1 << i
+        # to signed 64-bit (Spark longs)
+        if acc >= 1 << 63:
+            acc -= 1 << 64
+        words.append(acc)
+    return words
+
+
+def bbq_topk(
+    bits: DataFrame,
+    query_vec: list[float],
+    centroid: list[float],
+    k: int = 10,
+    emb: DataFrame | None = None,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over 1-bit codes: rank by Hamming
+    distance between the query's centered sign bits and each stored code
+    — per word one xor + bit_count, whole-stage codegen over the 32×-
+    compressed table, TakeOrdered, no shuffle.
+
+    With ``rerank > 0`` the approximate top-``rerank`` shortlist is
+    exactly re-scored against ``emb`` (4-dp rounded cosine), the same
+    contract as pq_topk/sq_topk: rerank = corpus size reproduces
+    cosine_topk exactly. 1-bit codes order poorly WITHIN tight clusters,
+    so the honest production path is always shortlist + rerank.
+    Returns (id, hamming) approximate or (id, score) reranked."""
+    qb = _bbq_query_bits(query_vec, centroid)
+    qcol = F.array(*[F.lit(int(w)).cast("long") for w in qb])
+    ham = F.aggregate(
+        F.zip_with(F.col("bits"), qcol, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    approx = (
+        bits.select(id_col, ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+    )
+    if rerank <= 0:
+        return approx.limit(int(k))
+    if emb is None:
+        raise ValueError("bbq_topk: rerank needs the raw embedding table")
+    cand = [int(r[id_col]) for r in approx.limit(int(rerank)).collect()]
+    exact = emb.filter(F.col(id_col).isin(cand))
+    return cosine_topk(exact, query_vec, k=k, id_col=id_col).select(
+        id_col, F.col("cos").alias("score")
+    )

@@ -89,3 +89,98 @@ def test_sq_partition_invariance(emb_df):
         for r in sq_topk(sq_encode(df.repartition(17), -1, 1), q, -1, 1, k=8).collect()
     ]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# 1-bit binary quantization (BBQ-style)
+# ---------------------------------------------------------------------------
+
+
+def _bbq_python_bits(vec, centroid):
+    import numpy as np
+
+    v = np.asarray(vec, dtype=np.float64)
+    v = v / max(float(np.linalg.norm(v)), 1e-12)
+    u = v - np.asarray(centroid, dtype=np.float64)
+    dim = len(centroid)
+    words = []
+    for w in range((dim + 63) // 64):
+        acc = 0
+        for i in range(min(64, dim - w * 64)):
+            if u[w * 64 + i] > 0:
+                acc |= 1 << i
+        if acc >= 1 << 63:
+            acc -= 1 << 64
+        words.append(acc)
+    return words
+
+
+def test_bbq_encode_matches_python(spark, emb_df):
+    emb_df, _M = emb_df
+    from mysql_es_spark.operators.similarity import bbq_centroid, bbq_encode
+
+    centroid = bbq_centroid(emb_df)
+    rows = emb_df.collect()
+    got = {r.vec_id: list(r.bits) for r in bbq_encode(emb_df, centroid).collect()}
+    for r in rows:
+        assert got[r.vec_id] == _bbq_python_bits(r.embedding, centroid), r.vec_id
+
+
+def test_bbq_hamming_and_full_rerank_equals_brute(spark, emb_df):
+    emb_df, _M = emb_df
+    from mysql_es_spark.operators.similarity import (
+        bbq_centroid,
+        bbq_encode,
+        bbq_topk,
+        cosine_topk,
+    )
+
+    centroid = bbq_centroid(emb_df)
+    bits = bbq_encode(emb_df, centroid)
+    rows = emb_df.collect()
+    q = list(rows[3].embedding)
+
+    approx = bbq_topk(bits, q, centroid, k=5).collect()
+    qb = _bbq_python_bits(q, centroid)
+    def ham(a, b):
+        return sum(bin((x ^ y) & ((1 << 64) - 1)).count("1") for x, y in zip(a, b))
+    want = sorted(
+        ((ham(_bbq_python_bits(r.embedding, centroid), qb), r.vec_id) for r in rows)
+    )[:5]
+    assert [(r.hamming, r.vec_id) for r in approx] == want
+
+    n = emb_df.count()
+    exact = bbq_topk(bits, q, centroid, k=5, emb=emb_df, rerank=n).collect()
+    brute = cosine_topk(emb_df, q, k=5).collect()
+    assert [(r.vec_id, r.score) for r in exact] == [(r.vec_id, r.cos) for r in brute]
+
+
+def test_bbq_odd_dim_packs_partial_word(spark):
+    from mysql_es_spark.operators.similarity import bbq_encode
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 70), (2, [-1.0] * 70)], "vec_id long, embedding array<double>"
+    )
+    centroid = [0.0] * 70
+    got = {r.vec_id: list(r.bits) for r in bbq_encode(df, centroid).collect()}
+    assert len(got[1]) == 2
+    assert got[1] == _bbq_python_bits([1.0] * 70, centroid)
+    assert got[2] == [0, 0]  # all components below threshold
+
+
+def test_bbq_shortlist_recall_on_clusters(spark, emb_df):
+    emb_df, _M = emb_df
+    from mysql_es_spark.operators.similarity import (
+        bbq_centroid,
+        bbq_encode,
+        bbq_topk,
+        cosine_topk,
+    )
+
+    centroid = bbq_centroid(emb_df)
+    bits = bbq_encode(emb_df, centroid)
+    rows = emb_df.collect()
+    q = list(rows[11].embedding)
+    short = {r.vec_id for r in bbq_topk(bits, q, centroid, k=40).collect()}
+    true10 = {r.vec_id for r in cosine_topk(emb_df, q, k=10).collect()}
+    assert len(short & true10) >= 7  # 1-bit shortlist keeps most true hits
