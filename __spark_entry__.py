@@ -547,6 +547,45 @@ def q_events_downsample(spark, sf):
     ).orderBy("event_type", "day_ts")
 
 
+def q_bm25_query_rules(spark, sf):
+    """ES _query_rules (rule retriever): a contains-criterion pins docs
+    42 and 7 ahead of the organic Q1 ranking (deterministic 1e6-i
+    scores) and an always-rule excludes doc 3; a non-matching rule's
+    pins stay inert. Criteria evaluate on request metadata driver-side;
+    the search is one pinned-query plan + an isin anti-filter."""
+    from mysql_es_spark.operators.rules import rules_topk
+
+    ix = _index_for_documents(spark, sf)
+    rules = [
+        {
+            "type": "pinned",
+            "ids": ["42:0", "7:0"],
+            "criteria": [
+                {"type": "contains", "metadata": "user_query", "values": ["spark"]}
+            ],
+        },
+        {"type": "exclude", "ids": ["3:0"], "criteria": [{"type": "always"}]},
+        {
+            "type": "pinned",
+            "ids": ["999999:0"],
+            "criteria": [
+                {"type": "exact", "metadata": "user_query", "values": ["zzz"]}
+            ],
+        },
+    ]
+    top = rules_topk(
+        spark, ix, " ".join(BM25_Q1), rules, k=20, cfg=_docs_index_cfg(), with_keys=True
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 def q_graph_explore(spark, sf):
     """ES Graph _explore (depth 1): the seed query's significant terms
     (wave 0), then the significant terms of THOSE terms' match set with
@@ -3613,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_downsample": q_events_downsample,
         "ltr_features": q_ltr_features,
         "graph_explore": q_graph_explore,
+        "bm25_query_rules": q_bm25_query_rules,
         "agg_percentiles": q_agg_percentiles,
         "bm25_synonyms": q_bm25_synonyms,
         "bm25_index_synonyms": q_bm25_index_synonyms,
@@ -4316,6 +4356,34 @@ ranked AS (
     ON t.term <> i.input_term AND levenshtein(t.term, i.input_term) <= 2
 )
 SELECT input_term, suggestion, distance, df FROM ranked WHERE rk <= 5
+""",
+        "bm25_query_rules": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+org AS (
+  SELECT doc_id, round(s, 4) AS score FROM scores
+  WHERE doc_id NOT IN (42, 7, 3)
+),
+pinned(doc_id, score) AS (VALUES
+  (42, CAST(1000000.0 AS DOUBLE)), (7, CAST(999999.0 AS DOUBLE))),
+allr AS (SELECT * FROM pinned UNION ALL SELECT * FROM org)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, score FROM allr
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "graph_explore": f"""
 WITH toks AS (SELECT doc_id, list_distinct({TOK}) AS tl FROM documents),
