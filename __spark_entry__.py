@@ -686,6 +686,21 @@ def q_esql_pipe(spark, sf):
     )
 
 
+def q_eql_sample(spark, sf):
+    """EQL sample: users who have ALL of view/click/purchase (no
+    ordering constraint), with the earliest example event per step —
+    one map-side-combined hash aggregate, no window."""
+    from mysql_es_spark.operators.eql import sample_matches
+
+    ev = _t(spark, sf, "events")
+    return sample_matches(
+        ev,
+        "user_id",
+        ["event_type = 'view'", "event_type = 'click'", "event_type = 'purchase'"],
+        tiebreak="event_id",
+    ).orderBy("user_id")
+
+
 def q_sessionize(spark, sf):
     ev = _t(spark, sf, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3646,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest": q_term_suggest,
         "terms_enum": q_terms_enum,
         "eql_sequence": q_eql_sequence,
+        "eql_sample": q_eql_sample,
         "esql_pipe": q_esql_pipe,
         "transform_pivot": q_transform_pivot,
         "esql_match": q_esql_match,
@@ -4504,6 +4520,25 @@ SELECT lang, bucket,
        CAST(count(DISTINCT source) AS BIGINT) AS nsrc
 FROM f GROUP BY lang, bucket
 ORDER BY lang NULLS LAST, bucket LIMIT 40
+""",
+        "eql_sample": """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS rn
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+firsts AS (SELECT user_id, event_type, event_id FROM ranked WHERE rn = 1)
+SELECT v.user_id,
+       v.event_id AS step1_event_id,
+       c.event_id AS step2_event_id,
+       p.event_id AS step3_event_id
+FROM firsts v
+JOIN firsts c ON c.user_id = v.user_id AND c.event_type = 'click'
+JOIN firsts p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+WHERE v.event_type = 'view'
+ORDER BY v.user_id
 """,
         "eql_sequence": """
 WITH ev AS (

@@ -136,6 +136,43 @@ def sequence_matches(
     return out
 
 
+def sample_matches(
+    df: DataFrame,
+    by: str | list[str],
+    steps: list[str | Column],
+    tiebreak: str | None = None,
+    time_col: str = "ts",
+) -> DataFrame:
+    """EQL ``sample by <by> [p1] [p2] …``: keys where EVERY step predicate
+    matched at least once, with one example event id per step — no
+    ordering or span constraint (EQL's sample is the unordered sibling of
+    sequence). The example is the earliest matching event per step in
+    (time, tiebreak) order, which makes the output deterministic.
+
+    ONE hash aggregate: per key, a conditional min over each step's
+    matches (map-side combined), then an all-steps-present filter — no
+    window, no self-joins, scale = one groupBy over the events."""
+    if not steps:
+        raise ValueError("sample needs at least 1 step")
+    if tiebreak is None:
+        raise ValueError("tiebreak column required for deterministic examples")
+    keys = [by] if isinstance(by, str) else list(by)
+    aggs = []
+    for i, p in enumerate(steps, 1):
+        pick = F.when(_as_col(p), F.struct(F.col(time_col), F.col(tiebreak)))
+        aggs.append(F.min(pick).alias(f"_m{i}"))
+    agg = df.groupBy(*keys).agg(*aggs)
+    cond = None
+    for i in range(1, len(steps) + 1):
+        c = F.col(f"_m{i}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    out_cols = [
+        F.col(f"_m{i}")[tiebreak].alias(f"step{i}_{tiebreak}")
+        for i in range(1, len(steps) + 1)
+    ]
+    return agg.filter(cond).select(*keys, *out_cols)
+
+
 def event_query(
     df: DataFrame,
     predicate: str | Column,

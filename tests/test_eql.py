@@ -196,3 +196,44 @@ def test_single_exchange_for_any_step_count(spark, ev_df):
     # the whole chain (segment counter + one running max per step) shares
     # one hash-partitioning: exactly one shuffle regardless of step count
     assert plan.count(") Exchange") == 1 and "hashpartitioning(user_id" in plan
+
+
+def test_sample_matches_brute(spark, ev_df):
+    from mysql_es_spark.operators.eql import sample_matches
+
+    df, rows = ev_df
+    out = sample_matches(
+        df,
+        "user_id",
+        ["event_type = 'view'", "event_type = 'buy'", "event_type = 'stop'"],
+        tiebreak="event_id",
+    ).collect()
+    bykey = {}
+    for eid, ts, k, et in rows:
+        bykey.setdefault(k, []).append((ts, eid, et))
+    want = {}
+    for k, evs in bykey.items():
+        picks = []
+        for step in ("view", "buy", "stop"):
+            m = sorted((ts, eid) for ts, eid, et in evs if et == step)
+            if not m:
+                break
+            picks.append(m[0][1])
+        if len(picks) == 3:
+            want[k] = tuple(picks)
+    got = {r.user_id: (r.step1_event_id, r.step2_event_id, r.step3_event_id) for r in out}
+    assert got == want and len(got) > 0
+
+
+def test_sample_single_aggregate_plan(spark, ev_df):
+    from tests.test_plan_audits import plan_of
+
+    from mysql_es_spark.operators.eql import sample_matches
+
+    df, _ = ev_df
+    plan = plan_of(
+        sample_matches(df, "user_id", ["event_type = 'view'", "event_type = 'buy'"],
+                       tiebreak="event_id")
+    )
+    assert plan.count(") Exchange") == 1  # one partial+final agg, no window
+    assert "Window" not in plan
