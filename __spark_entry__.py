@@ -629,6 +629,25 @@ def q_ltr_features(spark, sf):
     ).orderBy("qid", "ext_id")
 
 
+def q_esql_lookup_stats(spark, sf):
+    """ES|QL 8.18 surface: LOOKUP JOIN (broadcast left join against a
+    lookup table, duplicate keys multiply) + per-aggregate STATS WHERE
+    filters compiled into one hash aggregate."""
+    from mysql_es_spark.functions.esql import esql
+
+    docs = _t(spark, sf, "documents")
+    lk = docs.groupBy("lang").agg(F.avg("n_chars").alias("lang_avg"))
+    return esql(
+        """FROM documents
+           | LOOKUP JOIN lang_stats ON lang
+           | STATS n_above = COUNT(*) WHERE n_chars > lang_avg,
+                   total = COUNT(*)
+             BY lang, source
+           | SORT lang, source""",
+        {"documents": docs, "lang_stats": lk},
+    )
+
+
 def q_transform_pivot(spark, sf):
     """ES _transform (pivot): entity-centric rollup of events by user —
     destination table hash-partitioned on the key so incremental ticks
@@ -3665,6 +3684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_pipe": q_esql_pipe,
         "transform_pivot": q_transform_pivot,
         "esql_match": q_esql_match,
+        "esql_lookup_stats": q_esql_lookup_stats,
         "events_downsample": q_events_downsample,
         "ltr_features": q_ltr_features,
         "graph_explore": q_graph_explore,
@@ -4486,6 +4506,18 @@ SELECT event_type,
        CAST(count(value) AS BIGINT) AS v_count
 FROM events GROUP BY event_type, date_trunc('day', ts)
 ORDER BY event_type, day_ts
+""",
+        "esql_lookup_stats": """
+WITH lk AS (SELECT lang, avg(n_chars) AS lang_avg FROM documents GROUP BY 1),
+j AS (
+  SELECT d.lang, d.source, d.n_chars, lk.lang_avg
+  FROM documents d LEFT JOIN lk ON lk.lang = d.lang
+)
+SELECT lang, source,
+       CAST(count(CASE WHEN n_chars > lang_avg THEN 1 END) AS BIGINT) AS n_above,
+       CAST(count(*) AS BIGINT) AS total
+FROM j GROUP BY lang, source
+ORDER BY lang NULLS LAST, source NULLS LAST
 """,
         "esql_match": f"""
 WITH toks AS (SELECT doc_id, text, lang, source, {TOK} AS tl FROM documents),

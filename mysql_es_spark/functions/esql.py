@@ -245,7 +245,16 @@ def _parse_assignments(body: str, what: str) -> list[tuple[str, str]]:
 
 
 def _agg_column(alias: str, expr: str) -> Column:
-    m = re.match(r"^(\w+)\s*\((.*)\)\s*$", expr.strip(), re.S)
+    # per-aggregate filter (ES|QL `STATS agg(...) WHERE cond`): compiled
+    # as a CASE wrapper on the aggregated value, so filtered and
+    # unfiltered aggs coexist in ONE hash aggregate — no extra pass
+    parts = _split_keyword(expr.strip(), "WHERE")
+    main, cond = parts[0], None
+    if len(parts) == 2:
+        cond = _check_scalar(parts[1], "STATS WHERE")
+    elif len(parts) > 2:
+        raise EsqlError(f"STATS: more than one WHERE in {expr!r}")
+    m = re.match(r"^(\w+)\s*\((.*)\)\s*$", main.strip(), re.S)
     if not m:
         raise EsqlError(f"STATS: {expr!r} must be a single aggregate call")
     fn, args = m.group(1).upper(), m.group(2).strip()
@@ -257,6 +266,10 @@ def _agg_column(alias: str, expr: str) -> Column:
         args = "*"
     else:
         _check_scalar(args, "STATS")
+    if cond is not None:
+        arglist = _split_top(args, ",") if args != "*" else ["1"]
+        arglist[0] = f"CASE WHEN ({cond}) THEN {arglist[0]} END"
+        args = ", ".join(a.strip() for a in arglist)
     return F.expr(_AGGS[fn].format(a=args)).alias(alias)
 
 
@@ -400,6 +413,22 @@ def esql(
             if bad:
                 raise EsqlError(f"RENAME: unknown column(s) {bad}")
             df = df.withColumnsRenamed(ren)
+        elif kw == "LOOKUP":
+            mm = re.match(rf"^JOIN\s+({_NAME})\s+ON\s+(.+)$", body, re.I | re.S)
+            if not mm:
+                raise EsqlError(f"LOOKUP: expected 'JOIN <table> ON keys', got {body!r}")
+            name, keys_s = mm.group(1), mm.group(2)
+            if name not in tables:
+                raise EsqlError(f"LOOKUP JOIN: unknown table {name!r}")
+            jkeys = [k.strip() for k in _split_top(keys_s, ",")]
+            lk = tables[name]
+            bad = [k for k in jkeys if k not in lk.columns or k not in df.columns]
+            if bad:
+                raise EsqlError(f"LOOKUP JOIN: key(s) {bad} missing on one side")
+            # ES lookup indexes are single-shard and replicated to every
+            # node — broadcast IS their distribution model. Duplicate
+            # keys multiply rows, the documented ES|QL behavior.
+            df = df.join(F.broadcast(lk), jkeys, "left")
         elif kw == "MV_EXPAND":
             if body not in df.columns:
                 raise EsqlError(f"MV_EXPAND: unknown column {body!r}")

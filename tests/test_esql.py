@@ -242,3 +242,42 @@ def test_match_restrictions(spark, built_index, tdf):
         ).count()
         == 0
     )
+
+
+def test_stats_where_per_agg_filter(spark, tdf):
+    out = esql(
+        """FROM docs
+           | STATS n_all = COUNT(*),
+                   n_web = COUNT(*) WHERE source == "web",
+                   big = SUM(n_chars) WHERE n_chars >= 100,
+                   srcs = COUNT_DISTINCT(source) WHERE n_chars > 40
+           BY lang
+           | SORT lang""",
+        {"docs": tdf},
+    ).collect()
+    byl = {r.lang: r for r in out}
+    assert byl["en"].n_all == 2 and byl["en"].n_web == 1
+    assert byl["en"].big == 350 and byl["fr"].big == 300
+    assert byl["fr"].srcs == 1  # both fr docs are web, one above 40 chars
+    assert byl[None].n_web == 1 and byl[None].big is None
+    with pytest.raises(EsqlError):
+        esql("FROM docs | STATS n = COUNT(*) WHERE a WHERE b", {"docs": tdf})
+
+
+def test_lookup_join(spark, tdf):
+    lk = tdf.sparkSession.createDataFrame(
+        [("en", "English"), ("fr", "French"), ("fr", "Francais")],
+        "lang string, lname string",
+    )
+    out = esql(
+        "FROM docs | LOOKUP JOIN langs ON lang | KEEP doc_id, lname | SORT doc_id, lname",
+        {"docs": tdf, "langs": lk},
+    ).collect()
+    got = [(r.doc_id, r.lname) for r in out]
+    # duplicate lookup keys multiply rows (doc 3 and 4 are fr)
+    assert got.count((3, "French")) == 1 and got.count((3, "Francais")) == 1
+    assert (5, None) in got and (6, None) in got  # de/null: no lookup row
+    with pytest.raises(EsqlError):
+        esql("FROM docs | LOOKUP JOIN nope ON lang", {"docs": tdf})
+    with pytest.raises(EsqlError):
+        esql("FROM docs | LOOKUP JOIN langs ON zz", {"docs": tdf, "langs": lk})
