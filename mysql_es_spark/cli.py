@@ -77,6 +77,27 @@ def cmd_build(args) -> dict:
     spark = _session(args)
     df = spark.read.parquet(args.input)
     cfg = _cfg(args)
+    if getattr(args, "template_repo", None):
+        # ES composable index templates: settings resolved by the new
+        # index's NAME (dir basename); explicit flags (already folded
+        # into cfg by _cfg) act as the request-level overrides and win
+        from .plans.index_templates import config_for
+
+        name = os.path.basename(os.path.normpath(args.index_dir))
+        cfg = config_for(args.template_repo, name, base=None).with_(
+            **{
+                k: getattr(cfg, k)
+                for k in (
+                    "n_buckets", "wave_size", "salt_docs",
+                    "term_buckets", "block_size",
+                )
+                if getattr(args, k, None) is not None
+            }
+        )
+        if args.edge_ngram:
+            cfg = cfg.with_(edge_ngram=True)
+        if args.with_positions:
+            cfg = cfg.with_(with_positions=True)
     if getattr(args, "river", None):
         # one declarative file = the reference's etc/river.json: index
         # settings + relations/withs enrichment, explicit flags win
@@ -588,6 +609,11 @@ def main(argv: list[str] | None = None) -> int:
         '{"index": {...IndexConfig fields...}, "base_table": ..., '
         '"relations": {...}, "withs": [...], "tables": {name: path}, '
         '"nested": false}',
+    )
+    b.add_argument(
+        "--template-repo", default=None,
+        help="index-template repo dir (ES _index_template): settings "
+        "resolved by the index dir's basename; explicit flags win",
     )
     b.set_defaults(fn=cmd_build)
 
