@@ -1,0 +1,92 @@
+"""Data streams: append-only generations, global search, retention."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mysql_es_spark.config import IndexConfig
+from mysql_es_spark.corpus import transcripts_df
+from mysql_es_spark.operators.query import bm25_topk
+from mysql_es_spark.plans.build import build_index
+from mysql_es_spark.plans.data_stream import (
+    append_batch,
+    create_data_stream,
+    expire_generations,
+    search_stream,
+)
+
+CFG = IndexConfig(n_buckets=4, wave_size=4, salt_docs=256, term_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def stream(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    ds = str(root / "convs")
+    create_data_stream(spark, ds, CFG)
+    full = transcripts_df(spark, 900, seed=19)
+    convs = [r.conv_id for r in full.select("conv_id").distinct().collect()]
+    convs.sort()
+    cut1, cut2 = convs[len(convs) // 3], convs[2 * len(convs) // 3]
+    b1 = full.filter(full.conv_id <= cut1)
+    b2 = full.filter((full.conv_id > cut1) & (full.conv_id <= cut2))
+    b3 = full.filter(full.conv_id > cut2)
+    g1 = append_batch(spark, ds, b1)
+    g2 = append_batch(spark, ds, b2)
+    g3 = append_batch(spark, ds, b3)
+    return ds, full, (g1, g2, g3)
+
+
+def test_generations_sequence_and_alias(stream):
+    ds, _full, gens = stream
+    names = [os.path.basename(g["generation"]) for g in gens]
+    assert names == ["convs-000002", "convs-000003", "convs-000004"]
+    from mysql_es_spark.plans.alias import get_alias
+
+    assert get_alias(ds).endswith("convs-000004")
+
+
+def test_search_rank_identical_to_monolithic(spark, stream, tmp_path):
+    ds, full, _g = stream
+    mono = str(tmp_path / "mono")
+    build_index(spark, full, mono, CFG)
+    want_keys = [
+        (r.doc_key, round(r.score, 4))
+        for r in bm25_topk(spark, mono, "w0 w3", k=10, cfg=CFG, mode="simple", with_keys=True).collect()
+    ]
+    from mysql_es_spark.plans.data_stream import _complete_generations
+
+    keymap = {}
+    for lbl, d in _complete_generations(ds).items():
+        for r in spark.read.parquet(f"{d}/forward").select("docid", "doc_key").collect():
+            keymap[(lbl, r.docid)] = r.doc_key
+    got = [
+        (keymap[(r["index"], r.docid)], round(r.score, 4))
+        for r in search_stream(spark, ds, "w0 w3", k=10).collect()
+    ]
+    assert got == want_keys
+
+
+def test_crashed_append_leaves_stream_readable(spark, stream):
+    ds, _full, _g = stream
+    import mysql_es_spark.plans.data_stream as dsm
+
+    before = search_stream(spark, ds, "w0", k=3).collect()
+    # simulate: a generation dir half-built (no alias swap happened)
+    half = dsm._gen_dir(ds, 99)
+    os.makedirs(half)
+    after = search_stream(spark, ds, "w0", k=3).collect()
+    assert [(r["index"], r.docid) for r in after] == [(r["index"], r.docid) for r in before]
+    os.rmdir(half)
+
+
+def test_retention_never_drops_write_index(spark, stream):
+    ds, _full, _g = stream
+    # far-future cutoff: every non-write generation's newest doc is older
+    dropped = expire_generations(spark, ds, "9999-01-01")
+    assert dropped and all(not d.endswith("convs-000004") for d in dropped)
+    # the stream still answers queries from the surviving write index
+    assert search_stream(spark, ds, "w0", k=3).count() >= 0
+    # idempotent second pass: nothing left to drop
+    assert expire_generations(spark, ds, "9999-01-01") == []
