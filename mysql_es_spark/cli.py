@@ -318,6 +318,72 @@ def cmd_transform(args) -> dict:
     return {**res, "latency_sec": round(time.monotonic() - t0, 3)}
 
 
+def cmd_esql(args) -> dict:
+    from .functions.esql import esql, esql_search
+
+    spark = _session(args)
+    t0 = time.monotonic()
+    if args.index:
+        indexes = dict(kv.split("=", 1) for kv in args.index)
+        out = esql_search(args.query, spark, indexes)
+    else:
+        tables = {
+            name: spark.read.parquet(path)
+            for name, path in (kv.split("=", 1) for kv in args.table or [])
+        }
+        out = esql(args.query, tables, spark=spark)
+    rows = out.limit(args.max_rows).collect()
+    return {
+        "columns": out.columns,
+        "rows": [list(r) for r in rows],
+        "latency_sec": round(time.monotonic() - t0, 3),
+    }
+
+
+def cmd_eql(args) -> dict:
+    from .operators.eql import sample_matches, sequence_matches
+
+    spark = _session(args)
+    t0 = time.monotonic()
+    ev = spark.read.parquet(args.source)
+    if args.eql_mode == "sequence":
+        out = sequence_matches(
+            ev, args.by.split(","), args.step, time_col=args.time_col,
+            tiebreak=args.tiebreak, maxspan_seconds=args.maxspan,
+            until=args.until, first_only=args.first_only,
+        )
+    else:
+        out = sample_matches(
+            ev, args.by.split(","), args.step,
+            tiebreak=args.tiebreak, time_col=args.time_col,
+        )
+    rows = out.limit(args.max_rows).collect()
+    return {
+        "columns": out.columns,
+        "rows": [list(map(str, r)) for r in rows],
+        "latency_sec": round(time.monotonic() - t0, 3),
+    }
+
+
+def cmd_datastream(args) -> dict:
+    from .plans import data_stream as ds
+
+    spark = _session(args)
+    if args.ds_action == "create":
+        return ds.create_data_stream(spark, args.stream, _cfg(args))
+    if args.ds_action == "append":
+        return ds.append_batch(spark, args.stream, spark.read.parquet(args.input))
+    if args.ds_action == "expire":
+        return {"dropped": ds.expire_generations(spark, args.stream, args.older_than)}
+    out = ds.search_stream(spark, args.stream, args.query, k=args.k)
+    return {
+        "hits": [
+            {"index": r["index"], "docid": r["docid"], "score": round(r["score"], 4)}
+            for r in out.collect()
+        ]
+    }
+
+
 def cmd_reindex(args) -> dict:
     from .plans.deletes import reindex
 
@@ -812,6 +878,38 @@ def main(argv: list[str] | None = None) -> int:
              '"aggs":{"n":"count(*)"},"sync_field":"ts"}',
     )
     tr.set_defaults(fn=cmd_transform)
+
+    eq = sub.add_parser("esql", help="ES|QL pipe over parquet tables or built indexes")
+    eq.add_argument("--query", required=True, help="the ES|QL pipe")
+    eq.add_argument("--table", action="append", default=None,
+                    help="name=parquet_path (repeatable)")
+    eq.add_argument("--index", action="append", default=None,
+                    help="name=index_dir (repeatable; enables match())")
+    eq.add_argument("--max-rows", type=int, default=100)
+    eq.set_defaults(fn=cmd_esql)
+
+    el = sub.add_parser("eql", help="EQL sequence/sample over an event table")
+    el.add_argument("eql_mode", choices=["sequence", "sample"])
+    el.add_argument("--source", required=True, help="events parquet path")
+    el.add_argument("--by", required=True, help="join key column(s), comma-sep")
+    el.add_argument("--step", action="append", required=True,
+                    help="step predicate (repeatable, in order)")
+    el.add_argument("--tiebreak", required=True, help="total-order id column")
+    el.add_argument("--time-col", default="ts")
+    el.add_argument("--maxspan", type=float, default=None, help="seconds")
+    el.add_argument("--until", default=None, help="expel-partials predicate")
+    el.add_argument("--first-only", action="store_true")
+    el.add_argument("--max-rows", type=int, default=100)
+    el.set_defaults(fn=cmd_eql)
+
+    dstr = sub.add_parser("datastream", help="append-only data stream over generations")
+    dstr.add_argument("ds_action", choices=["create", "append", "search", "expire"])
+    dstr.add_argument("--stream", required=True, help="data stream alias dir")
+    dstr.add_argument("--input", default=None, help="batch parquet path (append)")
+    dstr.add_argument("--query", default=None, help="query string (search)")
+    dstr.add_argument("-k", type=int, default=10)
+    dstr.add_argument("--older-than", default=None, help="retention cutoff (expire)")
+    dstr.set_defaults(fn=cmd_datastream)
 
     args = ap.parse_args(argv)
     print(json.dumps(args.fn(args), default=str))

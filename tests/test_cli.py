@@ -531,3 +531,56 @@ def test_cli_transform(spark, tmp_path, capsys):
 
     got = {(r.user_id, r.n) for r in read_transform(spark, dest).collect()}
     assert got == {(u, 10) for u in range(4)}
+
+
+def test_cli_esql_eql_datastream(spark, tmp_path, capsys):
+    import datetime
+
+    # shared event table
+    ev = str(tmp_path / "evsrc")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i * 5), i % 3,
+         ["view", "click", "purchase"][(i * 7 + i // 3) % 3])
+        for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.parquet(ev)
+
+    assert cli_main([
+        "esql", "--query",
+        'FROM t | WHERE event_type == "view" | STATS n = COUNT(*) BY user_id | SORT user_id',
+        "--table", f"t={ev}",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["columns"] == ["user_id", "n"] and len(out["rows"]) == 3
+
+    assert cli_main([
+        "eql", "sequence", "--source", ev, "--by", "user_id",
+        "--step", "event_type = 'view'", "--step", "event_type = 'purchase'",
+        "--tiebreak", "event_id", "--maxspan", "3600",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["rows"]) > 0
+
+    # datastream lifecycle through the CLI
+    corpus = str(tmp_path / "dscorpus")
+    assert cli_main(["gen", "--out", corpus, "--turns", "400", "--seed", "3"]) == 0
+    capsys.readouterr()
+    stream = str(tmp_path / "dsx")
+    common = ["--n-buckets", "4", "--wave-size", "4", "--salt-docs", "256"]
+    assert cli_main([*common, "datastream", "create", "--stream", stream]) == 0
+    capsys.readouterr()
+    assert cli_main([
+        "datastream", "append", "--stream", stream,
+        "--input", f"{corpus}/transcripts",
+    ]) == 0
+    capsys.readouterr()
+    assert cli_main([
+        "datastream", "search", "--stream", stream, "--query", "w0 w1", "-k", "5",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["hits"]) == 5
+    scores = [h["score"] for h in out["hits"]]
+    assert scores == sorted(scores, reverse=True)
