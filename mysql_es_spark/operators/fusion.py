@@ -154,6 +154,10 @@ def retriever_tree(
     - ``{"linear": {"retrievers": [...], "weights": [...],
       "normalize": None|"minmax"|"l2", "rank_window_size": 50}}`` —
       weighted-sum fusion via :func:`linear_fuse`.
+    - ``{"rule": {"retriever": ..., "rules": [...], "metadata": {...},
+      "corpus": df|None}}`` — ES's rule retriever: query-rules curation
+      (operators/rules.py) over the child — matching pins first with
+      deterministic scores, excluded ids dropped.
     - ``{"rescorer": {"retriever": ..., "rescore": fn,
       "rank_window_size": 50}}`` — ES's rescorer retriever: the child's
       top-window ids are re-scored by ``rescore`` (a callable taking the
@@ -210,5 +214,41 @@ def retriever_tree(
         # window contract: only ids the child surfaced may appear
         rescored = rescored.join(child.select(id_col), id_col, "inner")
         return rescored.orderBy(*order).limit(k)
+
+    if kind == "rule":
+        # ES 8.16 `rule` retriever: query-rules curation applied on top of
+        # any organic child — matching rules' pins rank first with the
+        # deterministic pinned_base - i scores (operators/rules.py
+        # contract), excluded ids vanish. ``corpus`` (an id frame)
+        # optionally drops pins that don't exist, as ES skips missing
+        # pinned docs; without it, pin ids are trusted.
+        from .rules import matching_actions, validate_ruleset
+
+        window = int(body.get("rank_window_size", max(k, 50)))
+        child = retriever_tree(
+            body["retriever"], k=window, id_col=id_col, score_decimals=score_decimals
+        )
+        pins, excl = matching_actions(
+            validate_ruleset(body["rules"]), body.get("metadata", {})
+        )
+        out = child
+        if excl:
+            out = out.filter(~F.col(id_col).cast("string").isin(sorted(excl)))
+        if pins:
+            base = float(body.get("pinned_base", 1.0e6))
+            idt = child.schema[id_col].dataType
+            spark = child.sparkSession
+            pinned_df = spark.createDataFrame(
+                [(p, base - i) for i, p in enumerate(pins)], "pid string, s double"
+            ).select(F.col("pid").cast(idt).alias(id_col), "s")
+            corpus = body.get("corpus")
+            if corpus is not None:
+                pinned_df = pinned_df.join(
+                    corpus.select(F.col(id_col)), id_col, "left_semi"
+                )
+            out = out.join(pinned_df.select(id_col), id_col, "left_anti").unionByName(
+                pinned_df
+            )
+        return out.orderBy(*order).limit(k)
 
     raise ValueError(f"unknown retriever kind {kind!r}")

@@ -96,3 +96,59 @@ def test_validation(spark, leaves):
                         "weights": [1.0]}},
             k=3,
         )
+
+
+def test_rule_node_pins_and_excludes(spark, leaves):
+    a, _b, _c = leaves
+    rules = [
+        {"type": "pinned", "ids": ["4"],
+         "criteria": [{"type": "contains", "metadata": "user_query", "values": ["foo"]}]},
+        {"type": "exclude", "ids": ["2"], "criteria": [{"type": "always"}]},
+        {"type": "pinned", "ids": ["9"],
+         "criteria": [{"type": "exact", "metadata": "user_query", "values": ["zzz"]}]},
+    ]
+    out = retriever_tree(
+        {"rule": {"retriever": {"retriever": a}, "rules": rules,
+                  "metadata": {"user_query": "a foo query"}}},
+        k=4,
+    ).collect()
+    ids = [r.doc_id for r in out]
+    assert ids == [4, 1, 3]          # pin first, 2 excluded, organic order kept
+    assert out[0].s >= 1.0e6 - 1
+
+    # ghost pin: trusted without a corpus frame, dropped with one
+    ghost = [{"type": "pinned", "ids": ["42"], "criteria": [{"type": "always"}]}]
+    ids_trusted = [
+        r.doc_id
+        for r in retriever_tree(
+            {"rule": {"retriever": {"retriever": a}, "rules": ghost, "metadata": {}}},
+            k=5,
+        ).collect()
+    ]
+    assert ids_trusted[0] == 42
+    ids_checked = [
+        r.doc_id
+        for r in retriever_tree(
+            {"rule": {"retriever": {"retriever": a}, "rules": ghost,
+                      "metadata": {}, "corpus": a.select("doc_id")}},
+            k=5,
+        ).collect()
+    ]
+    assert 42 not in ids_checked
+
+
+def test_rule_node_composes_under_rrf(spark, leaves):
+    a, b, _ = leaves
+    ruled = {"rule": {"retriever": {"retriever": a},
+                      "rules": [{"type": "exclude", "ids": ["1"],
+                                 "criteria": [{"type": "always"}]}],
+                      "metadata": {}}}
+    fused = retriever_tree(
+        {"rrf": {"retrievers": [ruled, {"retriever": b}], "rank_window_size": 10}},
+        k=6, score_decimals=6,
+    ).collect()
+    ids = [r.doc_id for r in fused]
+    assert 1 in ids  # excluded only from the ruled child; b still surfaces it
+    # but doc 1 gets only b's rank contribution: weaker than doc 3 (both lists)
+    pos = {d: i for i, d in enumerate(ids)}
+    assert pos[3] < pos[1]
