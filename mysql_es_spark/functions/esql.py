@@ -413,6 +413,20 @@ def esql(
             if bad:
                 raise EsqlError(f"RENAME: unknown column(s) {bad}")
             df = df.withColumnsRenamed(ren)
+        elif kw == "CHANGE_POINT":
+            # ES|QL CHANGE_POINT <value> ON <key>: reduce the pipe to the
+            # step-change row — argmax-Welch over the (already reduced)
+            # series, the exact detector behind the change_point agg
+            mm = re.match(rf"^({_NAME})\s+ON\s+({_NAME})$", body, re.I)
+            if not mm:
+                raise EsqlError(f"CHANGE_POINT: expected '<value> ON <key>', got {body!r}")
+            val, onk = mm.group(1), mm.group(2)
+            bad = [c for c in (val, onk) if c not in df.columns]
+            if bad:
+                raise EsqlError(f"CHANGE_POINT: unknown column(s) {bad}")
+            from ..operators.aggs import change_point_series
+
+            df = change_point_series(df, value_col=val, order_col=onk)
         elif kw == "LOOKUP":
             mm = re.match(rf"^JOIN\s+({_NAME})\s+ON\s+(.+)$", body, re.I | re.S)
             if not mm:

@@ -2029,20 +2029,32 @@ def change_point_agg(
     determinism contract as every scored path here.
     """
     hist = date_histogram(spark, index_dir, query, interval, cfg)
-    w = W.orderBy("period").rowsBetween(W.unboundedPreceding, -1)
-    v = F.col("n_docs").cast("double")
-    pre = hist.select(
-        "period",
-        "n_docs",
+    return change_point_series(hist, value_col="n_docs", order_col="period")
+
+
+def change_point_series(
+    df: DataFrame, value_col: str, order_col: str
+) -> DataFrame:
+    """The step-change detector on ANY reduced (order, value) frame —
+    shared by change_point_agg (index date_histogram counts) and the
+    ES|QL CHANGE_POINT command. Math and determinism contract unchanged:
+    argmax Welch t over every ≥2|≥2 split from cumulative sums, 6-dp
+    tie-break then earliest order value. Returns one row
+    (order_col, stat, type)."""
+    w = W.orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
+    v = F.col(value_col).cast("double")
+    pre = df.select(
+        order_col,
+        value_col,
         F.count(v).over(w).alias("n1"),
         F.sum(v).over(w).alias("s1"),
         F.sum(v * v).over(w).alias("q1"),
     )
-    tot = hist.agg(
+    tot = df.agg(
         F.count(v).alias("nt"), F.sum(v).alias("st"), F.sum(v * v).alias("qt")
     )
     j = pre.crossJoin(F.broadcast(tot)).select(
-        "period",
+        order_col,
         "n1",
         (F.col("nt") - F.col("n1")).alias("n2"),
         F.col("s1"),
@@ -2057,14 +2069,14 @@ def change_point_agg(
     stat = F.try_divide(m2 - m1, F.sqrt(var1 / F.col("n1") + var2 / F.col("n2")))
     scored = (
         j.filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
-        .select("period", stat.alias("stat"))
+        .select(order_col, stat.alias("stat"))
         .filter(F.col("stat").isNotNull())
     )
     return (
-        scored.orderBy(F.round(F.abs("stat"), 6).desc(), F.col("period").asc())
+        scored.orderBy(F.round(F.abs("stat"), 6).desc(), F.col(order_col).asc())
         .limit(1)
         .select(
-            "period",
+            order_col,
             F.round("stat", 4).alias("stat"),
             F.when(F.col("stat") >= 0, F.lit("step_up"))
             .otherwise(F.lit("step_down"))

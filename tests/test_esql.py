@@ -281,3 +281,18 @@ def test_lookup_join(spark, tdf):
         esql("FROM docs | LOOKUP JOIN nope ON lang", {"docs": tdf})
     with pytest.raises(EsqlError):
         esql("FROM docs | LOOKUP JOIN langs ON zz", {"docs": tdf, "langs": lk})
+
+
+def test_change_point_command(spark):
+    # a clean step: level 10 for 12 buckets then level 50
+    rows = [(i, 10.0 + (40.0 if i >= 12 else 0.0) + (i % 3) * 0.1) for i in range(24)]
+    s = spark.createDataFrame(rows, "b long, v double")
+    out = esql("FROM t | CHANGE_POINT v ON b", {"t": s}).collect()
+    assert len(out) == 1 and out[0].b == 12 and out[0].type == "step_up"
+    # identical to the shared detector the agg uses
+    from mysql_es_spark.operators.aggs import change_point_series
+
+    direct = change_point_series(s, "v", "b").collect()[0]
+    assert (out[0].b, out[0].stat, out[0].type) == (direct.b, direct.stat, direct.type)
+    with pytest.raises(EsqlError):
+        esql("FROM t | CHANGE_POINT nope ON b", {"t": s})
