@@ -711,6 +711,86 @@ def main() -> int:
             mismatches += 1
             fails.append(f"dsir{i}: {bad} docs off")
 
+    # --- EQL sequence: engine vs brute maximal-start enumeration on the
+    # real transcripts (conv_id key, role steps, ts/docid total order) ---
+    import itertools
+
+    from mysql_es_spark.operators.eql import sequence_matches
+
+    ev_rows = spark.read.parquet(f"{ix}/forward").select(
+        "docid", "conv_id", "role", "ts"
+    ).collect()
+    byconv: dict = {}
+    for r in ev_rows:
+        byconv.setdefault(r.conv_id, []).append((r.ts, r.docid, r.role))
+    for evs in byconv.values():
+        evs.sort()
+    ev_df = spark.read.parquet(f"{ix}/forward").select("docid", "conv_id", "role", "ts")
+    roles = ["user", "assistant", "tool"]
+    for i in range(min(args.rounds, 6)):
+        k_steps = rng.choice([2, 3])
+        steps = [rng.choice(roles) for _ in range(k_steps)]
+        maxspan = rng.choice([None, 3600.0, 86400.0])
+        got = {
+            (r.conv_id, r.start_ts, r.end_docid)
+            for r in sequence_matches(
+                ev_df, "conv_id", [f"role = '{st}'" for st in steps],
+                tiebreak="docid", maxspan_seconds=maxspan,
+            ).collect()
+        }
+        want = set()
+        for conv, evs in byconv.items():
+            for endpos in range(len(evs)):
+                if evs[endpos][2] != steps[-1]:
+                    continue
+                best = None
+                for chain in itertools.combinations(range(endpos + 1), k_steps - 1):
+                    pos = list(chain) + [endpos]
+                    if sorted(set(pos)) != pos:
+                        continue
+                    if any(evs[q][2] != steps[j] for j, q in enumerate(pos)):
+                        continue
+                    if best is None or evs[pos[0]][0] > best:
+                        best = evs[pos[0]][0]
+                if best is None:
+                    continue
+                span = (evs[endpos][0] - best).total_seconds()
+                if maxspan is None or span <= maxspan:
+                    want.add((conv, best, evs[endpos][1]))
+        checks += 1
+        if got != want:
+            mismatches += 1
+            fails.append(f"eql{i}: {len(got ^ want)} rows differ ({steps}, {maxspan})")
+
+    # --- ES|QL: random pipe vs the manual DataFrame composition ---
+    from mysql_es_spark.functions.esql import esql
+
+    turns_df = spark.read.parquet(f"{ix}/forward").select(
+        "docid", "conv_id", "role", "tool", "text"
+    )
+    for i in range(min(args.rounds, 6)):
+        role = rng.choice(roles)
+        pipe = (
+            f'FROM t | WHERE role == "{role}" '
+            f"| EVAL tl = length(text) "
+            f"| STATS n = COUNT(*), mx = MAX(tl), total = SUM(tl) BY tool "
+            f"| SORT tool"
+        )
+        got_rows = [tuple(r) for r in esql(pipe, {"t": turns_df}).collect()]
+        want_rows = [
+            tuple(r)
+            for r in turns_df.filter(F.col("role") == role)
+            .withColumn("tl", F.length("text"))
+            .groupBy("tool")
+            .agg(F.count("*").alias("n"), F.max("tl").alias("mx"), F.sum("tl").alias("total"))
+            .orderBy(F.col("tool").asc_nulls_last())
+            .collect()
+        ]
+        checks += 1
+        if got_rows != want_rows:
+            mismatches += 1
+            fails.append(f"esql{i}: rows differ for role {role}")
+
     print(
         json.dumps(
             {
