@@ -648,6 +648,21 @@ def q_esql_lookup_stats(spark, sf):
     )
 
 
+def q_esql_fork(spark, sf):
+    """ES|QL 8.19 FORK: two branch sub-pipes over the same filtered
+    input, unioned with the _fork discriminator (schemas null-pad)."""
+    from mysql_es_spark.functions.esql import esql
+
+    return esql(
+        """FROM documents
+           | FORK (WHERE lang == "en" | STATS n = COUNT(*), widest = MAX(n_chars))
+                  (STATS n = COUNT(*), widest = MAX(n_chars) BY source
+                   | SORT source | LIMIT 3)
+           | SORT _fork, source""",
+        {"documents": _t(spark, sf, "documents")},
+    )
+
+
 def q_transform_pivot(spark, sf):
     """ES _transform (pivot): entity-centric rollup of events by user —
     destination table hash-partitioned on the key so incremental ticks
@@ -3685,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_pivot": q_transform_pivot,
         "esql_match": q_esql_match,
         "esql_lookup_stats": q_esql_lookup_stats,
+        "esql_fork": q_esql_fork,
         "events_downsample": q_events_downsample,
         "ltr_features": q_ltr_features,
         "graph_explore": q_graph_explore,
@@ -4506,6 +4522,18 @@ SELECT event_type,
        CAST(count(value) AS BIGINT) AS v_count
 FROM events GROUP BY event_type, date_trunc('day', ts)
 ORDER BY event_type, day_ts
+""",
+        "esql_fork": """
+SELECT 'fork1' AS _fork, CAST(count(*) AS BIGINT) AS n,
+       max(n_chars) AS widest, CAST(NULL AS VARCHAR) AS source
+FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT * FROM (
+  SELECT 'fork2' AS _fork, CAST(count(*) AS BIGINT) AS n,
+         max(n_chars) AS widest, source
+  FROM documents GROUP BY source ORDER BY source NULLS LAST LIMIT 3
+)
+ORDER BY _fork, source NULLS LAST
 """,
         "esql_lookup_stats": """
 WITH lk AS (SELECT lang, avg(n_chars) AS lang_avg FROM documents GROUP BY 1),

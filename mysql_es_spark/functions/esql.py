@@ -228,6 +228,31 @@ def _expand_patterns(pats: list[str], columns: list[str], what: str) -> list[str
     return out
 
 
+def _paren_groups(s: str, what: str) -> list[str]:
+    """Top-level ``(...)`` groups: ``(a | b) (c)`` → [\"a | b\", \"c\"].
+    Anything outside a group besides whitespace is an error."""
+    groups, depth, quote, start = [], 0, None, -1
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch == "(":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start + 1 : i])
+        elif depth == 0 and not ch.isspace():
+            raise EsqlError(f"{what}: unexpected {ch!r} outside a (branch)")
+    if depth != 0:
+        raise EsqlError(f"{what}: unbalanced parentheses")
+    return groups
+
+
 def _parse_assignments(body: str, what: str) -> list[tuple[str, str]]:
     """``a = expr, b = expr`` → [(a, expr), …]; bare exprs get themselves
     as their name (ES|QL's implicit naming)."""
@@ -413,6 +438,28 @@ def esql(
             if bad:
                 raise EsqlError(f"RENAME: unknown column(s) {bad}")
             df = df.withColumnsRenamed(ren)
+        elif kw == "FORK":
+            # ES|QL 8.19 FORK: run each (branch sub-pipe) over the current
+            # frame and union the outputs with a _fork discriminator —
+            # branch schemas may differ (missing columns null-pad). One
+            # logical plan: the input subtree is shared, not re-read.
+            branches = _paren_groups(body, "FORK")
+            if not 2 <= len(branches) <= 8:
+                raise EsqlError("FORK needs 2–8 (branch) sub-pipes")
+            outs = []
+            for bi, br in enumerate(branches, 1):
+                sub = esql(
+                    "FROM __fork_input__ | " + br.strip(),
+                    {**tables, "__fork_input__": df},
+                    spark=spark,
+                    enrich=enrich,
+                    match_resolver=match_resolver,
+                    doc_key=doc_key,
+                )
+                outs.append(sub.withColumn("_fork", F.lit(f"fork{bi}")))
+            df = outs[0]
+            for o in outs[1:]:
+                df = df.unionByName(o, allowMissingColumns=True)
         elif kw == "CHANGE_POINT":
             # ES|QL CHANGE_POINT <value> ON <key>: reduce the pipe to the
             # step-change row — argmax-Welch over the (already reduced)

@@ -296,3 +296,33 @@ def test_change_point_command(spark):
     assert (out[0].b, out[0].stat, out[0].type) == (direct.b, direct.stat, direct.type)
     with pytest.raises(EsqlError):
         esql("FROM t | CHANGE_POINT nope ON b", {"t": s})
+
+
+def test_fork_branches_union_with_discriminator(spark, tdf):
+    out = esql(
+        """FROM docs
+           | FORK (WHERE source == "web" | STATS n = COUNT(*))
+                  (STATS n = COUNT(*) BY lang | SORT lang | LIMIT 2)
+           | KEEP _fork, lang, n
+           | SORT _fork, lang""",
+        {"docs": tdf},
+    ).collect()
+    got = [(r._fork, r.lang, r.n) for r in out]
+    assert got[0] == ("fork1", None, 4)  # branch 1 has no lang → null-padded
+    assert [(f, l) for f, l, _ in got[1:]] == [("fork2", "de"), ("fork2", "en")]
+    with pytest.raises(EsqlError):
+        esql("FROM docs | FORK (LIMIT 1)", {"docs": tdf})
+    with pytest.raises(EsqlError):
+        esql("FROM docs | FORK (LIMIT 1) junk (LIMIT 2)", {"docs": tdf})
+
+
+def test_fork_inherits_current_frame_not_source(spark, tdf):
+    out = esql(
+        """FROM docs
+           | WHERE n_chars >= 100
+           | FORK (STATS n = COUNT(*)) (STATS m = MAX(n_chars))""",
+        {"docs": tdf},
+    ).collect()
+    by = {r._fork: r for r in out}
+    assert by["fork1"].n == 3  # the WHERE upstream of FORK applies to branches
+    assert by["fork2"].m == 300
