@@ -91,3 +91,22 @@ def apply_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
         else:
             raise ValueError(f"processor #{i}: unknown processor {name!r}")
     return df
+
+
+def simulate_pipeline(
+    spark, processors: list[dict], docs: list[dict]
+) -> list[dict]:
+    """ES ``_ingest/pipeline/_simulate``: run the processor chain over a
+    handful of literal documents and return the transformed docs —
+    pipeline debugging without touching any table. Same compile path as
+    apply_pipeline (schema-validated Catalyst column algebra), so what
+    simulate shows IS what ingest will do. All docs must share a key set
+    (one schema, as an index's mapping would impose)."""
+    if not docs:
+        return []
+    keys = sorted(docs[0])
+    if any(sorted(d) != keys for d in docs):
+        raise ValueError("_simulate docs must share one field set")
+    df = spark.createDataFrame([tuple(d[k] for k in keys) for d in docs], keys)
+    out = apply_pipeline(df, processors)
+    return [r.asDict(recursive=True) for r in out.collect()]

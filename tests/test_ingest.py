@@ -76,3 +76,25 @@ def test_pipeline_is_pure_jvm(spark, df):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simulate_pipeline_matches_apply(spark):
+    from mysql_es_spark.operators.ingest import apply_pipeline, simulate_pipeline
+
+    procs = [
+        {"set": {"field": "kind", "value": "turn"}},
+        {"uppercase": {"field": "role"}},
+        {"rename": {"field": "txt", "target_field": "text"}},
+    ]
+    docs = [
+        {"role": "user", "txt": "hello there"},
+        {"role": "tool", "txt": "ls -la"},
+    ]
+    got = simulate_pipeline(spark, procs, docs)
+    assert got == [
+        {"role": "USER", "text": "hello there", "kind": "turn"},
+        {"role": "TOOL", "text": "ls -la", "kind": "turn"},
+    ]
+    with pytest.raises(ValueError, match="field set"):
+        simulate_pipeline(spark, procs, [{"a": 1}, {"b": 2}])
+    assert simulate_pipeline(spark, procs, []) == []
