@@ -663,6 +663,22 @@ def q_esql_fork(spark, sf):
     )
 
 
+def q_esql_inlinestats(spark, sf):
+    """ES|QL INLINESTATS: per-group aggregate attached WITHOUT collapsing
+    (window aggregate, one shuffle) — here selecting each language's
+    longest documents."""
+    from mysql_es_spark.functions.esql import esql
+
+    return esql(
+        """FROM documents
+           | INLINESTATS mx = MAX(n_chars) BY lang
+           | WHERE n_chars == mx
+           | KEEP lang, doc_id, n_chars
+           | SORT lang, doc_id""",
+        {"documents": _t(spark, sf, "documents")},
+    )
+
+
 def q_transform_pivot(spark, sf):
     """ES _transform (pivot): entity-centric rollup of events by user —
     destination table hash-partitioned on the key so incremental ticks
@@ -3701,6 +3717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_match": q_esql_match,
         "esql_lookup_stats": q_esql_lookup_stats,
         "esql_fork": q_esql_fork,
+        "esql_inlinestats": q_esql_inlinestats,
         "events_downsample": q_events_downsample,
         "ltr_features": q_ltr_features,
         "graph_explore": q_graph_explore,
@@ -4522,6 +4539,15 @@ SELECT event_type,
        CAST(count(value) AS BIGINT) AS v_count
 FROM events GROUP BY event_type, date_trunc('day', ts)
 ORDER BY event_type, day_ts
+""",
+        "esql_inlinestats": """
+WITH w AS (
+  SELECT lang, doc_id, n_chars,
+         max(n_chars) OVER (PARTITION BY lang) AS mx
+  FROM documents
+)
+SELECT lang, doc_id, n_chars FROM w WHERE n_chars = mx
+ORDER BY lang NULLS LAST, doc_id
 """,
         "esql_fork": """
 SELECT 'fork1' AS _fork, CAST(count(*) AS BIGINT) AS n,

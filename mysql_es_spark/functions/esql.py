@@ -269,7 +269,13 @@ def _parse_assignments(body: str, what: str) -> list[tuple[str, str]]:
     return items
 
 
-def _agg_column(alias: str, expr: str) -> Column:
+# aggregates usable as window functions (INLINESTATS): COUNT_DISTINCT
+# and VALUES are excluded — Spark forbids DISTINCT aggregates over a
+# window, and VALUES wraps its aggregate in a post-transform
+_WINDOW_SAFE = {"COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN", "PERCENTILE"}
+
+
+def _agg_column(alias: str, expr: str, window=None) -> Column:
     # per-aggregate filter (ES|QL `STATS agg(...) WHERE cond`): compiled
     # as a CASE wrapper on the aggregated value, so filtered and
     # unfiltered aggs coexist in ONE hash aggregate — no extra pass
@@ -295,7 +301,15 @@ def _agg_column(alias: str, expr: str) -> Column:
         arglist = _split_top(args, ",") if args != "*" else ["1"]
         arglist[0] = f"CASE WHEN ({cond}) THEN {arglist[0]} END"
         args = ", ".join(a.strip() for a in arglist)
-    return F.expr(_AGGS[fn].format(a=args)).alias(alias)
+    col = F.expr(_AGGS[fn].format(a=args))
+    if window is not None:
+        if fn not in _WINDOW_SAFE:
+            raise EsqlError(
+                f"INLINESTATS: {fn} cannot run as a window aggregate "
+                f"(supported: {sorted(_WINDOW_SAFE)})"
+            )
+        col = col.over(window)
+    return col.alias(alias)
 
 
 def _sort_column(item: str) -> Column:
@@ -415,6 +429,24 @@ def esql(
                 df = df.groupBy(*[a for a, _ in keys]).agg(*aggs)
             else:
                 df = df.agg(*aggs)
+        elif kw == "INLINESTATS":
+            # aggregate columns WITHOUT collapsing rows — compiled as
+            # window aggregates over the BY keys (one shuffle; unbounded
+            # frame), the plan ES|QL's own docs describe as a join of
+            # STATS back onto the stream
+            mby = re.split(r"(?i)\bBY\b", body, maxsplit=1)
+            from pyspark.sql import Window
+
+            if len(mby) == 2:
+                keys = _parse_assignments(mby[1], "INLINESTATS BY")
+                for a, e in keys:
+                    if a != e:
+                        df = df.withColumn(a, F.expr(e))
+                w = Window.partitionBy(*[a for a, _ in keys])
+            else:
+                w = Window.partitionBy()
+            for a, e in _parse_assignments(mby[0], "INLINESTATS"):
+                df = df.withColumn(a, _agg_column(a, e, window=w))
         elif kw == "SORT":
             df = df.orderBy(*[_sort_column(it) for it in _split_top(body, ",")])
         elif kw == "LIMIT":

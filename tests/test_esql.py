@@ -326,3 +326,26 @@ def test_fork_inherits_current_frame_not_source(spark, tdf):
     by = {r._fork: r for r in out}
     assert by["fork1"].n == 3  # the WHERE upstream of FORK applies to branches
     assert by["fork2"].m == 300
+
+
+def test_inlinestats_attaches_without_collapsing(spark, tdf):
+    out = esql(
+        """FROM docs
+           | INLINESTATS mx = MAX(n_chars), n = COUNT(*) BY source
+           | EVAL frac = n_chars / mx
+           | KEEP doc_id, source, mx, n, frac
+           | SORT doc_id""",
+        {"docs": tdf},
+    ).collect()
+    assert len(out) == 6  # row count preserved
+    web = [r for r in out if r.source == "web"]
+    assert all(r.mx == 300 and r.n == 4 for r in web)
+    assert next(r for r in out if r.doc_id == 4).frac == 1.0
+    # global (no BY) + per-agg WHERE
+    g = esql(
+        'FROM docs | INLINESTATS total = SUM(n_chars) WHERE source == "web" | LIMIT 1',
+        {"docs": tdf},
+    ).collect()[0]
+    assert g.total == 460
+    with pytest.raises(EsqlError, match="window"):
+        esql("FROM docs | INLINESTATS d = COUNT_DISTINCT(source)", {"docs": tdf})
