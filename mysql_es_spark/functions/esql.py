@@ -417,7 +417,7 @@ def esql(
             for a, e in _parse_assignments(body, "EVAL"):
                 df = df.withColumn(a, F.expr(e))  # sequential: later sees earlier
         elif kw == "STATS":
-            mby = re.split(r"(?i)\bBY\b", body, maxsplit=1)
+            mby = _split_keyword(body, "BY")
             aggs = [
                 _agg_column(a, e) for a, e in _parse_assignments(mby[0], "STATS")
             ]
@@ -434,7 +434,7 @@ def esql(
             # window aggregates over the BY keys (one shuffle; unbounded
             # frame), the plan ES|QL's own docs describe as a join of
             # STATS back onto the stream
-            mby = re.split(r"(?i)\bBY\b", body, maxsplit=1)
+            mby = _split_keyword(body, "BY")
             from pyspark.sql import Window
 
             if len(mby) == 2:
