@@ -25,6 +25,17 @@ Supported commands (the documented stable core):
   DROP c1, pat*, …       remove columns (wildcards)
   RENAME old AS new, …
   MV_EXPAND col          explode a multivalue column (null → null row)
+  INLINESTATS a = AGG(x) [WHERE c] … [BY k…]   window aggregates —
+                         per-group values attached WITHOUT collapsing
+  LOOKUP JOIN t ON k     broadcast left join (the ES lookup-index model)
+  FORK (p1) (p2) …       2–8 branch sub-pipes over the shared frame,
+                         unioned with a `_fork` discriminator
+  CHANGE_POINT v ON k    reduce to the argmax-Welch step-change row
+  ENRICH policy ON key [WITH cols]   lookup-policy column attach
+  DISSECT col "%{a} %{b}"            pattern extract (one JVM regexp)
+
+STATS/INLINESTATS aggregates accept a per-aggregate ``WHERE cond``
+filter, compiled as a CASE wrapper inside ONE hash aggregate.
 
 Scalar expressions are Spark SQL expressions — ES|QL's function surface
 (ABS, ROUND, CONCAT, LENGTH, SUBSTRING, DATE_TRUNC, CASE, LIKE, IN …)
