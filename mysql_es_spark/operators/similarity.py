@@ -581,7 +581,10 @@ def bbq_encode(
     sign(x − centroid_d), packed 64 dims per long JVM-side. 32× smaller
     than float32; the bit table is the only thing the approximate query
     phase scans. Pure Catalyst expressions (normalize → center → sign →
-    shift/or-fold), no Python in the pass."""
+    shift/or-fold), no Python in the pass. The or-fold emits one
+    conditional per dimension; past ~2k dims Spark falls back from
+    whole-stage codegen to interpreted projection (still JVM, still
+    columnar) — at embedding dims in common use (≤1536) it stays fused."""
     dim = len(centroid)
     n_words = (dim + 63) // 64
     c = F.array(*[F.lit(float(v)) for v in centroid])
