@@ -169,3 +169,46 @@ def test_latest_requires_tiebreak(spark):
         TransformConfig(
             mode="latest", unique_key=("u",), sort_field="ts", sync_field="ts"
         ).validate()
+
+
+def test_continuous_transform_stream(spark, tmp_path):
+    from mysql_es_spark.streaming.transform_stream import start_transform_stream
+
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "tdest")
+    ckpt = str(tmp_path / "ckpt")
+    base = [(i, i % 6, float(i)) for i in range(60)]
+    _events(spark, base).write.mode("overwrite").parquet(src)
+
+    run_transform(spark, spark.read.parquet(src), dest, PIVOT)
+
+    # new files arrive (later sync ts); the stream drains and ticks
+    extra = _events(spark, base + [(500 + j, j % 6, 50.0 + j) for j in range(4)])
+    extra.filter("event_id >= 60").write.mode("append").parquet(src)
+    q = start_transform_stream(spark, src, dest, PIVOT, ckpt)
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.user_id, r.n, round(r.total, 6))
+        for r in read_transform(spark, dest).collect()
+    )
+    want = sorted(
+        (r.user_id, r.n, round(r.total, 6))
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    )
+    assert got == want
+
+    # nothing new: drain again, tick is a no-op, table unchanged
+    q2 = start_transform_stream(spark, src, dest, PIVOT, ckpt)
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, read_transform(spark, dest).collect())) == sorted(
+        map(tuple, read_transform(spark, dest).collect())
+    )
+    got2 = sorted(
+        (r.user_id, r.n, round(r.total, 6))
+        for r in read_transform(spark, dest).collect()
+    )
+    assert got2 == want
