@@ -108,8 +108,17 @@ def rollover(
 
     base = os.path.basename(os.path.normpath(alias_dir))
     parent = os.path.dirname(os.path.abspath(alias_dir))
+    # monotonic over ALL generations (ES's generation counter): a merged
+    # generation may carry a higher number than the current write index
+    nums = [1]
     m = re.match(rf"^{re.escape(os.path.join(parent, base))}-(\d{{6}})$", target)
-    gen = int(m.group(1)) + 1 if m else 1
+    if m:
+        nums.append(int(m.group(1)) + 1)
+    for label in list_generations(alias_dir):
+        mm = re.match(rf"^{re.escape(base)}-(\d{{6}})$", label)
+        if mm:
+            nums.append(int(mm.group(1)) + 1)
+    gen = max(nums)
     new_dir = os.path.join(parent, f"{base}-{gen:06d}")
     if os.path.exists(new_dir):
         raise ValueError(f"rollover target already exists: {new_dir}")

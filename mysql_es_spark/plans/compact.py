@@ -231,3 +231,165 @@ def compact_index(
         "n_docs": int(n_docs),
         "docs_purged": docs_purged,
     }
+
+
+def merge_indexes(
+    spark: SparkSession,
+    src_dirs: list[str],
+    dst_dir: str,
+    cfg: IndexConfig | None = None,
+    on_dup: str = "error",
+) -> dict:
+    """Cross-index forcemerge: N built indexes → one optimized index,
+    WITHOUT re-tokenizing.
+
+    Lucene merges segments of one index; a data stream's generations (or
+    any rollover family) are separate indexes, and their docids collide —
+    every index assigns bucket-local docids from the same static ranges
+    (operators/docids.py). So the merge must re-key identity: the union
+    of live forward rows gets fresh docids from the standard assignment,
+    each source's postings decode back to (docid, term, tf, dl[, pos])
+    rows, remap (source, old docid) → new docid with one equi-join, and
+    the standard encode path packs one global wave. Token streams are
+    never recomputed — the analyzer/scoring config must therefore be
+    identical across sources (checked; physical layout is free to change,
+    the reshard contract).
+
+    ``on_dup``: a ``doc_key`` present in several sources is an ``error``
+    by default; ``"last"`` keeps the row from the LATEST source in
+    ``src_dirs`` order (its postings too — the loser's rows drop out of
+    the inner remap join). Soft-deleted docs never cross (the merge is a
+    purge, as _forcemerge is). Returns {n_docs, sources, dup_policy}.
+    """
+    import functools
+
+    from ..operators.docids import assign_docids, with_bucket
+
+    if len(src_dirs) < 2:
+        raise ValueError("merge_indexes needs at least 2 sources")
+    if on_dup not in ("error", "last"):
+        raise ValueError(f"on_dup must be 'error' or 'last', got {on_dup!r}")
+    t0 = time.monotonic()
+    cfgs = [effective_config(spark, d, None) for d in src_dirs]
+
+    def _analyzer(c: IndexConfig):
+        return (
+            c.with_positions, c.edge_ngram, c.edge_ngram_min, c.edge_ngram_max,
+            tuple(c.synonyms), c.k1, c.b,
+        )
+
+    for d, c in zip(src_dirs[1:], cfgs[1:]):
+        if _analyzer(c) != _analyzer(cfgs[0]):
+            raise ValueError(
+                f"{d}: analyzer/scoring config differs from {src_dirs[0]} — "
+                "a merge cannot mix token streams (reindex instead)"
+            )
+    cfg = cfg or cfgs[0]
+    if _analyzer(cfg) != _analyzer(cfgs[0]):
+        raise ValueError("cfg overrides may not change analyzer/scoring fields")
+
+    from pyspark.sql import Window
+
+    fwds = []
+    for i, d in enumerate(src_dirs):
+        f = tbl.read(spark, d, "forward").select(*FORWARD_COLS)
+        dels = deleted_docids(spark, d)
+        if dels is not None:
+            f = f.join(dels, "docid", "left_anti")
+        fwds.append(f.withColumn("_src", F.lit(i)))
+    all_fwd = functools.reduce(lambda a, b: a.unionByName(b), fwds)
+    if on_dup == "error":
+        dup = all_fwd.groupBy("doc_key").agg(F.count(F.lit(1)).alias("c")).filter("c > 1")
+        if dup.limit(1).count():
+            raise ValueError(
+                "doc_key duplicated across sources — pass on_dup='last' to "
+                "keep the latest source's row"
+            )
+    else:
+        w = Window.partitionBy("doc_key").orderBy(F.col("_src").desc())
+        all_fwd = (
+            all_fwd.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    # fresh identity space, the same scheme as a new build
+    keyed = assign_docids(
+        with_bucket(
+            all_fwd.select(
+                "conv_id", "turn_idx", "role", "text", "tool", "ts",
+                "_src", F.col("docid").alias("_old_docid"),
+            ),
+            cfg,
+        ),
+        cfg,
+    )
+    mapping = keyed.select("_src", "_old_docid", F.col("docid").alias("_new_docid"))
+
+    width = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "64")),
+        spark.sparkContext.defaultParallelism,
+    )
+    (
+        keyed.select(*FORWARD_COLS)
+        .repartition(width, "bucket")
+        .sortWithinPartitions("docid")
+        .write.mode("overwrite")
+        .parquet(tbl.wave_dir(dst_dir, "forward", 0))
+    )
+
+    tok_cols = ["docid", "term", "tf", "dl"] + (["pos"] if cfg.with_positions else [])
+    toks = [
+        decoded_postings(spark, d, cfgs[i]).withColumn("_src", F.lit(i))
+        for i, d in enumerate(src_dirs)
+    ]
+    tok_all = functools.reduce(lambda a, b: a.unionByName(b), toks)
+    tok_new = (
+        tok_all.withColumnRenamed("docid", "_old_docid")
+        # inner: deleted docs and duplicate losers have no mapping row
+        .join(mapping, ["_src", "_old_docid"], "inner")
+        .withColumnRenamed("_new_docid", "docid")
+        .select(*tok_cols)
+    )
+    posting_blocks(tok_new, cfg).write.partitionBy("term_bucket").mode(
+        "overwrite"
+    ).parquet(tbl.wave_dir(dst_dir, "postings", 0))
+
+    dls = [
+        tbl.read(spark, d, "doc_lens")
+        .select(F.col("docid").alias("_old_docid"), "dl")
+        .withColumn("_src", F.lit(i))
+        for i, d in enumerate(src_dirs)
+    ]
+    (
+        functools.reduce(lambda a, b: a.unionByName(b), dls)
+        .join(mapping, ["_src", "_old_docid"], "inner")
+        .select(F.col("_new_docid").alias("docid"), "dl")
+        .coalesce(max(1, width // 4))
+        .write.mode("overwrite")
+        .parquet(tbl.wave_dir(dst_dir, "doc_lens", 0))
+    )
+    (
+        tok_new.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf"))
+        .write.mode("overwrite")
+        .parquet(tbl.wave_dir(dst_dir, "term_stats", 0))
+    )
+
+    n_docs = spark.read.parquet(tbl.wave_dir(dst_dir, "doc_lens", 0)).count()
+    tbl.local_rows_df(
+        spark,
+        [(0, list(range(cfg.n_buckets)), int(n_docs), 0, 0,
+          time.monotonic() - t0, "complete", datetime.now(timezone.utc))],
+        tbl.LINEAGE_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(tbl.p(dst_dir, "lineage"))
+
+    invalidate_stats_cache(dst_dir)
+    finalize(spark, dst_dir, cfg)
+    append_metrics(
+        spark, dst_dir, "merge",
+        {"docs_indexed": int(n_docs), "sources": len(src_dirs),
+         "wall_ms": int((time.monotonic() - t0) * 1000)},
+        wave=0, batch_id=-1,
+    )
+    return {"n_docs": int(n_docs), "sources": len(src_dirs), "dup_policy": on_dup}

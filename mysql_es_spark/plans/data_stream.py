@@ -98,14 +98,27 @@ def _complete_generations(ds_dir: str) -> dict[str, str]:
     """Generations whose build committed (corpus_stats exists — the
     build's last data table). A crashed append leaves a half-built dir;
     searches and retention must treat it as absent, exactly as ES treats
-    an index missing from cluster state."""
+    an index missing from cluster state. Generations swallowed by a
+    forcemerge (listed in a merged generation's ``_swallowed`` file) are
+    likewise excluded the instant the merged generation commits, so the
+    merge never needs an atomic multi-directory swap — deleting the old
+    dirs is pure garbage collection."""
+    import json
+
     from ..sources import tables as tbl
 
-    return {
+    out = {
         lbl: d
         for lbl, d in list_generations(ds_dir).items()
         if tbl.exists(d, "corpus_stats")
     }
+    swallowed: set[str] = set()
+    for d in out.values():
+        p = os.path.join(d, "_swallowed.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                swallowed.update(json.load(f))
+    return {lbl: d for lbl, d in out.items() if lbl not in swallowed}
 
 
 def search_stream(spark: SparkSession, ds_dir: str, query: str, k: int = 10, cfg=None):
@@ -136,3 +149,64 @@ def expire_generations(
         shutil.rmtree(d)
         dropped.append(d)
     return dropped
+
+
+def forcemerge_stream(
+    spark: SparkSession, ds_dir: str, on_dup: str = "error"
+) -> dict:
+    """Merge every committed NON-write generation into one optimized
+    generation (plans/compact.merge_indexes — decode → docid remap →
+    re-encode, no re-tokenize), rank-preserving under global-stats
+    search.
+
+    Crash-safe without an atomic multi-dir swap: the merged generation
+    is built under a name the generation pattern doesn't match, gains a
+    ``_swallowed.json`` naming its victims, and only then renames into
+    place — the moment it commits, readers exclude the swallowed dirs
+    (cluster-state style), so deleting them afterwards is garbage
+    collection. A crash before the rename leaves the stream exactly as
+    it was; after it, duplicates are impossible and leftovers are
+    removed by the next call."""
+    import json
+
+    from ..operators.query import effective_config
+    from .compact import merge_indexes
+
+    write_ix = os.path.normpath(get_alias(ds_dir) or "")
+    gens = _complete_generations(ds_dir)
+    victims = {
+        lbl: d for lbl, d in gens.items() if os.path.normpath(d) != write_ix
+    }
+    # GC any stragglers from a previous crash (swallowed but not deleted)
+    import re as _re
+
+    base = os.path.basename(os.path.normpath(ds_dir))
+    parent = os.path.dirname(os.path.abspath(ds_dir))
+    live = set(gens)
+    for d in os.listdir(parent):
+        if _re.match(rf"^{_re.escape(base)}-\d{{6}}$", d) and d not in live:
+            full = os.path.join(parent, d)
+            if os.path.normpath(full) != write_ix and os.path.isdir(full):
+                from ..sources import tables as tbl
+
+                if tbl.exists(full, "corpus_stats"):
+                    shutil.rmtree(full)  # swallowed leftover
+    if len(victims) < 2:
+        return {"merged": 0, "generations": sorted(victims)}
+
+    nums = [int(m.group(1)) for m in
+            (_re.match(rf"^{_re.escape(base)}-(\d{{6}})$", lbl)
+             for lbl in list_generations(ds_dir)) if m]
+    new_label = f"{base}-{max(nums) + 1:06d}"
+    tmp = os.path.join(parent, f"{base}.merging")
+    shutil.rmtree(tmp, ignore_errors=True)
+    info = merge_indexes(
+        spark, [victims[lbl] for lbl in sorted(victims)], tmp,
+        cfg=effective_config(spark, write_ix, None), on_dup=on_dup,
+    )
+    with open(os.path.join(tmp, "_swallowed.json"), "w") as f:
+        json.dump(sorted(victims), f)
+    os.rename(tmp, os.path.join(parent, new_label))  # commit point
+    for d in victims.values():
+        shutil.rmtree(d)  # GC
+    return {"merged": len(victims), "new_generation": new_label, **info}

@@ -90,3 +90,79 @@ def test_retention_never_drops_write_index(spark, stream):
     assert search_stream(spark, ds, "w0", k=3).count() >= 0
     # idempotent second pass: nothing left to drop
     assert expire_generations(spark, ds, "9999-01-01") == []
+
+
+def _stream_hits(spark, ds, query, k=10):
+    from mysql_es_spark.plans.data_stream import _complete_generations
+
+    keymap = {}
+    for lbl, d in _complete_generations(ds).items():
+        for r in spark.read.parquet(f"{d}/forward").select("docid", "doc_key").collect():
+            keymap[(lbl, r.docid)] = r.doc_key
+    return [
+        (keymap[(r["index"], r.docid)], round(r.score, 4))
+        for r in search_stream(spark, ds, query, k=k).collect()
+    ]
+
+
+def test_forcemerge_stream_rank_preserving(spark, tmp_path):
+    from mysql_es_spark.plans.data_stream import (
+        _complete_generations,
+        forcemerge_stream,
+    )
+
+    ds = str(tmp_path / "m")
+    create_data_stream(spark, ds, CFG)
+    full = transcripts_df(spark, 700, seed=23)
+    convs = sorted(r.conv_id for r in full.select("conv_id").distinct().collect())
+    c1, c2 = convs[len(convs) // 3], convs[2 * len(convs) // 3]
+    append_batch(spark, ds, full.filter(full.conv_id <= c1))
+    append_batch(spark, ds, full.filter((full.conv_id > c1) & (full.conv_id <= c2)))
+    append_batch(spark, ds, full.filter(full.conv_id > c2))
+
+    before = _stream_hits(spark, ds, "w0 w3")
+    res = forcemerge_stream(spark, ds)
+    assert res["merged"] == 3  # empty gen1 + two data gens; write index stays
+    after = _stream_hits(spark, ds, "w0 w3")
+    assert after == before  # rank + score identical across the merge
+    gens = _complete_generations(ds)
+    assert len(gens) == 2  # merged + write index
+    # second call: nothing left to merge
+    assert forcemerge_stream(spark, ds)["merged"] == 0
+
+
+def test_forcemerge_duplicate_policy(spark, tmp_path):
+    from mysql_es_spark.plans.data_stream import forcemerge_stream
+
+    ds = str(tmp_path / "dup")
+    create_data_stream(spark, ds, CFG)
+    batch = transcripts_df(spark, 120, seed=5)
+    append_batch(spark, ds, batch)
+    append_batch(spark, ds, batch)  # same docs again
+    append_batch(spark, ds, transcripts_df(spark, 40, seed=6))  # write ix
+    with pytest.raises(ValueError, match="doc_key duplicated"):
+        forcemerge_stream(spark, ds)
+    res = forcemerge_stream(spark, ds, on_dup="last")
+    assert res["merged"] == 3
+    assert res["n_docs"] == batch.count()  # each doc exactly once
+
+
+def test_swallowed_generations_invisible(spark, tmp_path):
+    import json
+
+    from mysql_es_spark.plans.data_stream import _complete_generations
+
+    ds = str(tmp_path / "sw")
+    create_data_stream(spark, ds, CFG)
+    append_batch(spark, ds, transcripts_df(spark, 80, seed=9))
+    append_batch(spark, ds, transcripts_df(spark, 80, seed=10))
+    gens = _complete_generations(ds)
+    victim = sorted(gens)[0]
+    newest = sorted(gens)[-1]
+    with open(f"{gens[newest]}/_swallowed.json", "w") as f:
+        json.dump([victim], f)
+    try:
+        left = _complete_generations(ds)
+        assert victim not in left and newest in left
+    finally:
+        os.remove(f"{gens[newest]}/_swallowed.json")
