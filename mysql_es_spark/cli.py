@@ -375,6 +375,8 @@ def cmd_datastream(args) -> dict:
         return ds.append_batch(spark, args.stream, spark.read.parquet(args.input))
     if args.ds_action == "expire":
         return {"dropped": ds.expire_generations(spark, args.stream, args.older_than)}
+    if args.ds_action == "forcemerge":
+        return ds.forcemerge_stream(spark, args.stream, on_dup=args.on_dup)
     out = ds.search_stream(spark, args.stream, args.query, k=args.k)
     return {
         "hits": [
@@ -903,12 +905,16 @@ def main(argv: list[str] | None = None) -> int:
     el.set_defaults(fn=cmd_eql)
 
     dstr = sub.add_parser("datastream", help="append-only data stream over generations")
-    dstr.add_argument("ds_action", choices=["create", "append", "search", "expire"])
+    dstr.add_argument(
+        "ds_action", choices=["create", "append", "search", "expire", "forcemerge"]
+    )
     dstr.add_argument("--stream", required=True, help="data stream alias dir")
     dstr.add_argument("--input", default=None, help="batch parquet path (append)")
     dstr.add_argument("--query", default=None, help="query string (search)")
     dstr.add_argument("-k", type=int, default=10)
     dstr.add_argument("--older-than", default=None, help="retention cutoff (expire)")
+    dstr.add_argument("--on-dup", default="error", choices=["error", "last"],
+                      help="cross-generation duplicate doc_key policy (forcemerge)")
     dstr.set_defaults(fn=cmd_datastream)
 
     args = ap.parse_args(argv)

@@ -584,3 +584,36 @@ def test_cli_esql_eql_datastream(spark, tmp_path, capsys):
     assert len(out["hits"]) == 5
     scores = [h["score"] for h in out["hits"]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_datastream_forcemerge(spark, tmp_path, capsys):
+    corpus = str(tmp_path / "fmc")
+    assert cli_main(["gen", "--out", corpus, "--turns", "300", "--seed", "4"]) == 0
+    capsys.readouterr()
+    stream = str(tmp_path / "fms")
+    common = ["--n-buckets", "4", "--wave-size", "4", "--salt-docs", "256"]
+    assert cli_main([*common, "datastream", "create", "--stream", stream]) == 0
+    capsys.readouterr()
+    for _ in range(2):
+        assert cli_main([
+            "datastream", "append", "--stream", stream,
+            "--input", f"{corpus}/transcripts",
+        ]) == 0
+        capsys.readouterr()
+    # two identical appends → duplicates → error policy surfaces; last wins
+    assert cli_main([
+        "datastream", "append", "--stream", stream,
+        "--input", f"{corpus}/transcripts",
+    ]) == 0
+    capsys.readouterr()
+    out = None
+    assert cli_main([
+        "datastream", "forcemerge", "--stream", stream, "--on-dup", "last",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["merged"] == 3 and out["dup_policy"] == "last"
+    assert cli_main([
+        "datastream", "search", "--stream", stream, "--query", "w0", "-k", "3",
+    ]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["hits"]
+    assert len(hits) == 3
