@@ -161,3 +161,39 @@ def search_generations(spark, alias_dir: str, query: str, k: int = 10, cfg=None)
     from .multi_index import bm25_topk_across
 
     return bm25_topk_across(spark, list_generations(alias_dir), query, k=k, cfg=cfg)
+
+
+def resolve_name(path: str) -> dict:
+    """ES ``_resolve/index``: what IS this path — a concrete index, an
+    alias (filtered?), a data stream (alias with rollover generations),
+    or nothing. One directory stat + pointer read; no SparkSession.
+
+    Returns {"type": "index"|"alias"|"data_stream"|"missing",
+    "target": resolved index dir or None, "generations": [labels],
+    "filtered": bool}."""
+    from ..sources import tables as tbl
+
+    if not os.path.isdir(path):
+        return {"type": "missing", "target": None, "generations": [], "filtered": False}
+    target = get_alias(path)
+    if target is None:
+        kind = "index" if tbl.exists(path, "corpus_stats") else "missing"
+        return {"type": kind, "target": os.path.abspath(path) if kind == "index" else None,
+                "generations": [], "filtered": False}
+    import re
+
+    gens = sorted(list_generations(path))
+    filtered = tbl.alias_filter(path) is not None
+    # a data stream's write index follows the <name>-NNNNNN generation
+    # naming; a plain alias points anywhere
+    base = os.path.basename(os.path.normpath(path))
+    is_gen_target = re.match(
+        rf"^{re.escape(base)}-\d{{6}}$", os.path.basename(os.path.normpath(target))
+    )
+    kind = "data_stream" if is_gen_target and not filtered else "alias"
+    return {
+        "type": kind,
+        "target": os.path.abspath(target),
+        "generations": gens,
+        "filtered": filtered,
+    }

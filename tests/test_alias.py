@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -101,3 +103,36 @@ def test_filtered_alias(spark, built_index, tmp_path_factory):
         bm25_topk(spark, alias, "w0 w3", k=8, cfg=TEST_CFG, min_score=0.1)
     with pytest.raises(ValueError):
         set_alias(alias, built_index, doc_filter="a\nb")
+
+
+def test_resolve_name(spark, built_index, tmp_path):
+    from mysql_es_spark.plans.alias import resolve_name, set_alias
+
+    r = resolve_name(built_index)
+    assert r["type"] == "index" and r["target"].endswith(built_index.split("/")[-1])
+
+    a = str(tmp_path / "al")
+    set_alias(a, built_index)
+    ra = resolve_name(a)
+    assert ra["type"] == "alias" and ra["target"] == os.path.abspath(built_index)
+
+    f = str(tmp_path / "alf")
+    set_alias(f, built_index, doc_filter="role = 'en'")
+    assert resolve_name(f)["filtered"] is True
+
+    assert resolve_name(str(tmp_path / "nope"))["type"] == "missing"
+
+
+def test_resolve_name_data_stream(spark, tmp_path):
+    from mysql_es_spark.config import IndexConfig
+    from mysql_es_spark.corpus import transcripts_df
+    from mysql_es_spark.plans.alias import resolve_name
+    from mysql_es_spark.plans.data_stream import append_batch, create_data_stream
+
+    ds = str(tmp_path / "rs")
+    create_data_stream(
+        spark, ds, IndexConfig(n_buckets=4, wave_size=4, salt_docs=256, term_buckets=8)
+    )
+    append_batch(spark, ds, transcripts_df(spark, 60, seed=2))
+    r = resolve_name(ds)
+    assert r["type"] == "data_stream" and len(r["generations"]) == 2
