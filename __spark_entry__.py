@@ -736,6 +736,19 @@ def q_esql_pipe(spark, sf):
     )
 
 
+def q_user_history_dedup(spark, sf):
+    """Sequence-level dedup: users whose ORDERED event-type history is
+    identical collapse to the lowest user_id — the unit-of-dedup raised
+    from a row to a whole session/conversation (one hash aggregate +
+    one fp window)."""
+    from mysql_es_spark.operators.dedup import dedup_sequences
+
+    ev = _t(spark, sf, "events")
+    return dedup_sequences(
+        ev, "user_id", ["ts", "event_id"], "event_type"
+    ).orderBy("user_id")
+
+
 def q_eql_sample(spark, sf):
     """EQL sample: users who have ALL of view/click/purchase (no
     ordering constraint), with the earliest example event per step —
@@ -3711,6 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_enum": q_terms_enum,
         "eql_sequence": q_eql_sequence,
         "eql_sample": q_eql_sample,
+        "user_history_dedup": q_user_history_dedup,
         "esql_pipe": q_esql_pipe,
         "transform_pivot": q_transform_pivot,
         "esql_match": q_esql_match,
@@ -4608,6 +4622,18 @@ SELECT lang, bucket,
        CAST(count(DISTINCT source) AS BIGINT) AS nsrc
 FROM f GROUP BY lang, bucket
 ORDER BY lang NULLS LAST, bucket LIMIT 40
+""",
+        "user_history_dedup": """
+WITH fp AS (
+  SELECT user_id,
+         md5(string_agg(event_type, chr(31) ORDER BY ts, event_id)) AS fp,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY user_id) AS rn FROM fp
+)
+SELECT user_id, fp, n_items FROM r WHERE rn = 1 ORDER BY user_id
 """,
         "eql_sample": """
 WITH ranked AS (

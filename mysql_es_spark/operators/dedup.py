@@ -1133,3 +1133,54 @@ def dedup_keep_best(
             (F.col(id_col) == F.col("winner")).alias("kept"),
         )
     )
+
+
+def sequence_fingerprint(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """(key, fp, n_items): one md5 per GROUP over its members' values in
+    a deterministic order — the unit-of-dedup raised from a row to a
+    whole conversation / session / event history. A transcript pipeline
+    dedups conversations, not turns: two convs whose turn texts are
+    identical in order are the same training document even though every
+    turn row differs in ids/timestamps.
+
+    One hash aggregate: members pack into sorted (order, value) structs
+    via collect_list + array_sort (per-group state = that group's rows,
+    the same bound any conv-level operation has), values join with a
+    separator, md5 over the result. ``normalize`` applies the exact-dedup
+    text normalization (lower + whitespace collapse) to each member
+    first."""
+    val = F.col(value_col).cast("string")
+    if normalize:
+        val = F.lower(F.regexp_replace(F.trim(val), "\\s+", " "))
+    member = F.struct(*[F.col(c) for c in order_cols], val.alias("_v"))
+    packed = F.array_sort(F.collect_list(member))
+    # unit-separator join: boundary ambiguity ("ab","c" vs "a","bc")
+    # cannot alias two different sequences to one fingerprint
+    joined = F.array_join(F.transform(packed, lambda s: s["_v"]), "\x1f")
+    return df.groupBy(key_col).agg(
+        F.md5(joined).alias("fp"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+def dedup_sequences(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep the lowest-key representative of each identical sequence —
+    exact_dedup lifted to groups. Output: (key, fp, n_items)."""
+    fps = sequence_fingerprint(df, key_col, order_cols, value_col, normalize)
+    w = Window.partitionBy("fp").orderBy(F.col(key_col).asc())
+    return (
+        fps.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

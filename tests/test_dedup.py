@@ -312,3 +312,31 @@ def test_dedup_keep_best(spark):
     assert out[4] == (4, True) and out[5] == (4, False)
     assert out[6] == (6, True)
     assert len(out) == 6
+
+
+def test_sequence_dedup(spark):
+    from mysql_es_spark.operators.dedup import dedup_sequences, sequence_fingerprint
+
+    rows = [
+        # conv 1 and conv 3: identical turn texts in order (diff ids/case)
+        (1, 0, "Hello  there"), (1, 1, "general kenobi"),
+        (3, 0, "hello there"), (3, 1, "General Kenobi"),
+        # conv 2: same characters, different turn boundaries — NOT a dup
+        (2, 0, "hello thereg"), (2, 1, "eneral kenobi"),
+        # conv 4: different content
+        (4, 0, "something else"),
+    ]
+    df = spark.createDataFrame(rows, "conv long, turn int, text string")
+    fps = {r.conv: (r.fp, r.n_items) for r in
+           sequence_fingerprint(df, "conv", ["turn"], "text").collect()}
+    assert fps[1] == fps[3]
+    assert fps[1][0] != fps[2][0]  # boundary shift changes the fingerprint
+    assert fps[1][1] == 2 and fps[4][1] == 1
+
+    kept = sorted(r.conv for r in dedup_sequences(df, "conv", ["turn"], "text").collect())
+    assert kept == [1, 2, 4]  # lowest key per identical sequence
+
+    # normalize=False: case/whitespace differences separate 1 and 3
+    raw = {r.conv: r.fp for r in
+           sequence_fingerprint(df, "conv", ["turn"], "text", normalize=False).collect()}
+    assert raw[1] != raw[3]
