@@ -1168,6 +1168,28 @@ def sequence_fingerprint(
     )
 
 
+def sequences_as_documents(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collapse each group to ONE document row (key → id, members joined
+    in order with newlines) — the bridge that lets every document-level
+    operator (MinHash-LSH near-dup, Jaccard, quality/LM filters, DSIR,
+    decontamination) run at the conversation/session unit instead of the
+    turn. Same one-aggregate shape as sequence_fingerprint."""
+    member = F.struct(
+        *[F.col(c) for c in order_cols], F.col(value_col).cast("string").alias("_v")
+    )
+    packed = F.array_sort(F.collect_list(member))
+    return df.groupBy(F.col(key_col).alias(id_col)).agg(
+        F.array_join(F.transform(packed, lambda s: s["_v"]), "\n").alias(text_col)
+    )
+
+
 def dedup_sequences(
     df: DataFrame,
     key_col: str,

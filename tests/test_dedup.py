@@ -340,3 +340,32 @@ def test_sequence_dedup(spark):
     raw = {r.conv: r.fp for r in
            sequence_fingerprint(df, "conv", ["turn"], "text", normalize=False).collect()}
     assert raw[1] != raw[3]
+
+
+def test_sequences_as_documents_bridge(spark):
+    from mysql_es_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        sequences_as_documents,
+    )
+
+    # conv 10 and 11 share most turns (near-dups at the conversation
+    # unit); conv 12 is unrelated
+    turns = []
+    for c, texts in [
+        (10, ["alpha beta gamma delta", "epsilon zeta eta theta", "iota kappa"]),
+        (11, ["alpha beta gamma delta", "epsilon zeta eta theta", "iota kappa CHANGED"]),
+        (12, ["totally different content here", "nothing shared at all"]),
+    ]:
+        for t, txt in enumerate(texts):
+            turns.append((c, t, txt))
+    df = spark.createDataFrame(turns, "conv long, turn int, text string")
+    docs = sequences_as_documents(df, "conv", ["turn"], "text")
+    got = {r.doc_id: r.text for r in docs.collect()}
+    assert got[10].splitlines() == [
+        "alpha beta gamma delta", "epsilon zeta eta theta", "iota kappa"
+    ]
+    # doc-level near-dup machinery now runs at the conversation unit
+    pairs = minhash_lsh_pairs(docs, n=3, num_perm=64, bands=16, threshold=0.3).collect()
+    got_pairs = {(r.id_a, r.id_b) for r in pairs}
+    assert (10, 11) in got_pairs
+    assert all({a, b} != {10, 12} and {a, b} != {11, 12} for a, b in got_pairs)
