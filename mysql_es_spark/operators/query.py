@@ -3858,6 +3858,7 @@ def suggest_completion(
     index_dir: str,
     prefix: str,
     size: int = 5,
+    contexts: dict[str, list] | None = None,
 ) -> DataFrame:
     """ES ``completion`` suggester analog served from the term dictionary:
     the highest-weight suggestions extending ``prefix``, weight = document
@@ -3869,11 +3870,39 @@ def suggest_completion(
     row-group pruning on term min/max) + TakeOrdered(size) — the
     dictionary is orders of magnitude smaller than the corpus, and no
     posting blob is ever touched.
-    """
+
+    ``contexts`` (ES context suggester, category type): {forward column →
+    accepted values}; suggestions then come only from docs matching ALL
+    context columns, weighted by their df WITHIN the context. ES stores
+    per-context suggestion postings at index time; this reindex-free
+    variant re-derives them with one tokenize pass over the context's
+    docs — proportional to the context subset, so hot broad contexts
+    belong in a filtered alias / sub-index instead (documented trade)."""
     p = "".join(tokenize_text(prefix)[:1])
     empty = tbl.local_rows_df(spark, [], "suggestion string, weight long")
     if not p:
         return empty
+    if contexts:
+        from ..config import IndexConfig
+        from .postings import tokenized
+
+        cfg = effective_config(spark, index_dir, None)
+        fwd = tbl.read(spark, index_dir, "forward")
+        bad = [c for c in contexts if c not in fwd.columns]
+        if bad:
+            raise ValueError(f"suggest_completion: unknown context column(s) {bad}")
+        for c, vals in contexts.items():
+            fwd = fwd.filter(F.col(c).isin(list(vals)))
+        base = IndexConfig(k1=cfg.k1, b=cfg.b)  # plain analyzer
+        return (
+            tokenized(fwd.select("docid", "text"), base)
+            .filter(F.col("term").isNotNull() & F.col("term").startswith(p))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("weight"))
+            .select(F.col("term").alias("suggestion"), "weight")
+            .orderBy(F.col("weight").desc(), F.col("suggestion").asc())
+            .limit(size)
+        )
     return (
         spark.read.parquet(tbl.p(index_dir, "term_dict"))
         .filter(F.col("term").startswith(p))

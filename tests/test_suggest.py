@@ -54,3 +54,41 @@ def test_suggest_never_suggests_the_input(spark, built_index, vocab):
     known = next(iter(vocab))
     out = suggest_terms(spark, built_index, known, size=10, max_edits=2).collect()
     assert known not in {r.suggestion for r in out}
+
+
+def test_completion_contexts(spark, built_index):
+    from mysql_es_spark.operators.query import suggest_completion
+
+    fwd = spark.read.parquet(f"{built_index}/forward").select("role", "text").collect()
+    roles = sorted({r.role for r in fwd if r.role})
+    ctx_role = roles[0]
+    want = Counter()
+    for r in fwd:
+        if r.role == ctx_role:
+            for t in set(tokenize_text(r.text)):
+                if t.startswith("w1"):
+                    want[t] += 1
+    got = {
+        r.suggestion: r.weight
+        for r in suggest_completion(
+            spark, built_index, "w1", size=5, contexts={"role": [ctx_role]}
+        ).collect()
+    }
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == dict(top)
+
+    # all roles admitted == the dictionary path's weights
+    all_ctx = {
+        r.suggestion: r.weight
+        for r in suggest_completion(
+            spark, built_index, "w1", size=5, contexts={"role": roles}
+        ).collect()
+    }
+    plain = {
+        r.suggestion: r.weight
+        for r in suggest_completion(spark, built_index, "w1", size=5).collect()
+    }
+    assert all_ctx == plain
+
+    with pytest.raises(ValueError, match="context column"):
+        suggest_completion(spark, built_index, "w1", contexts={"nope": ["x"]})
