@@ -460,6 +460,20 @@ def esql(
                 df = df.withColumn(a, _agg_column(a, e, window=w))
         elif kw == "SORT":
             df = df.orderBy(*[_sort_column(it) for it in _split_top(body, ",")])
+        elif kw == "SAMPLE":
+            # ES|QL 8.19 SAMPLE <p>: ES draws randomly; this engine bans
+            # nondeterminism, so the sample is a content-hash threshold
+            # (the random_sampler agg's contract): stable across reruns
+            # and partitionings, ~p of rows kept
+            mm = re.match(r"^(0?\.\d+|1(\.0+)?|0)$", body)
+            if not mm:
+                raise EsqlError(f"SAMPLE needs a probability in [0, 1], got {body!r}")
+            prob = float(body)
+            all_cols = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])
+            df = df.filter(
+                F.conv(F.substring(F.md5(all_cols), 1, 8), 16, 10).cast("long")
+                < F.lit(int(prob * (1 << 32)))
+            )
         elif kw == "LIMIT":
             if not re.match(r"^\d+$", body):
                 raise EsqlError(f"LIMIT needs an integer, got {body!r}")

@@ -349,3 +349,19 @@ def test_inlinestats_attaches_without_collapsing(spark, tdf):
     assert g.total == 460
     with pytest.raises(EsqlError, match="window"):
         esql("FROM docs | INLINESTATS d = COUNT_DISTINCT(source)", {"docs": tdf})
+
+
+def test_sample_deterministic_threshold(spark):
+    rows = [(i, f"txt{i}") for i in range(2000)]
+    s = spark.createDataFrame(rows, "id long, t string")
+    a = esql("FROM x | SAMPLE 0.25", {"x": s}).count()
+    b = esql("FROM x | SAMPLE 0.25", {"x": s}).count()
+    assert a == b  # content-hash: identical across runs
+    assert 0.15 * 2000 < a < 0.35 * 2000
+    sub = {r.id for r in esql("FROM x | SAMPLE 0.25 | KEEP id", {"x": s}).collect()}
+    sup = {r.id for r in esql("FROM x | SAMPLE 0.5 | KEEP id", {"x": s}).collect()}
+    assert sub <= sup  # thresholds nest
+    assert esql("FROM x | SAMPLE 0", {"x": s}).count() == 0
+    assert esql("FROM x | SAMPLE 1.0", {"x": s}).count() == 2000
+    with pytest.raises(EsqlError):
+        esql("FROM x | SAMPLE 2.5", {"x": s})
