@@ -176,3 +176,65 @@ def spark_tokens_col(col: str = "text"):
     return F.expr(
         f"filter(split(lower({col}), '[^0-9a-z]+'), x -> x != '')"
     )
+
+
+# ---------------------------------------------------------------------------
+# stored synonym sets (ES 8.10 _synonyms API)
+# ---------------------------------------------------------------------------
+
+
+def put_synonym_set(spark, index_dir: str, set_id: str, rules: list[str]) -> None:
+    """Store (or replace) a named synonym set under this index — ES PUT
+    _synonyms/{id}. Rules use the ES synonym-file syntax ("a, b" /
+    "a => b"); they are parse-validated at put time so a bad rule fails
+    here, not at query time."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ..sources import tables as tbl
+
+    parse_synonym_rules(tuple(rules))  # validate
+    existing = list_synonym_sets(spark, index_dir)
+    rows = [
+        (r.set_id, r.rules) for r in existing.collect() if r.set_id != set_id
+    ]
+    rows.append((set_id, "\n".join(rules)))
+    tbl.local_rows_df(spark, sorted(rows), "set_id string, rules string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(tbl.p(index_dir, "synonym_sets"))
+
+
+def list_synonym_sets(spark, index_dir: str):
+    import os
+
+    from ..sources import tables as tbl
+
+    d = tbl.p(index_dir, "synonym_sets")
+    if not os.path.isdir(d):
+        return tbl.local_rows_df(spark, [], "set_id string, rules string")
+    return spark.read.parquet(d)
+
+
+def get_synonym_set(spark, index_dir: str, set_id: str) -> list[str]:
+    from pyspark.sql import functions as F
+
+    rows = (
+        list_synonym_sets(spark, index_dir)
+        .filter(F.col("set_id") == set_id)
+        .collect()
+    )
+    if not rows:
+        raise KeyError(f"no synonym set {set_id!r} in this index")
+    return rows[0]["rules"].split("\n")
+
+
+def synonym_set_as_expansions(spark, index_dir: str, set_id: str) -> dict[str, list[str]]:
+    """A stored set compiled to the query-time expansion map
+    :func:`operators.query.synonym_topk` takes: term → other clause
+    members. Query-time synonyms always dis-max the original WITH its
+    expansions (the ES search-analyzer expand mode); explicit ``=>``
+    rules' replace semantics belong to index time (IndexConfig.synonyms),
+    so here their LHS simply expands to the RHS."""
+    parsed = parse_synonym_rules(tuple(get_synonym_set(spark, index_dir, set_id)))
+    return {term: list(targets) for term, (_keep, targets) in parsed.items()}

@@ -2526,7 +2526,7 @@ def synonym_topk(
     spark: SparkSession,
     index_dir: str,
     query: str,
-    synonyms: dict[str, list[str]],
+    synonyms: dict[str, list[str]] | str,
     k: int = 10,
     cfg: IndexConfig | None = None,
     with_keys: bool = False,
@@ -2544,6 +2544,11 @@ def synonym_topk(
     two-level hash agg (max per clause → sum per doc). Zero extra I/O
     over the unexpanded query beyond the synonym terms' own postings."""
     cfg = effective_config(spark, index_dir, cfg)
+    if isinstance(synonyms, str):
+        # a stored synonym set name (ES _synonyms API)
+        from ..functions.analyze import synonym_set_as_expansions
+
+        synonyms = synonym_set_as_expansions(spark, index_dir, synonyms)
     terms = query_terms(query)
     stats = corpus_stats(spark, index_dir)
     empty = tbl.local_rows_df(spark, [], "docid long, score double")

@@ -69,3 +69,30 @@ def test_unknown_synonyms_ignored(spark, built_index):
     ).collect()
     assert [(r.docid, r.score) for r in syn] == [(r.docid, r.score) for r in plain]
     assert synonym_topk(spark, built_index, "", SYN, cfg=TEST_CFG).count() == 0
+
+
+def test_stored_synonym_set_roundtrip_and_query(spark, built_index):
+    import pytest as _pytest
+
+    from mysql_es_spark.functions.analyze import (
+        get_synonym_set,
+        put_synonym_set,
+        synonym_set_as_expansions,
+    )
+    from mysql_es_spark.operators.query import synonym_topk
+
+    put_synonym_set(spark, built_index, "s1", ["w0, w1", "w2 => w3"])
+    put_synonym_set(spark, built_index, "s1", ["w0, w1"])  # replace
+    assert get_synonym_set(spark, built_index, "s1") == ["w0, w1"]
+    exp = synonym_set_as_expansions(spark, built_index, "s1")
+    assert exp == {"w0": ["w1"], "w1": ["w0"]}
+
+    # stored-name query == inline-dict query, row for row
+    a = synonym_topk(spark, built_index, "w0", "s1", k=8).collect()
+    b = synonym_topk(spark, built_index, "w0", {"w0": ["w1"]}, k=8).collect()
+    assert [(r.docid, r.score) for r in a] == [(r.docid, r.score) for r in b]
+
+    with _pytest.raises(KeyError):
+        synonym_set_as_expansions(spark, built_index, "absent")
+    with _pytest.raises(ValueError):
+        put_synonym_set(spark, built_index, "bad", ["a => "])
