@@ -454,10 +454,17 @@ def esql(
                     if a != e:
                         df = df.withColumn(a, F.expr(e))
                 w = Window.partitionBy(*[a for a, _ in keys])
+                for a, e in _parse_assignments(mby[0], "INLINESTATS"):
+                    df = df.withColumn(a, _agg_column(a, e, window=w))
             else:
-                w = Window.partitionBy()
-            for a, e in _parse_assignments(mby[0], "INLINESTATS"):
-                df = df.withColumn(a, _agg_column(a, e, window=w))
+                # no BY: an empty window partition would funnel EVERY row
+                # through one task — compute the global aggregates once
+                # and attach them with a broadcast cross join instead
+                aggs = [
+                    _agg_column(a, e)
+                    for a, e in _parse_assignments(mby[0], "INLINESTATS")
+                ]
+                df = df.crossJoin(F.broadcast(df.agg(*aggs)))
         elif kw == "SORT":
             df = df.orderBy(*[_sort_column(it) for it in _split_top(body, ",")])
         elif kw == "SAMPLE":

@@ -347,8 +347,9 @@ def test_inlinestats_attaches_without_collapsing(spark, tdf):
         {"docs": tdf},
     ).collect()[0]
     assert g.total == 460
+    # DISTINCT works globally (broadcast agg path) but not over a window
     with pytest.raises(EsqlError, match="window"):
-        esql("FROM docs | INLINESTATS d = COUNT_DISTINCT(source)", {"docs": tdf})
+        esql("FROM docs | INLINESTATS d = COUNT_DISTINCT(source) BY lang", {"docs": tdf})
 
 
 def test_sample_deterministic_threshold(spark):
@@ -365,3 +366,20 @@ def test_sample_deterministic_threshold(spark):
     assert esql("FROM x | SAMPLE 1.0", {"x": s}).count() == 2000
     with pytest.raises(EsqlError):
         esql("FROM x | SAMPLE 2.5", {"x": s})
+
+
+def test_inlinestats_global_is_broadcast_not_single_partition(spark, tdf, tmp_path):
+    from tests.test_plan_audits import plan_of
+
+    p = str(tmp_path / "g")
+    tdf.write.parquet(p)
+    df = tdf.sparkSession.read.parquet(p)
+    out = esql("FROM t | INLINESTATS total = SUM(n_chars)", {"t": df})
+    plan = plan_of(out)
+    assert "Window" not in plan  # no empty-partition window funnel
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # and COUNT_DISTINCT works globally (window path must reject it)
+    g = esql(
+        "FROM t | INLINESTATS d = COUNT_DISTINCT(source) | LIMIT 1", {"t": df}
+    ).collect()[0]
+    assert g.d == 2
