@@ -505,8 +505,12 @@ def esql(
         elif kw == "FORK":
             # ES|QL 8.19 FORK: run each (branch sub-pipe) over the current
             # frame and union the outputs with a _fork discriminator —
-            # branch schemas may differ (missing columns null-pad). One
-            # logical plan: the input subtree is shared, not re-read.
+            # branch schemas may differ (missing columns null-pad). The
+            # upstream subtree appears once per branch in the physical
+            # plan; Spark reuses identical exchanges (shuffle results)
+            # across branches, but a scan-only upstream re-reads per
+            # branch — cache the source first if branches are many and
+            # the scan is the cost.
             branches = _paren_groups(body, "FORK")
             if not 2 <= len(branches) <= 8:
                 raise EsqlError("FORK needs 2–8 (branch) sub-pipes")
