@@ -189,16 +189,33 @@ def tick_transform(spark: SparkSession, src: DataFrame, dest: str, cfg: Transfor
     slice_ = src.join(F.broadcast(keys) if n_changed <= 100_000 else keys, cfg.keys(), "left_semi")
     fresh = _recompute(slice_, cfg).withColumn("part", _part_col(cfg))
     parts = [int(r["part"]) for r in fresh.select("part").distinct().collect()]
-    # keep unaffected keys that share a rewritten partition
-    existing = spark.read.parquet(tbl.p(dest, "table")).filter(F.col("part").isin(parts))
-    keep = existing.join(keys, cfg.keys(), "left_anti")
-    out = keep.unionByName(fresh.select(*keep.columns))
+    # keep unaffected keys that share a rewritten partition. The write
+    # below overwrites the very partition files this keep-set reads, so
+    # stage it first (bounded: affected partitions only — the same
+    # read-then-overwrite staging plans/deletes.update_by_query uses;
+    # Iceberg snapshot isolation would make this unnecessary).
+    import shutil as _shutil
+
+    staged_path = tbl.p(dest, "keep-snapshot.tmp")
+    existing = spark.read.parquet(tbl.p(dest, "table"))
     (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("part")
-        .parquet(tbl.p(dest, "table"))
+        existing.filter(F.col("part").isin(parts))
+        .join(keys, cfg.keys(), "left_anti")
+        .write.mode("overwrite")
+        .parquet(staged_path)
     )
+    try:
+        # explicit schema: a zero-row staging write leaves no data files
+        keep = spark.read.schema(existing.schema).parquet(staged_path)
+        out = keep.unionByName(fresh.select(*keep.columns))
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part")
+            .parquet(tbl.p(dest, "table"))
+        )
+    finally:
+        _shutil.rmtree(staged_path, ignore_errors=True)
     new_wm = _max_sync(changed, cfg) or wm
     _write_meta(spark, dest, cfg, new_wm)
     return {
