@@ -679,6 +679,27 @@ def q_esql_inlinestats(spark, sf):
     )
 
 
+def q_esql_score(spark, sf):
+    """ES|QL METADATA _score: relevance-scored full-text match() — the
+    pipe's _score column is the clause's BM25 sum, rank- and score-
+    identical to bm25_topk (oracle: the same independent SQL BM25 as
+    bm25_direct)."""
+    from mysql_es_spark.functions.esql import esql_search
+
+    ix = _index_for_documents(spark, sf)
+    return esql_search(
+        """FROM docs METADATA _score
+           | WHERE match(text, "spark join query")
+           | EVAL doc_id = CAST(conv_id AS BIGINT), score = round(_score, 4)
+           | KEEP doc_id, score
+           | SORT score DESC, doc_id
+           | LIMIT 20""",
+        spark,
+        {"docs": ix},
+        cfg=_docs_index_cfg(),
+    )
+
+
 def q_transform_pivot(spark, sf):
     """ES _transform (pivot): entity-centric rollup of events by user —
     destination table hash-partitioned on the key so incremental ticks
@@ -3731,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_lookup_stats": q_esql_lookup_stats,
         "esql_fork": q_esql_fork,
         "esql_inlinestats": q_esql_inlinestats,
+        "esql_score": q_esql_score,
         "events_downsample": q_events_downsample,
         "ltr_features": q_ltr_features,
         "graph_explore": q_graph_explore,
@@ -4556,6 +4578,7 @@ SELECT event_type,
 FROM events GROUP BY event_type, date_trunc('day', ts)
 ORDER BY event_type, day_ts
 """,
+        "esql_score": _bm25_sql(BM25_Q1, 20),
         "esql_inlinestats": """
 WITH w AS (
   SELECT lang, doc_id, n_chars,

@@ -161,11 +161,18 @@ def _split_keyword(s: str, kw: str) -> list[str]:
 _MATCH_CALL = re.compile(rf'^\s*match\s*\(\s*({_NAME})\s*,\s*"((?:[^"\\]|\\.)*)"\s*\)\s*$', re.I)
 
 
-def _compile_where(df: DataFrame, body: str, match_resolver, doc_key: str) -> DataFrame:
+def _compile_where(
+    df: DataFrame, body: str, match_resolver, doc_key: str, with_score: bool = False
+) -> DataFrame:
     """WHERE with optional full-text match(): ES|QL requires match() at
     the top level, AND-combined only — enforced here. Each match()
     conjunct becomes a left-semi join against the resolver's match set;
-    scalar conjuncts stay one pushed-down filter."""
+    scalar conjuncts stay one pushed-down filter.
+
+    ``with_score`` (FROM … METADATA _score): match() conjuncts join
+    their BM25 scores instead, and ``_score`` accumulates their sum —
+    the ES|QL scoring contract (each full-text function contributes its
+    clause score)."""
     if not re.search(r"(?i)\bmatch\s*\(", body):
         return df.filter(F.expr(_check_scalar(body, "WHERE")))
     scalars = []
@@ -177,8 +184,22 @@ def _compile_where(df: DataFrame, body: str, match_resolver, doc_key: str) -> Da
                     "WHERE match(): no match_resolver — query an index via "
                     "esql_search() to use full-text functions"
                 )
-            matched = match_resolver(m.group(1), m.group(2))
-            df = df.join(matched.select(doc_key), doc_key, "left_semi")
+            matched = match_resolver(m.group(1), m.group(2), with_score)
+            if with_score:
+                part = F.col("_m_score")
+                if "_score" in df.columns:
+                    part = part + F.col("_score")
+                df = (
+                    df.join(
+                        matched.select(doc_key, F.col("score").alias("_m_score")),
+                        doc_key,
+                        "inner",
+                    )
+                    .withColumn("_score", part)
+                    .drop("_m_score")
+                )
+            else:
+                df = df.join(matched.select(doc_key), doc_key, "left_semi")
         elif re.search(r"(?i)\bmatch\s*\(", conj):
             raise EsqlError(
                 "match() must be a top-level WHERE conjunct combined only "
@@ -364,6 +385,7 @@ def esql(
     if not pipes or not pipes[0]:
         raise EsqlError("empty query")
     df: DataFrame | None = None
+    with_score = False
     for i, cmd in enumerate(pipes):
         m = re.match(r"^(\w+)\s*(.*)$", cmd, re.S)
         if not m:
@@ -371,6 +393,18 @@ def esql(
         kw, body = m.group(1).upper(), m.group(2).strip()
         if i == 0:
             if kw == "FROM":
+                # FROM t METADATA _score: expose relevance — match()
+                # conjuncts then contribute their BM25 clause scores to a
+                # _score column instead of a presence-only mask
+                md = re.search(r"(?is)\s+METADATA\s+(.+)$", body)
+                if md:
+                    fields = [x.strip() for x in md.group(1).split(",")]
+                    if fields != ["_score"]:
+                        raise EsqlError(
+                            f"METADATA supports only _score here, got {fields}"
+                        )
+                    with_score = True
+                    body = body[: md.start()].strip()
                 names = [n.strip() for n in _split_top(body, ",")]
                 missing = [n for n in names if n not in tables]
                 if missing:
@@ -391,7 +425,7 @@ def esql(
             continue
         assert df is not None
         if kw == "WHERE":
-            df = _compile_where(df, body, match_resolver, doc_key)
+            df = _compile_where(df, body, match_resolver, doc_key, with_score)
         elif kw == "ENRICH":
             mm = re.match(
                 rf"^({_NAME})\s+ON\s+({_NAME})(?:\s+WITH\s+(.+))?$", body, re.I | re.S
@@ -597,9 +631,12 @@ def esql_search(
         tables[name] = fwd
 
     m = re.match(r"(?i)^\s*FROM\s+([^|]+)", query)
-    from_names = [n.strip() for n in _split_top(m.group(1), ",")] if m else []
+    from_body = (
+        re.sub(r"(?is)\s+METADATA\s.*$", "", m.group(1)).strip() if m else ""
+    )
+    from_names = [n.strip() for n in _split_top(from_body, ",")] if m else []
 
-    def resolver(field: str, text: str) -> DataFrame:
+    def resolver(field: str, text: str, with_score: bool = False) -> DataFrame:
         if len(from_names) != 1:
             raise EsqlError("match() needs a single-index FROM")
         ixdir = indexes.get(from_names[0])
@@ -611,6 +648,14 @@ def esql_search(
                 "field is 'text' (use a multi-field sub-index for others)"
             )
         ecfg = effective_config(spark, ixdir, cfg)
+        if with_score:
+            # METADATA _score: the clause's full scored match set (one
+            # postings decode, no rank window)
+            from ..operators.query import bm25_topk_multi
+
+            return bm25_topk_multi(
+                spark, ixdir, {"q": text}, k=None, cfg=ecfg
+            ).select("docid", "score")
         out = _matched_docids(spark, ixdir, text, ecfg)
         if out is None:  # no usable terms → empty match set, typed
             return tbl.local_rows_df(spark, [], "docid long")

@@ -383,3 +383,31 @@ def test_inlinestats_global_is_broadcast_not_single_partition(spark, tdf, tmp_pa
         "FROM t | INLINESTATS d = COUNT_DISTINCT(source) | LIMIT 1", {"t": df}
     ).collect()[0]
     assert g.d == 2
+
+
+def test_metadata_score_matches_bm25(spark, built_index):
+    from mysql_es_spark.functions.esql import esql_search
+    from mysql_es_spark.operators.query import bm25_topk
+
+    out = esql_search(
+        'FROM ix METADATA _score | WHERE match(text, "w0 w3") '
+        "| KEEP docid, _score | SORT _score DESC, docid | LIMIT 8",
+        spark,
+        {"ix": built_index},
+    ).collect()
+    want = bm25_topk(spark, built_index, "w0 w3", k=8, mode="simple").collect()
+    assert [(r.docid, round(r._score, 9)) for r in out] == [
+        (r.docid, round(r.score, 9)) for r in want
+    ]
+    # scalar conjuncts compose with scoring
+    half = esql_search(
+        'FROM ix METADATA _score | WHERE match(text, "w0") AND docid % 2 == 0 '
+        "| KEEP docid, _score | SORT _score DESC, docid | LIMIT 5",
+        spark,
+        {"ix": built_index},
+    ).collect()
+    assert all(r.docid % 2 == 0 and r._score > 0 for r in half)
+    with pytest.raises(EsqlError, match="_score"):
+        esql_search(
+            "FROM ix METADATA _index | LIMIT 1", spark, {"ix": built_index}
+        )
