@@ -166,3 +166,39 @@ def test_swallowed_generations_invisible(spark, tmp_path):
         assert victim not in left and newest in left
     finally:
         os.remove(f"{gens[newest]}/_swallowed.json")
+
+
+def test_merge_positional_indexes_phrase_identical(spark, tmp_path):
+    from mysql_es_spark.plans.compact import merge_indexes
+    from mysql_es_spark.operators.query import phrase_topk
+
+    cfg = IndexConfig(
+        n_buckets=4, wave_size=4, salt_docs=256, term_buckets=8, with_positions=True
+    )
+    full = transcripts_df(spark, 500, seed=33)
+    convs = sorted(r.conv_id for r in full.select("conv_id").distinct().collect())
+    cut = convs[len(convs) // 2]
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, full.filter(full.conv_id <= cut), a, cfg)
+    build_index(spark, full.filter(full.conv_id > cut), b, cfg)
+    mono = str(tmp_path / "mono")
+    build_index(spark, full, mono, cfg)
+    merged = str(tmp_path / "merged")
+    # physical layout may change in the same pass (reshard contract)
+    merge_indexes(spark, [a, b], merged, cfg=cfg.with_(term_buckets=4))
+
+    for q in ("w0 w1", "w1 w2"):
+        want = [
+            (r.doc_key, round(r.score, 6))
+            for r in phrase_topk(spark, mono, q, k=10, cfg=cfg, with_keys=True).collect()
+        ]
+        got = [
+            (r.doc_key, round(r.score, 6))
+            for r in phrase_topk(spark, merged, q, k=10, with_keys=True).collect()
+        ]
+        assert got == want, q
+    # analyzer mismatch refused
+    plain = str(tmp_path / "plain")
+    build_index(spark, full.limit(50), plain, IndexConfig(n_buckets=4, wave_size=4, salt_docs=256))
+    with pytest.raises(ValueError, match="analyzer"):
+        merge_indexes(spark, [a, plain], str(tmp_path / "x"))
