@@ -179,3 +179,51 @@ def prune_snapshots(repo_dir: str, keep_last: int) -> dict:
         os.remove(_manifest_path(repo_dir, name))
     out = gc_blobs(repo_dir)
     return {"deleted": victims, **out}
+
+
+def verify_repo(repo_dir: str, deep: bool = False) -> dict:
+    """ES ``_snapshot/.../_verify`` + repository integrity analysis: every
+    manifest's blobs must exist with the recorded size; with ``deep``,
+    each referenced blob is re-hashed and must equal its content-address
+    (bit-rot check — the blob NAME is its md5, so corruption is
+    self-evident). Also counts unreferenced blobs (crash leftovers /
+    prune candidates — harmless by the commit-after-data ordering).
+
+    Returns {snapshots, blobs, unreferenced, missing, size_mismatch,
+    corrupt, ok}. Never raises on findings — the caller decides; a
+    missing/corrupt count > 0 means the named snapshots cannot restore.
+    """
+    blob_dir = os.path.join(repo_dir, "blobs")
+    snap_dir = os.path.join(repo_dir, "snapshots")
+    missing: list[str] = []
+    size_mismatch: list[str] = []
+    corrupt: list[str] = []
+    referenced: set[str] = set()
+    names = []
+    if os.path.isdir(snap_dir):
+        names = sorted(f[:-5] for f in os.listdir(snap_dir) if f.endswith(".json"))
+    for name in names:
+        with open(_manifest_path(repo_dir, name)) as f:
+            man = json.load(f)["files"]
+        for rel, meta in man.items():
+            digest = meta["blob"]
+            referenced.add(digest)
+            blob = os.path.join(blob_dir, digest)
+            if not os.path.exists(blob):
+                missing.append(f"{name}:{rel}")
+                continue
+            if os.path.getsize(blob) != meta["size"]:
+                size_mismatch.append(f"{name}:{rel}")
+            elif deep and _file_md5(blob) != digest:
+                corrupt.append(f"{name}:{rel}")
+    all_blobs = set(os.listdir(blob_dir)) if os.path.isdir(blob_dir) else set()
+    all_blobs = {b for b in all_blobs if not b.endswith(".tmp")}
+    return {
+        "snapshots": len(names),
+        "blobs": len(all_blobs),
+        "unreferenced": len(all_blobs - referenced),
+        "missing": missing,
+        "size_mismatch": size_mismatch,
+        "corrupt": corrupt,
+        "ok": not (missing or size_mismatch or corrupt),
+    }

@@ -137,3 +137,35 @@ def test_snapshot_retention_and_gc(spark, built_index, tmp_path):
         delete_snapshot(repo, "nope")
     with pytest.raises(ValueError):
         prune_snapshots(repo, keep_last=0)
+
+
+def test_verify_repo(spark, built_index, tmp_path):
+    import json as _json
+    import os as _os
+
+    from mysql_es_spark.plans.snapshot import create_snapshot, verify_repo
+
+    repo = str(tmp_path / "vrepo")
+    create_snapshot(built_index, repo, "v1")
+    r = verify_repo(repo, deep=True)
+    assert r["ok"] and r["snapshots"] == 1 and not r["missing"] and not r["corrupt"]
+
+    # corrupt one referenced blob: shallow sees the size change, deep the hash
+    man = _json.load(open(f"{repo}/snapshots/v1.json"))["files"]
+    digest = next(m["blob"] for m in man.values() if m["size"] > 0)
+    blob = f"{repo}/blobs/{digest}"
+    orig = open(blob, "rb").read()
+    try:
+        with open(blob, "wb") as f:
+            f.write(orig + b"x")
+        assert verify_repo(repo)["size_mismatch"]
+        with open(blob, "wb") as f:
+            f.write(orig[:-1] + bytes([orig[-1] ^ 1]))
+        deep = verify_repo(repo, deep=True)
+        assert deep["corrupt"] and not deep["ok"]
+        _os.remove(blob)
+        assert verify_repo(repo)["missing"]
+    finally:
+        with open(blob, "wb") as f:
+            f.write(orig)
+    assert verify_repo(repo, deep=True)["ok"]
