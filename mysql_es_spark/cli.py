@@ -262,6 +262,10 @@ def cmd_snapshot(args) -> dict:
         return delete_snapshot(args.repo, args.name)
     if args.snap_action == "prune":
         return prune_snapshots(args.repo, keep_last=args.keep_last)
+    if args.snap_action == "verify":
+        from .plans.snapshot import verify_repo
+
+        return verify_repo(args.repo, deep=args.deep)
     return {"snapshots": list_snapshots(args.repo)}
 
 
@@ -849,7 +853,11 @@ def main(argv: list[str] | None = None) -> int:
     ro.set_defaults(fn=cmd_rollover)
 
     sn = sub.add_parser("snapshot", help="incremental snapshot repo (ES _snapshot)")
-    sn.add_argument("snap_action", choices=["create", "restore", "list", "delete", "prune"])
+    sn.add_argument(
+        "snap_action", choices=["create", "restore", "list", "delete", "prune", "verify"]
+    )
+    sn.add_argument("--deep", action="store_true",
+                    help="verify: re-hash every referenced blob (bit-rot check)")
     sn.add_argument("--repo", required=True, help="snapshot repository directory")
     sn.add_argument("--name", default=None, help="snapshot name (create/restore/delete)")
     sn.add_argument("--keep-last", type=int, default=5,
