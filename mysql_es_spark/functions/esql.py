@@ -445,6 +445,9 @@ def esql(
             if bad:
                 raise EsqlError(f"ENRICH: policy {pol!r} has no column(s) {bad}")
             side = lk.select(F.col(match_field).alias(on), *cols)
+            # ES contract: enrich fields OVERRIDE existing columns of the
+            # same name (never an ambiguous duplicate)
+            df = df.drop(*[c for c in cols if c in df.columns and c != on])
             # ES enrich indexes are small by contract → broadcast left join
             df = df.join(F.broadcast(side), on, "left")
         elif kw == "DISSECT":
@@ -590,7 +593,12 @@ def esql(
                 raise EsqlError(f"LOOKUP JOIN: key(s) {bad} missing on one side")
             # ES lookup indexes are single-shard and replicated to every
             # node — broadcast IS their distribution model. Duplicate
-            # keys multiply rows, the documented ES|QL behavior.
+            # keys multiply rows, and lookup-side fields OVERRIDE
+            # same-named input columns — both the documented ES|QL
+            # behaviors (never an ambiguous duplicate column).
+            df = df.drop(
+                *[c for c in lk.columns if c in df.columns and c not in jkeys]
+            )
             df = df.join(F.broadcast(lk), jkeys, "left")
         elif kw == "MV_EXPAND":
             if body not in df.columns:

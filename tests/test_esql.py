@@ -411,3 +411,21 @@ def test_metadata_score_matches_bm25(spark, built_index):
         esql_search(
             "FROM ix METADATA _index | LIMIT 1", spark, {"ix": built_index}
         )
+
+
+def test_enrich_and_lookup_override_same_named_columns(spark, tdf):
+    lk = spark.createDataFrame(
+        [("en", 111), ("fr", 222)], "lang string, n_chars long"  # collides
+    )
+    out = esql(
+        "FROM docs | LOOKUP JOIN langs ON lang | KEEP doc_id, n_chars | SORT doc_id",
+        {"docs": tdf, "langs": lk},
+    ).collect()
+    assert out[0].n_chars == 111  # lookup side wins, no ambiguity
+    assert out[4].n_chars is None  # de: no lookup row → null, not the original
+    out2 = esql(
+        "FROM docs | ENRICH pol ON lang WITH n_chars | KEEP doc_id, n_chars | SORT doc_id",
+        {"docs": tdf},
+        enrich={"pol": (lk, "lang")},
+    ).collect()
+    assert out2[0].n_chars == 111 and out2[4].n_chars is None
