@@ -231,8 +231,37 @@ def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
     return "".join(rx), names
 
 
+_BUCKET_TIME = re.compile(
+    rf"(?i)\bBUCKET\s*\(\s*({_NAME})\s*,\s*(\d+)\s+"
+    r"(year|month|week|day|hour|minute|second)s?\s*\)"
+)
+_BUCKET_NUM = re.compile(rf"(?i)\bBUCKET\s*\(\s*({_NAME})\s*,\s*(\d+(?:\.\d+)?)\s*\)")
+
+
+def _rewrite_functions(expr: str) -> str:
+    """ES|QL function spellings → Spark SQL. BUCKET is the histogram
+    idiom: BUCKET(ts, 1 day) → date_trunc (calendar-aligned, n must be
+    1 — multi-unit fixed windows are epoch math, use EVAL), and the
+    numeric BUCKET(x, width) → floor-aligned width buckets."""
+
+    def time_sub(m: re.Match) -> str:
+        if m.group(2) != "1":
+            raise EsqlError(
+                "BUCKET: only 1 <calendar-unit> spans are supported "
+                f"(got {m.group(2)} {m.group(3)}); use an EVAL with epoch "
+                "math for fixed multi-unit windows"
+            )
+        return f"date_trunc('{m.group(3).upper()}', {m.group(1)})"
+
+    expr = _BUCKET_TIME.sub(time_sub, expr)
+    expr = _BUCKET_NUM.sub(
+        lambda m: f"(floor({m.group(1)} / {m.group(2)}) * {m.group(2)})", expr
+    )
+    return expr
+
+
 def _check_scalar(expr: str, what: str) -> str:
-    expr = expr.strip()
+    expr = _rewrite_functions(expr.strip())
     if not expr:
         raise EsqlError(f"empty expression in {what}")
     if _FORBIDDEN.search(expr):

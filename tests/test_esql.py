@@ -429,3 +429,33 @@ def test_enrich_and_lookup_override_same_named_columns(spark, tdf):
         enrich={"pol": (lk, "lang")},
     ).collect()
     assert out2[0].n_chars == 111 and out2[4].n_chars is None
+
+
+def test_bucket_function(spark):
+    from datetime import datetime, timedelta
+
+    rows = [
+        (i, datetime(2024, 3, 1) + timedelta(hours=7 * i), float(i % 37))
+        for i in range(100)
+    ]
+    s = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    out = esql(
+        "FROM t | STATS n = COUNT(*) BY day = BUCKET(ts, 1 day) | SORT day",
+        {"t": s},
+    ).collect()
+    want = (
+        s.groupBy(F.date_trunc("DAY", "ts").alias("day"))
+        .count()
+        .orderBy("day")
+        .collect()
+    )
+    assert [(r.day, r.n) for r in out] == [(r.day, r["count"]) for r in want]
+
+    num = esql(
+        "FROM t | STATS n = COUNT(*) BY b = BUCKET(v, 10) | SORT b", {"t": s}
+    ).collect()
+    assert [r.b for r in num] == [0.0, 10.0, 20.0, 30.0]
+    assert sum(r.n for r in num) == 100
+
+    with pytest.raises(EsqlError, match="calendar-unit"):
+        esql("FROM t | STATS n = COUNT(*) BY b = BUCKET(ts, 6 hours)", {"t": s})
