@@ -257,6 +257,14 @@ def _rewrite_functions(expr: str) -> str:
     expr = _BUCKET_NUM.sub(
         lambda m: f"(floor({m.group(1)} / {m.group(2)}) * {m.group(2)})", expr
     )
+    # ES|QL TO_* conversions → Spark's cast-shorthand functions (pure
+    # name substitution; argument lists pass through untouched)
+    for es_name, spark_name in (
+        ("TO_LONG", "bigint"), ("TO_INTEGER", "int"), ("TO_INT", "int"),
+        ("TO_DOUBLE", "double"), ("TO_STRING", "string"),
+        ("TO_BOOLEAN", "boolean"), ("TO_TIMESTAMP", "timestamp"),
+    ):
+        expr = re.sub(rf"(?i)\b{es_name}\s*\(", f"{spark_name}(", expr)
     return expr
 
 

@@ -459,3 +459,15 @@ def test_bucket_function(spark):
 
     with pytest.raises(EsqlError, match="calendar-unit"):
         esql("FROM t | STATS n = COUNT(*) BY b = BUCKET(ts, 6 hours)", {"t": s})
+
+
+def test_to_conversion_functions(spark, tdf):
+    out = esql(
+        'FROM docs | EVAL s = TO_STRING(n_chars), d = TO_DOUBLE(n_chars), '
+        "i = TO_LONG(doc_id) | KEEP s, d, i | SORT i | LIMIT 1",
+        {"docs": tdf},
+    ).collect()[0]
+    assert out.s == "100" and out.d == 100.0 and out.i == 1
+    assert [f.dataType.simpleString() for f in esql(
+        "FROM docs | EVAL x = TO_INT(n_chars) | KEEP x", {"docs": tdf}
+    ).schema.fields] == ["int"]
