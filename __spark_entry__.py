@@ -770,6 +770,25 @@ def q_user_history_dedup(spark, sf):
     ).orderBy("user_id")
 
 
+def q_events_percolate_filters(spark, sf):
+    """Filter-context percolation: stored structured queries (SQL
+    predicates) matched against every event in ONE projection — array of
+    CASE-gated query ids, exploded; no joins, no shuffle."""
+    from mysql_es_spark.operators.percolate import percolate_filters
+
+    ev = _t(spark, sf, "events")
+    return percolate_filters(
+        spark,
+        ev,
+        [
+            ("big", "value >= 90"),
+            ("errors", "event_type = 'error'"),
+            ("vip_mid", "user_id < 5 AND value > 50"),
+        ],
+        id_col="event_id",
+    ).orderBy("event_id", "query_id")
+
+
 def q_eql_sample(spark, sf):
     """EQL sample: users who have ALL of view/click/purchase (no
     ordering constraint), with the earliest example event per step —
@@ -3746,6 +3765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_sequence": q_eql_sequence,
         "eql_sample": q_eql_sample,
         "user_history_dedup": q_user_history_dedup,
+        "events_percolate_filters": q_events_percolate_filters,
         "esql_pipe": q_esql_pipe,
         "transform_pivot": q_transform_pivot,
         "esql_match": q_esql_match,
@@ -4645,6 +4665,15 @@ SELECT lang, bucket,
        CAST(count(DISTINCT source) AS BIGINT) AS nsrc
 FROM f GROUP BY lang, bucket
 ORDER BY lang NULLS LAST, bucket LIMIT 40
+""",
+        "events_percolate_filters": """
+SELECT event_id, query_id FROM (
+  SELECT event_id, 'big' AS query_id FROM events WHERE value >= 90
+  UNION ALL
+  SELECT event_id, 'errors' FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT event_id, 'vip_mid' FROM events WHERE user_id < 5 AND value > 50
+) ORDER BY event_id, query_id
 """,
         "user_history_dedup": """
 WITH fp AS (

@@ -106,3 +106,46 @@ def percolate(
     )
     non_ph = base.join(F.broadcast(ph.select("query_id")), "query_id", "left_anti")
     return non_ph.unionByName(hits_ph)
+
+
+def percolate_filters(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, query_id) for stored FILTER-context queries — the structured
+    half of ES percolation (stored bool filters over the doc's fields,
+    vs the term-set/phrase text modes of :func:`percolate`).
+
+    ``queries``: (query_id, sql_predicate) over the doc columns. Each
+    predicate is validated with the runtime-field purity rules (pure
+    per-row, no nondeterminism/subqueries), then ALL queries evaluate in
+    ONE projection: an array of CASE-gated query ids per row, exploded —
+    one pass over the batch no matter how many stored queries, the same
+    broadcast-the-queries shape as the term-set prefilter. Cost is
+    O(rows × queries) predicate evaluations inside whole-stage codegen;
+    ES evaluates the same product against its percolator index."""
+    from ..functions.runtime import _FORBIDDEN, _SUBQUERY
+
+    seen: set[str] = set()
+    gated = []
+    for qid, pred in queries:
+        if qid in seen:
+            raise ValueError(f"duplicate stored query id {qid!r}")
+        seen.add(qid)
+        if not isinstance(pred, str) or not pred.strip():
+            raise ValueError(f"query {qid!r}: predicate must be a SQL string")
+        if _FORBIDDEN.search(pred) or _SUBQUERY.search(pred):
+            raise ValueError(
+                f"query {qid!r}: predicates must be pure per-row filters"
+            )
+        gated.append(F.when(F.expr(pred), F.lit(qid)))
+    if not gated:
+        return docs.select(F.col(id_col).alias(id_col)).limit(0).withColumn(
+            "query_id", F.lit("")
+        )
+    hits = F.array_compact(F.array(*gated))
+    return (
+        docs.select(F.col(id_col), F.explode(hits).alias("query_id"))
+    )

@@ -119,3 +119,35 @@ def test_percolate_phrase_never_spans_rows(spark):
     }
     # id 1 has beta (row 1) and gamma (row 2) but never adjacent in one row
     assert got == {(2, "p")}
+
+
+def test_percolate_filters(spark):
+    from mysql_es_spark.operators.percolate import percolate_filters
+
+    docs = spark.createDataFrame(
+        [(1, "en", 120), (2, "fr", 80), (3, "en", 30), (4, None, 500)],
+        "doc_id long, lang string, n_chars long",
+    )
+    queries = [
+        ("long_en", "lang = 'en' AND n_chars >= 100"),
+        ("short", "n_chars < 50"),
+        ("always", "1 = 1"),
+        ("never", "n_chars < 0"),
+    ]
+    got = {(r.doc_id, r.query_id) for r in percolate_filters(spark, docs, queries).collect()}
+    want = {
+        (1, "long_en"), (3, "short"),
+        (1, "always"), (2, "always"), (3, "always"), (4, "always"),
+    }
+    assert got == want
+    # one projection: no joins, no shuffles in the plan
+    from tests.test_plan_audits import plan_of
+
+    plan = plan_of(percolate_filters(spark, docs, queries))
+    assert ") Exchange" not in plan and "Join" not in plan
+
+    with pytest.raises(ValueError, match="pure"):
+        percolate_filters(spark, docs, [("bad", "rand() > 0.5")])
+    with pytest.raises(ValueError, match="duplicate"):
+        percolate_filters(spark, docs, [("a", "1=1"), ("a", "1=1")])
+    assert percolate_filters(spark, docs, []).count() == 0
