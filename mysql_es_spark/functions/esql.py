@@ -370,6 +370,13 @@ def _agg_column(alias: str, expr: str, window=None) -> Column:
         arglist = _split_top(args, ",") if args != "*" else ["1"]
         arglist[0] = f"CASE WHEN ({cond}) THEN {arglist[0]} END"
         args = ", ".join(a.strip() for a in arglist)
+    if fn == "PERCENTILE":
+        # ES|QL PERCENTILE(field, p) takes p in 0–100; Spark's
+        # percentile() wants [0, 1]
+        plist = _split_top(args, ",")
+        if len(plist) != 2:
+            raise EsqlError(f"PERCENTILE takes (field, percentage): {expr!r}")
+        args = f"{plist[0].strip()}, ({plist[1].strip()}) / 100.0"
     col = F.expr(_AGGS[fn].format(a=args))
     if window is not None:
         if fn not in _WINDOW_SAFE:
@@ -449,6 +456,12 @@ def esql(
                 df = tables[names[0]]
                 for n in names[1:]:
                     df = df.unionByName(tables[n], allowMissingColumns=True)
+                if with_score:
+                    # ES|QL: _score exists from FROM onward and is 0 for
+                    # rows no match() scored — so a pipe with METADATA
+                    # _score but no match() (or scalar-only WHERE) can
+                    # still KEEP/SORT on it
+                    df = df.withColumn("_score", F.lit(0.0))
             elif kw == "ROW":
                 if spark is None:
                     raise EsqlError("ROW needs spark=")

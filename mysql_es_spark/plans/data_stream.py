@@ -79,14 +79,24 @@ def append_batch(
     """Append a batch as the next generation and repoint the alias.
     Work is O(batch): one index build over the new docs only — history
     is never rewritten. Alias swap last, so a crash mid-build leaves the
-    stream intact at the previous generation."""
+    stream intact at the previous generation.
+
+    The new generation number is monotonic over ALL existing
+    generations (same rule as alias.rollover), not write-index+1: a
+    forcemerge leaves a merged generation numbered above the current
+    write index, and numbering off the write index alone would collide
+    with it and wedge ingest."""
     from ..operators.query import effective_config
     from .build import build_index
 
-    cur = _current_gen(ds_dir)
+    _current_gen(ds_dir)  # validates this is a data stream
+    base = os.path.basename(os.path.normpath(ds_dir))
+    nums = [int(m.group(1)) for m in
+            (re.match(rf"^{re.escape(base)}-(\d{{6}})$", lbl)
+             for lbl in list_generations(ds_dir)) if m]
     if cfg is None:
         cfg = effective_config(spark, get_alias(ds_dir), None)
-    new_dir = _gen_dir(ds_dir, cur + 1)
+    new_dir = _gen_dir(ds_dir, max(nums, default=0) + 1)
     if os.path.exists(new_dir):
         raise ValueError(f"generation already exists: {new_dir}")
     stats = build_index(spark, batch, new_dir, cfg)

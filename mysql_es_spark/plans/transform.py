@@ -60,6 +60,15 @@ class TransformConfig:
     tiebreak: str | None = None
     sync_field: str = "ts"
     n_parts: int = 16
+    # ES transform checkpoint ``delay``: change detection looks back
+    # this far behind the stored watermark, so a row that ARRIVES late
+    # but carries a sync value at-or-just-before the watermark is still
+    # picked up on the next tick. Safe because ticks recompute whole
+    # buckets idempotently; the only cost is re-aggregating keys whose
+    # rows fall inside the overlap window. 0 keeps strict `>` semantics
+    # (a row landing with sync == watermark after the tick is missed —
+    # exactly the gap ES documents delay for).
+    delay_seconds: float = 0.0
 
     def keys(self) -> list[str]:
         return list(self.group_by if self.mode == "pivot" else self.unique_key)
@@ -75,6 +84,7 @@ class TransformConfig:
                 "tiebreak": self.tiebreak,
                 "sync_field": self.sync_field,
                 "n_parts": self.n_parts,
+                "delay_seconds": self.delay_seconds,
             },
             sort_keys=True,
         )
@@ -141,8 +151,19 @@ def _max_sync(df: DataFrame, cfg: TransformConfig) -> str | None:
 
 
 def _sync_after(df: DataFrame, cfg: TransformConfig, wm: str) -> DataFrame:
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
     t = df.schema[cfg.sync_field].dataType
-    return df.filter(F.col(cfg.sync_field) > F.lit(wm).cast(t))
+    bound = F.lit(wm).cast(t)
+    if cfg.delay_seconds:
+        # look-back window (ES checkpoint `delay`): rows with sync in
+        # (wm - delay, wm] re-detect on later ticks — idempotent, the
+        # bucket recompute makes replays free of double counting
+        if isinstance(t, (TimestampType, TimestampNTZType)):
+            bound = bound - F.expr(f"make_dt_interval(0, 0, 0, {cfg.delay_seconds})")
+        else:
+            bound = bound - F.lit(cfg.delay_seconds).cast(t)
+    return df.filter(F.col(cfg.sync_field) > bound)
 
 
 def run_transform(spark: SparkSession, src: DataFrame, dest: str, cfg: TransformConfig) -> dict:

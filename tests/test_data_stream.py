@@ -131,6 +131,37 @@ def test_forcemerge_stream_rank_preserving(spark, tmp_path):
     assert forcemerge_stream(spark, ds)["merged"] == 0
 
 
+def test_append_after_forcemerge(spark, tmp_path):
+    """Regression: forcemerge creates a generation numbered above the
+    current write index; the next append must number past it instead of
+    colliding (which wedged ingest permanently)."""
+    from mysql_es_spark.plans.data_stream import (
+        _complete_generations,
+        forcemerge_stream,
+    )
+
+    ds = str(tmp_path / "afm")
+    create_data_stream(spark, ds, CFG)
+    full = transcripts_df(spark, 600, seed=29)
+    convs = sorted(r.conv_id for r in full.select("conv_id").distinct().collect())
+    c1, c2 = convs[len(convs) // 3], convs[2 * len(convs) // 3]
+    append_batch(spark, ds, full.filter(full.conv_id <= c1))
+    append_batch(spark, ds, full.filter((full.conv_id > c1) & (full.conv_id <= c2)))
+    forcemerge_stream(spark, ds)  # merged gen now outnumbers write index
+    g = append_batch(spark, ds, full.filter(full.conv_id > c2))
+    labels = sorted(_complete_generations(ds))
+    assert os.path.basename(g["generation"]) == labels[-1]
+    # every doc searchable exactly once after merge + append
+    got = _stream_hits(spark, ds, "w0 w3")
+    mono = str(tmp_path / "afm_mono")
+    build_index(spark, full, mono, CFG)
+    want = [
+        (r.doc_key, round(r.score, 4))
+        for r in bm25_topk(spark, mono, "w0 w3", k=10, cfg=CFG, mode="simple", with_keys=True).collect()
+    ]
+    assert got == want
+
+
 def test_forcemerge_duplicate_policy(spark, tmp_path):
     from mysql_es_spark.plans.data_stream import forcemerge_stream
 

@@ -413,6 +413,35 @@ def test_metadata_score_matches_bm25(spark, built_index):
         )
 
 
+def test_metadata_score_without_match_is_zero(spark, built_index):
+    """ES|QL: _score exists from FROM onward, 0 for unscored rows — a
+    pipe with METADATA _score and no match() (or scalar-only WHERE)
+    must not fail on KEEP/SORT _score."""
+    from mysql_es_spark.functions.esql import esql_search
+
+    out = esql_search(
+        "FROM ix METADATA _score | WHERE docid % 2 == 0 "
+        "| KEEP docid, _score | SORT _score DESC, docid | LIMIT 4",
+        spark,
+        {"ix": built_index},
+    ).collect()
+    assert len(out) == 4
+    assert all(r._score == 0.0 for r in out)
+
+
+def test_percentile_takes_0_to_100(spark, tdf):
+    """ES|QL PERCENTILE(field, p) takes p in 0–100 (Spark wants 0–1)."""
+    row = esql(
+        "FROM docs | STATS p50 = PERCENTILE(n_chars, 50), p95 = PERCENTILE(n_chars, 95)",
+        {"docs": tdf},
+    ).collect()[0]
+    want = tdf.agg(
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    ).collect()[0]
+    assert (row.p50, row.p95) == (want.p50, want.p95)
+
+
 def test_enrich_and_lookup_override_same_named_columns(spark, tdf):
     lk = spark.createDataFrame(
         [("en", 111), ("fr", 222)], "lang string, n_chars long"  # collides

@@ -117,6 +117,38 @@ def test_tick_is_noop_without_new_data_and_idempotent(spark, tmp_path):
     assert sorted(map(tuple, read_transform(spark, dest).collect())) == first
 
 
+def test_delay_catches_late_rows_at_watermark(spark, tmp_path):
+    """ES transform checkpoint `delay`: a row arriving AFTER a tick but
+    carrying sync == watermark is missed under strict `>` (delay=0) and
+    caught with a look-back delay; re-detection stays idempotent."""
+    cfg = PIVOT.__class__(**{**PIVOT.__dict__, "delay_seconds": 5.0})
+    early = [(i, i % 5, float(i)) for i in range(20)]
+    src = _events(spark, early)
+    dest = str(tmp_path / "t_delay")
+    run_transform(spark, src, dest, cfg)
+    # a late arrival stamped exactly AT the watermark (s == 19 == max)
+    late = early + [(19, 2, 1000.0)]
+    src2 = _events(spark, late)
+    info = tick_transform(spark, src2, dest, cfg)
+    assert info["mode"] == "incremental" and info["changed_keys"] >= 1
+    got = {(r.user_id, r.n, r.total) for r in read_transform(spark, dest).collect()}
+    want = {
+        (r.user_id, r.n, r.total)
+        for r in src2.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
+    # replay with no new data: the overlap window re-detects keys but
+    # recomputation is idempotent — table unchanged
+    tick_transform(spark, src2, dest, cfg)
+    assert {(r.user_id, r.n, r.total) for r in read_transform(spark, dest).collect()} == want
+    # control: delay=0 misses the same late row (documented gap)
+    dest0 = str(tmp_path / "t_delay0")
+    run_transform(spark, src, dest0, PIVOT)
+    assert tick_transform(spark, src2, dest0, PIVOT)["mode"] == "noop"
+
+
 def test_latest_transform(spark, tmp_path):
     cfg = TransformConfig(
         mode="latest",
