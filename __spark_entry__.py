@@ -4348,10 +4348,14 @@ FROM st
             sh AS (SELECT doc_id, unnest(list_distinct(
                      [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])) AS shingle
                    FROM t WHERE len(toks) >= 2),
-            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            -- max_shingle_df=128 fan-out guard (df over distinct texts;
+            -- this table has no duplicated text, so == per-doc df)
+            shc AS (SELECT * FROM sh WHERE shingle IN (
+                      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 128)),
+            sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
             pairs AS (
               SELECT id_a, id_b
@@ -4372,10 +4376,14 @@ FROM st
             sh AS (SELECT doc_id, unnest(list_distinct(
                      [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])) AS shingle
                    FROM t WHERE len(toks) >= 2),
-            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            -- max_shingle_df=128 fan-out guard (df over distinct texts;
+            -- this table has no duplicated text, so == per-doc df)
+            shc AS (SELECT * FROM sh WHERE shingle IN (
+                      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 128)),
+            sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
             pairs AS (
               SELECT id_a, id_b
@@ -4411,10 +4419,14 @@ FROM st
             sh AS (SELECT doc_id, unnest(list_distinct(
                      [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])) AS shingle
                    FROM t WHERE len(toks) >= 2),
-            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            -- max_shingle_df=128 fan-out guard (df over distinct texts;
+            -- this table has no duplicated text, so == per-doc df)
+            shc AS (SELECT * FROM sh WHERE shingle IN (
+                      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 128)),
+            sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT id_a, id_b, round(i * 1.0 / (za.sz + zb.sz - i), 4) AS jaccard
             FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b

@@ -80,20 +80,94 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def _collapse_by_text(df: DataFrame, id_col: str, text_col: str):
+    """(reps, members): one representative row per *byte-identical* text.
+
+    Fan-out guard #1 for every pair-generation dedup: m byte-identical
+    copies of one page would otherwise flow through the shingle/band
+    self-join as an m-wide hot key and emit O(m²) candidate rows through
+    the shuffle. Collapsing first makes the expensive stages see each
+    distinct text ONCE; :func:`_expand_pairs` restores the full pair set
+    afterwards (identical text ⇒ identical shingle set ⇒ within-group
+    Jaccard is exactly 1.0 and cross-group Jaccard equals the
+    representatives'). Keyed on the raw text (not the normalized
+    fingerprint) so the expansion is an *identity-preserving* rewrite.
+
+    members: (_rep, _member) — every doc, including the rep itself."""
+    keyed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_ek"))
+    reps_ids = keyed.groupBy("_ek").agg(F.min(id_col).alias("_rep"))
+    members = keyed.join(reps_ids, "_ek").select("_rep", F.col(id_col).alias("_member"))
+    reps = df.join(
+        reps_ids.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
+    return reps, members
+
+
+def _expand_pairs(
+    rep_pairs: DataFrame, members: DataFrame, threshold: float, eligible_reps: DataFrame
+) -> DataFrame:
+    """Re-expand representative-level (id_a, id_b, jaccard) pairs to the
+    full doc-id pair set after :func:`_collapse_by_text`.
+
+    Cross-group: every member of a's group × every member of b's group,
+    same jaccard (identical shingle sets). Within-group: all unordered
+    member pairs at jaccard 1.0 — but only for groups whose rep kept at
+    least one shingle (``eligible_reps``: docs with an empty — or fully
+    df-capped — shingle set never co-occur, so the uncollapsed algorithm
+    emits no pair for them)."""
+    cross = (
+        rep_pairs.join(members.select(F.col("_rep").alias("id_a"), F.col("_member").alias("ma")), "id_a")
+        .join(members.select(F.col("_rep").alias("id_b"), F.col("_member").alias("mb")), "id_b")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    m = members.join(
+        eligible_reps.select(F.col(eligible_reps.columns[0]).alias("_rep")), "_rep", "left_semi"
+    )
+    within = (
+        m.select("_rep", F.col("_member").alias("id_a"))
+        .join(m.select("_rep", F.col("_member").alias("id_b")), "_rep")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
     threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 128,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
 
     Candidate pairs come from co-occurring shingles (equi-join on the
     shingle string); Jaccard = |∩| / (|A| + |B| − |∩|) is then exact.
-    ``max_shingle_df`` drops shingles appearing in more than that many
-    docs before pairing (fan-out cap — see module docstring)."""
+
+    Fan-out guards (both ON by default — web corpora are boilerplate
+    heavy, and a single stop-shingle shared by 10^6 docs would emit
+    10^12 candidate rows through the shuffle):
+
+    - ``collapse_exact``: byte-identical texts are collapsed to one
+      representative before the self-join and the pair set is expanded
+      back afterwards — output-identical (within-group Jaccard is exactly
+      1.0), but the quadratic stage sees each distinct text once.
+    - ``max_shingle_df``: shingles appearing in more than this many
+      *distinct texts* are dropped before pairing (df is computed after
+      the collapse, i.e. over unique texts). ``None`` disables the cap.
+    """
+    if collapse_exact:
+        reps, members = _collapse_by_text(df, id_col, text_col)
+    else:
+        reps, members = df, None
     # the shingle set feeds both join sides and the size agg — persist it
     # or the tokenize+explode subtree runs three times (Spark reuses plan
     # *nodes*, not computed results, across self-join branches). The cache
@@ -101,7 +175,7 @@ def ngram_jaccard_pairs(
     # it this reference) is GC'd; callers looping over many corpora in one
     # long-lived session should materialize each result promptly rather
     # than accumulating unevaluated frames.
-    sh = shingles(df, n, id_col, text_col).persist()
+    sh = shingles(reps, n, id_col, text_col).persist()
     if max_shingle_df is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
         sh = sh.join(freq.filter(F.col("sdf") <= max_shingle_df), "shingle", "left_semi")
@@ -114,7 +188,7 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    pairs = (
         inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .withColumn(
@@ -124,6 +198,9 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if not collapse_exact:
+        return pairs
+    return _expand_pairs(pairs, members, threshold, sizes.select(id_col))
 
 
 # ---------------------------------------------------------------------------
@@ -228,23 +305,51 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     base_hash: str = "xxhash64",
+    collapse_exact: bool = True,
+    max_band_bucket: int | None = 4096,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, verified with exact Jaccard.
 
     rows/band = num_perm/bands; candidate pairs share ≥1 identical band
     (join on (band_idx, band_hash) — short keys, shuffle-friendly), then
-    exact shingle Jaccard filters to ≥ threshold."""
+    exact shingle Jaccard filters to ≥ threshold.
+
+    Fan-out guards (see :func:`_collapse_by_text`):
+
+    - ``collapse_exact`` (default on): byte-identical texts go through
+      signatures/banding/verify ONCE; pairs are expanded back at the end
+      (output-identical — within-group Jaccard is exactly 1.0). This
+      kills the worst real-world case, mass-identical boilerplate pages.
+    - ``max_band_bucket``: a band bucket holding more than this many
+      *distinct* texts is excluded from pairwise candidate generation —
+      an m-doc bucket emits m(m−1)/2 candidates, so one hot band at web
+      scale can dominate the whole job. Use
+      :func:`minhash_megaclusters` to retrieve the skipped buckets and
+      treat each as a single dup cluster instead of pairing it out.
+      ``None`` disables the guard."""
     assert num_perm % bands == 0
     rows = num_perm // bands
+    if collapse_exact:
+        reps, members = _collapse_by_text(df, id_col, text_col)
+    else:
+        reps, members = df, None
     # ONE shingle pass feeds both the signature build and the exact-verify
     # stage (tokenize+explode is the dominant cost; Spark reuses plan
     # nodes, not computed results, across the two subtrees). Reclaimed by
     # the ContextCleaner when the returned frame is GC'd.
-    sh = shingles(df, n, id_col, text_col).persist()
+    sh = shingles(reps, n, id_col, text_col).persist()
     sig = minhash_signatures(
-        df, n, num_perm, seed, id_col, text_col, shingles_df=sh, base_hash=base_hash
+        reps, n, num_perm, seed, id_col, text_col, shingles_df=sh, base_hash=base_hash
     )
     banded = _banded_df(sig, bands, rows, id_col)
+    if max_band_bucket is not None:
+        small = (
+            banded.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_band_bucket)
+            .select("band_idx", "band_hash")
+        )
+        banded = banded.join(small, ["band_idx", "band_hash"], "left_semi")
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     cand = (
@@ -253,8 +358,57 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return exact_jaccard_for_pairs(df, cand, n, id_col, text_col, shingles_df=sh).filter(
+    pairs = exact_jaccard_for_pairs(reps, cand, n, id_col, text_col, shingles_df=sh).filter(
         F.col("jaccard") >= threshold
+    )
+    if not collapse_exact:
+        return pairs
+    eligible = sh.select(id_col).distinct()
+    return _expand_pairs(pairs, members, threshold, eligible)
+
+
+def minhash_megaclusters(
+    df: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base_hash: str = "xxhash64",
+    max_band_bucket: int = 4096,
+) -> DataFrame:
+    """(band_idx, band_hash, n_docs, member ids) for LSH band buckets too
+    large for pairwise candidate generation — the degrade-to-cluster path
+    paired with ``minhash_lsh_pairs(max_band_bucket=...)``.
+
+    At web scale a hot band bucket (near-identical boilerplate across
+    millions of pages) is, for curation purposes, one duplicate cluster;
+    enumerating its m(m−1)/2 pairs adds no information. Member ids are
+    expanded back through the exact-text collapse, so mass-identical
+    copies are included."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    reps, members = _collapse_by_text(df, id_col, text_col)
+    sh = shingles(reps, n, id_col, text_col).persist()
+    sig = minhash_signatures(
+        reps, n, num_perm, seed, id_col, text_col, shingles_df=sh, base_hash=base_hash
+    )
+    banded = _banded_df(sig, bands, rows, id_col)
+    big = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_band_bucket)
+        .select("band_idx", "band_hash")
+    )
+    return (
+        banded.join(big, ["band_idx", "band_hash"], "left_semi")
+        .join(members.withColumnRenamed("_rep", id_col), id_col)
+        .groupBy("band_idx", "band_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("_member")).alias("members"),
+        )
     )
 
 
