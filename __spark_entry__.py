@@ -3584,13 +3584,94 @@ def q_runtime_sorted(spark, sf):
     ).orderBy("doc_id")
 
 
+# Round-3 gate window (VERDICT r2 "Next round" #3): the driver records the
+# FIRST 50 queries() entries only. Rounds 1+2 checked 100 distinct names, so
+# this round rotates the window to entries never seen by any
+# CORRECTNESS_r*.json — a handful of previously-green flagships stay as
+# canaries, new round-3 entries join at the front, and the remainder is
+# drawn (in registration order) from the 125 never-driver-checked
+# oracle-backed entries. Names not in this list keep registration order
+# behind it; unknown names are ignored, so the list is safe to edit.
+_GATE_WINDOW_R3 = [
+    # canaries (driver-green in r01/r02; re-checked every round)
+    "bm25_via_index",
+    "bm25_conjunctive",
+    "bm25_phrase_via_index",
+    "emb_cosine_topk",
+    "bm25_update_by_query",
+    "bm25_date_routed",
+    # round-3 additions (registered below as they land)
+    "esql_functions",
+    "esql_grok",
+    "eql_missing_sequence",
+    "agg_variable_width_histogram_exact",
+    "mm_feature_extract_hash",
+    "cdc_posting_merge",
+    # never-driver-checked, oracle-backed (r1+r2 window never reached these)
+    "bm25_exists",
+    "doc_dedup_ingest",
+    "doc_curation_pipeline",
+    "match_aggs_runtime",
+    "emb_semantic_dedup_exact",
+    "bm25_match_export",
+    "bm25_export_slice",
+    "parent_id_children",
+    "bm25_phrase_synonym",
+    "agg_percentile_ranks",
+    "agg_top_metrics",
+    "agg_value_count",
+    "agg_mad",
+    "agg_boxplot",
+    "agg_string_stats",
+    "agg_categorize_text",
+    "agg_frequent_item_sets",
+    "agg_sampler_stats",
+    "agg_random_sampler",
+    "agg_bucket_correlation",
+    "agg_change_point",
+    "terms_lookup",
+    "emb_knn_min_sim",
+    "agg_percentiles_bucket",
+    "agg_normalize",
+    "agg_cumulative_cardinality",
+    "bm25_rank_feature",
+    "agg_matrix_stats",
+    "agg_t_test",
+    "agg_rate",
+    "bm25_intervals",
+    "bm25_intervals_filter",
+    "agg_auto_date_histogram",
+    "agg_scripted_metric",
+    "agg_moving_percentiles",
+    "bm25_search_after",
+    "lm_dirichlet_topk",
+    "bm25_delete_by_query",
+    "bm25_purged_compact",
+    "bm25_highlight",
+    "agg_date_histogram",
+    "agg_extended_stats",
+    "agg_range",
+    "agg_filters",
+    "agg_cardinality",
+    "agg_top_hits",
+    "agg_significant_terms",
+    "agg_significant_text",
+    "bm25_via_compacted",
+    "bm25_more_like_this",
+    "withs_3hop",
+    "doc_minhash_lsh_pairs",
+    "doc_incremental_dedup",
+    "doc_winnow_overlap",
+    "doc_simhash_near_dups",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registration order is deliberate: the round-1 driver gate recorded
-    exactly the first 50 entries, so the flagship index-path / embedding
-    queries and everything new this round come first; the 15 trivial
-    scalar/filter demos (all tri-match green in CORRECTNESS_r01.json) sit
-    at the tail where a truncated gate drops them."""
-    return {
+    """Registration order used to be the gate order; since round 3 the
+    first-50 driver window is rotated explicitly via ``_GATE_WINDOW_R3``
+    (see its comment) so every round driver-checks entries no prior
+    CORRECTNESS_r*.json has seen."""
+    q = {
         # --- flagship: full index build + query engine (SURVEY §2.9) ---
         "bm25_via_index": q_bm25_index,
         "bm25_sparse_vector": q_sparse_vector,
@@ -3837,6 +3918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_json_extract": q_f8,
         "f10_to_json": q_f10,
     }
+    window = [n for n in _GATE_WINDOW_R3 if n in q]
+    tail = [n for n in q if n not in set(window)]
+    return {n: q[n] for n in (*window, *tail)}
 
 
 # ---------------------------------------------------------------------------
