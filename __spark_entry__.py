@@ -757,6 +757,68 @@ def q_esql_pipe(spark, sf):
     )
 
 
+def q_esql_functions(spark, sf):
+    """ES|QL function-tail surface (VERDICT r2 next-round #4) in one
+    pipe: MV_* multivalue family, ES-argument-order date functions
+    (DATE_FORMAT / DATE_DIFF / DATE_EXTRACT), CIDR_MATCH compile-time
+    range rewrite, STARTS_WITH, TO_* conversions, plus the WEIGHTED_AVG
+    and STD_DEV aggregates — all rewritten to JVM expressions inside ONE
+    Catalyst plan (functions/esql.py _rewrite_functions)."""
+    from mysql_es_spark.functions.esql import esql
+
+    ev = _t(spark, sf, "events")
+    return esql(
+        """FROM events
+           | EVAL ip = CONCAT("10.", TO_STRING(user_id % 200), ".0.1"),
+                  w = TO_DOUBLE(user_id % 5 + 1),
+                  yr = DATE_EXTRACT("year", ts),
+                  day = DATE_FORMAT("yyyy-MM-dd", ts),
+                  hrs = DATE_DIFF("hours", TO_TIMESTAMP("2020-01-01 00:00:00"), ts),
+                  vals = array(value, value * 2, 0.0)
+           | EVAL mvc = MV_COUNT(vals),
+                  mvavg = ROUND(MV_AVG(vals), 4),
+                  mvmin = ROUND(MV_MIN(MV_DEDUPE(vals)), 4),
+                  mvtop = ROUND(MV_FIRST(MV_SORT(vals, "DESC")), 4)
+           | WHERE CIDR_MATCH(ip, "10.0.0.0/9") AND STARTS_WITH(event_type, "c")
+           | STATS n = COUNT(*), wavg = WEIGHTED_AVG(value, w),
+                   sd = STD_DEV(value), hmin = MIN(hrs), ydist = COUNT_DISTINCT(yr),
+                   mvc_max = MAX(mvc), mvavg_max = MAX(mvavg),
+                   mvmin_min = MIN(mvmin), mvtop_max = MAX(mvtop)
+             BY day
+           | EVAL wavg = ROUND(wavg, 4), sd = ROUND(sd, 4)
+           | SORT day
+           | LIMIT 25""",
+        {"events": ev},
+    )
+
+
+def q_esql_grok(spark, sf):
+    """GROK pipe command (VERDICT r2 next-round #5): a syslog-shaped
+    line is synthesized from event columns, then parsed back with the
+    canned pattern library (%{IP} %{WORD} %{URIPATH} %{INT:…:long}
+    %{LOGLEVEL}) — ONE JVM regexp per captured field, typed captures
+    cast ANSI-safely — and aggregated. The oracle recomputes the same
+    aggregate straight from the source columns, so every grok capture is
+    value-checked."""
+    from mysql_es_spark.functions.esql import esql
+
+    ev = _t(spark, sf, "events")
+    return esql(
+        """FROM events
+           | EVAL line = CONCAT("10.", TO_STRING(user_id % 200), ".0.7 - ",
+                                event_type, " /api/v", TO_STRING(user_id % 3),
+                                "/items ", TO_STRING(event_id % 1000), " ",
+                                IF(value > 50, "ERROR", "INFO"))
+           | GROK line "%{IP:cip} - %{WORD:method} %{URIPATH:path} %{INT:bytes:long} %{LOGLEVEL:lvl}"
+           | STATS n = COUNT(*), b = SUM(bytes), cips = COUNT_DISTINCT(cip),
+                   paths = COUNT_DISTINCT(path)
+             BY lvl, method
+           | SORT lvl, method
+           | LIMIT 30""",
+        {"events": ev},
+    )
+
+
 def q_user_history_dedup(spark, sf):
     """Sequence-level dedup: users whose ORDERED event-type history is
     identical collapse to the lowest user_id — the unit-of-dedup raised
@@ -3775,6 +3837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_via_compacted": q_bm25_compacted,
         "bm25_more_like_this": q_more_like_this,
         "withs_3hop": q_withs_3hop,
+        # --- round-3 ES|QL tail ---
+        "esql_functions": q_esql_functions,
+        "esql_grok": q_esql_grok,
         # --- round-1 hash fixes ---
         "a2_runlength_groups": q_a2,
         "sessionize": q_sessionize,
@@ -4031,6 +4096,38 @@ SELECT doc_id, dup_of, round(e, 4) AS est_jaccard FROM est WHERE e >= 0.15
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "esql_functions": """
+            WITH e AS (
+              SELECT *,
+                CAST(user_id % 5 + 1 AS DOUBLE) AS w,
+                EXTRACT(year FROM ts) AS yr,
+                strftime(ts, '%Y-%m-%d') AS day,
+                CAST(floor((epoch(ts) - epoch(TIMESTAMP '2020-01-01 00:00:00')) / 3600) AS BIGINT) AS hrs
+              FROM events
+              WHERE (user_id % 200) < 128 AND event_type LIKE 'c%'
+            )
+            SELECT day,
+                   count(*) AS n,
+                   round(sum(value * w) / sum(w), 4) AS wavg,
+                   round(CASE WHEN count(*) = 1 THEN 0.0 ELSE stddev_pop(value) END, 4) AS sd,
+                   min(hrs) AS hmin,
+                   CAST(count(DISTINCT yr) AS BIGINT) AS ydist,
+                   3 AS mvc_max,
+                   round(max(value), 4) AS mvavg_max,
+                   round(min(least(value, value * 2, 0.0)), 4) AS mvmin_min,
+                   round(max(greatest(value, value * 2, 0.0)), 4) AS mvtop_max
+            FROM e GROUP BY day ORDER BY day LIMIT 25
+        """,
+        "esql_grok": """
+            SELECT CASE WHEN value > 50 THEN 'ERROR' ELSE 'INFO' END AS lvl,
+                   event_type AS method,
+                   count(*) AS n,
+                   CAST(sum(event_id % 1000) AS BIGINT) AS b,
+                   CAST(count(DISTINCT user_id % 200) AS BIGINT) AS cips,
+                   CAST(count(DISTINCT user_id % 3) AS BIGINT) AS paths
+            FROM events
+            GROUP BY 1, 2 ORDER BY lvl, method LIMIT 30
+        """,
         "p1_projection_filter": """
             SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
             WHERE l_shipdate < timestamp '1996-01-01'

@@ -33,6 +33,9 @@ Supported commands (the documented stable core):
   CHANGE_POINT v ON k    reduce to the argmax-Welch step-change row
   ENRICH policy ON key [WITH cols]   lookup-policy column attach
   DISSECT col "%{a} %{b}"            pattern extract (one JVM regexp)
+  GROK col "%{IP:ip} %{NUMBER:n:int}"   canned-pattern extract (one JVM
+                         regexp; ~25 most-used ES patterns, typed
+                         captures via :int/:long/:float/:double/:boolean)
 
 STATS/INLINESTATS aggregates accept a per-aggregate ``WHERE cond``
 filter, compiled as a CASE wrapper inside ONE hash aggregate.
@@ -40,10 +43,19 @@ filter, compiled as a CASE wrapper inside ONE hash aggregate.
 Scalar expressions are Spark SQL expressions — ES|QL's function surface
 (ABS, ROUND, CONCAT, LENGTH, SUBSTRING, DATE_TRUNC, CASE, LIKE, IN …)
 overlaps Spark's almost everywhere, and double-quoted string literals
-parse identically. Every scalar expression passes the same purity
-validation as runtime fields (functions/runtime.py): nondeterministic
-functions and subqueries are rejected at compile time, so an ES|QL pipe
-can never smuggle in cardinality changes or side effects.
+parse identically. ES|QL-only spellings are rewritten at compile time:
+TO_* conversions, BUCKET, the multivalue family (MV_COUNT / MV_MIN /
+MV_MAX / MV_SUM / MV_AVG / MV_MEDIAN / MV_FIRST / MV_LAST / MV_DEDUPE /
+MV_SORT / MV_CONCAT), date functions with ES argument order
+(DATE_FORMAT / DATE_PARSE / DATE_DIFF / DATE_EXTRACT), and CIDR_MATCH
+(IPv4, literal blocks → compile-time range checks). Unrewritten MV_*/
+CIDR_* spellings raise EsqlError naming the supported set. Aggregates
+add STD_DEV (population), WEIGHTED_AVG(v, w) and TOP(field, n, order)
+beyond the Spark-shared names. Every scalar expression passes the same
+purity validation as runtime fields (functions/runtime.py):
+nondeterministic functions and subqueries are rejected at compile time,
+so an ES|QL pipe can never smuggle in cardinality changes or side
+effects.
 
 Index integration (``esql_search``): FROM an index name reads its live
 forward table, and WHERE supports ES|QL 8.16's full-text ``match(field,
@@ -57,8 +69,7 @@ registered enrichment table by key lookup (broadcast left join — ES
 enrich indexes are small by contract). ``DISSECT col "%{a} %{b}"``
 compiles the dissect pattern to ONE regexp evaluated JVM-side.
 
-Out of scope (documented): GROK (regexp_extract via EVAL covers the
-need) and metadata fields.
+Out of scope (documented): metadata fields other than _score.
 """
 
 from __future__ import annotations
@@ -83,6 +94,11 @@ _AGGS = {
     # ES|QL VALUES is an unordered multivalue; sorted here so results
     # are deterministic under any partitioning
     "VALUES": "sort_array(collect_list({a}))",
+    # ES|QL STD_DEV is the population standard deviation (Welford)
+    "STD_DEV": "stddev_pop({a})",
+    # WEIGHTED_AVG and TOP are multi-argument — compiled in _agg_column
+    "WEIGHTED_AVG": None,
+    "TOP": None,
 }
 
 _NAME = r"[A-Za-z_][A-Za-z0-9_.]*"
@@ -238,6 +254,258 @@ _BUCKET_TIME = re.compile(
 _BUCKET_NUM = re.compile(rf"(?i)\bBUCKET\s*\(\s*({_NAME})\s*,\s*(\d+(?:\.\d+)?)\s*\)")
 
 
+def _rewrite_calls(expr: str, name: str, render) -> str:
+    """Rewrite every ``name(args)`` call (case-insensitive, word-bounded,
+    balanced-paren, quote-aware) via ``render(list_of_arg_strings)``.
+
+    Single forward pass — the replacement text is never re-scanned (so a
+    render() may legally emit a Spark function whose spelling collides
+    with the ES|QL one, e.g. date_format); nested same-name calls inside
+    the argument list are handled by recursing on the inner text first."""
+    pat = re.compile(rf"(?i)\b{name}\s*\(")
+    out, pos = [], 0
+    while True:
+        m = pat.search(expr, pos)
+        if m is None:
+            out.append(expr[pos:])
+            return "".join(out)
+        depth, i, quote = 1, m.end(), None
+        while i < len(expr) and depth:
+            ch = expr[i]
+            if quote:
+                if ch == "\\":
+                    i += 1
+                elif ch == quote:
+                    quote = None
+            elif ch in "\"'":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise EsqlError(f"{name}: unbalanced parentheses in {expr!r}")
+        inner = _rewrite_calls(expr[m.end() : i - 1], name, render)
+        args = [a.strip() for a in _split_top(inner, ",")]
+        if args == [""]:
+            args = []
+        out.append(expr[pos : m.start()])
+        out.append(render(args))
+        pos = i
+
+
+def _is_str_literal(s: str) -> bool:
+    s = s.strip()
+    return len(s) >= 2 and s[0] in "\"'" and s[-1] == s[0]
+
+
+def _nargs(name: str, args: list, *ns: int) -> None:
+    if len(args) not in ns:
+        raise EsqlError(f"{name} takes {' or '.join(map(str, ns))} argument(s), got {len(args)}")
+
+
+# ES|QL multivalue functions → Spark array expressions. Templates reuse
+# {a} (the multivalue expression) possibly twice — pure column refs in
+# practice, and Catalyst CSEs duplicated subtrees inside one projection.
+_MV_SUM = "aggregate({a}, cast(0 as double), (mv_acc, mv_x) -> mv_acc + mv_x)"
+_MV_TEMPLATES = {
+    "MV_COUNT": "cardinality({a})",
+    "MV_MIN": "array_min({a})",
+    "MV_MAX": "array_max({a})",
+    "MV_DEDUPE": "array_distinct({a})",
+    "MV_SUM": _MV_SUM,
+    "MV_AVG": f"({_MV_SUM} / nullif(cardinality({{a}}), 0))",
+    "MV_FIRST": "get({a}, 0)",
+    "MV_LAST": "get({a}, cardinality({a}) - 1)",
+    # even cardinality → mean of the two middles (ES|QL numeric contract)
+    "MV_MEDIAN": (
+        "((get(array_sort({a}), cast(floor((cardinality({a}) - 1) / 2) as int))"
+        " + get(array_sort({a}), cast(floor(cardinality({a}) / 2) as int))) / 2.0)"
+    ),
+}
+
+# ES|QL DATE_DIFF unit names (incl. abbreviations) → Spark timestampdiff
+_DATE_DIFF_UNITS = {
+    "years": "YEAR", "year": "YEAR", "yyyy": "YEAR", "yy": "YEAR",
+    "quarters": "QUARTER", "quarter": "QUARTER", "qq": "QUARTER", "q": "QUARTER",
+    "months": "MONTH", "month": "MONTH", "mm": "MONTH", "m": "MONTH",
+    "weeks": "WEEK", "week": "WEEK", "wk": "WEEK", "ww": "WEEK",
+    "days": "DAY", "day": "DAY", "dd": "DAY", "d": "DAY",
+    "hours": "HOUR", "hour": "HOUR", "hh": "HOUR",
+    "minutes": "MINUTE", "minute": "MINUTE", "mi": "MINUTE", "n": "MINUTE",
+    "seconds": "SECOND", "second": "SECOND", "ss": "SECOND", "s": "SECOND",
+    "milliseconds": "MILLISECOND", "millisecond": "MILLISECOND", "ms": "MILLISECOND",
+    "microseconds": "MICROSECOND", "microsecond": "MICROSECOND", "mcs": "MICROSECOND",
+}
+
+# IPv4 dotted-quad → one bigint, emitted inline (Catalyst CSEs the four
+# split() calls inside a single predicate)
+_IPV4_NUM = (
+    "(cast(split({ip}, '[.]')[0] as bigint) * 16777216"
+    " + cast(split({ip}, '[.]')[1] as bigint) * 65536"
+    " + cast(split({ip}, '[.]')[2] as bigint) * 256"
+    " + cast(split({ip}, '[.]')[3] as bigint))"
+)
+
+
+def _render_cidr_match(args: list) -> str:
+    """CIDR_MATCH(ip, "block", ...) → range checks computed at compile
+    time from the literal blocks (IPv4; the contract mysql-es users get
+    from ES ip-range filters)."""
+    import ipaddress
+
+    if len(args) < 2:
+        raise EsqlError("CIDR_MATCH takes (ip_column, block, ...)")
+    ipnum = _IPV4_NUM.format(ip=args[0])
+    conds = []
+    for blk in args[1:]:
+        if not _is_str_literal(blk):
+            raise EsqlError(f"CIDR_MATCH: blocks must be string literals, got {blk!r}")
+        try:
+            net = ipaddress.ip_network(blk.strip()[1:-1], strict=False)
+        except ValueError as e:
+            raise EsqlError(f"CIDR_MATCH: bad block {blk}: {e}") from None
+        if net.version != 4:
+            raise EsqlError("CIDR_MATCH: only IPv4 blocks are supported")
+        lo, hi = int(net.network_address), int(net.broadcast_address)
+        conds.append(f"({ipnum} >= {lo} AND {ipnum} <= {hi})")
+    return "(" + " OR ".join(conds) + ")"
+
+
+_ES_DEFAULT_DATE_FMT = '"yyyy-MM-dd\'T\'HH:mm:ss.SSS\'Z\'"'
+
+
+def _render_date_format(args: list) -> str:
+    """ES|QL DATE_FORMAT([format,] date) — format FIRST, the reverse of
+    Spark's date_format(date, format). A literal first argument marks the
+    ES|QL order; otherwise (two non-literal args, the shape only Spark's
+    own spelling produces) pass through unchanged."""
+    _nargs("DATE_FORMAT", args, 1, 2)
+    if len(args) == 1:
+        return f"date_format({args[0]}, {_ES_DEFAULT_DATE_FMT})"
+    if _is_str_literal(args[0]):
+        return f"date_format({args[1]}, {args[0]})"
+    return f"date_format({args[0]}, {args[1]})"
+
+
+def _render_date_parse(args: list) -> str:
+    """ES|QL DATE_PARSE([format,] string) → to_timestamp (format first)."""
+    _nargs("DATE_PARSE", args, 1, 2)
+    if len(args) == 1:
+        return f"to_timestamp({args[0]})"
+    return f"to_timestamp({args[1]}, {args[0]})"
+
+
+def _render_date_diff(args: list) -> str:
+    """ES|QL DATE_DIFF("unit", start, end) → timestampdiff(UNIT, s, e)
+    (complete units elapsed). The 2-arg form is Spark's own date_diff →
+    datediff passthrough."""
+    if len(args) == 2:
+        return f"datediff({args[0]}, {args[1]})"
+    _nargs("DATE_DIFF", args, 3)
+    if not _is_str_literal(args[0]):
+        raise EsqlError(f"DATE_DIFF: unit must be a string literal, got {args[0]!r}")
+    unit = args[0].strip()[1:-1].lower()
+    if unit not in _DATE_DIFF_UNITS:
+        raise EsqlError(
+            f"DATE_DIFF: unsupported unit {unit!r} "
+            f"(supported: {sorted(set(_DATE_DIFF_UNITS))})"
+        )
+    return f"timestampdiff({_DATE_DIFF_UNITS[unit]}, {args[1]}, {args[2]})"
+
+
+def _render_date_extract(args: list) -> str:
+    """ES|QL DATE_EXTRACT("part", date) → date_part('part', date)."""
+    _nargs("DATE_EXTRACT", args, 2)
+    return f"date_part({args[0]}, {args[1]})"
+
+
+_MV_RESIDUAL = re.compile(r"(?i)\b(MV_[A-Z_]+|CIDR_MATCH)\s*\(")
+
+
+# ---------------------------------------------------------------------------
+# GROK: the most-used subset of ES's canned pattern library, inlined as
+# Java-regex fragments. Every fragment is capture-free ((?:…) only) so
+# %{NAME:field} ordinals line up with regexp_extract group indexes.
+# ---------------------------------------------------------------------------
+_GROK_BASE10NUM = r"(?:[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+))"
+_GROK_IPV4 = (
+    r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+)
+_GROK_PATTERNS = {
+    "INT": r"(?:[+-]?[0-9]+)",
+    "POSINT": r"\b(?:[1-9][0-9]*)\b",
+    "NONNEGINT": r"\b(?:[0-9]+)\b",
+    "BASE10NUM": _GROK_BASE10NUM,
+    "NUMBER": _GROK_BASE10NUM,
+    "BASE16NUM": r"(?:0[xX])?(?:[0-9A-Fa-f]+)",
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "QUOTEDSTRING": r"(?:\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "MAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+    "IPV4": _GROK_IPV4,
+    "IP": _GROK_IPV4,
+    "HOSTNAME": (
+        r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})"
+        r"(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b"
+    ),
+    "USER": r"[a-zA-Z0-9._-]+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "EMAILADDRESS": r"[a-zA-Z0-9._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z]{2,}",
+    "TIMESTAMP_ISO8601": (
+        r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}"
+        r"(?::\d{2}(?:\.\d+)?)?(?:Z|[+-]\d{2}:?\d{2})?"
+    ),
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2}\s+[+-]\d{4}",
+    "LOGLEVEL": (
+        r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE"
+        r"|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?"
+        r"|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE"
+        r"|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)"
+    ),
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
+    "LOGLEVEL_LOWER": r"(?:alert|trace|debug|notice|info|warning|warn|error|err|critical|crit|fatal|severe|emergency|emerg)",
+}
+_GROK_TYPES = {"int": "int", "long": "bigint", "float": "float", "double": "double", "boolean": "boolean"}
+_GROK_FIELD = re.compile(r"%\{(\w+)(?::([A-Za-z_][\w.]*))?(?::(\w+))?\}")
+
+
+def _grok_regex(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
+    """Compile an ES GROK pattern — raw regex text interleaved with
+    ``%{SYNTAX[:field[:type]]}`` macros — into one Java regex plus the
+    named captures in group order. Like Logstash/ES grok the match is
+    UNANCHORED (regexp_extract does a find), and literal text between
+    macros is already regex, not plain text (the DISSECT/GROK split)."""
+    fields, out, pos = [], [], 0
+    for m in _GROK_FIELD.finditer(pattern):
+        out.append(pattern[pos : m.start()])
+        name, field, typ = m.group(1), m.group(2), m.group(3)
+        if name not in _GROK_PATTERNS:
+            raise EsqlError(
+                f"GROK: unknown pattern %{{{name}}} (supported: {sorted(_GROK_PATTERNS)})"
+            )
+        if typ is not None and typ not in _GROK_TYPES:
+            raise EsqlError(
+                f"GROK: unknown conversion type {typ!r} (supported: {sorted(_GROK_TYPES)})"
+            )
+        if field:
+            fields.append((field, typ))
+            out.append(f"({_GROK_PATTERNS[name]})")
+        else:
+            out.append(f"(?:{_GROK_PATTERNS[name]})")
+        pos = m.end()
+    out.append(pattern[pos:])
+    if not fields:
+        raise EsqlError(f"GROK: pattern {pattern!r} has no %{{SYNTAX:field}} captures")
+    return "".join(out), fields
+
+
 def _rewrite_functions(expr: str) -> str:
     """ES|QL function spellings → Spark SQL. BUCKET is the histogram
     idiom: BUCKET(ts, 1 day) → date_trunc (calendar-aligned, n must be
@@ -263,9 +531,53 @@ def _rewrite_functions(expr: str) -> str:
         ("TO_LONG", "bigint"), ("TO_INTEGER", "int"), ("TO_INT", "int"),
         ("TO_DOUBLE", "double"), ("TO_STRING", "string"),
         ("TO_BOOLEAN", "boolean"), ("TO_TIMESTAMP", "timestamp"),
+        ("TO_DATETIME", "timestamp"), ("TO_UNSIGNED_LONG", "bigint"),
+        ("TO_DEGREES", "degrees"), ("TO_RADIANS", "radians"),
+        ("TO_LOWER", "lower"), ("TO_UPPER", "upper"),
+        ("TO_BASE64", "base64"), ("FROM_BASE64", "unbase64"),
+        ("STARTS_WITH", "startswith"), ("ENDS_WITH", "endswith"),
     ):
         expr = re.sub(rf"(?i)\b{es_name}\s*\(", f"{spark_name}(", expr)
+    # multivalue / date / network spellings with no same-name Spark
+    # function — argument-aware rewrites (AFTER the TO_* pass so a
+    # rendered to_timestamp(...) is never re-mangled)
+    for mv_name, tmpl in _MV_TEMPLATES.items():
+        expr = _rewrite_calls(
+            expr,
+            mv_name,
+            lambda args, _n=mv_name, _t=tmpl: (
+                _nargs(_n, args, 1) or _t.format(a=args[0])
+            ),
+        )
+    expr = _rewrite_calls(expr, "MV_SORT", _render_mv_sort)
+    expr = _rewrite_calls(
+        expr,
+        "MV_CONCAT",
+        lambda args: (_nargs("MV_CONCAT", args, 2) or f"array_join({args[0]}, {args[1]})"),
+    )
+    expr = _rewrite_calls(expr, "DATE_FORMAT", _render_date_format)
+    expr = _rewrite_calls(expr, "DATE_PARSE", _render_date_parse)
+    expr = _rewrite_calls(expr, "DATE_DIFF", _render_date_diff)
+    expr = _rewrite_calls(expr, "DATE_EXTRACT", _render_date_extract)
+    expr = _rewrite_calls(expr, "CIDR_MATCH", _render_cidr_match)
+    residue = _MV_RESIDUAL.search(expr)
+    if residue:
+        raise EsqlError(
+            f"unsupported ES|QL function {residue.group(1).upper()!r} "
+            f"(supported multivalue functions: "
+            f"{sorted([*_MV_TEMPLATES, 'MV_SORT', 'MV_CONCAT', 'MV_EXPAND (command)'])})"
+        )
     return expr
+
+
+def _render_mv_sort(args: list) -> str:
+    _nargs("MV_SORT", args, 1, 2)
+    if len(args) == 1:
+        return f"array_sort({args[0]})"
+    order = args[1].strip().strip("\"'").lower()
+    if order not in ("asc", "desc"):
+        raise EsqlError(f"MV_SORT: order must be \"ASC\" or \"DESC\", got {args[1]!r}")
+    return f"sort_array({args[0]}, {'true' if order == 'asc' else 'false'})"
 
 
 def _check_scalar(expr: str, what: str) -> str:
@@ -377,7 +689,31 @@ def _agg_column(alias: str, expr: str, window=None) -> Column:
         if len(plist) != 2:
             raise EsqlError(f"PERCENTILE takes (field, percentage): {expr!r}")
         args = f"{plist[0].strip()}, ({plist[1].strip()}) / 100.0"
-    col = F.expr(_AGGS[fn].format(a=args))
+    if fn == "WEIGHTED_AVG":
+        # sum(v*w)/sum(w) with ES null semantics: a null value drops BOTH
+        # the value and its weight (the CASE filter above already nulled
+        # arg0 for filtered rows, so their weights drop too)
+        plist = _split_top(args, ",")
+        if len(plist) != 2:
+            raise EsqlError(f"WEIGHTED_AVG takes (value, weight): {expr!r}")
+        v, w = plist[0].strip(), plist[1].strip()
+        col = F.expr(
+            f"sum(({v}) * ({w})) / sum(CASE WHEN ({v}) IS NOT NULL THEN ({w}) END)"
+        )
+    elif fn == "TOP":
+        # TOP(field, limit, "asc"|"desc") → the N extreme values as a
+        # sorted multivalue (one hash aggregate; no per-group sort pass)
+        plist = _split_top(args, ",")
+        if len(plist) != 3:
+            raise EsqlError(f"TOP takes (field, limit, order): {expr!r}")
+        fld, lim, order = (p.strip() for p in plist)
+        order = order.strip("\"'").lower()
+        if order not in ("asc", "desc") or not re.fullmatch(r"\d+", lim):
+            raise EsqlError(f"TOP: limit must be an integer and order \"asc\"/\"desc\": {expr!r}")
+        asc = "true" if order == "asc" else "false"
+        col = F.expr(f"slice(sort_array(collect_list({fld}), {asc}), 1, {lim})")
+    else:
+        col = F.expr(_AGGS[fn].format(a=args))
     if window is not None:
         if fn not in _WINDOW_SAFE:
             raise EsqlError(
@@ -511,6 +847,22 @@ def esql(
             df = df.withColumns(
                 {nm: F.regexp_extract(F.col(col), rx, i + 1) for i, nm in enumerate(names)}
             )
+        elif kw == "GROK":
+            mm = re.match(rf'^({_NAME})\s+"((?:[^"\\]|\\.)*)"\s*$', body, re.S)
+            if not mm:
+                raise EsqlError(f"GROK: expected '<col> \"pattern\"', got {body!r}")
+            col, pat = mm.group(1), mm.group(2)
+            if col not in df.columns:
+                raise EsqlError(f"GROK: unknown column {col!r}")
+            rx, fields = _grok_regex(pat)
+            new = {}
+            for i, (nm, typ) in enumerate(fields):
+                c = F.regexp_extract(F.col(col), rx, i + 1)
+                if typ is not None:
+                    # no-match → "" → null before the cast (ANSI-safe)
+                    c = F.when(c != "", c).cast(_GROK_TYPES[typ])
+                new[nm] = c
+            df = df.withColumns(new)
         elif kw == "EVAL":
             for a, e in _parse_assignments(body, "EVAL"):
                 df = df.withColumn(a, F.expr(e))  # sequential: later sees earlier

@@ -500,3 +500,139 @@ def test_to_conversion_functions(spark, tdf):
     assert [f.dataType.simpleString() for f in esql(
         "FROM docs | EVAL x = TO_INT(n_chars) | KEEP x", {"docs": tdf}
     ).schema.fields] == ["int"]
+
+
+# ---------------------------------------------------------------------------
+# round-3 function tail: MV_*, date functions, CIDR_MATCH, GROK,
+# WEIGHTED_AVG / STD_DEV / TOP (VERDICT r2 next-round #4/#5)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mvdf(spark):
+    rows = [
+        (1, [3.0, 1.0, 2.0, 1.0], "10.1.2.3", "2024-03-05 10:30:00"),
+        (2, [5.0], "192.168.1.77", "2024-03-06 23:59:59"),
+        (3, [], "172.16.0.9", "2024-03-07 00:00:01"),
+        (4, None, "8.8.8.8", "2024-04-01 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "id long, vals array<double>, ip string, tss string")
+    return df.withColumn("ts", F.to_timestamp("tss")).drop("tss")
+
+
+def test_mv_functions(spark, mvdf):
+    out = esql(
+        """FROM t
+           | EVAL c = MV_COUNT(vals), mn = MV_MIN(vals), mx = MV_MAX(vals),
+                  s = MV_SUM(vals), a = MV_AVG(vals), md = MV_MEDIAN(vals),
+                  f = MV_FIRST(MV_SORT(vals, "DESC")), l = MV_LAST(MV_SORT(vals)),
+                  d = MV_COUNT(MV_DEDUPE(vals))
+           | KEEP id, c, mn, mx, s, a, md, f, l, d
+           | SORT id""",
+        {"t": mvdf},
+    )
+    rows = {r.id: r for r in out.collect()}
+    r1 = rows[1]
+    assert (r1.c, r1.mn, r1.mx, r1.s, r1.a, r1.d) == (4, 1.0, 3.0, 7.0, 1.75, 3)
+    assert r1.md == 1.5  # sorted [1,1,2,3] → (1+2)/2
+    assert (r1.f, r1.l) == (3.0, 3.0)
+    assert (rows[2].c, rows[2].md, rows[2].a) == (1, 5.0, 5.0)
+    assert (rows[3].c, rows[3].s, rows[3].a) == (0, 0.0, None)  # empty array
+    assert rows[4].c is None  # null multivalue → null count (ES contract)
+
+
+def test_mv_concat_and_unsupported(spark, tdf):
+    out = esql(
+        'FROM d | WHERE tags IS NOT NULL AND MV_COUNT(tags) > 1 '
+        '| EVAL j = MV_CONCAT(tags, "-") | KEEP doc_id, j | SORT doc_id',
+        {"d": tdf},
+    )
+    assert [(r.doc_id, r.j) for r in out.collect()] == [(1, "a-b"), (5, "d-e-f")]
+    with pytest.raises(EsqlError, match="MV_ZIP"):
+        esql("FROM d | EVAL z = MV_ZIP(tags, tags)", {"d": tdf})
+    with pytest.raises(EsqlError, match="MV_SORT"):
+        esql('FROM d | EVAL z = MV_SORT(tags, "sideways")', {"d": tdf})
+
+
+def test_date_functions_es_argument_order(spark, mvdf):
+    out = esql(
+        """FROM t
+           | EVAL day = DATE_FORMAT("yyyy-MM-dd", ts),
+                  back = DATE_PARSE("yyyy-MM-dd", day),
+                  hrs = DATE_DIFF("hours", TO_TIMESTAMP("2024-03-05 00:00:00"), ts),
+                  yr = DATE_EXTRACT("year", ts),
+                  mon = DATE_EXTRACT("month", ts)
+           | KEEP id, day, back, hrs, yr, mon | SORT id""",
+        {"t": mvdf},
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].day == "2024-03-05" and rows[1].hrs == 10
+    assert str(rows[1].back) == "2024-03-05 00:00:00"
+    assert rows[2].hrs == 47  # 23:59:59 next day → 47 complete hours
+    assert rows[3].hrs == 48
+    assert (rows[4].yr, rows[4].mon) == (2024.0, 4.0)
+    with pytest.raises(EsqlError, match="unit"):
+        esql('FROM t | EVAL x = DATE_DIFF("fortnights", ts, ts)', {"t": mvdf})
+
+
+def test_cidr_match(spark, mvdf):
+    out = esql(
+        'FROM t | WHERE CIDR_MATCH(ip, "10.0.0.0/8", "172.16.0.0/12") | KEEP id | SORT id',
+        {"t": mvdf},
+    )
+    assert [r.id for r in out.collect()] == [1, 3]
+    with pytest.raises(EsqlError, match="IPv4"):
+        esql('FROM t | WHERE CIDR_MATCH(ip, "::1/128")', {"t": mvdf})
+    with pytest.raises(EsqlError, match="literal"):
+        esql("FROM t | WHERE CIDR_MATCH(ip, id)", {"t": mvdf})
+
+
+def test_stats_weighted_avg_stddev_top(spark):
+    df = spark.range(0).sparkSession.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 3.0), ("a", 10.0, 0.0), ("b", 4.0, 2.0)],
+        "k string, v double, w double",
+    )
+    out = esql(
+        """FROM t
+           | STATS wa = WEIGHTED_AVG(v, w), sd = STD_DEV(v),
+                   t2 = TOP(v, 2, "desc"), b2 = TOP(v, 2, "asc")
+             BY k | SORT k""",
+        {"t": df},
+    )
+    rows = {r.k: r for r in out.collect()}
+    assert rows["a"].wa == (1.0 * 1 + 2.0 * 3 + 10.0 * 0) / 4.0  # zero weight kept, value*0
+    assert rows["a"].t2 == [10.0, 2.0] and rows["a"].b2 == [1.0, 2.0]
+    assert rows["b"].sd == 0.0
+    import math
+
+    assert math.isclose(rows["a"].sd, math.sqrt(((1 - 13 / 3) ** 2 + (2 - 13 / 3) ** 2 + (10 - 13 / 3) ** 2) / 3))
+    with pytest.raises(EsqlError, match="WEIGHTED_AVG"):
+        esql("FROM t | STATS x = WEIGHTED_AVG(v) BY k", {"t": df})
+    with pytest.raises(EsqlError, match="TOP"):
+        esql('FROM t | STATS x = TOP(v, 2, "diagonal") BY k', {"t": df})
+
+
+def test_grok_typed_captures_and_no_match(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '10.0.0.1 - GET /idx.html 1234 INFO "ua"'),
+            (2, '192.168.7.9 - POST /api/v1 77 ERROR "x"'),
+            (3, "not a log line at all"),
+        ],
+        "id long, line string",
+    )
+    out = esql(
+        'FROM t | GROK line "%{IP:cip} - %{WORD:verb} %{URIPATH:path} '
+        '%{INT:bytes:long} %{LOGLEVEL:lvl} %{QUOTEDSTRING:ua}" | SORT id',
+        {"t": df},
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert (rows[1].cip, rows[1].verb, rows[1].bytes, rows[1].lvl) == ("10.0.0.1", "GET", 1234, "INFO")
+    assert rows[2].path == "/api/v1" and rows[2].bytes == 77 and rows[2].ua == '"x"'
+    assert rows[3].cip == "" and rows[3].bytes is None  # no match: "" strings, null typed
+    with pytest.raises(EsqlError, match="unknown pattern"):
+        esql('FROM t | GROK line "%{NOPE:x}"', {"t": df})
+    with pytest.raises(EsqlError, match="conversion type"):
+        esql('FROM t | GROK line "%{INT:x:decimal}"', {"t": df})
+    with pytest.raises(EsqlError, match="no .*captures"):
+        esql('FROM t | GROK line "%{INT} plain"', {"t": df})
