@@ -819,6 +819,33 @@ def q_esql_grok(spark, sf):
     )
 
 
+def q_eql_missing(spark, sf):
+    """EQL 8.x missing-event sequence (VERDICT r2 next-round #6):
+    ``sequence by user_id with maxspan=24h [view] ![error] [purchase]
+    | head 200`` — the ![error] transition is windowed (running
+    error-count + struct-max carry, operators/eql.py), no self-join;
+    the head pipe is a TakeOrdered. Span is reported in exact integer
+    microseconds so the oracle comparison is float-free."""
+    from mysql_es_spark.operators.eql import missing, sequence_matches
+
+    ev = _t(spark, sf, "events")
+    out = sequence_matches(
+        ev,
+        "user_id",
+        ["event_type = 'view'", missing("event_type = 'error'"), "event_type = 'purchase'"],
+        tiebreak="event_id",
+        maxspan_seconds=86400.0,
+        head=200,
+    )
+    return out.select(
+        "user_id",
+        "start_ts",
+        "end_ts",
+        F.expr("timestampdiff(MICROSECOND, start_ts, end_ts)").alias("span_us"),
+        "end_event_id",
+    )
+
+
 def q_user_history_dedup(spark, sf):
     """Sequence-level dedup: users whose ORDERED event-type history is
     identical collapse to the lowest user_id — the unit-of-dedup raised
@@ -3840,6 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-3 ES|QL tail ---
         "esql_functions": q_esql_functions,
         "esql_grok": q_esql_grok,
+        "eql_missing_sequence": q_eql_missing,
         # --- round-1 hash fixes ---
         "a2_runlength_groups": q_a2,
         "sessionize": q_sessionize,
@@ -4117,6 +4145,35 @@ def oracle_sql() -> dict[str, str]:
                    round(min(least(value, value * 2, 0.0)), 4) AS mvmin_min,
                    round(max(greatest(value, value * 2, 0.0)), 4) AS mvtop_max
             FROM e GROUP BY day ORDER BY day LIMIT 25
+        """,
+        "eql_missing_sequence": """
+            WITH o AS (
+              SELECT event_id, ts, user_id, event_type,
+                     sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS ec
+              FROM events
+            ),
+            b AS (
+              SELECT *, ec - CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS ec_excl
+              FROM o
+            ),
+            m AS (
+              SELECT p.user_id, max(v.ts) AS start_ts, p.ts AS end_ts,
+                     p.event_id AS end_event_id
+              FROM b p JOIN b v ON v.user_id = p.user_id
+              WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+                AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id))
+                AND v.ec = p.ec_excl
+              GROUP BY p.user_id, p.ts, p.event_id
+            )
+            SELECT user_id, start_ts, end_ts,
+                   date_diff('microseconds', start_ts, end_ts) AS span_us,
+                   end_event_id
+            FROM m
+            WHERE date_diff('microseconds', start_ts, end_ts) <= 86400000000
+            ORDER BY end_ts, end_event_id
+            LIMIT 200
         """,
         "esql_grok": """
             SELECT CASE WHEN value > 50 THEN 'ERROR' ELSE 'INFO' END AS lvl,

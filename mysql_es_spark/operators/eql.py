@@ -49,15 +49,32 @@ def _as_col(pred: str | Column) -> Column:
     return F.expr(pred) if isinstance(pred, str) else pred
 
 
+class MissingStep:
+    """Marker for an EQL 8.x missing-event step — ``![ pred ]`` in EQL
+    syntax. Build with :func:`missing`."""
+
+    def __init__(self, pred: str | Column):
+        self.pred = pred
+
+
+def missing(pred: str | Column) -> MissingStep:
+    """``missing(pred)`` ≙ EQL's ``![ pred ]``: the sequence matches only
+    if NO event satisfying ``pred`` occurs strictly between the
+    surrounding positive steps (same key / segment)."""
+    return MissingStep(pred)
+
+
 def sequence_matches(
     df: DataFrame,
     by: str | list[str],
-    steps: list[str | Column],
+    steps: list,
     time_col: str = "ts",
     tiebreak: str | None = None,
     maxspan_seconds: float | None = None,
     until: str | Column | None = None,
     first_only: bool = False,
+    head: int | None = None,
+    tail: int | None = None,
 ) -> DataFrame:
     """EQL ``sequence by <by> with maxspan=<s> [steps…] until [u]``.
 
@@ -67,16 +84,54 @@ def sequence_matches(
     is required for a total order (pass the event id column); without
     one, equal timestamps would make matching nondeterministic.
 
+    A step may also be :func:`missing(pred) <missing>` — EQL 8.x's
+    ``![ pred ]`` missing-event step: the chain transition across it is
+    valid only when no ``pred`` event lies strictly between the two
+    surrounding positive events. Implemented windowed, shuffle-free on
+    top of the same (key, time) sort: a running count of missing-pred
+    events turns "no missing event in the gap" into "same count", and
+    the transition's running max runs over struct(count, start) — count
+    is monotone, so the struct max picks the best start among exactly
+    the rows after the last missing event (Spark's struct ordering puts
+    a null start below any value, preserving "no chain" states).
+    Missing steps must sit BETWEEN positive steps (ES requires leading/
+    trailing missing events to carry their own maxspan clock; that
+    variant is rejected here with a clear error).
+
     Returns one row per matching END event: the ``by`` columns,
     ``start_ts`` (latest-possible chain start — minimal span),
     ``end_ts``, ``span_seconds``, and ``end_<tiebreak>``. With
     ``first_only`` only the earliest qualifying end per key survives
-    (EQL's one-match-per-key reporting mode).
-    """
-    if len(steps) < 2:
-        raise ValueError("a sequence needs at least 2 steps")
+    (EQL's one-match-per-key reporting mode). ``head``/``tail`` are
+    EQL's sequence output pipes: globally earliest / latest N matches
+    in (end_ts, end_<tiebreak>) order — each a TakeOrdered, never a
+    full sort; both results come back ascending (the EQL contract)."""
+    positives: list = []
+    gaps: list[list] = []
+    for s in steps:
+        if isinstance(s, MissingStep):
+            if not positives:
+                raise ValueError(
+                    "missing-event steps (![...]) must sit between two "
+                    "positive steps — a leading missing event is not supported"
+                )
+            gaps[-1].append(s.pred)
+        else:
+            positives.append(s)
+            gaps.append([])
+    if gaps and gaps[-1]:
+        raise ValueError(
+            "missing-event steps (![...]) must sit between two positive "
+            "steps — a trailing missing event is not supported"
+        )
+    gaps = gaps[:-1] if gaps else []
+    if len(positives) < 2:
+        raise ValueError("a sequence needs at least 2 positive steps")
+    if head is not None and tail is not None:
+        raise ValueError("head and tail pipes cannot be combined")
     if tiebreak is None:
         raise ValueError("tiebreak column required for a deterministic total order")
+    steps = positives
     keys = [by] if isinstance(by, str) else list(by)
     order = [F.col(time_col).asc(), F.col(tiebreak).asc()]
 
@@ -100,15 +155,35 @@ def sequence_matches(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    w_incl = (
+        Window.partitionBy(*part)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     # s1: at step-1 events, the chain start is the event itself
     ev = ev.withColumn("_s1", F.when(_as_col(steps[0]), F.col(time_col)))
     for i in range(1, len(steps)):
+        if gaps and gaps[i - 1]:
+            # missing-event transition: running count of missing-pred
+            # events (inclusive — the previous positive event itself may
+            # match the missing pred without sitting "between"); the
+            # struct max picks the best start among rows sharing the
+            # maximal count, i.e. rows after the last missing event
+            miss = _as_col(gaps[i - 1][0])
+            for extra in gaps[i - 1][1:]:
+                miss = miss | _as_col(extra)
+            ev = ev.withColumn(
+                f"_mc{i}",
+                F.sum(F.when(miss, F.lit(1)).otherwise(F.lit(0))).over(w_incl),
+            )
+            carried = F.max(
+                F.struct(F.col(f"_mc{i}").alias("c"), F.col(f"_s{i}").alias("s"))
+            ).over(w_prev).getField("s")
+        else:
+            carried = F.max(f"_s{i}").over(w_prev)
         # s_{i+1}: at step-(i+1) events, the maximal start of any chain
         # of steps 1..i ending strictly before this row
-        ev = ev.withColumn(
-            f"_s{i + 1}",
-            F.when(_as_col(steps[i]), F.max(f"_s{i}").over(w_prev)),
-        )
+        ev = ev.withColumn(f"_s{i + 1}", F.when(_as_col(steps[i]), carried))
     last = f"_s{len(steps)}"
     out = ev.filter(F.col(last).isNotNull()).select(
         *keys,
@@ -132,6 +207,17 @@ def sequence_matches(
             out.withColumn("_rn", F.row_number().over(w_first))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+        )
+    tb = f"end_{tiebreak}"
+    if head is not None:
+        out = out.orderBy(F.col("end_ts").asc(), F.col(tb).asc()).limit(int(head))
+    elif tail is not None:
+        # latest N via TakeOrdered on the reversed order, re-sorted
+        # ascending (N rows — the re-sort is driver-trivial)
+        out = (
+            out.orderBy(F.col("end_ts").desc(), F.col(tb).desc())
+            .limit(int(tail))
+            .orderBy(F.col("end_ts").asc(), F.col(tb).asc())
         )
     return out
 

@@ -9,6 +9,7 @@ from datetime import datetime, timedelta
 import pytest
 
 from mysql_es_spark.operators.eql import event_query, sequence_matches
+from mysql_es_spark.operators import eql
 
 T0 = datetime(2024, 1, 1)
 
@@ -237,3 +238,159 @@ def test_sample_single_aggregate_plan(spark, ev_df):
     )
     assert plan.count(") Exchange") == 1  # one partial+final agg, no window
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-3: missing-event steps (![...]) and head/tail sequence pipes
+# ---------------------------------------------------------------------------
+
+
+def _brute_missing(rows, s1, miss, s2, maxspan=None):
+    """[s1] ![miss] [s2]: (key, max start, end id) with no miss event
+    strictly between the chain's two members."""
+    bykey = {}
+    for eid, ts, k, et in rows:
+        bykey.setdefault(k, []).append((ts, eid, et))
+    out = set()
+    for k, evs in bykey.items():
+        evs.sort()
+        for j, (ts2, eid2, et2) in enumerate(evs):
+            if et2 not in s2:
+                continue
+            best = None
+            for i in range(j):
+                if evs[i][2] not in s1:
+                    continue
+                if any(evs[p][2] in miss for p in range(i + 1, j)):
+                    continue
+                if best is None or evs[i][0] > best:
+                    best = evs[i][0]
+            if best is not None and (maxspan is None or (ts2 - best).total_seconds() <= maxspan):
+                out.add((k, best, eid2))
+    return out
+
+
+def test_missing_event_sequence_brute_force(spark, ev_df):
+    df, rows = ev_df
+    got = {
+        (r.user_id, r.start_ts, r.end_event_id)
+        for r in eql.sequence_matches(
+            df,
+            "user_id",
+            ["event_type = 'view'", eql.missing("event_type = 'stop'"), "event_type = 'buy'"],
+            tiebreak="event_id",
+        ).collect()
+    }
+    want = _brute_missing(rows, {"view"}, {"stop"}, {"buy"})
+    assert got == want and got  # nonempty
+
+    # and the constraint actually bites vs the unconstrained sequence
+    plain = {
+        (r.user_id, r.start_ts, r.end_event_id)
+        for r in eql.sequence_matches(
+            df, "user_id", ["event_type = 'view'", "event_type = 'buy'"], tiebreak="event_id"
+        ).collect()
+    }
+    assert got < plain
+
+
+def test_missing_event_with_maxspan(spark, ev_df):
+    df, rows = ev_df
+    got = {
+        (r.user_id, r.start_ts, r.end_event_id)
+        for r in eql.sequence_matches(
+            df,
+            "user_id",
+            ["event_type = 'view'", eql.missing("event_type = 'stop'"), "event_type = 'buy'"],
+            tiebreak="event_id",
+            maxspan_seconds=400,
+        ).collect()
+    }
+    assert got == _brute_missing(rows, {"view"}, {"stop"}, {"buy"}, maxspan=400)
+
+
+def test_missing_event_three_positives(spark, ev_df):
+    """[view] ![stop] [click] [buy]: gap constraint on ONE transition only."""
+    df, rows = ev_df
+    got = {
+        (r.user_id, r.start_ts, r.end_event_id)
+        for r in eql.sequence_matches(
+            df,
+            "user_id",
+            [
+                "event_type = 'view'",
+                eql.missing("event_type = 'stop'"),
+                "event_type = 'click'",
+                "event_type = 'buy'",
+            ],
+            tiebreak="event_id",
+        ).collect()
+    }
+    # brute: chains view<click<buy, no stop between view and click,
+    # maximal view start per buy end
+    bykey = {}
+    for eid, ts, k, et in rows:
+        bykey.setdefault(k, []).append((ts, eid, et))
+    want = set()
+    for k, evs in bykey.items():
+        evs.sort()
+        for j, (tsb, eidb, etb) in enumerate(evs):
+            if etb != "buy":
+                continue
+            best = None
+            for c in range(j):
+                if evs[c][2] != "click":
+                    continue
+                for v in range(c):
+                    if evs[v][2] != "view":
+                        continue
+                    if any(evs[p][2] == "stop" for p in range(v + 1, c)):
+                        continue
+                    if best is None or evs[v][0] > best:
+                        best = evs[v][0]
+            if best is not None:
+                want.add((k, best, eidb))
+    assert got == want and got
+
+
+def test_head_tail_pipes(spark, ev_df):
+    df, _ = ev_df
+    full = eql.sequence_matches(
+        df, "user_id", ["event_type = 'view'", "event_type = 'buy'"], tiebreak="event_id"
+    )
+    allrows = sorted(
+        ((r.end_ts, r.end_event_id, r.user_id) for r in full.collect())
+    )
+    head = eql.sequence_matches(
+        df, "user_id", ["event_type = 'view'", "event_type = 'buy'"],
+        tiebreak="event_id", head=5,
+    ).collect()
+    assert [(r.end_ts, r.end_event_id, r.user_id) for r in head] == allrows[:5]
+    tail = eql.sequence_matches(
+        df, "user_id", ["event_type = 'view'", "event_type = 'buy'"],
+        tiebreak="event_id", tail=5,
+    ).collect()
+    assert [(r.end_ts, r.end_event_id, r.user_id) for r in tail] == allrows[-5:]
+
+
+def test_missing_event_validation(spark, ev_df):
+    df, _ = ev_df
+    with pytest.raises(ValueError, match="leading"):
+        eql.sequence_matches(
+            df, "user_id",
+            [eql.missing("event_type = 'stop'"), "event_type = 'buy'", "event_type = 'view'"],
+            tiebreak="event_id",
+        )
+    with pytest.raises(ValueError, match="trailing"):
+        eql.sequence_matches(
+            df, "user_id",
+            ["event_type = 'view'", "event_type = 'buy'", eql.missing("event_type = 'stop'")],
+            tiebreak="event_id",
+        )
+    with pytest.raises(ValueError, match="head and tail"):
+        eql.sequence_matches(
+            df, "user_id", ["event_type = 'view'", "event_type = 'buy'"],
+            tiebreak="event_id", head=1, tail=1,
+        )
+    with pytest.raises(ValueError, match="2 positive"):
+        eql.sequence_matches(df, "user_id", ["event_type = 'view'"], tiebreak="event_id")
