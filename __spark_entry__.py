@@ -2959,6 +2959,32 @@ def q_mm_features(spark, sf):
     ).select("media_id", "kind", "n_bytes")
 
 
+def q_mm_features_hash(spark, sf):
+    """Fixture-hash anchor for the REAL media decode path (upgrades
+    mm_feature_extract from rows-only): every synth_media payload is
+    seed-deterministic, so the md5 of each row's rounded feature vector
+    is a constant — the oracle is a VALUES fixture of those constants,
+    and any regression in the WAV/PNG/PPM decoders or the feature math
+    (functions/media_codecs.py, operators/multimodal.py) breaks the
+    hash. Video rows exercise the digest fallback deterministically."""
+    feats = multimodal.extract_features(
+        multimodal.synth_media(spark, 48), real=True, on_video="fake"
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "feature", lambda x: F.round(x.cast("double"), 5).cast("string")
+                ),
+            )
+        ).alias("feat_hash"),
+    ).orderBy("media_id")
+
+
 def q_mm_frames(spark, sf):
     return multimodal.frame_sample(multimodal.synth_media(spark, 48), fps=0.5)
 
@@ -3613,6 +3639,31 @@ def q_agg_vwh(spark, sf):
     ).select("key", "min_dl", "max_dl", "n_docs")
 
 
+def q_agg_vwh_exact(spark, sf):
+    """Exact-config anchor for variable_width_histogram (upgrades it
+    from rows-only, the same pattern as emb_ivf_full_probe): at
+    buckets=1 the agglomerative merge collapses to (weighted mean, min,
+    max, count) of the match set's doc lengths, and at buckets >= the
+    distinct-value count no merge happens at all (one cluster per
+    distinct dl) — both ends are ANSI-SQL-expressible, so the clustering
+    scaffold, the match-set plumbing, and the weighting are tri-matched;
+    the interior merge order stays covered by tests/test_vwh.py."""
+    ix = _index_for_documents(spark, sf)
+    q = " ".join(BM25_Q1)
+    one = esaggs.variable_width_histogram(spark, ix, q, buckets=1, cfg=_docs_index_cfg())
+    sep = esaggs.variable_width_histogram(
+        spark, ix, q, buckets=1 << 20, max_distinct=1 << 20, cfg=_docs_index_cfg()
+    )
+    return (
+        one.withColumn("cfg", F.lit("merge_all"))
+        .unionByName(sep.withColumn("cfg", F.lit("no_merge")))
+        .select(
+            "cfg", F.round("key", 4).alias("key"), "min_dl", "max_dl", "n_docs"
+        )
+        .orderBy("cfg", "min_dl")
+    )
+
+
 def q_seeded_shuffle(spark, sf):
     """Deterministic training-data shuffle: the first 100 documents of
     the seed='ep1' global permutation (ORDER BY md5('ep1:'||id), id) —
@@ -3902,6 +3953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified,
         "doc_seeded_shuffle": q_seeded_shuffle,
         "agg_variable_width_histogram": q_agg_vwh,
+        "agg_variable_width_histogram_exact": q_agg_vwh_exact,
         "agg_composite": q_agg_composite,
         "agg_composite_mixed": q_agg_composite_mixed,
         "agg_subaggs_tree": q_agg_tree,
@@ -3973,6 +4025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_full_probe": q_ivf_full_probe,
         "emb_pq_rerank_exact": q_pq_rerank_exact,
         "mm_feature_extract": q_mm_features,
+        "mm_feature_extract_hash": q_mm_features_hash,
         "mm_frame_sample": q_mm_frames,
         # --- joins / relations ---
         "j1_semi_join": q_j1,
@@ -5759,6 +5812,75 @@ sc AS (
 SELECT m.doc_id, m.n_hits, round(sc.s, 4) AS score
 FROM m JOIN sc USING (doc_id)
 ORDER BY round(sc.s, 4) DESC, m.doc_id ASC LIMIT 40
+""",
+        "agg_variable_width_histogram_exact": f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
+m AS (SELECT toks.doc_id FROM toks, unnest(toks.tl) AS u(term)
+      WHERE u.term IN ('spark', 'join', 'query') GROUP BY 1),
+dl AS (SELECT toks.doc_id, len(tl) AS dl FROM toks JOIN m USING (doc_id))
+SELECT 'merge_all' AS cfg, round(avg(dl * 1.0), 4) AS key,
+       min(dl) AS min_dl, max(dl) AS max_dl, count(*) AS n_docs
+FROM dl
+UNION ALL
+SELECT 'no_merge' AS cfg, round(dl * 1.0, 4) AS key,
+       dl AS min_dl, dl AS max_dl, count(*) AS n_docs
+FROM dl GROUP BY dl
+ORDER BY cfg, min_dl
+""",
+        "mm_feature_extract_hash": """
+SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+       CAST(n_bytes AS BIGINT) AS n_bytes, feat_hash
+FROM (VALUES
+(0, 'image', 8796, '043c8d42d6802f749f619fab2d499929'),
+(1, 'audio', 9644, '4e0a0e4205246a82c6ea65d9994eaba7'),
+(2, 'video', 192, 'da5691d38e2cb376358faf4513cab565'),
+(3, 'image', 54987, '57cfdec80f89f3def930c129dfb88b39'),
+(4, 'audio', 19244, 'bffc93e1e60c21ebb22f1944714be713'),
+(5, 'video', 288, '4ce37205ad97bec8f4ba566588f62d38'),
+(6, 'image', 36878, '6252757795a6e23a53c7177a87b44787'),
+(7, 'audio', 28844, 'b579ced7ac7d8c902badb19367177c3b'),
+(8, 'video', 128, '539258a0f80fb9a8e17efe74c66287d9'),
+(9, 'image', 19855, '84448d4bef3d087eb8d402243eb83b00'),
+(10, 'audio', 38444, '21745eba4a6b14aca0dc2b433e83d29a'),
+(11, 'video', 224, '33cb00463fb0fc58cd9582b68b90b9e4'),
+(12, 'image', 8803, 'ec9e9eaa434f0856b8ce86f1a702ca77'),
+(13, 'audio', 48044, '42d4793c37992a9de0356fd72f416ca9'),
+(14, 'video', 320, '61fc5c248e1f64d10f02e6761fc30d18'),
+(15, 'image', 57615, '25bcaf1ecfd88f4184488dcf886615c4'),
+(16, 'audio', 57644, 'eac4bb7944708cb180eaed23ba0f7442'),
+(17, 'video', 160, 'c5a291065847e45e88d1e63d7422ddb3'),
+(18, 'image', 35186, 'be8306e3d865ad0c781a1d60d3b0aa60'),
+(19, 'audio', 67244, 'b1275b5c1a16df54a7a28e14d622fc91'),
+(20, 'video', 256, '44101272449bd7049998b9376c497132'),
+(21, 'image', 19859, '6473e14031ecf3cf083bfca33387e51e'),
+(22, 'audio', 76844, '1452a25dbb19f8b992f6ee2077e35342'),
+(23, 'video', 352, 'd5456fb1eb3b34827699194b29f7405c'),
+(24, 'image', 9229, '0e37ae327ca800e641213faa5588c419'),
+(25, 'audio', 86444, '2891cf43f7e50779ffb2dc7fe5ca915a'),
+(26, 'video', 192, '77cc928f69a452afbac3312111cc26a0'),
+(27, 'image', 55030, 'e66774582e9eb90c4d9f918feab654c2'),
+(28, 'audio', 96044, '5efea852f66db14b8ed8a7b64e765f15'),
+(29, 'video', 288, '49b6f265197ff26abab875aeda4ee34a'),
+(30, 'image', 35180, '219bbb8ea6b4ad33028e7541383d0553'),
+(31, 'audio', 9644, '72780c724d8c0bfcfce03ea694d7ed78'),
+(32, 'video', 128, '894ccf86bf6ae751f357894bcd384cf2'),
+(33, 'image', 20749, '9c6f253f521c34f83bf261d40bd1537c'),
+(34, 'audio', 19244, 'ae2ed5b7b8f8de5a32e7ae39ffe165c7'),
+(35, 'video', 224, '59801657d57484de29ffa3d8864ef1e7'),
+(36, 'image', 8805, '281f428d564142c10db37cbb988d9cbb'),
+(37, 'audio', 28844, '44d2673f9d418e1f947267e153b34f77'),
+(38, 'video', 320, '01b0703d39805396c3bb93f493f66288'),
+(39, 'image', 54958, '2cafa224026014f97b4f70a576d7ff7c'),
+(40, 'audio', 38444, '171cbca919dcdbc5a2d726ad7779ec93'),
+(41, 'video', 160, '51e9e39961a9b0d6f5b01066b7780b22'),
+(42, 'image', 36878, 'a6243eeedcf7c61de2fd25422dd2b944'),
+(43, 'audio', 48044, 'dd5b0dae932becce4655810042514e64'),
+(44, 'video', 256, '8b6bdb9bce8bdeff16402608cd756c7d'),
+(45, 'image', 19845, '53ec0bdf90aa7f229e5fb5d71db75023'),
+(46, 'audio', 57644, '521b090c575510c070a95c3aafceb61f'),
+(47, 'video', 352, '437bc854e2e8f7d8146c1d5341ea9929')
+) AS t(media_id, kind, n_bytes, feat_hash)
+ORDER BY media_id
 """,
         "agg_percentile_ranks": f"""
 WITH toks AS (SELECT doc_id, {TOK} AS tl FROM documents),
