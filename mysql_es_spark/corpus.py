@@ -149,6 +149,37 @@ def transcripts_df(spark, n_turns: int, seed: int = 42):
     return spark.createDataFrame(transcripts_pdf(n_turns, seed), schema=TRANSCRIPT_SCHEMA)
 
 
+def transcripts_df_dist(spark, n_turns: int, seed: int = 42, n_slices: int = 32):
+    """Distributed corpus generation for large stress runs.
+
+    ``transcripts_pdf`` builds the whole corpus in driver pandas — fine to
+    ~5M turns, but a 10^12-turn generator must itself be a Spark job. Each
+    of ``n_slices`` tasks generates ~n_turns/n_slices turns with the same
+    per-slice statistical profile (Zipf vocabulary, conv-length mix, null/
+    empty rates) and a slice-unique conv_id namespace (``g<slice>c...``),
+    seeded ``seed + slice`` so the output is deterministic for a given
+    (n_turns, seed, n_slices) regardless of task placement.
+    """
+    from pyspark.sql import functions as F
+
+    per = int(np.ceil(n_turns / n_slices))
+
+    def gen(batches):
+        for pdf in batches:
+            for s in pdf["slice"]:
+                s = int(s)
+                out = transcripts_pdf(per, seed=seed + s)
+                out["conv_id"] = f"g{s:03d}" + out["conv_id"]
+                yield out
+
+    return (
+        spark.range(n_slices)
+        .select(F.col("id").alias("slice"))
+        .repartition(n_slices, "slice")
+        .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
+    )
+
+
 def write_corpus(spark, out_dir: str, n_turns: int, seed: int = 42) -> dict[str, int]:
     """Write transcripts/conversations/owners parquet under out_dir."""
     tp = transcripts_pdf(n_turns, seed)

@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""10x scale proof (round-2 verdict item #1): ~12M-turn corpus through the
+full pipeline — distributed corpus generation, index build (positional),
+pruned BM25 + phrase + conjunctive + msearch, MinHash-LSH near-dup pairs at
+turn granularity, SemDeDup over 1M synthetic embeddings, and a transform
+full run + incremental tick.
+
+The prior largest run was 5M turns (BENCH.md §6); the scaling-efficiency
+bench runs at 0.6-1.25M. This script shows every headline operator
+completing at ~10x the scaling-bench corpus with ~linear wall-time growth.
+
+Usage: python scripts/stress_12m.py [--turns 12000000] [--cores 32]
+Prints one JSON line; numbers land in BENCH.md §8.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+TMPBASE = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=12_000_000)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--keep-corpus", default="", help="write corpus here and keep it")
+    ap.add_argument("--skip", default="", help="comma list: minhash,semdedup,transform")
+    args = ap.parse_args()
+    skip = set(args.skip.split(",")) if args.skip else set()
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mysql_es_spark.config import IndexConfig
+    from mysql_es_spark.corpus import transcripts_df_dist
+    from mysql_es_spark.operators.dedup import minhash_lsh_pairs, semantic_dedup
+    from mysql_es_spark.operators.query import (
+        bm25_topk,
+        bm25_topk_conjunctive,
+        bm25_topk_multi,
+        phrase_topk,
+    )
+    from mysql_es_spark.plans.build import build_index
+    from mysql_es_spark.plans.transform import TransformConfig, run_transform, tick_transform
+    from mysql_es_spark.session import get_spark
+
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    if TMPBASE:
+        extra["spark.local.dir"] = os.path.join(TMPBASE, "spark_local_12m")
+    spark = get_spark("stress12m", cores=args.cores, extra=extra)
+    out: dict = {"cores": args.cores}
+
+    corpus = args.keep_corpus or tempfile.mkdtemp(prefix="stress12m_", dir=TMPBASE)
+    src = os.path.join(corpus, "transcripts")
+    t0 = time.monotonic()
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        transcripts_df_dist(spark, args.turns, seed=12, n_slices=args.cores * 2).write.mode(
+            "overwrite"
+        ).parquet(src)
+    out["gen_sec"] = round(time.monotonic() - t0, 1)
+    df = spark.read.parquet(src)
+    out["turns"] = df.count()
+
+    # --- index build (positional layout, §6 config) ---
+    ix = os.path.join(corpus, "ix")
+    shutil.rmtree(ix, ignore_errors=True)
+    cfg = IndexConfig(
+        n_buckets=128, wave_size=128, salt_docs=1 << 14, term_buckets=32,
+        with_positions=True,
+    )
+    t0 = time.monotonic()
+    build_index(spark, df, ix, cfg)
+    out["build_sec"] = round(time.monotonic() - t0, 1)
+    out["build_turns_per_sec"] = round(out["turns"] / out["build_sec"], 1)
+
+    def best2(fn):
+        b = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn()
+            b = min(b, time.monotonic() - t0)
+        return round(b, 3)
+
+    out["bm25_pruned_sec"] = best2(
+        lambda: bm25_topk(spark, ix, "w120 w450 w900", k=10, cfg=cfg, mode="pruned").collect()
+    )
+    out["bm25_head_terms_sec"] = best2(
+        lambda: bm25_topk(spark, ix, "w0 w1", k=10, cfg=cfg, mode="pruned").collect()
+    )
+    out["conjunctive_sec"] = best2(
+        lambda: bm25_topk_conjunctive(spark, ix, "w1 w17 w83", k=10, cfg=cfg).collect()
+    )
+    out["phrase_sec"] = best2(
+        lambda: phrase_topk(spark, ix, "w0 w1", k=10, cfg=cfg).collect()
+    )
+    batch = {f"q{i}": f"w{3 * i + 1} w{5 * i + 2}" for i in range(100)}
+    t0 = time.monotonic()
+    bm25_topk_multi(spark, ix, batch, k=10, cfg=cfg).count()
+    out["msearch_100q_sec"] = round(time.monotonic() - t0, 2)
+
+    # --- MinHash-LSH near-dup pairs at turn granularity (~12M docs) ---
+    if "minhash" not in skip:
+        base_docs = df.filter(F.length("text") > 0).select(
+            F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
+        )
+        # plant near-dups so the run proves recall, not just completion:
+        # ~0.2% exact copies (collapse path) + ~0.2% one-token-appended
+        # mutations (banded-LSH + exact-verify path)
+        exact_cp = base_docs.sample(0.002, seed=3).select(
+            F.xxhash64("doc_id").alias("doc_id"), "text"
+        )
+        near_cp = base_docs.sample(0.002, seed=4).select(
+            F.xxhash64("doc_id", F.lit(1)).alias("doc_id"),
+            F.concat_ws(" ", "text", F.lit("w7 w8")).alias("text"),
+        )
+        docs = base_docs.unionByName(exact_cp).unionByName(near_cp)
+        t0 = time.monotonic()
+        n_pairs = minhash_lsh_pairs(docs, n=3, num_perm=64, bands=16, threshold=0.5).count()
+        out["minhash_lsh_sec"] = round(time.monotonic() - t0, 1)
+        out["minhash_pairs"] = int(n_pairs)
+
+    # --- SemDeDup over 1M synthetic embeddings (64-dim) ---
+    if "semdedup" not in skip:
+        def gen_vecs(batches):
+            for pdf in batches:
+                ids = pdf["id"].to_numpy()
+                # deterministic per-row vectors; ~1% planted near-dup pairs
+                rng = np.random.default_rng(int(ids[0]) + 7)
+                v = rng.standard_normal((len(ids), 64)).astype(np.float32)
+                dup = ids % 100 == 1
+                v[dup] = v[np.maximum(ids - 1, 0) % len(ids)][dup] + 0.01
+                yield pd.DataFrame({"vec_id": ids, "embedding": list(v)})
+
+        emb_path = os.path.join(corpus, "emb")
+        (
+            spark.range(1_000_000)
+            .repartition(args.cores * 2)
+            .mapInPandas(gen_vecs, schema="vec_id long, embedding array<float>")
+            .write.mode("overwrite")
+            .parquet(emb_path)
+        )
+        emb = spark.read.parquet(emb_path)
+        emb.count()
+        t0 = time.monotonic()
+        sd = semantic_dedup(emb, threshold=0.95, n_cells=256)
+        n_drop = sd.filter(~F.col("keep")).count()
+        out["semdedup_sec"] = round(time.monotonic() - t0, 1)
+        out["semdedup_dropped"] = int(n_drop)
+
+    # --- transform: full run + incremental tick on a late trickle ---
+    if "transform" not in skip:
+        tcfg = TransformConfig(
+            mode="pivot", group_by=("conv_id",),
+            aggs={"n_turns": "count(*)", "last_ts": "max(ts)"},
+            sync_field="ts", n_parts=128,
+        )
+        dest = os.path.join(corpus, "tf")
+        t0 = time.monotonic()
+        run_transform(spark, df, dest, tcfg)
+        out["transform_full_sec"] = round(time.monotonic() - t0, 1)
+
+        late = df.limit(200).select(
+            "conv_id", (F.col("turn_idx") + 1000).alias("turn_idx"), "role",
+            "text", "tool", F.lit("2027-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+        late.write.mode("append").parquet(src)
+        df2 = spark.read.parquet(src)
+        t0 = time.monotonic()
+        info = tick_transform(spark, df2, dest, tcfg)
+        out["transform_tick_sec"] = round(time.monotonic() - t0, 1)
+        out["tick_changed_keys"] = info["changed_keys"]
+
+    if not args.keep_corpus:
+        shutil.rmtree(corpus, ignore_errors=True)
+    if TMPBASE:
+        shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
