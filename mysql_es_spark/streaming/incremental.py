@@ -54,20 +54,44 @@ def incremental_update(
     index_dir: str,
     cfg: IndexConfig | None = None,
     batch_id: int = -1,
+    merge: str = "auto",
+    merge_max_docs: int = 20_000,
 ) -> dict:
     """Rebuild only the waves whose buckets contain changed conversations.
     Each rebuilt wave appends its counters to the durable metrics table
     under source='incremental' with this ``batch_id`` (the CDC stream
     passes its epoch), so per-batch ingest volume is queryable after the
-    fact — the reference's Statistic counters, persisted."""
+    fact — the reference's Statistic counters, persisted.
+
+    ``merge="auto"`` (default) first attempts the posting-level merge
+    fast path (streaming/posting_merge.py) when the batch is update-only
+    and small (≤ ``merge_max_docs`` docs) — it splices the delta into
+    existing posting blocks instead of rebuilding whole waves, with
+    bit-exact stats (rank identity vs a full rebuild). Batches that
+    insert/delete doc rows, oversized batches, or replays after an
+    interrupted merge fall through to the wave rebuild below, which is
+    fully idempotent and overwrites everything a partial merge touched.
+    ``merge="never"`` forces the rebuild path."""
     from ..operators.query import effective_config
+    from .posting_merge import clear_marker, marker_buckets, try_posting_merge
 
     # the index already exists: its persisted layout is the ground truth a
     # rebuild wave must match (bucket hash, salts, positions, ...)
     cfg = effective_config(spark, index_dir, cfg)
     buckets = affected_buckets(changed_conv_ids, cfg)
+    stale = marker_buckets(index_dir)  # interrupted merge → heal via rebuild
+    if stale:
+        buckets = sorted(set(buckets) | set(stale))
+        merge = "never"
     if not buckets:
         return {"waves_rebuilt": [], "buckets": []}
+    if merge != "never":
+        res = try_posting_merge(
+            spark, transcripts_now, changed_conv_ids, index_dir, cfg,
+            batch_id=batch_id, max_changed_docs=merge_max_docs,
+        )
+        if res is not None:
+            return res
     bucket_set = set(buckets)
     df = with_bucket(transcripts_now, cfg)
     rebuilt = []
@@ -82,6 +106,7 @@ def incremental_update(
         rebuilt.append(wave_id)
     finalize(spark, index_dir, cfg)
     _clear_deletes_for_buckets(spark, index_dir, buckets, cfg)
+    clear_marker(index_dir)
     return {"waves_rebuilt": rebuilt, "buckets": buckets}
 
 
