@@ -2985,6 +2985,32 @@ def q_mm_features_hash(spark, sf):
     ).orderBy("media_id")
 
 
+def q_mm_video_mjpeg_hash(spark, sf):
+    """Fixture-hash anchor for REAL video decode: video rows carry MJPEG
+    payloads (concatenated baseline JPEGs from the pure-numpy codec,
+    functions/media_codecs.encode_jpeg) and real=True decodes actual
+    frames — Huffman, dequant, IDCT, YCbCr — into temporal features
+    (operators/multimodal._video_features). The md5 of each rounded
+    feature vector is seed-deterministic, so the oracle is a VALUES
+    fixture; any codec or feature regression breaks the hash."""
+    feats = multimodal.extract_features(
+        multimodal.synth_media(spark, 12, video_format="mjpeg"), real=True
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "feature", lambda x: F.round(x.cast("double"), 5).cast("string")
+                ),
+            )
+        ).alias("feat_hash"),
+    ).orderBy("media_id")
+
+
 def q_mm_frames(spark, sf):
     return multimodal.frame_sample(multimodal.synth_media(spark, 48), fps=0.5)
 
@@ -3724,6 +3750,55 @@ def q_runtime_sorted(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_cdc_posting_merge(spark, sf):
+    """CDC posting-level merge fast path (streaming/posting_merge.py):
+    copy the cached documents index, apply an UPDATE-ONLY batch that
+    REPLACES the text of every doc_id % 97 == 3 row (its old terms must
+    be masked out of existing posting blocks, the new terms spliced in,
+    and term stats adjusted by exact +/- deltas), assert the merge path
+    actually ran (not the wave-rebuild fallback), then answer BM25 over
+    Q1 + the new term against the merged index. The oracle recomputes
+    BM25 in SQL over the post-update corpus, so any stale posting, leaked
+    old term, or drifted df/avgdl breaks rank or score."""
+    import shutil
+
+    from mysql_es_spark.streaming.incremental import incremental_update
+
+    src_ix = _index_for_documents(spark, sf)
+    ix, marker = _ixcache_dir(sf, "-cdcmerge")
+    if not os.path.exists(marker):
+        shutil.rmtree(ix, ignore_errors=True)
+        shutil.copytree(src_ix, ix)
+        docs = _t(spark, sf, "documents")
+        upd = F.when(
+            F.col("doc_id") % 97 == 3,
+            F.concat(
+                F.lit("mrgupdx mrgupdx uniqz"), (F.col("doc_id") % 7).cast("string")
+            ),
+        ).otherwise(F.col("text"))
+        v2 = _documents_as_transcripts(docs.withColumn("text", upd))
+        changed = docs.filter(F.col("doc_id") % 97 == 3).select(
+            F.col("doc_id").cast("string").alias("conv_id")
+        )
+        res = incremental_update(spark, v2, changed, ix, _docs_index_cfg(), batch_id=3)
+        if res.get("mode") != "posting_merge":
+            raise RuntimeError(f"expected posting_merge path, got {res}")
+        with open(marker, "w") as f:
+            f.write("ok")
+    top = bm25_topk(
+        spark, ix, " ".join(BM25_Q1) + " mrgupdx", k=60, cfg=_docs_index_cfg(),
+        mode="pruned", with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 # Round-3 gate window (VERDICT r2 "Next round" #3): the driver records the
 # FIRST 50 queries() entries only. Rounds 1+2 checked 100 distinct names, so
 # this round rotates the window to entries never seen by any
@@ -3746,6 +3821,7 @@ _GATE_WINDOW_R3 = [
     "eql_missing_sequence",
     "agg_variable_width_histogram_exact",
     "mm_feature_extract_hash",
+    "mm_video_mjpeg_hash",
     "cdc_posting_merge",
     # never-driver-checked, oracle-backed (r1+r2 window never reached these)
     "bm25_exists",
@@ -3833,6 +3909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_nb_classifier": q_nb_classifier,
         "doc_percolate": q_percolate,
         "doc_percolate_phrase": q_percolate_phrase,
+        "cdc_posting_merge": q_cdc_posting_merge,
         "bm25_date_routed": q_bm25_date_routed,
         "bm25_date_routed_dfs": q_bm25_date_routed_dfs,
         "bm25_bool_query": q_bool_query,
@@ -4026,6 +4103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_rerank_exact": q_pq_rerank_exact,
         "mm_feature_extract": q_mm_features,
         "mm_feature_extract_hash": q_mm_features_hash,
+        "mm_video_mjpeg_hash": q_mm_video_mjpeg_hash,
         "mm_frame_sample": q_mm_frames,
         # --- joins / relations ---
         "j1_semi_join": q_j1,
@@ -5827,6 +5905,25 @@ SELECT 'no_merge' AS cfg, round(dl * 1.0, 4) AS key,
 FROM dl GROUP BY dl
 ORDER BY cfg, min_dl
 """,
+        "mm_video_mjpeg_hash": """
+SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+       CAST(n_bytes AS BIGINT) AS n_bytes, feat_hash
+FROM (VALUES
+(0, 'image', 8796, '043c8d42d6802f749f619fab2d499929'),
+(1, 'audio', 9644, '4e0a0e4205246a82c6ea65d9994eaba7'),
+(2, 'video', 22252, '5d4c3e9444088ffebd0f55707702ad0c'),
+(3, 'image', 54987, '57cfdec80f89f3def930c129dfb88b39'),
+(4, 'audio', 19244, 'bffc93e1e60c21ebb22f1944714be713'),
+(5, 'video', 17659, '95ba99e78cef3f14dd68569f207e41c3'),
+(6, 'image', 36878, '6252757795a6e23a53c7177a87b44787'),
+(7, 'audio', 28844, 'b579ced7ac7d8c902badb19367177c3b'),
+(8, 'video', 13172, 'dd153fd04854ded132ad892b955cfc33'),
+(9, 'image', 19855, '84448d4bef3d087eb8d402243eb83b00'),
+(10, 'audio', 38444, '21745eba4a6b14aca0dc2b433e83d29a'),
+(11, 'video', 26543, 'f3bd53a83d196151d32b426b3a8e39f6')
+) AS t(media_id, kind, n_bytes, feat_hash)
+ORDER BY media_id
+""",
         "mm_feature_extract_hash": """
 SELECT CAST(media_id AS BIGINT) AS media_id, kind,
        CAST(n_bytes AS BIGINT) AS n_bytes, feat_hash
@@ -6712,6 +6809,33 @@ ORDER BY round(jlh, 9) DESC, term ASC LIMIT 12
         "bm25_direct": _bm25_sql(BM25_Q1, 20),
         "bm25_direct_q2": _bm25_sql(BM25_Q2, 15),
         "bm25_via_index": _bm25_sql(BM25_Q1, 20),
+        "cdc_posting_merge": f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 3
+              THEN 'mrgupdx mrgupdx uniqz' || CAST(doc_id % 7 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents),
+toks AS (SELECT doc_id, {TOK} AS tl FROM docs2),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query', 'mrgupdx')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
+""",
         "bm25_sparse_vector": f"""
 WITH w AS (SELECT * FROM (VALUES ('spark', 2.0), ('window', 0.5), ('agg', 1.5),
                                  ('scan', 0.8)) AS v(term, wt)),

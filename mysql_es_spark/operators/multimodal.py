@@ -2,14 +2,20 @@
 
 Treats image/audio/video as ``binary`` columns plus a typed metadata
 struct, with decode / feature-extract / resize / frame-sample as
-Arrow-batched operators over ``mapInPandas``. Image and audio decode is
-REAL, with zero external codec libraries: WAV via stdlib ``wave``, PNG
-via ``zlib`` + scanline-filter reconstruction, PPM P6 by header parse
-(functions/media_codecs.py) — ``extract_features(real=True)`` computes
-features from actual samples/pixels. Video (mp4) decode would need a
-container demuxer (PyAV, not in this image) and remains a documented
-stub: real mode raises on video rows by default (``on_video="error"``)
-or falls back to the digest features (``on_video="fake"``).
+Arrow-batched operators over ``mapInPandas``. Decode is REAL for every
+kind, with zero external codec libraries (functions/media_codecs.py):
+WAV via stdlib ``wave``, PNG via ``zlib`` + scanline-filter
+reconstruction, PPM P6 by header parse, and video as MJPEG — a pure
+numpy baseline-JPEG codec (DCT/quant/Huffman), frames concatenated the
+way MJPEG AVIs carry them. ``extract_features(real=True)`` computes
+features from actual samples/pixels/frames.
+
+Disposition: containerized video (mp4/h264/vp9) needs a demuxer +
+inter-frame codec (PyAV, not in this image) and is permanently out of
+scope for the pure-python engine; MJPEG is the supported real video
+path. Non-MJPEG video payloads under ``real=True`` raise a ValueError
+by default (``on_video="error"``) or fall back to the deterministic
+digest features (``on_video="fake"``).
 """
 
 from __future__ import annotations
@@ -31,10 +37,15 @@ MEDIA_SCHEMA = (
 KINDS = ["image", "audio", "video"]
 
 
-def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+def synth_media(
+    spark: SparkSession, n: int = 64, seed: int = 42, video_format: str = "digest"
+) -> DataFrame:
     """Deterministic media table with REAL payloads: images are valid
     PNG (every third image PPM), audio is valid 16-bit PCM WAV; video
-    stays an opaque digest payload (no encoder without PyAV)."""
+    is an opaque digest payload by default (the mp4-shaped fixture the
+    original anchor hashes were minted on) or, with
+    ``video_format="mjpeg"``, a REAL MJPEG stream of baseline-JPEG
+    frames (functions/media_codecs.encode_mjpeg)."""
     rows = []
     for i in range(n):
         kind = KINDS[i % 3]
@@ -62,6 +73,23 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
             )
             payload = mc.encode_wav(samples, rate=rate)
             meta = (None, None, "wav", dur)
+        elif video_format == "mjpeg":
+            w, h = 32 + (i % 3) * 16, 24 + (i % 3) * 8
+            nf = 3 + i % 4
+            yy, xx = np.mgrid[0:h, 0:w]
+            frames = [
+                np.stack(
+                    [
+                        ((xx * 255 // max(w - 1, 1)) + 7 * f).astype(np.uint8),
+                        ((yy * 255 // max(h - 1, 1)) + 11 * f).astype(np.uint8),
+                        rng.integers(0, 256, (h, w), dtype=np.uint8),
+                    ],
+                    axis=-1,
+                )
+                for f in range(nf)
+            ]
+            payload = mc.encode_mjpeg(frames, quality=85)
+            meta = (w, h, "mjpeg", float(nf))
         else:
             payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 8)
             meta = (None, None, "mp4", float(2 + i % 30))
@@ -113,6 +141,25 @@ def _audio_features(x: np.ndarray, rate: int, channels: int, dim: int) -> np.nda
     return np.pad(out, (0, dim - len(out)))[:dim]
 
 
+def _video_features(frames: list[np.ndarray], dim: int) -> np.ndarray:
+    """Decoded MJPEG frames → dim-wide features: [n_frames, w, h, mean,
+    std] + the per-frame gray-mean series (temporal signature, up to 8
+    frames) + a gray thumbnail of the middle frame."""
+    h, w, _ = frames[0].shape
+    grays = [f.astype(np.float64).mean(axis=2) / 255.0 for f in frames]
+    allpx = np.stack(grays)
+    head = [float(len(frames)), w / 1e3, h / 1e3, float(allpx.mean()), float(allpx.std())]
+    series = [float(g.mean()) for g in grays[:8]]
+    k = max(dim - len(head) - len(series), 0)
+    side = max(int(np.ceil(np.sqrt(k))), 1)
+    mid = grays[len(grays) // 2]
+    ys = np.linspace(0, h - 1, side).astype(int)
+    xs = np.linspace(0, w - 1, side).astype(int)
+    thumb = mid[np.ix_(ys, xs)].ravel()[:k]
+    out = np.array(head + series + list(thumb), dtype=np.float32)
+    return np.pad(out, (0, max(dim - len(out), 0)))[:dim]
+
+
 def _real_decode(payload: bytes, kind: str, dim: int, on_video: str) -> np.ndarray:
     if kind == "image":
         if payload[:8] == mc.PNG_SIG:
@@ -122,11 +169,15 @@ def _real_decode(payload: bytes, kind: str, dim: int, on_video: str) -> np.ndarr
         raise ValueError("image payload is neither PNG nor PPM")
     if kind == "audio":
         return _audio_features(*mc.decode_wav(payload), dim)
+    if payload[:2] == mc.JPEG_SIG:
+        return _video_features(mc.decode_mjpeg(payload), dim)
     if on_video == "fake":
         return _fake_decode(payload, dim)
-    raise NotImplementedError(
-        "video decode requires a container demuxer (PyAV, not in this "
-        "image); pass on_video='fake' to keep digest features for video rows"
+    raise ValueError(
+        "containerized video (mp4/h264) is out of scope by disposition — "
+        "the real video path is MJPEG (concatenated baseline JPEG frames, "
+        "functions/media_codecs.py); pass on_video='fake' to keep digest "
+        "features for non-MJPEG video rows"
     )
 
 

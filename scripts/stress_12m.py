@@ -56,9 +56,17 @@ def main() -> int:
     from mysql_es_spark.plans.transform import TransformConfig, run_transform, tick_transform
     from mysql_es_spark.session import get_spark
 
-    extra = {"spark.ui.showConsoleProgress": "false"}
-    if TMPBASE:
-        extra["spark.local.dir"] = os.path.join(TMPBASE, "spark_local_12m")
+    # Shuffle/spill MUST go to real disk: tmpfs pages count against RAM, and
+    # a 12M-turn positional build writes tens of GB of shuffle+cache spill —
+    # on /dev/shm that OOM-kills the JVM (observed: 77G tmpfs + 42G heap).
+    # The corpus itself (a few GB, read-mostly) can stay in tmpfs.
+    extra = {
+        "spark.ui.showConsoleProgress": "false",
+        "spark.local.dir": "/tmp/spark_local_12m",
+        # cached-block spill compression (lz4): the persisted tokenized
+        # stream is the largest single spill in the build
+        "spark.rdd.compress": "true",
+    }
     spark = get_spark("stress12m", cores=args.cores, extra=extra)
     out: dict = {"cores": args.cores}
 
@@ -184,8 +192,7 @@ def main() -> int:
 
     if not args.keep_corpus:
         shutil.rmtree(corpus, ignore_errors=True)
-    if TMPBASE:
-        shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
+    shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
     print(json.dumps(out))
     return 0
 

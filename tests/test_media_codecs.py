@@ -105,3 +105,74 @@ def test_decode_rejects_garbage():
         mc.decode_png(b"not a png at all")
     with pytest.raises(ValueError):
         mc.decode_ppm(b"P3\n1 1\n255\n0 0 0")
+
+
+# --- baseline JPEG / MJPEG (pure numpy) ---
+
+
+def _grad_noise(h, w, seed=5):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+            rng.integers(0, 256, (h, w), dtype=np.uint8),
+        ],
+        axis=-1,
+    )
+
+
+def _psnr(a, b):
+    err = a.astype(np.float64) - b.astype(np.float64)
+    return 10 * np.log10(255**2 / max((err**2).mean(), 1e-9))
+
+
+def test_jpeg_roundtrip_dims_and_psnr():
+    for h, w in [(8, 8), (17, 23), (48, 64)]:
+        px = _grad_noise(h, w, seed=h * 100 + w)
+        blob = mc.encode_jpeg(px, quality=90)
+        dec, end = mc.decode_jpeg(blob)
+        assert end == len(blob)
+        assert dec.shape == px.shape
+        assert _psnr(dec, px) > 25  # noisy channel bounds quality
+
+
+def test_jpeg_smooth_near_lossless():
+    yy, xx = np.mgrid[0:40, 0:40]
+    smooth = np.stack([((xx + yy) * 3 % 256).astype(np.uint8)] * 3, axis=-1)
+    dec, _ = mc.decode_jpeg(mc.encode_jpeg(smooth, quality=95))
+    assert int(np.abs(dec.astype(int) - smooth.astype(int)).max()) <= 2
+
+
+def test_jpeg_quality_monotone_size():
+    px = _grad_noise(32, 32)
+    sizes = [len(mc.encode_jpeg(px, quality=q)) for q in (30, 60, 90)]
+    assert sizes == sorted(sizes)
+
+
+def test_jpeg_deterministic():
+    px = _grad_noise(24, 24)
+    assert mc.encode_jpeg(px, 85) == mc.encode_jpeg(px, 85)
+
+
+def test_jpeg_rejects_garbage():
+    with pytest.raises(ValueError):
+        mc.decode_jpeg(b"not a jpeg")
+
+
+def test_mjpeg_roundtrip():
+    frames = [_grad_noise(24, 32, seed=i) for i in range(5)]
+    stream = mc.encode_mjpeg(frames, quality=85)
+    out = mc.decode_mjpeg(stream)
+    assert len(out) == 5
+    for f, o in zip(frames, out):
+        assert o.shape == f.shape
+        assert _psnr(o, f) > 25
+
+
+def test_mjpeg_empty_rejected():
+    with pytest.raises(ValueError):
+        mc.encode_mjpeg([])
+    with pytest.raises(ValueError):
+        mc.decode_mjpeg(b"\x00\x01")

@@ -65,7 +65,8 @@ def test_real_decode_wav_png_ppm(spark, media):
 
 
 def test_real_decode_video_errors_by_default(spark, media):
-    with pytest.raises(Exception, match="PyAV|demuxer"):
+    # digest (non-MJPEG) video payloads: out of scope by disposition
+    with pytest.raises(Exception, match="MJPEG|disposition"):
         multimodal.extract_features(media, real=True).collect()
 
 
@@ -86,3 +87,32 @@ def test_resize_plan(media):
     rows = multimodal.resize_plan(media, 224, 224).collect()
     assert all(r.dst_w == 224 and r.dst_h == 224 for r in rows)
     assert all(abs(r.scale_x - round(224 / r.src_w, 4)) < 1e-9 for r in rows)
+
+
+def test_real_video_decode_mjpeg(spark):
+    """video_format="mjpeg" payloads are REAL concatenated baseline-JPEG
+    frames; real=True decodes actual pixels (no digest fallback) and the
+    feature head encodes frame count + geometry + luminance stats."""
+    media = multimodal.synth_media(spark, 12, video_format="mjpeg")
+    vids = {r.media_id: r.meta for r in media.filter("kind = 'video'").collect()}
+    feats = {
+        r.media_id: r
+        for r in multimodal.extract_features(media, dim=16, real=True).collect()
+    }
+    assert len(feats) == 12
+    for i, meta in vids.items():
+        f = feats[i].feature
+        assert f[0] == meta.duration_s  # n_frames stored as duration
+        assert abs(f[1] - meta.width / 1e3) < 1e-6
+        assert abs(f[2] - meta.height / 1e3) < 1e-6
+        assert 0.2 < f[3] < 0.8  # gradient+noise gray mean
+    # digest video payloads raise by default under real=True ...
+    legacy = multimodal.synth_media(spark, 3)  # has one digest video row
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        multimodal.extract_features(legacy, dim=16, real=True).collect()
+    assert "MJPEG" in str(ei.value) or "disposition" in str(ei.value)
+    # ... and keep deterministic digest features with on_video="fake"
+    ok = multimodal.extract_features(legacy, dim=16, real=True, on_video="fake").count()
+    assert ok == 3
