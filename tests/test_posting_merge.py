@@ -189,3 +189,67 @@ def test_merge_revives_changed_deleted_doc_only(spark, snapshots, tmp_path):
     assert res["mode"] == "posting_merge"
     left = {int(r["docid"]) for r in spark.read.parquet(f"{ix}/deletes").collect()}
     assert left == {other_id}  # re-indexed doc revived, unrelated mark kept
+
+
+def test_merge_touches_only_affected_partitions(spark, snapshots, tmp_path):
+    """Scale audit: the merge must rewrite only delta-proportional state —
+    the untouched wave's forward/doc_lens dirs and every unaffected
+    term_bucket partition keep their files byte-for-byte (mtime+size),
+    proving directory pruning rather than a full-table rewrite."""
+    v1, _, _ = snapshots
+    ix = str(tmp_path / "ix")
+    # wider term_buckets than CFG: one conversation's old vocabulary
+    # (~30 distinct terms) must NOT cover every bucket, or the audit
+    # can't distinguish pruning from a full rewrite
+    cfg = IndexConfig(
+        n_buckets=4, wave_size=2, salt_docs=256, term_buckets=64, block_size=64,
+        with_positions=True,
+    )
+    build_index(spark, v1, ix, cfg)
+
+    # single-conversation update → exactly one bucket/wave, few terms
+    one = ["c00000002"]
+    upd = v1.filter(F.col("conv_id").isin(one)).withColumn(
+        "text", F.lit("solo0 solo1 solo2")
+    )
+    v2 = v1.filter(~F.col("conv_id").isin(one)).unionByName(upd)
+    changed = v1.sparkSession.createDataFrame([(c,) for c in one], "conv_id string")
+
+    def snap(d):
+        out = {}
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, d)] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    before = {t: snap(os.path.join(ix, t)) for t in ("forward", "doc_lens", "postings")}
+    res = incremental_update(spark, v2, changed, ix, cfg)
+    assert res["mode"] == "posting_merge"
+    after = {t: snap(os.path.join(ix, t)) for t in ("forward", "doc_lens", "postings")}
+
+    assert len(res["buckets"]) == 1
+    wave = res["waves_merged"][0]
+    for t in ("forward", "doc_lens"):
+        untouched = {
+            k: v for k, v in before[t].items() if not k.startswith(f"wave={wave}/")
+        }
+        assert untouched, "expected files outside the merged wave"
+        assert all(after[t].get(k) == v for k, v in untouched.items()), (
+            f"{t}: files outside wave={wave} were rewritten"
+        )
+    # postings: at least one term_bucket partition of the merged wave must
+    # survive untouched (3 distinct new terms + a handful of old ones can't
+    # cover all 8 term buckets), and every other wave entirely so
+    same = [
+        k for k, v in before["postings"].items() if after["postings"].get(k) == v
+    ]
+    assert any(k.startswith(f"wave={wave}/term_bucket=") for k in same), (
+        "no term_bucket partition of the merged wave survived — merge is "
+        "rewriting all postings instead of pruning to affected groups"
+    )
+    other_waves = {
+        k: v for k, v in before["postings"].items() if not k.startswith(f"wave={wave}/")
+    }
+    assert all(after["postings"].get(k) == v for k, v in other_waves.items())
