@@ -268,9 +268,14 @@ def _run_merge(
             for f in (BLOCK_POS_SCHEMA if with_pos else BLOCK_SCHEMA).split(",")
         ]
 
+        # every temp lives under one underscore-prefixed root OUTSIDE the
+        # table dirs: a crash before the swap window must never leave a
+        # directory that partition discovery would pick up on the next
+        # read (forward/wave=0._merge_tmp would parse as a wave value)
+        tmp_root = os.path.join(tbl.resolve(index_dir), "_mergetmp")
+        shutil.rmtree(tmp_root, ignore_errors=True)
         post_root = tbl.p(index_dir, "postings")
-        tmp_post = post_root + "._merge_tmp"
-        shutil.rmtree(tmp_post, ignore_errors=True)
+        tmp_post = os.path.join(tmp_root, "postings")
         out_cols = ["wave"] + blk_names
         if prune is not None:
             blk = tbl.read(spark, index_dir, "postings").filter(prune)
@@ -336,20 +341,20 @@ def _run_merge(
                 F.col("new_text").alias("text"),
                 "tool", "ts", "bucket",
             ).select(*FORWARD_COLS)
-            kept.select(*FORWARD_COLS).unionByName(newfwd).write.mode("overwrite").parquet(
-                fdir + "._merge_tmp"
-            )
-            swaps.append((fdir + "._merge_tmp", fdir))
+            ftmp = os.path.join(tmp_root, "forward", f"wave={w}")
+            kept.select(*FORWARD_COLS).unionByName(newfwd).write.mode("overwrite").parquet(ftmp)
+            swaps.append((ftmp, fdir))
 
             ddir = tbl.wave_dir(index_dir, "doc_lens", w)
             dkept = (
                 spark.read.schema("docid long, dl int").parquet(ddir)
                 .join(F.broadcast(chg_ids_df), "docid", "left_anti")
             )
+            dtmp = os.path.join(tmp_root, "doc_lens", f"wave={w}")
             dkept.unionByName(
                 new_dl.filter(F.col("wave") == w).select("docid", "dl")
-            ).write.mode("overwrite").parquet(ddir + "._merge_tmp")
-            swaps.append((ddir + "._merge_tmp", ddir))
+            ).write.mode("overwrite").parquet(dtmp)
+            swaps.append((dtmp, ddir))
 
             sdir = tbl.wave_dir(index_dir, "term_stats", w)
             cur = spark.read.schema("term string, df long, ttf long").parquet(sdir)
@@ -366,21 +371,23 @@ def _run_merge(
                 )
                 .filter(F.col("df") > 0)
             )
-            adj.write.mode("overwrite").parquet(sdir + "._merge_tmp")
-            swaps.append((sdir + "._merge_tmp", sdir))
+            stmp = os.path.join(tmp_root, "term_stats", f"wave={w}")
+            adj.write.mode("overwrite").parquet(stmp)
+            swaps.append((stmp, sdir))
 
         # deletes: re-indexing an _id revives the doc (only the changed ids)
         del_tmp = None
         if tbl.exists(index_dir, "deletes"):
             dpath = tbl.p(index_dir, "deletes")
+            dltmp = os.path.join(tmp_root, "deletes")
             (
                 tbl.read(spark, index_dir, "deletes")
                 .join(F.broadcast(chg_ids_df), "docid", "left_anti")
                 .coalesce(1)
                 .write.mode("overwrite")
-                .parquet(dpath + "._merge_tmp")
+                .parquet(dltmp)
             )
-            del_tmp = (dpath + "._merge_tmp", dpath)
+            del_tmp = (dltmp, dpath)
 
         # --- swap window: marker → swaps → finalize → clear ---
         _write_marker(index_dir, batch_id, buckets)
@@ -390,11 +397,11 @@ def _run_merge(
                     os.path.join(tmp_post, f"wave={w}", f"term_bucket={tb}"),
                     os.path.join(post_root, f"wave={w}", f"term_bucket={tb}"),
                 )
-        shutil.rmtree(tmp_post, ignore_errors=True)
         for tmp, real in swaps:
             _swap(tmp, real)
         if del_tmp:
             _swap(*del_tmp)
+        shutil.rmtree(tmp_root, ignore_errors=True)
         finalize(spark, index_dir, cfg)
         for w in waves:
             commit_lineage(
