@@ -48,7 +48,7 @@ def test_metrics_build_and_incremental(spark, tmp_path):
 
     # incremental batch appends under its own source + batch id
     changed = df.select("conv_id").distinct().limit(3)
-    inc = incremental_update(spark, df, changed, d, TEST_CFG, batch_id=17)
+    inc = incremental_update(spark, df, changed, d, TEST_CFG, batch_id=17, merge="never")
     assert inc["waves_rebuilt"]
     inc_rows = read_metrics(spark, d).filter(F.col("source") == "incremental")
     got = inc_rows.select("batch_id").distinct().collect()
@@ -62,3 +62,19 @@ def test_metrics_build_and_incremental(spark, tmp_path):
     }
     assert summ[("build", "docs_indexed")] == res["n_docs_built"]
     assert ("incremental", "docs_indexed") in summ
+
+    # an update-only batch through the posting-merge fast path reports
+    # under source='merge' with its own batch id
+    v2 = df.withColumn(
+        "text",
+        F.when(
+            F.col("conv_id").isin([r.conv_id for r in changed.collect()]),
+            F.lit("metrics merge marker"),
+        ).otherwise(F.col("text")),
+    )
+    mres = incremental_update(spark, v2, changed, d, TEST_CFG, batch_id=18)
+    assert mres["mode"] == "posting_merge"
+    mrows = read_metrics(spark, d).filter(F.col("source") == "merge")
+    per = {r.metric: r.value for r in mrows.collect()}
+    assert per["docs_updated"] == mres["docs_updated"]
+    assert {r.batch_id for r in mrows.collect()} == {18}

@@ -53,8 +53,9 @@ def test_multisalt_phrase_matches_reference(spark, pos_ix):
         assert got == _py_phrase_docs(fwd, q), q
 
 
-def test_incremental_update_preserves_positions(spark, tiny_transcripts, tmp_path):
-    d = str(tmp_path / "ix")
+@pytest.mark.parametrize("merge", ["never", "auto"])
+def test_incremental_update_preserves_positions(spark, tiny_transcripts, tmp_path, merge):
+    d = str(tmp_path / f"ix_{merge}")
     build_index(spark, tiny_transcripts, d, POS_CFG)
     # change one conversation's text; rebuild only its bucket
     changed = tiny_transcripts.limit(1).select("conv_id")
@@ -65,8 +66,13 @@ def test_incremental_update_preserves_positions(spark, tiny_transcripts, tmp_pat
             F.col("conv_id") == cid, F.lit("zzmarker alpha zzmarker beta")
         ).otherwise(F.col("text")),
     )
-    m = incremental_update(spark, v2, changed, d, POS_CFG)
-    assert m["waves_rebuilt"]
+    m = incremental_update(spark, v2, changed, d, POS_CFG, merge=merge)
+    # update-only batch: merge="auto" must take the posting-merge fast
+    # path; merge="never" the wave rebuild — positions survive both
+    if merge == "auto":
+        assert m["mode"] == "posting_merge"
+    else:
+        assert m["waves_rebuilt"]
     fwd = spark.read.parquet(f"{d}/forward").select("docid", "text").collect()
     got = {
         r.docid: r.n_hits
