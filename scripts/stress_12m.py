@@ -35,7 +35,9 @@ def main() -> int:
     ap.add_argument("--turns", type=int, default=12_000_000)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--keep-corpus", default="", help="write corpus here and keep it")
-    ap.add_argument("--skip", default="", help="comma list: minhash,semdedup,transform")
+    ap.add_argument("--skip", default="", help="comma list: build,queries,minhash,semdedup,transform")
+    ap.add_argument("--reuse-index", action="store_true",
+                    help="skip the build when the index dir is already complete")
     args = ap.parse_args()
     skip = set(args.skip.split(",")) if args.skip else set()
 
@@ -66,9 +68,17 @@ def main() -> int:
         # cached-block spill compression (lz4): the persisted tokenized
         # stream is the largest single spill in the build
         "spark.rdd.compress": "true",
+        # reclaim each wave's shuffle files promptly — the default 30 min
+        # periodic GC lets 8 waves of spill accumulate on a ~90G disk
+        "spark.cleaner.periodicGC.interval": "1min",
     }
     spark = get_spark("stress12m", cores=args.cores, extra=extra)
     out: dict = {"cores": args.cores}
+
+    def mark(k, v):
+        # partial results must survive a crash in a later phase
+        out[k] = v
+        print(f"PHASE {k}={v}", file=sys.stderr, flush=True)
 
     corpus = args.keep_corpus or tempfile.mkdtemp(prefix="stress12m_", dir=TMPBASE)
     src = os.path.join(corpus, "transcripts")
@@ -77,21 +87,30 @@ def main() -> int:
         transcripts_df_dist(spark, args.turns, seed=12, n_slices=args.cores * 2).write.mode(
             "overwrite"
         ).parquet(src)
-    out["gen_sec"] = round(time.monotonic() - t0, 1)
+    mark("gen_sec", round(time.monotonic() - t0, 1))
     df = spark.read.parquet(src)
-    out["turns"] = df.count()
+    mark("turns", df.count())
 
     # --- index build (positional layout, §6 config) ---
     ix = os.path.join(corpus, "ix")
-    shutil.rmtree(ix, ignore_errors=True)
+    skip_build = "build" in skip or (
+        args.reuse_index and os.path.isdir(os.path.join(ix, "corpus_stats"))
+    )
+    if not skip_build:
+        shutil.rmtree(ix, ignore_errors=True)
+    # wave_size 16 (8 waves): waves exist precisely to bound a single
+    # job's blast radius AND its scratch footprint — one 12M-turn wave
+    # spills >75G of shuffle+cache on this host (ENOSPC); 1.5M-turn waves
+    # peak ~10G each and the cleaner reclaims between waves
     cfg = IndexConfig(
-        n_buckets=128, wave_size=128, salt_docs=1 << 14, term_buckets=32,
+        n_buckets=128, wave_size=16, salt_docs=1 << 14, term_buckets=32,
         with_positions=True,
     )
-    t0 = time.monotonic()
-    build_index(spark, df, ix, cfg)
-    out["build_sec"] = round(time.monotonic() - t0, 1)
-    out["build_turns_per_sec"] = round(out["turns"] / out["build_sec"], 1)
+    if not skip_build:
+        t0 = time.monotonic()
+        build_index(spark, df, ix, cfg)
+        mark("build_sec", round(time.monotonic() - t0, 1))
+        mark("build_turns_per_sec", round(out["turns"] / out["build_sec"], 1))
 
     def best2(fn):
         b = float("inf")
@@ -101,22 +120,23 @@ def main() -> int:
             b = min(b, time.monotonic() - t0)
         return round(b, 3)
 
-    out["bm25_pruned_sec"] = best2(
-        lambda: bm25_topk(spark, ix, "w120 w450 w900", k=10, cfg=cfg, mode="pruned").collect()
-    )
-    out["bm25_head_terms_sec"] = best2(
-        lambda: bm25_topk(spark, ix, "w0 w1", k=10, cfg=cfg, mode="pruned").collect()
-    )
-    out["conjunctive_sec"] = best2(
-        lambda: bm25_topk_conjunctive(spark, ix, "w1 w17 w83", k=10, cfg=cfg).collect()
-    )
-    out["phrase_sec"] = best2(
-        lambda: phrase_topk(spark, ix, "w0 w1", k=10, cfg=cfg).collect()
-    )
-    batch = {f"q{i}": f"w{3 * i + 1} w{5 * i + 2}" for i in range(100)}
-    t0 = time.monotonic()
-    bm25_topk_multi(spark, ix, batch, k=10, cfg=cfg).count()
-    out["msearch_100q_sec"] = round(time.monotonic() - t0, 2)
+    if "queries" not in skip:
+        mark("bm25_pruned_sec", best2(
+            lambda: bm25_topk(spark, ix, "w120 w450 w900", k=10, cfg=cfg, mode="pruned").collect()
+        ))
+        mark("bm25_head_terms_sec", best2(
+            lambda: bm25_topk(spark, ix, "w0 w1", k=10, cfg=cfg, mode="pruned").collect()
+        ))
+        mark("conjunctive_sec", best2(
+            lambda: bm25_topk_conjunctive(spark, ix, "w1 w17 w83", k=10, cfg=cfg).collect()
+        ))
+        mark("phrase_sec", best2(
+            lambda: phrase_topk(spark, ix, "w0 w1", k=10, cfg=cfg).collect()
+        ))
+        batch = {f"q{i}": f"w{3 * i + 1} w{5 * i + 2}" for i in range(100)}
+        t0 = time.monotonic()
+        bm25_topk_multi(spark, ix, batch, k=10, cfg=cfg).count()
+        mark("msearch_100q_sec", round(time.monotonic() - t0, 2))
 
     # --- MinHash-LSH near-dup pairs at turn granularity (~12M docs) ---
     if "minhash" not in skip:
@@ -136,8 +156,8 @@ def main() -> int:
         docs = base_docs.unionByName(exact_cp).unionByName(near_cp)
         t0 = time.monotonic()
         n_pairs = minhash_lsh_pairs(docs, n=3, num_perm=64, bands=16, threshold=0.5).count()
-        out["minhash_lsh_sec"] = round(time.monotonic() - t0, 1)
-        out["minhash_pairs"] = int(n_pairs)
+        mark("minhash_lsh_sec", round(time.monotonic() - t0, 1))
+        mark("minhash_pairs", int(n_pairs))
 
     # --- SemDeDup over 1M synthetic embeddings (64-dim) ---
     if "semdedup" not in skip:
@@ -164,8 +184,8 @@ def main() -> int:
         t0 = time.monotonic()
         sd = semantic_dedup(emb, threshold=0.95, n_cells=256)
         n_drop = sd.filter(~F.col("keep")).count()
-        out["semdedup_sec"] = round(time.monotonic() - t0, 1)
-        out["semdedup_dropped"] = int(n_drop)
+        mark("semdedup_sec", round(time.monotonic() - t0, 1))
+        mark("semdedup_dropped", int(n_drop))
 
     # --- transform: full run + incremental tick on a late trickle ---
     if "transform" not in skip:
@@ -177,7 +197,7 @@ def main() -> int:
         dest = os.path.join(corpus, "tf")
         t0 = time.monotonic()
         run_transform(spark, df, dest, tcfg)
-        out["transform_full_sec"] = round(time.monotonic() - t0, 1)
+        mark("transform_full_sec", round(time.monotonic() - t0, 1))
 
         late = df.limit(200).select(
             "conv_id", (F.col("turn_idx") + 1000).alias("turn_idx"), "role",
@@ -187,8 +207,8 @@ def main() -> int:
         df2 = spark.read.parquet(src)
         t0 = time.monotonic()
         info = tick_transform(spark, df2, dest, tcfg)
-        out["transform_tick_sec"] = round(time.monotonic() - t0, 1)
-        out["tick_changed_keys"] = info["changed_keys"]
+        mark("transform_tick_sec", round(time.monotonic() - t0, 1))
+        mark("tick_changed_keys", info["changed_keys"])
 
     if not args.keep_corpus:
         shutil.rmtree(corpus, ignore_errors=True)
