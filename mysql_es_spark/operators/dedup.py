@@ -240,7 +240,12 @@ def minhash_signatures(
     a, b = _perm_params(num_perm, seed)
     use_md5 = base_hash == "md5"
     base = shingles_df if shingles_df is not None else shingles(df, n, id_col, text_col)
-    sh = base if use_md5 else base.withColumn("h", F.xxhash64("shingle"))
+    # xxhash64 path: hash BEFORE the shuffle and drop the shingle string —
+    # the signature kernel only needs (id, h), and at web scale the string
+    # column is ~4x the bytes of the hash (observed: the 12M-turn stress
+    # shuffled 60G+ with strings vs ~15G hashed). md5 keeps the string:
+    # the oracle-reproducible hash is computed in the Python kernel.
+    sh = base if use_md5 else base.withColumn("h", F.xxhash64("shingle")).select(id_col, "h")
 
     def to_sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
