@@ -38,6 +38,14 @@ def main() -> int:
     ap.add_argument("--skip", default="", help="comma list: build,queries,minhash,semdedup,transform")
     ap.add_argument("--reuse-index", action="store_true",
                     help="skip the build when the index dir is already complete")
+    ap.add_argument(
+        "--local-dirs", default="/tmp/spark_local_12m",
+        help="comma list of scratch dirs (Spark round-robins blocks across "
+        "them — the standard multi-disk-node setup). The 12M minhash job "
+        "keeps ~85G of live shuffle across its stages, more than this "
+        "host's ~90G disk alone; adding a BOUNDED tmpfs dir pools both "
+        "devices (tmpfs pages count against RAM — keep JVM heap low).",
+    )
     args = ap.parse_args()
     skip = set(args.skip.split(",")) if args.skip else set()
 
@@ -64,7 +72,7 @@ def main() -> int:
     # The corpus itself (a few GB, read-mostly) can stay in tmpfs.
     extra = {
         "spark.ui.showConsoleProgress": "false",
-        "spark.local.dir": "/tmp/spark_local_12m",
+        "spark.local.dir": args.local_dirs,
         # cached-block spill compression (lz4): the persisted tokenized
         # stream is the largest single spill in the build
         "spark.rdd.compress": "true",
@@ -154,10 +162,28 @@ def main() -> int:
             F.concat_ws(" ", "text", F.lit("w7 w8")).alias("text"),
         )
         docs = base_docs.unionByName(exact_cp).unionByName(near_cp)
+        # short Zipf-vocab turns form massive identical-shingle-set
+        # clusters: at the default band-bucket cap (4096) a single hot
+        # bucket emits 8.4M candidate pairs and the candidate set at 12M
+        # docs exceeds 100G of shuffle (observed). This corpus IS the
+        # boilerplate-heavy shard the fan-out guards were designed for —
+        # cap the buckets tightly and take the degrade-to-cluster path
+        # for the rest (minhash_megaclusters), exactly as a web-scale
+        # curation run would.
         t0 = time.monotonic()
-        n_pairs = minhash_lsh_pairs(docs, n=3, num_perm=64, bands=16, threshold=0.5).count()
+        n_pairs = minhash_lsh_pairs(
+            docs, n=3, num_perm=64, bands=16, threshold=0.5, max_band_bucket=64
+        ).count()
         mark("minhash_lsh_sec", round(time.monotonic() - t0, 1))
         mark("minhash_pairs", int(n_pairs))
+        from mysql_es_spark.operators.dedup import minhash_megaclusters
+
+        t0 = time.monotonic()
+        n_mega = minhash_megaclusters(
+            docs, n=3, num_perm=64, bands=16, max_band_bucket=64
+        ).count()
+        mark("minhash_megacluster_sec", round(time.monotonic() - t0, 1))
+        mark("minhash_megaclusters", int(n_mega))
 
     # --- SemDeDup over 1M synthetic embeddings (64-dim) ---
     if "semdedup" not in skip:
@@ -212,7 +238,8 @@ def main() -> int:
 
     if not args.keep_corpus:
         shutil.rmtree(corpus, ignore_errors=True)
-    shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
+    for d in extra["spark.local.dir"].split(","):
+        shutil.rmtree(d, ignore_errors=True)
     print(json.dumps(out))
     return 0
 
