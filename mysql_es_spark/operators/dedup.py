@@ -243,9 +243,16 @@ def minhash_signatures(
     # xxhash64 path: hash BEFORE the shuffle and drop the shingle string —
     # the signature kernel only needs (id, h), and at web scale the string
     # column is ~4x the bytes of the hash (observed: the 12M-turn stress
-    # shuffled 60G+ with strings vs ~15G hashed). md5 keeps the string:
-    # the oracle-reproducible hash is computed in the Python kernel.
-    sh = base if use_md5 else base.withColumn("h", F.xxhash64("shingle")).select(id_col, "h")
+    # shuffled 60G+ with strings vs ~15G hashed). A caller may hand in an
+    # already-hashed (id, h) frame (see minhash_lsh_pairs, which persists
+    # the hashed form once for signatures AND exact-verify). md5 keeps the
+    # string: the oracle-reproducible hash is computed in the Python kernel.
+    if use_md5:
+        sh = base
+    elif "h" in base.columns:
+        sh = base.select(id_col, "h")
+    else:
+        sh = base.withColumn("h", F.xxhash64("shingle")).select(id_col, "h")
 
     def to_sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -341,8 +348,17 @@ def minhash_lsh_pairs(
     # ONE shingle pass feeds both the signature build and the exact-verify
     # stage (tokenize+explode is the dominant cost; Spark reuses plan
     # nodes, not computed results, across the two subtrees). Reclaimed by
-    # the ContextCleaner when the returned frame is GC'd.
-    sh = shingles(reps, n, id_col, text_col).persist()
+    # the ContextCleaner when the returned frame is GC'd. xxhash64 path:
+    # persist the HASHED shingle set — signatures use h as the base hash
+    # anyway, and exact Jaccard over 64-bit-hashed shingle sets equals
+    # string-set Jaccard up to negligible collision odds, while the
+    # persisted/shuffled bytes drop ~4x (a shingle string is ~20-25 chars;
+    # the 12M-turn stress peaked >150G scratch with strings in the verify
+    # joins vs ~8 bytes/shingle hashed).
+    sh = shingles(reps, n, id_col, text_col)
+    if base_hash != "md5":
+        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+    sh = sh.persist()
     sig = minhash_signatures(
         reps, n, num_perm, seed, id_col, text_col, shingles_df=sh, base_hash=base_hash
     )
@@ -395,7 +411,10 @@ def minhash_megaclusters(
     assert num_perm % bands == 0
     rows = num_perm // bands
     reps, members = _collapse_by_text(df, id_col, text_col)
-    sh = shingles(reps, n, id_col, text_col).persist()
+    sh = shingles(reps, n, id_col, text_col)
+    if base_hash != "md5":
+        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+    sh = sh.persist()
     sig = minhash_signatures(
         reps, n, num_perm, seed, id_col, text_col, shingles_df=sh, base_hash=base_hash
     )
@@ -431,7 +450,10 @@ def exact_jaccard_for_pairs(
     against id_b's) — NOT the all-co-occurring-pairs self-join, which is
     quadratic in the df of every common shingle. This is the verify stage
     for every LSH-style candidate generator. ``shingles_df`` reuses a
-    caller's (persisted) shingle frame instead of recomputing it."""
+    caller's (persisted) shingle frame instead of recomputing it; it may
+    carry hashed shingles as ``h`` (see minhash_lsh_pairs) — set Jaccard
+    is hash-invariant, and the hashed form shuffles ~4x fewer bytes
+    through the two verify-side joins."""
     # persisted: referenced by both join sides and the size agg (3×);
     # reclaimed by the ContextCleaner when the returned frame is GC'd
     sh = (
@@ -439,6 +461,8 @@ def exact_jaccard_for_pairs(
         if shingles_df is not None
         else shingles(df, n, id_col, text_col).persist()
     )
+    if "shingle" not in sh.columns and "h" in sh.columns:
+        sh = sh.withColumnRenamed("h", "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
