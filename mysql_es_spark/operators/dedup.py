@@ -80,6 +80,42 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def shingle_sets(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = True,
+) -> DataFrame:
+    """(id, shs) — each doc's distinct shingle set as ONE array row.
+
+    Zero-shuffle: shingling, set-dedup, and (with ``hashed``) xxhash64
+    all run inside a single projection (SQL higher-order ``transform`` +
+    ``array_distinct``), so a 10^12-turn corpus never materializes
+    per-shingle ROWS. This is the form MinHash signatures and pairwise
+    verify actually consume; the exploded row form (:func:`shingles`)
+    remains for the frequency-based guards (``max_shingle_df`` needs a
+    global per-shingle document count). Docs with fewer than ``n``
+    tokens are dropped, matching :func:`shingles`."""
+    t = with_tokens(df, text_col)
+    sh = F.expr(
+        f"transform(sequence(0, size(toks) - {n}), i -> "
+        + "concat_ws(' ', "
+        + ", ".join(f"toks[i + {j}]" for j in range(n))
+        + "))"
+    )
+    out = (
+        t.filter(F.size("toks") >= n)
+        .withColumn("shs", F.array_distinct(sh))
+        .select(F.col(id_col), "shs")
+    )
+    if hashed:
+        out = out.select(
+            F.col(id_col), F.expr("transform(shs, s -> xxhash64(s))").alias("shs")
+        )
+    return out
+
+
 def _collapse_by_text(df: DataFrame, id_col: str, text_col: str):
     """(reps, members): one representative row per *byte-identical* text.
 
@@ -217,6 +253,44 @@ def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
+def _sig_from_sets(
+    sets: DataFrame, num_perm: int, seed: int, id_col: str, use_md5: bool
+) -> DataFrame:
+    """Signatures from the set form (id, shs): one mapInPandas, NO
+    shuffle — every row already holds its doc's complete shingle set, so
+    there is no repartition+sort co-location step and no split-doc
+    partial-merge aggregate. At web scale this removes the largest
+    shuffle of the signature build (the 12M-turn stress shuffled ~15G of
+    (id, h) rows through the old path)."""
+    a, b = _perm_params(num_perm, seed)
+
+    def to_sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            arrs = pdf["shs"].to_numpy()
+            lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+            keep = lens > 0
+            arrs, lens = arrs[keep], lens[keep]
+            if len(arrs) == 0:
+                continue
+            if use_md5:
+                h = _md5_hash_array(np.concatenate(arrs))
+            else:
+                h = np.concatenate(arrs).astype(np.uint64)
+            vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+            starts = np.r_[0, np.cumsum(lens)[:-1]]
+            mins = np.minimum.reduceat(vals, starts, axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[keep],
+                    "sig": [mins[:, j].tolist() for j in range(mins.shape[1])],
+                }
+            )
+
+    return sets.mapInPandas(to_sig, schema=f"{id_col} long, sig array<long>")
+
+
 def minhash_signatures(
     df: DataFrame,
     n: int = 3,
@@ -237,16 +311,22 @@ def minhash_signatures(
     universal-hash mins are one numpy reduction per group. ``shingles_df``
     (from :func:`shingles`) lets a pipeline that needs the shingle set
     elsewhere (e.g. the exact-verify stage) compute it once."""
-    a, b = _perm_params(num_perm, seed)
     use_md5 = base_hash == "md5"
-    base = shingles_df if shingles_df is not None else shingles(df, n, id_col, text_col)
-    # xxhash64 path: hash BEFORE the shuffle and drop the shingle string —
-    # the signature kernel only needs (id, h), and at web scale the string
-    # column is ~4x the bytes of the hash (observed: the 12M-turn stress
-    # shuffled 60G+ with strings vs ~15G hashed). A caller may hand in an
-    # already-hashed (id, h) frame (see minhash_lsh_pairs, which persists
-    # the hashed form once for signatures AND exact-verify). md5 keeps the
-    # string: the oracle-reproducible hash is computed in the Python kernel.
+    # Default and set-form paths: signatures from (id, shs) arrays — no
+    # repartition/sort shuffle at all (see _sig_from_sets). The exploded
+    # row form below survives for callers that already hold a (persisted)
+    # row-form shingle frame.
+    if shingles_df is None:
+        sets = shingle_sets(df, n, id_col, text_col, hashed=not use_md5)
+        return _sig_from_sets(sets, num_perm, seed, id_col, use_md5)
+    if "shs" in shingles_df.columns:
+        return _sig_from_sets(shingles_df, num_perm, seed, id_col, use_md5)
+    a, b = _perm_params(num_perm, seed)
+    base = shingles_df
+    # row form: hash BEFORE the shuffle and drop the shingle string — the
+    # signature kernel only needs (id, h), and at web scale the string
+    # column is ~4x the bytes of the hash. md5 keeps the string: the
+    # oracle-reproducible hash is computed in the Python kernel.
     if use_md5:
         sh = base
     elif "h" in base.columns:
@@ -345,22 +425,21 @@ def minhash_lsh_pairs(
         reps, members = _collapse_by_text(df, id_col, text_col)
     else:
         reps, members = df, None
-    # ONE shingle pass feeds both the signature build and the exact-verify
-    # stage (tokenize+explode is the dominant cost; Spark reuses plan
-    # nodes, not computed results, across the two subtrees). Reclaimed by
-    # the ContextCleaner when the returned frame is GC'd. xxhash64 path:
-    # persist the HASHED shingle set — signatures use h as the base hash
-    # anyway, and exact Jaccard over 64-bit-hashed shingle sets equals
-    # string-set Jaccard up to negligible collision odds, while the
-    # persisted/shuffled bytes drop ~4x (a shingle string is ~20-25 chars;
-    # the 12M-turn stress peaked >150G scratch with strings in the verify
-    # joins vs ~8 bytes/shingle hashed).
-    sh = shingles(reps, n, id_col, text_col)
-    if base_hash != "md5":
-        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
-    sh = sh.persist()
+    # ONE zero-shuffle shingle-SET pass (id, shs array) feeds both the
+    # signature build and the exact-verify stage. The set form is the
+    # scale-critical choice: the old exploded row form shuffled ~700M
+    # (id, shingle) rows through a repartition for signatures and TWICE
+    # more through the verify joins — the 12M-turn stress peaked >150G of
+    # scratch and died on ENOSPC. As arrays there is NO signature shuffle
+    # (each row is a complete doc) and verify ships one ~0.5KB array per
+    # candidate side. Jaccard over 64-bit-hashed shingle sets equals
+    # string-set Jaccard up to negligible collision odds; md5 keeps
+    # strings for the ANSI-SQL-reproducible oracle path. Persisted;
+    # reclaimed by the ContextCleaner when the returned frame is GC'd.
+    use_md5 = base_hash == "md5"
+    sets = shingle_sets(reps, n, id_col, text_col, hashed=not use_md5).persist()
     sig = minhash_signatures(
-        reps, n, num_perm, seed, id_col, text_col, shingles_df=sh, base_hash=base_hash
+        reps, n, num_perm, seed, id_col, text_col, shingles_df=sets, base_hash=base_hash
     )
     banded = _banded_df(sig, bands, rows, id_col)
     if max_band_bucket is not None:
@@ -379,12 +458,25 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    pairs = exact_jaccard_for_pairs(reps, cand, n, id_col, text_col, shingles_df=sh).filter(
-        F.col("jaccard") >= threshold
+    # exact verify: two id-keyed joins ship each side's shingle-hash set
+    # once per candidate pair; the intersection is a JVM array_intersect,
+    # never a per-shingle row fan-out (|cand| × avg-shingles rows).
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("shs").alias("_sa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("shs").alias("_sb"))
+    pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_i", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("_i") / (F.size("_sa") + F.size("_sb") - F.col("_i")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
     if not collapse_exact:
         return pairs
-    eligible = sh.select(id_col).distinct()
+    eligible = sets.select(id_col)
     return _expand_pairs(pairs, members, threshold, eligible)
 
 
@@ -411,12 +503,9 @@ def minhash_megaclusters(
     assert num_perm % bands == 0
     rows = num_perm // bands
     reps, members = _collapse_by_text(df, id_col, text_col)
-    sh = shingles(reps, n, id_col, text_col)
-    if base_hash != "md5":
-        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
-    sh = sh.persist()
+    # no verify stage here — signatures take the zero-shuffle set path
     sig = minhash_signatures(
-        reps, n, num_perm, seed, id_col, text_col, shingles_df=sh, base_hash=base_hash
+        reps, n, num_perm, seed, id_col, text_col, base_hash=base_hash
     )
     banded = _banded_df(sig, bands, rows, id_col)
     big = (

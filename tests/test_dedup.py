@@ -82,6 +82,25 @@ def test_minhash_lsh_finds_near_dups(spark, docs_df):
         assert j == round(_py_jaccard(DOCS[a][1] or "", DOCS[b][1] or "", 3), 4)
 
 
+def test_minhash_signature_paths_identical(spark, docs_df):
+    """The zero-shuffle set path and the exploded row path must produce
+    bit-identical signatures for BOTH base hashes — an incremental store
+    built under one code path is compared against batches signed under a
+    later one, so any kernel drift silently breaks ingest dedup."""
+    for bh in ("xxhash64", "md5"):
+        by_set = {
+            r.doc_id: r.sig
+            for r in dedup.minhash_signatures(docs_df, n=3, base_hash=bh).collect()
+        }
+        by_row = {
+            r.doc_id: r.sig
+            for r in dedup.minhash_signatures(
+                docs_df, n=3, base_hash=bh, shingles_df=dedup.shingles(docs_df, 3)
+            ).collect()
+        }
+        assert by_set == by_row and len(by_set) == 6  # docs 6/7 have no shingles
+
+
 def test_simhash_properties(spark, docs_df):
     sh = {r.doc_id: r.simhash for r in dedup.simhash(docs_df).collect()}
     assert len(sh) == len(DOCS)
