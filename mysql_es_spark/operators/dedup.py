@@ -278,14 +278,18 @@ def _sig_from_sets(
                 h = _md5_hash_array(np.concatenate(arrs))
             else:
                 h = np.concatenate(arrs).astype(np.uint64)
-            vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
             starts = np.r_[0, np.cumsum(lens)[:-1]]
-            mins = np.minimum.reduceat(vals, starts, axis=1).astype(np.int64)
+            # one permutation at a time: a doc-batched Arrow batch holds
+            # ~65k docs x ~60 shingles, so the full (num_perm, n_shingles)
+            # matrix would be ~2G PER WORKER (x32 workers OOM-killed the
+            # 12M-turn stress host); per-perm temporaries cap the peak at
+            # ~3 x n_shingles x 8 bytes with identical results.
+            mins = np.empty((len(lens), len(a)), dtype=np.int64)
+            for j in range(len(a)):
+                vals = (a[j] * h + b[j]) % np.uint64(_MERSENNE)
+                mins[:, j] = np.minimum.reduceat(vals, starts).astype(np.int64)
             yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy()[keep],
-                    "sig": [mins[:, j].tolist() for j in range(mins.shape[1])],
-                }
+                {id_col: pdf[id_col].to_numpy()[keep], "sig": list(mins)}
             )
 
     return sets.mapInPandas(to_sig, schema=f"{id_col} long, sig array<long>")
