@@ -569,3 +569,34 @@ def test_chunk_documents_has_no_shuffle(spark, tiny_transcripts):
     df = tiny_transcripts.select(F.col("conv_id").alias("doc_id"), "text")
     plan = plan_of(chunk_documents(df, chunk=16, stride=8, id_col="doc_id"))
     assert "Exchange" not in plan, plan
+
+
+def test_minhash_signatures_have_no_shuffle(spark, tiny_transcripts):
+    """The set-form signature path (round 3) must stay shuffle-free:
+    shingling/hashing collapse into one projection and the kernel maps
+    complete per-doc rows, so the plan has no Exchange. The 12M-doc
+    stress died twice on ENOSPC under the exploded row pipeline — this
+    locks the fix in."""
+    from mysql_es_spark.operators.dedup import minhash_signatures
+
+    docs = tiny_transcripts.select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
+    )
+    for bh in ("xxhash64", "md5"):
+        plan = plan_of(minhash_signatures(docs, base_hash=bh))
+        assert "Exchange" not in plan, plan
+
+
+def test_minhash_verify_ships_arrays_not_shingle_rows(spark, tiny_transcripts):
+    """minhash_lsh_pairs' exact-verify stage must join id-keyed ARRAY
+    sets (one row per candidate side, array_intersect in the JVM), never
+    re-explode shingles into per-row fan-out. The explode may appear only
+    once — in _banded_df's band expansion, which emits `bands` short rows
+    per doc."""
+    from mysql_es_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = tiny_transcripts.select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
+    )
+    plan = plan_of(minhash_lsh_pairs(docs, threshold=0.5))
+    assert "array_intersect" in plan, plan
