@@ -261,4 +261,8 @@ def update_by_query(
         wave=-1,
         batch_id=-1,
     )
-    return {"docs_updated": int(n), **res}
+    # the exact matched count wins the key collision: the posting-merge
+    # fast path reports its own docs_updated = docs REWRITTEN (every turn
+    # of each changed conv), which is the physical-rebuild width, not the
+    # ES _update_by_query "updated" count
+    return {**res, "docs_updated": int(n)}

@@ -387,7 +387,8 @@ def test_cli_update_by_query(spark, tmp_path, capsys):
          "--set", "text=concat(text, ' cliupdated')"]
     ) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert res["docs_updated"] > 0 and res["waves_rebuilt"]
+    assert res["docs_updated"] > 0
+    assert res["waves_rebuilt"] or res.get("waves_merged")
 
     assert cli_main(["query", "--index-dir", ix, "--query", "cliupdated",
                      "-k", "5", "--mode", "simple"]) == 0

@@ -59,7 +59,11 @@ def test_text_update_reindexes_and_rescores(spark, upd_index):
         spark, d, {"text": "concat(text, ' zzznewterm')"}, query=UPD_Q, cfg=TEST_CFG
     )
     updated = {r.docid for r in rows if UPD_Q in set(tokenize_text(r.text))}
-    assert res["docs_updated"] == len(updated) > 0 and res["waves_rebuilt"]
+    # a small update-only batch may ride the round-3 posting-merge fast
+    # path (waves_merged) instead of the wave rebuild — either way the
+    # searchability + rank-identity asserts below prove the result
+    assert res["docs_updated"] == len(updated) > 0
+    assert res["waves_rebuilt"] or res.get("waves_merged")
     # the appended term is now searchable and hits exactly the updated docs
     hits = bm25_topk(
         spark, d, "zzznewterm", k=len(rows), cfg=TEST_CFG, mode="simple"
