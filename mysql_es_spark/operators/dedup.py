@@ -64,15 +64,26 @@ def duplicate_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 # ---------------------------------------------------------------------------
 
 
+def _shingle_expr(n: int):
+    """Total shingling expression over ``toks``: word n-grams, or an
+    empty array for docs shorter than n tokens. The short-doc guard must
+    live INSIDE the expression (not only in a separate filter): Catalyst
+    infers predicates from downstream Generates and may evaluate this
+    expression in a filter conjunct *before* any size(toks) >= n filter,
+    where ``sequence(0, size - n)`` on a short doc counts DOWNWARD and
+    ``toks[0]`` on an empty array throws under ANSI mode."""
+    return F.expr(
+        f"if(size(toks) >= {n}, transform(sequence(0, size(toks) - {n}), i -> "
+        + "concat_ws(' ', "
+        + ", ".join(f"toks[i + {j}]" for j in range(n))
+        + ")), array())"
+    )
+
+
 def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, shingle) — distinct word n-grams per doc (the dedup unit set)."""
     t = with_tokens(df, text_col)
-    sh = F.expr(
-        f"transform(sequence(0, size(toks) - {n}), i -> "
-        + "concat_ws(' ', "
-        + ", ".join(f"toks[i + {j}]" for j in range(n))
-        + "))"
-    )
+    sh = _shingle_expr(n)
     return (
         t.withColumn("sh", sh)
         .filter(F.size("toks") >= n)
@@ -98,20 +109,20 @@ def shingle_sets(
     global per-shingle document count). Docs with fewer than ``n``
     tokens are dropped, matching :func:`shingles`."""
     t = with_tokens(df, text_col)
-    sh = F.expr(
-        f"transform(sequence(0, size(toks) - {n}), i -> "
-        + "concat_ws(' ', "
-        + ", ".join(f"toks[i + {j}]" for j in range(n))
-        + "))"
-    )
+    sh = _shingle_expr(n)
     out = (
         t.filter(F.size("toks") >= n)
         .withColumn("shs", F.array_distinct(sh))
         .select(F.col(id_col), "shs")
     )
     if hashed:
+        # distinct AFTER hashing: an intra-doc hash collision would
+        # otherwise leave duplicate values in shs, making size(shs)
+        # overcount the set while array_intersect dedups — hashing then
+        # re-distincting keeps the array a true set of hashes for free.
         out = out.select(
-            F.col(id_col), F.expr("transform(shs, s -> xxhash64(s))").alias("shs")
+            F.col(id_col),
+            F.array_distinct(F.expr("transform(shs, s -> xxhash64(s))")).alias("shs"),
         )
     return out
 
@@ -263,6 +274,7 @@ def _sig_from_sets(
     shuffle of the signature build (the 12M-turn stress shuffled ~15G of
     (id, h) rows through the old path)."""
     a, b = _perm_params(num_perm, seed)
+    id_type = sets.schema[id_col].dataType.simpleString()
 
     def to_sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -292,7 +304,10 @@ def _sig_from_sets(
                 {id_col: pdf[id_col].to_numpy()[keep], "sig": list(mins)}
             )
 
-    return sets.mapInPandas(to_sig, schema=f"{id_col} long, sig array<long>")
+    # id column type is carried through from the input schema (string or
+    # any integral id works here; the exploded ROW path below still
+    # requires a long id for its sorted-run change detection).
+    return sets.mapInPandas(to_sig, schema=f"{id_col} {id_type}, sig array<long>")
 
 
 def minhash_signatures(
@@ -324,6 +339,24 @@ def minhash_signatures(
         sets = shingle_sets(df, n, id_col, text_col, hashed=not use_md5)
         return _sig_from_sets(sets, num_perm, seed, id_col, use_md5)
     if "shs" in shingles_df.columns:
+        # the shs element type encodes the frame's hashed state: md5 mode
+        # hashes raw shingle STRINGS in the kernel; xxhash64 mode expects
+        # pre-hashed LONGs from shingle_sets(hashed=True). A mismatch
+        # would silently md5 stringified int64s (or crash obscurely the
+        # other way), poisoning any signature store built from it.
+        elem = shingles_df.schema["shs"].dataType.elementType.simpleString()
+        if use_md5 and elem != "string":
+            raise ValueError(
+                "minhash_signatures(base_hash='md5') needs raw shingle "
+                f"strings; got shs array<{elem}> — build the set frame "
+                "with shingle_sets(..., hashed=False)"
+            )
+        if not use_md5 and elem == "string":
+            raise ValueError(
+                "minhash_signatures(base_hash='xxhash64') needs hashed "
+                "shingles (array<bigint>); got array<string> — build the "
+                "set frame with shingle_sets(..., hashed=True)"
+            )
         return _sig_from_sets(shingles_df, num_perm, seed, id_col, use_md5)
     a, b = _perm_params(num_perm, seed)
     base = shingles_df
@@ -543,10 +576,13 @@ def exact_jaccard_for_pairs(
     against id_b's) — NOT the all-co-occurring-pairs self-join, which is
     quadratic in the df of every common shingle. This is the verify stage
     for every LSH-style candidate generator. ``shingles_df`` reuses a
-    caller's (persisted) shingle frame instead of recomputing it; it may
-    carry hashed shingles as ``h`` (see minhash_lsh_pairs) — set Jaccard
-    is hash-invariant, and the hashed form shuffles ~4x fewer bytes
-    through the two verify-side joins."""
+    caller's (persisted) shingle frame instead of recomputing it: either
+    the exploded row form from :func:`shingles` (column ``shingle``, or
+    pre-hashed as ``h`` — set Jaccard is hash-invariant and the hashed
+    form shuffles ~4x fewer bytes), or the set form from
+    :func:`shingle_sets` (column ``shs``), which is exploded here.
+    minhash_lsh_pairs itself no longer calls this — its verify is the
+    in-place array_intersect over set frames."""
     # persisted: referenced by both join sides and the size agg (3×);
     # reclaimed by the ContextCleaner when the returned frame is GC'd
     sh = (
@@ -554,7 +590,9 @@ def exact_jaccard_for_pairs(
         if shingles_df is not None
         else shingles(df, n, id_col, text_col).persist()
     )
-    if "shingle" not in sh.columns and "h" in sh.columns:
+    if "shs" in sh.columns:
+        sh = sh.select(F.col(id_col), F.explode("shs").alias("shingle"))
+    elif "shingle" not in sh.columns and "h" in sh.columns:
         sh = sh.withColumnRenamed("h", "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")

@@ -101,6 +101,57 @@ def test_minhash_signature_paths_identical(spark, docs_df):
         assert by_set == by_row and len(by_set) == 6  # docs 6/7 have no shingles
 
 
+def test_minhash_set_form_hash_state_guard(spark, docs_df):
+    """A set-form shingles_df whose element type disagrees with base_hash
+    must be rejected loudly — md5 over stringified int64 hashes would
+    silently produce signatures matching neither pipeline and poison an
+    incremental store."""
+    hashed = dedup.shingle_sets(docs_df, 3, hashed=True)  # array<bigint>
+    raw = dedup.shingle_sets(docs_df, 3, hashed=False)  # array<string>
+    with pytest.raises(ValueError, match="md5"):
+        dedup.minhash_signatures(docs_df, shingles_df=hashed, base_hash="md5")
+    with pytest.raises(ValueError, match="xxhash64"):
+        dedup.minhash_signatures(docs_df, shingles_df=raw, base_hash="xxhash64")
+    # the matching combinations still work and agree with the default path
+    ok = {r.doc_id: r.sig for r in dedup.minhash_signatures(
+        docs_df, shingles_df=hashed, base_hash="xxhash64").collect()}
+    default = {r.doc_id: r.sig for r in dedup.minhash_signatures(docs_df).collect()}
+    assert ok == default
+
+
+def test_minhash_signatures_string_id(spark):
+    """_sig_from_sets derives the id type from the input schema — a
+    string id column must survive the kernel unchanged."""
+    df = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the dog"),
+         ("b", "the quick brown fox jumps over the cat")],
+        schema="doc_id string, text string",
+    )
+    sigs = dedup.minhash_signatures(df).collect()
+    assert {r.doc_id for r in sigs} == {"a", "b"}
+    assert all(len(r.sig) == 64 for r in sigs)
+
+
+def test_exact_jaccard_accepts_set_form(spark, docs_df):
+    """exact_jaccard_for_pairs explodes a set-form (id, shs) frame
+    internally; result must equal the row-form computation."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (3, 4), (0, 5)], schema="id_a long, id_b long"
+    )
+    via_sets = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.exact_jaccard_for_pairs(
+            docs_df, pairs, shingles_df=dedup.shingle_sets(docs_df, 3)
+        ).collect()
+    }
+    via_rows = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.exact_jaccard_for_pairs(docs_df, pairs).collect()
+    }
+    assert via_sets == via_rows
+    assert via_sets[(0, 1)] == 1.0 and via_sets[(0, 5)] == 0.0
+
+
 def test_simhash_properties(spark, docs_df):
     sh = {r.doc_id: r.simhash for r in dedup.simhash(docs_df).collect()}
     assert len(sh) == len(DOCS)

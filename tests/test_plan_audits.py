@@ -600,3 +600,17 @@ def test_minhash_verify_ships_arrays_not_shingle_rows(spark, tiny_transcripts):
     )
     plan = plan_of(minhash_lsh_pairs(docs, threshold=0.5))
     assert "array_intersect" in plan, plan
+    # lock the docstring's real invariant: every Generate (explode) in
+    # the plan is _banded_df's band expansion (bands short rows/doc) — a
+    # reintroduced exploded-row verify would add a per-SHINGLE Generate.
+    # The band subtree legitimately repeats across self-join branches, so
+    # check the generator expression, not the node count.
+    import re as _re
+
+    gen_ids = _re.findall(r"\((\d+)\) Generate", plan)
+    assert gen_ids, plan
+    for gid in gen_ids:
+        detail = plan.split(f"({gid}) Generate", 1)[1].split("\n\n")[0]
+        assert "band_idx" in detail, f"non-banding explode in plan:\n{detail}"
+    # and no per-shingle column survives anywhere in the physical plan
+    assert "shingle#" not in plan, plan
