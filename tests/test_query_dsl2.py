@@ -14,6 +14,7 @@ from mysql_es_spark.functions.analyze import tokenize_text
 from mysql_es_spark.operators.query import (
     bm25_topk,
     constant_score_topk,
+    distance_feature,
     distance_feature_topk,
     match_bool_prefix_topk,
     pinned_topk,
@@ -212,6 +213,76 @@ def test_distance_feature_matches_oracle(spark, dated_index):
     assert [r.docid for r in got] == [d for d, _ in want]
     for r, (_, s) in zip(got, want):
         assert r.score == pytest.approx(s, rel=1e-9)
+
+
+def test_distance_feature_prunes_salt_ranges(spark, tmp_path):
+    """Round-4 WAND restoration (VERDICT r3 item 2): with the feature's
+    max (= boost) added to the per-salt upper bound, a head-term recency
+    query must decode strictly fewer salt ranges than the full match set
+    — and stay rank+score identical to the unpruned decode.
+
+    Corpus placement is deterministic: n_buckets=1 makes docid = rank of
+    conv_id, so salt = rank // salt_docs. Docs in salts 0–3 carry the
+    selective term 'rare'; every doc carries the head term 'hot'. After
+    phase 1 establishes tau from rare-bearing salts, the hot-only salts'
+    bound (idf_hot·tfb + boost) is far below tau and they are pruned."""
+    from datetime import datetime as dt, timedelta
+    from mysql_es_spark.operators.query import function_score_topk
+
+    cfg = IndexConfig(
+        n_buckets=1, wave_size=1, salt_docs=64, term_buckets=4, block_size=16
+    )
+    n, rare_n = 2048, 256
+    rows = []
+    for i in range(n):
+        text = ("hot rare p1 p2" if i < rare_n else "hot fill p1 p2")
+        rows.append(
+            (f"c{i:05d}", 0, "user", text, None, dt(2026, 1, 1) + timedelta(days=i % 50))
+        )
+    df = spark.createDataFrame(
+        rows,
+        schema="conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    ix = str(tmp_path / "ix")
+    build_index(spark, df, ix, cfg)
+
+    boost, pivot, origin = 0.01, 5.0, "2026-01-10"
+    prof: dict = {}
+    pruned = distance_feature_topk(
+        spark, ix, "hot rare", origin, pivot, k=10, boost=boost, cfg=cfg,
+        profile=prof,
+    ).collect()
+    full = function_score_topk(
+        spark, ix, "hot rare",
+        distance_feature("ts", origin, pivot, boost),
+        k=10, boost_mode="sum", cfg=cfg, additive_max=None,
+    ).collect()
+    assert [(r.docid, r.score) for r in pruned] == [(r.docid, r.score) for r in full]
+    assert prof["path"] == "additive-pruned-driver"
+    last = prof["phases"][-1]
+    assert last["pruned_salts"] > 0, prof
+    assert last["salts_decoded"] < prof["n_salts"], prof
+    # the head term spans all 32 salts; only the rare-bearing ones decode
+    assert prof["n_salts"] == n // 64
+    assert last["salts_decoded"] <= rare_n // 64
+
+
+def test_distance_feature_pruned_equals_full_with_large_boost(spark, dated_index):
+    """When the feature dominates (large boost), pruning may keep every
+    salt — results must still be identical to the full decode."""
+    from mysql_es_spark.operators.query import function_score_topk
+
+    full = function_score_topk(
+        spark, dated_index, "alpha beta",
+        distance_feature("ts", "2026-01-04", 3.0, 5.0),
+        k=10, boost_mode="sum", cfg=DF_CFG, additive_max=None,
+    ).collect()
+    pruned = distance_feature_topk(
+        spark, dated_index, "alpha beta", "2026-01-04", 3.0, k=10, boost=5.0,
+        cfg=DF_CFG,
+    ).collect()
+    assert [(r.docid, r.score) for r in pruned] == [(r.docid, r.score) for r in full]
 
 
 def test_span_first_matches_oracle(spark, dated_index):

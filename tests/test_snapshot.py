@@ -169,3 +169,57 @@ def test_verify_repo(spark, built_index, tmp_path):
         with open(blob, "wb") as f:
             f.write(orig)
     assert verify_repo(repo, deep=True)["ok"]
+
+
+def test_snapshot_over_hadoop_scheme(spark, built_index, tmp_path):
+    """Round-4 object-storage safety (VERDICT r3 item 7): the whole
+    snapshot lifecycle must run with the REPO addressed by a non-local
+    scheme — file:// here, which routes every operation through the
+    Hadoop FileSystem backend (the same code path as s3a://hdfs://),
+    while the index stays a plain local path (cross-backend copy)."""
+    from mysql_es_spark.plans.snapshot import (
+        create_snapshot,
+        delete_snapshot,
+        list_snapshots,
+        restore_snapshot,
+        verify_repo,
+    )
+    from mysql_es_spark.sources import fsio
+
+    repo = "file://" + str(tmp_path / "hrepo")
+    assert fsio.has_scheme(repo) and isinstance(fsio.fs_for(repo), fsio.HadoopFs)
+
+    r1 = create_snapshot(built_index, repo, "h1")
+    assert r1["files"] > 0 and r1["blobs_added"] > 0
+    # incremental: unchanged index re-snapshot uploads nothing
+    r2 = create_snapshot(built_index, repo, "h2")
+    assert r2["blobs_added"] == 0 and r2["files"] == r1["files"]
+    assert [s["name"] for s in list_snapshots(repo)] == ["h1", "h2"]
+    assert verify_repo(repo, deep=True)["ok"]
+
+    # restore to a schemed destination too, then query it
+    dest = "file://" + str(tmp_path / "hrestore")
+    rr = restore_snapshot(repo, "h1", dest)
+    assert rr["files"] == r1["files"]
+    local_dest = str(tmp_path / "hrestore")
+    want = _top(spark, built_index)
+    assert _top(spark, local_dest) == want
+
+    d = delete_snapshot(repo, "h1")
+    assert d["deleted"] == "h1" and d["blobs_removed"] == 0  # h2 shares blobs
+    assert [s["name"] for s in list_snapshots(repo)] == ["h2"]
+
+
+def test_index_stats_and_disk_usage_over_scheme(spark, built_index):
+    """index_stats/disk_usage must produce identical numbers when the
+    index is addressed via file:// (Hadoop backend, seekable footer
+    reads) as via the plain local path."""
+    from mysql_es_spark.operators.query import disk_usage, index_stats
+
+    plain_s = index_stats(spark, built_index)
+    schemed_s = index_stats(spark, "file://" + built_index)
+    assert schemed_s == plain_s
+    plain_d = disk_usage(spark, built_index)
+    schemed_d = disk_usage(spark, "file://" + built_index)
+    assert schemed_d == plain_d
+    assert plain_d["all_fields_bytes"] > 0
