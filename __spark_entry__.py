@@ -3799,6 +3799,81 @@ def q_cdc_posting_merge(spark, sf):
     )
 
 
+def q_river_jdbc_build(spark, sf):
+    """JDBC river end-to-end (round 4, VERDICT r3 item 5 — the
+    reference's actual front door: mysql/Dumper.java:90-152 bulk dump,
+    canal binlog tail): the first 400 documents (by doc_id) are loaded
+    into an embedded Derby database, river-built into an index via
+    spark.read.jdbc (sources/jdbc.py), and queried with pruned BM25.
+    The oracle recomputes BM25 in SQL over the same 400 parquet rows, so
+    any row lost/mangled in the RDBMS round-trip (encoding, NULL
+    handling, case-folded identifiers) breaks rank or score."""
+    from mysql_es_spark.sources.jdbc import derby_url, load_derby_fixture, river_build
+
+    cfg = IndexConfig(n_buckets=2, wave_size=2, salt_docs=1 << 20, term_buckets=4)
+    ix, marker = _ixcache_dir(sf, "-riverjdbc")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(ix, ignore_errors=True)
+        docs = (
+            _t(spark, sf, "documents")
+            .orderBy("doc_id")
+            .limit(400)
+            .select("doc_id", "lang", "text", "source")
+            .collect()
+        )  # bounded: 400 fixture rows to seed the RDBMS
+        rows = [
+            (str(r["doc_id"]), 0, r["lang"], r["text"], r["source"], "2026-01-01 00:00:00")
+            for r in docs
+        ]
+        db = os.path.join(ix + "_db", "riverdb")
+        shutil.rmtree(ix + "_db", ignore_errors=True)
+        load_derby_fixture(spark, db, rows)
+        river_build(spark, derby_url(db), "transcripts", ix, cfg)
+        with open(marker, "w") as f:
+            f.write("ok")
+    top = bm25_topk(
+        spark, ix, " ".join(BM25_Q1), k=60, cfg=cfg, mode="pruned", with_keys=True
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _river_bm25_sql(terms: list[str], k: int, n_first: int) -> str:
+    """BM25 over only the first ``n_first`` documents by doc_id — the
+    oracle twin of q_river_jdbc_build's Derby-seeded corpus."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT {n_first}),
+toks AS (SELECT doc_id, {TOK} AS tl FROM base),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ({tl})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT {k}
+"""
+
+
 # Round-3 gate window (VERDICT r2 "Next round" #3): the driver records the
 # FIRST 50 queries() entries only. Rounds 1+2 checked 100 distinct names, so
 # this round rotates the window to entries never seen by any
@@ -3996,6 +4071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_functions": q_esql_functions,
         "esql_grok": q_esql_grok,
         "eql_missing_sequence": q_eql_missing,
+        # --- round-4 additions ---
+        "river_jdbc_build": q_river_jdbc_build,
         # --- round-1 hash fixes ---
         "a2_runlength_groups": q_a2,
         "sessionize": q_sessionize,
@@ -6809,6 +6886,7 @@ ORDER BY round(jlh, 9) DESC, term ASC LIMIT 12
         "bm25_direct": _bm25_sql(BM25_Q1, 20),
         "bm25_direct_q2": _bm25_sql(BM25_Q2, 15),
         "bm25_via_index": _bm25_sql(BM25_Q1, 20),
+        "river_jdbc_build": _river_bm25_sql(BM25_Q1, 20, 400),
         "cdc_posting_merge": f"""
 WITH docs2 AS (
   SELECT doc_id,

@@ -75,7 +75,22 @@ def cmd_build(args) -> dict:
     from .plans.build import build_index
 
     spark = _session(args)
-    df = spark.read.parquet(args.input)
+    river = None
+    if getattr(args, "river", None):
+        with open(args.river) as f:
+            river = json.load(f)
+    jdbc_conf = dict(river.get("jdbc", {})) if river else {}
+    if jdbc_conf:
+        # the reference's front door: snapshot the RDBMS (river.json "my"
+        # block ⇒ our "jdbc" block), not a parquet export
+        from .sources.jdbc import read_snapshot
+
+        kw = dict(jdbc_conf)
+        df = read_snapshot(spark, kw.pop("url"), kw.pop("table"), **kw)
+    elif args.input:
+        df = spark.read.parquet(args.input)
+    else:
+        raise SystemExit("build needs --input or a --river config with a jdbc section")
     cfg = _cfg(args)
     if getattr(args, "template_repo", None):
         # ES composable index templates: settings resolved by the new
@@ -98,11 +113,9 @@ def cmd_build(args) -> dict:
             cfg = cfg.with_(edge_ngram=True)
         if args.with_positions:
             cfg = cfg.with_(with_positions=True)
-    if getattr(args, "river", None):
+    if river is not None:
         # one declarative file = the reference's etc/river.json: index
         # settings + relations/withs enrichment, explicit flags win
-        with open(args.river) as f:
-            river = json.load(f)
         ix_settings = dict(river.get("index", {}))
         for name in ("n_buckets", "wave_size", "salt_docs", "term_buckets", "block_size"):
             if getattr(args, name, None) is not None:
@@ -153,7 +166,22 @@ def cmd_build(args) -> dict:
     t0 = time.monotonic()
     metrics = build_index(spark, df, args.index_dir, cfg, resume=args.resume)
     metrics["build_sec"] = round(time.monotonic() - t0, 2)
+    if jdbc_conf:
+        # persist the river coordinates next to the index (the reference
+        # keeps them in river.json) so `river-sync` needs only --index-dir
+        from .sources.jdbc import _river_meta_path
+
+        with open(_river_meta_path(args.index_dir), "w") as f:
+            json.dump(jdbc_conf, f)
+        metrics["river"] = {"url": jdbc_conf["url"], "table": jdbc_conf["table"]}
     return metrics
+
+
+def cmd_river_sync(args) -> dict:
+    from .sources.jdbc import river_sync
+
+    spark = _session(args)
+    return river_sync(spark, args.index_dir, batch_id=args.batch_id, merge=args.merge)
 
 
 def cmd_compact(args) -> dict:
@@ -669,7 +697,11 @@ def main(argv: list[str] | None = None) -> int:
     g.set_defaults(fn=cmd_gen)
 
     b = sub.add_parser("build", help="build (or resume) the index")
-    b.add_argument("--input", required=True, help="transcripts parquet path")
+    b.add_argument(
+        "--input", default=None,
+        help="transcripts parquet path (omit when the --river config has "
+        "a jdbc section — the snapshot then comes over JDBC)",
+    )
     b.add_argument("--index-dir", required=True)
     b.add_argument("--resume", action="store_true")
     b.add_argument("--enrich", action="store_true", help="join parents + conv rollup first")
@@ -680,7 +712,9 @@ def main(argv: list[str] | None = None) -> int:
         help="declarative config JSON (the reference's river.json analog): "
         '{"index": {...IndexConfig fields...}, "base_table": ..., '
         '"relations": {...}, "withs": [...], "tables": {name: path}, '
-        '"nested": false}',
+        '"nested": false, "jdbc": {"url": ..., "table": ..., "driver": '
+        "...}} — with a jdbc section the snapshot is read over JDBC "
+        "(the reference's my/host+db block) instead of --input",
     )
     b.add_argument(
         "--template-repo", default=None,
@@ -688,6 +722,17 @@ def main(argv: list[str] | None = None) -> int:
         "resolved by the index dir's basename; explicit flags win",
     )
     b.set_defaults(fn=cmd_build)
+
+    rs = sub.add_parser(
+        "river-sync",
+        help="one CDC tick for a JDBC-river index: fresh snapshot, diff "
+        "vs the forward table, rebuild only affected buckets (the "
+        "reference's binlog-tail loop, snapshot-diff flavored)",
+    )
+    rs.add_argument("--index-dir", required=True)
+    rs.add_argument("--batch-id", type=int, default=-1)
+    rs.add_argument("--merge", choices=["auto", "never"], default="auto")
+    rs.set_defaults(fn=cmd_river_sync)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")
     q.add_argument("--index-dir", required=True)
