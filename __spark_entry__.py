@@ -3957,10 +3957,74 @@ _GATE_WINDOW_R3 = [
 ]
 
 
+# Round-4 gate window (VERDICT r3 "Next round" #4 and #9): 6 canaries +
+# the round-4 JDBC river entry + 43 entries never seen by any
+# CORRECTNESS_r0{1,2,3}.json (drawn from the 89 oracle-backed remainder
+# in registration order, with the three exact-config ANN anchors —
+# emb_ivf_full_probe / emb_pq_rerank_exact / emb_bbq_hamming — promoted
+# per item 9: each is the hash-green twin of a rows-only ANN family).
+_GATE_WINDOW_R4 = [
+    # canaries (driver-green in r01-r03; re-checked every round)
+    "bm25_via_index",
+    "bm25_conjunctive",
+    "bm25_phrase_via_index",
+    "emb_cosine_topk",
+    "bm25_update_by_query",
+    "bm25_date_routed",
+    # round-4 addition
+    "river_jdbc_build",
+    # rows-only families' exact-config anchors (item 9)
+    "emb_ivf_full_probe",
+    "emb_pq_rerank_exact",
+    "emb_bbq_hamming",
+    # never-driver-checked, oracle-backed
+    "doc_minhash_lsh_pairs",
+    "doc_incremental_dedup",
+    "doc_winnow_overlap",
+    "doc_simhash_near_dups",
+    "bm25_delete_by_query",
+    "bm25_purged_compact",
+    "bm25_highlight",
+    "bm25_via_compacted",
+    "bm25_more_like_this",
+    "withs_3hop",
+    "agg_date_histogram",
+    "agg_extended_stats",
+    "agg_range",
+    "agg_filters",
+    "agg_cardinality",
+    "agg_top_hits",
+    "agg_significant_terms",
+    "agg_significant_text",
+    "bm25_sorted_search",
+    "bm25_runtime_sorted",
+    "agg_date_range",
+    "agg_multi_terms",
+    "agg_rare_terms",
+    "agg_adjacency_matrix",
+    "agg_weighted_avg",
+    "agg_bucket_sort",
+    "agg_serial_diff",
+    "agg_stats_bucket",
+    "doc_gopher_quality",
+    "doc_pii_scrub",
+    "doc_pack_sequences",
+    "doc_chunks",
+    "doc_greedy_pack",
+    "doc_quality_top_percent",
+    "doc_stratified_sample",
+    "doc_seeded_shuffle",
+    "phrase_suggest",
+    "hybrid_rrf",
+    "eql_sequence",
+    "esql_pipe",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order used to be the gate order; since round 3 the
-    first-50 driver window is rotated explicitly via ``_GATE_WINDOW_R3``
-    (see its comment) so every round driver-checks entries no prior
+    first-50 driver window is rotated explicitly per round (see
+    ``_GATE_WINDOW_R4``) so every round driver-checks entries no prior
     CORRECTNESS_r*.json has seen."""
     q = {
         # --- flagship: full index build + query engine (SURVEY §2.9) ---
@@ -4219,7 +4283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_json_extract": q_f8,
         "f10_to_json": q_f10,
     }
-    window = [n for n in _GATE_WINDOW_R3 if n in q]
+    window = [n for n in _GATE_WINDOW_R4 if n in q]
     tail = [n for n in q if n not in set(window)]
     return {n: q[n] for n in (*window, *tail)}
 

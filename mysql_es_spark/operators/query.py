@@ -133,6 +133,9 @@ def invalidate_stats_cache(index_dir: str | None = None) -> None:
     else:
         _STATS_CACHE.pop(index_dir, None)
         _CFG_CACHE.pop(index_dir, None)
+    # the scan-relation memo (tables._SCAN_CACHE) follows the same
+    # invalidation discipline: every index writer already calls this
+    tbl.invalidate_scan_cache(index_dir)
 
 
 def term_meta(

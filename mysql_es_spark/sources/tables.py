@@ -124,20 +124,54 @@ _EMPTY_FALLBACK = {
 }
 
 
+# Scan-relation memo for the big immutable-between-commits tables
+# (round 4, VERDICT r3 item 8). Creating a parquet DataFrame re-LISTS
+# the whole partition tree and re-reads footers for schema inference —
+# at a 12M-doc index (128 buckets × 8 waves × 32 term_buckets of
+# postings files) that listing is a large fixed cost paid by EVERY
+# query, three times (metadata pass + two decode phases). Reusing the
+# relation keeps the InMemoryFileIndex + inferred schema across queries
+# — the same amortization msearch showed (550 ms/q batched vs 4.9 s
+# single at 12M). Invalidation rides the existing discipline: every
+# writer (finalize, posting merge, compact swap) already calls
+# operators.query.invalidate_stats_cache, which clears this too. The
+# deletes table is deliberately NOT cached (rewritten out-of-band).
+_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SCAN_CACHED_TABLES = ("postings", "forward", "doc_lens", "term_dict")
+
+
+def invalidate_scan_cache(index_dir: str | None = None) -> None:
+    if index_dir is None:
+        _SCAN_CACHE.clear()
+        return
+    rd = resolve(index_dir)
+    for k in [k for k in _SCAN_CACHE if k[0] in (index_dir, rd)]:
+        _SCAN_CACHE.pop(k, None)
+
+
 def read(spark: SparkSession, index_dir: str, table: str) -> DataFrame:
-    path = p(index_dir, table)
+    rd = resolve(index_dir)
+    key = (rd, table)
+    if table in _SCAN_CACHED_TABLES:
+        cached = _SCAN_CACHE.get(key)
+        if cached is not None:
+            return cached
+    path = os.path.join(rd, table)
     try:
-        return spark.read.option("basePath", path).parquet(path)
+        out = spark.read.option("basePath", path).parquet(path)
     except Exception:
         fb = _EMPTY_FALLBACK.get(table)
         if fb is None or exists(index_dir, table):
             raise
         if table == "postings":
-            meta = os.path.join(resolve(index_dir), "index_meta")
+            meta = os.path.join(rd, "index_meta")
             if os.path.isdir(meta):
                 if bool(spark.read.parquet(meta).collect()[0]["with_positions"]):
                     fb += ", pos_blob binary"
-        return spark.read.schema(fb).option("basePath", path).parquet(path)
+        out = spark.read.schema(fb).option("basePath", path).parquet(path)
+    if table in _SCAN_CACHED_TABLES:
+        _SCAN_CACHE[key] = out
+    return out
 
 
 def exists(index_dir: str, table: str) -> bool:
