@@ -68,6 +68,13 @@ class IndexConfig:
     # instead of a driver-side collect — at 10^12 docs a head term spans
     # ~10^7 salts, far past any sane collect.
     max_driver_salts: int = 65536
+    # mode="auto" crossover (round 4): queries whose total posting volume
+    # (Σ df over query terms, known from the term_meta job the simple
+    # path needs anyway) is at or below this run the SINGLE-action full
+    # decode — measured faster than the pruned path's multi-job
+    # orchestration for mid/tail terms (0.64 s vs 1.58 s at a 2M-doc
+    # index); above it, block-max pruning wins (head terms at scale).
+    auto_pruned_min_postings: int = 1 << 19
 
     def with_(self, **kw) -> "IndexConfig":
         return replace(self, **kw)

@@ -122,7 +122,9 @@ def effective_config(
     if cfg is None:
         return stored
     return stored.with_(
-        candidate_factor=cfg.candidate_factor, max_driver_salts=cfg.max_driver_salts
+        candidate_factor=cfg.candidate_factor,
+        max_driver_salts=cfg.max_driver_salts,
+        auto_pruned_min_postings=cfg.auto_pruned_min_postings,
     )
 
 
@@ -139,7 +141,12 @@ def invalidate_stats_cache(index_dir: str | None = None) -> None:
 
 
 def term_meta(
-    spark: SparkSession, index_dir: str, terms: list[str], n_docs: int, cfg: IndexConfig
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    n_docs: int,
+    cfg: IndexConfig,
+    df_out: dict[str, int] | None = None,
 ) -> tuple[dict[str, float], list[int]]:
     """(idf per query term, term_bucket partitions to read) in ONE job.
 
@@ -163,6 +170,8 @@ def term_meta(
         r["term"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
         for r in rows
     }
+    if df_out is not None:
+        df_out.update({r["term"]: int(r["df"]) for r in rows})
     return idf, sorted({int(r["b"]) for r in rows})
 
 
@@ -377,8 +386,37 @@ def bm25_topk(
         return empty
     order = [F.col("score").desc(), F.col("docid").asc()]
 
-    if mode == "simple":
+    pre_meta: tuple[dict, list] | None = None
+    if mode == "auto":
+        # pick the path by predicted decode volume (round 4): Σ df over
+        # the query terms, read in the SAME term_meta job the simple path
+        # needs anyway. Mid/tail queries take the single-action full
+        # decode (the pruned path's 3 sequential actions cost more than
+        # they save); head queries at scale keep block-max pruning. Both
+        # paths are rank+score identical (pinned by the pruned==simple
+        # tests), so the choice is latency-only.
         if weights is not None:
+            mode = "pruned"
+        else:
+            dfs: dict[str, int] = {}
+            idf0, buckets0 = term_meta(
+                spark, index_dir, terms, stats["n_docs"], cfg, df_out=dfs
+            )
+            terms = [t for t in terms if t in idf0]
+            if not terms:
+                return empty
+            if sum(dfs.values()) <= cfg.auto_pruned_min_postings:
+                mode, pre_meta = "simple", (idf0, buckets0)
+            else:
+                mode = "pruned"
+            if profile is not None:
+                profile["auto_sum_df"] = int(sum(dfs.values()))
+                profile["auto_chose"] = mode
+
+    if mode == "simple":
+        if pre_meta is not None:
+            idf, buckets = pre_meta
+        elif weights is not None:
             idf = {t: float(weights[t]) for t in terms}
             buckets = sorted(set(term_buckets_of(spark, terms, cfg.term_buckets).values()))
         else:

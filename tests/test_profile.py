@@ -38,3 +38,22 @@ def test_profile_simple_and_distributed(spark, built_index):
 def test_profile_empty_query(spark, built_index):
     prof = profile_search(spark, built_index, "", k=5, cfg=TEST_CFG)
     assert prof["n_hits"] == 0 and prof["terms"] == []
+
+
+def test_auto_mode_identity_and_choice(spark, built_index):
+    """mode='auto' (round 4) picks simple vs pruned by Σ df from the
+    term_meta job — results must be identical to both explicit modes on
+    either side of the threshold, and the profile must record the
+    choice."""
+    for cf, want in [
+        (TEST_CFG.with_(auto_pruned_min_postings=1 << 30), "simple"),
+        (TEST_CFG.with_(auto_pruned_min_postings=0), "pruned"),
+    ]:
+        prof = {}
+        got = bm25_topk(
+            spark, built_index, Q, k=10, cfg=cf, mode="auto", profile=prof
+        ).collect()
+        assert prof["auto_chose"] == want and prof["auto_sum_df"] > 0
+        for m in ("simple", "pruned"):
+            ref = bm25_topk(spark, built_index, Q, k=10, cfg=cf, mode=m).collect()
+            assert [tuple(r) for r in got] == [tuple(r) for r in ref], (want, m)
