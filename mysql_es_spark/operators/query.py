@@ -2834,11 +2834,11 @@ def _additive_pruned_topk(
     score lives in one phase and the per-phase top-k merge is exact —
     identical structure to :func:`bm25_topk`'s driver path.
 
-    Returns None when the salt metadata is too large to rank driver-side
-    (``max_driver_salts``); the caller falls back to the full decode.
-    A distributed-cumsum variant mirroring ``_pruned_topk_distributed``
-    is the 10^12-doc follow-up; at that scale a head-term recency query
-    no longer decodes the full match set thanks to this path."""
+    Past ``max_driver_salts`` the selection itself goes distributed
+    (:func:`_additive_pruned_topk_distributed`) — the 10^12-doc shape,
+    mirroring ``_pruned_topk_distributed``: no driver pass over salt
+    metadata, phase filters as joins, only df rows and two top-k sets
+    ever collected."""
     dels = deleted_docids(spark, index_dir)
     empty = tbl.local_rows_df(spark, [], "docid long, score double")
     k1, b = cfg.k1, cfg.b
@@ -2851,7 +2851,10 @@ def _additive_pruned_topk(
     )
     predicted_salts = stats["n_docs"] // max(1, cfg.salt_docs) + 1
     if predicted_salts > cfg.max_driver_salts:
-        return None
+        return _additive_pruned_topk_distributed(
+            spark, index_dir, blocks, tf_bound, terms, modifier, feature_max,
+            k, cfg, stats, dels, profile,
+        )
     meta_rows = (
         blocks.select("term", "salt", "n", tf_bound.alias("tfb"))
         .groupBy("term", "salt")
@@ -2933,6 +2936,108 @@ def _additive_pruned_topk(
         key=lambda t: (-(float("-inf") if t[1] is None else t[1]), t[0]),
     )[:k]
     return tbl.local_rows_df(spark, merged, "docid long, score double")
+
+
+def _additive_pruned_topk_distributed(
+    spark: SparkSession,
+    index_dir: str,
+    blocks: DataFrame,
+    tf_bound,
+    terms: list[str],
+    modifier,
+    feature_max: float,
+    k: int,
+    cfg: IndexConfig,
+    stats: dict,
+    dels: DataFrame | None,
+    profile: dict | None = None,
+) -> DataFrame:
+    """Additive-feature block-max pruning with NO driver-side pass over
+    salt metadata — the 10^12-doc path, structurally identical to
+    :func:`_pruned_topk_distributed` with two differences: every salt's
+    upper bound carries ``+ feature_max``, and exact scoring joins the
+    column-pruned forward scan to evaluate the feature."""
+    empty = tbl.local_rows_df(spark, [], "docid long, score double")
+    meta = (
+        blocks.select("term", "salt", "n", tf_bound.alias("tfb"))
+        .groupBy("term", "salt")
+        .agg(F.max("tfb").alias("tfb"), F.sum("n").alias("n_t"))
+        .persist()
+    )
+    salts = None
+    try:
+        df_rows = meta.groupBy("term").agg(F.sum("n_t").alias("df")).collect()
+        if not df_rows:
+            return empty
+        n_docs = stats["n_docs"]
+        idf = {
+            r["term"]: float(
+                np.log(1.0 + (n_docs - int(r["df"]) + 0.5) / (int(r["df"]) + 0.5))
+            )
+            for r in df_rows
+        }
+        idf_col = F.element_at(
+            F.create_map(*[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))]),
+            F.col("term"),
+        )
+        salts = (
+            meta.withColumn("ub_t", idf_col * F.col("tfb"))
+            .groupBy("salt")
+            .agg(
+                (F.sum("ub_t") + F.lit(float(feature_max))).alias("ub"),
+                F.max("n_t").alias("n_cand"),
+            )
+            .persist()
+        )
+        fwd = tbl.read(spark, index_dir, "forward")
+        mod = F.expr(modifier) if isinstance(modifier, str) else modifier
+
+        def exact(blocks_subset):
+            base = _decode_scores(
+                blocks_subset, idf, cfg, stats["avgdl"], dels
+            ).withColumnRenamed("score", "base_score")
+            return base.join(fwd, "docid", "inner").select(
+                "docid", (F.col("base_score") + mod.cast("double")).alias("score")
+            )
+
+        order = [F.col("score").desc(), F.col("docid").asc()]
+        sel_order = [F.col("ub").desc(), F.col("salt").asc()]
+        target = cfg.candidate_factor * k
+        K = 64
+        while True:
+            head = salts.orderBy(*sel_order).limit(K)
+            agg = head.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("n_cand"), F.lit(0)).alias("cov"),
+            ).collect()[0]
+            if int(agg["n"]) < K:
+                # limit not binding ⇒ every salt selected ⇒ single pass
+                if profile is not None:
+                    profile["path"] = "additive-pruned-distributed"
+                return exact(blocks).orderBy(*order).limit(k)
+            if int(agg["cov"]) >= target:
+                break
+            K *= 4
+        phase1 = salts.orderBy(*sel_order).limit(K).select("salt")
+        top1 = exact(blocks.join(phase1, "salt")).orderBy(*order).limit(k).collect()
+        _sc = lambda r: float("-inf") if r["score"] is None else r["score"]  # noqa: E731
+        tau = _sc(top1[-1]) if len(top1) >= k else float("-inf")
+        phase2 = (
+            salts.filter(F.col("ub") >= tau).select("salt").join(phase1, "salt", "left_anti")
+        )
+        top2 = exact(blocks.join(phase2, "salt")).orderBy(*order).limit(k).collect()
+        if profile is not None:
+            profile["path"] = "additive-pruned-distributed"
+            profile["tau"] = None if tau == float("-inf") else float(tau)
+        merged = sorted(
+            ((r["docid"], r["score"]) for r in [*top1, *top2]),
+            key=lambda t: (-(float("-inf") if t[1] is None else t[1]), t[0]),
+        )[:k]
+        return tbl.local_rows_df(spark, merged, "docid long, score double")
+    finally:
+        meta.unpersist()
+        if salts is not None:
+            salts.unpersist()
 
 
 def function_score_topk(

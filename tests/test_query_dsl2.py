@@ -268,6 +268,50 @@ def test_distance_feature_prunes_salt_ranges(spark, tmp_path):
     assert last["salts_decoded"] <= rare_n // 64
 
 
+def test_distance_feature_distributed_path_identical(spark, tmp_path):
+    """max_driver_salts=0 forces the distributed additive selection (the
+    10^12-doc shape) — results must equal both the driver-ranked pruned
+    path and the full decode."""
+    from datetime import datetime as dt, timedelta
+    from mysql_es_spark.operators.query import function_score_topk
+
+    cfg = IndexConfig(
+        n_buckets=1, wave_size=1, salt_docs=64, term_buckets=4, block_size=16
+    )
+    rows = [
+        (f"c{i:05d}", 0, "user",
+         ("hot rare p1 p2" if i < 128 else "hot fill p1 p2"),
+         None, dt(2026, 1, 1) + timedelta(days=i % 50))
+        for i in range(1024)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema="conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    ix = str(tmp_path / "ix")
+    build_index(spark, df, ix, cfg)
+    args = ("hot rare", "2026-01-10", 5.0)
+    full = function_score_topk(
+        spark, ix, args[0], distance_feature("ts", args[1], args[2], 0.5),
+        k=10, boost_mode="sum", cfg=cfg, additive_max=None,
+    ).collect()
+    prof = {}
+    driver = distance_feature_topk(
+        spark, ix, *args, k=10, boost=0.5, cfg=cfg, profile=prof
+    ).collect()
+    assert prof["path"] == "additive-pruned-driver"
+    prof2 = {}
+    dist = distance_feature_topk(
+        spark, ix, *args, k=10, boost=0.5,
+        cfg=cfg.with_(max_driver_salts=0), profile=prof2,
+    ).collect()
+    assert prof2["path"] == "additive-pruned-distributed"
+    want = [(r.docid, r.score) for r in full]
+    assert [(r.docid, r.score) for r in driver] == want
+    assert [(r.docid, r.score) for r in dist] == want
+
+
 def test_distance_feature_pruned_equals_full_with_large_boost(spark, dated_index):
     """When the feature dominates (large boost), pruning may keep every
     salt — results must still be identical to the full decode."""
