@@ -71,10 +71,16 @@ class IndexConfig:
     # mode="auto" crossover (round 4): queries whose total posting volume
     # (Σ df over query terms, known from the term_meta job the simple
     # path needs anyway) is at or below this run the SINGLE-action full
-    # decode — measured faster than the pruned path's multi-job
-    # orchestration for mid/tail terms (0.64 s vs 1.58 s at a 2M-doc
-    # index); above it, block-max pruning wins (head terms at scale).
-    auto_pruned_min_postings: int = 1 << 19
+    # decode; above it, the multi-phase block-max pruned path runs. This
+    # is a DEPLOYMENT knob ≈ decode throughput × latency budget: local[32]
+    # decodes ~8M postings/s, so the 32M default keeps every full decode
+    # under ~4 s while 10^12-doc head terms (df ~10^11) still route to
+    # pruning. Measured at 12.16M docs: auto-simple answers a mid-term
+    # query in 1.07 s and a head bigram in 2.83 s where the always-pruned
+    # path took 2.8/4.9 s — on a uniform-tf corpus block-max bounds prune
+    # nothing, so the two extra actions are pure overhead; on skewed real
+    # corpora (the documents bench) pruning wins and Σ df picks it.
+    auto_pruned_min_postings: int = 1 << 25
 
     def with_(self, **kw) -> "IndexConfig":
         return replace(self, **kw)

@@ -135,6 +135,13 @@ def main() -> int:
         mark("bm25_head_terms_sec", best2(
             lambda: bm25_topk(spark, ix, "w0 w1", k=10, cfg=cfg, mode="pruned").collect()
         ))
+        # round-4 auto mode (df-routed simple-vs-pruned; rank-identical)
+        mark("bm25_auto_sec", best2(
+            lambda: bm25_topk(spark, ix, "w120 w450 w900", k=10, cfg=cfg, mode="auto").collect()
+        ))
+        mark("bm25_head_auto_sec", best2(
+            lambda: bm25_topk(spark, ix, "w0 w1", k=10, cfg=cfg, mode="auto").collect()
+        ))
         mark("conjunctive_sec", best2(
             lambda: bm25_topk_conjunctive(spark, ix, "w1 w17 w83", k=10, cfg=cfg).collect()
         ))
