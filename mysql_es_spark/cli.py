@@ -740,8 +740,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=["simple", "pruned", "conjunctive", "phrase", "span", "qs", "lm",
-                 "wildcard", "regexp", "sqs", "constant", "mbp", "sv"],
+        choices=["auto", "simple", "pruned", "conjunctive", "phrase", "span",
+                 "qs", "lm", "wildcard", "regexp", "sqs", "constant", "mbp",
+                 "sv"],
         default="pruned",
     )
     q.add_argument("--slop", type=int, default=1, help="span/phrase proximity slop")
