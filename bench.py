@@ -106,6 +106,17 @@ def main() -> None:
         q1, q2 = "spark join query", "window agg batch scan"
         run("bm25_idx_q1", lambda: bm25_topk(spark, ix, q1, k=20, cfg=cfg, mode="pruned").collect())
         run("bm25_idx_q2", lambda: bm25_topk(spark, ix, q2, k=20, cfg=cfg, mode="pruned").collect())
+        # informational only (NOT counted into the headline total, which
+        # stays comparable round-over-round): the round-4 df-routed auto
+        # mode on the same two queries — rank-identical by test
+        extra: dict[str, float] = {}
+        for name, q in (("bm25_idx_q1_auto", q1), ("bm25_idx_q2_auto", q2)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.monotonic()
+                bm25_topk(spark, ix, q, k=20, cfg=cfg, mode="auto").collect()
+                best = min(best, time.monotonic() - t0)
+            extra[name] = round(best, 3)
         run("bm25_direct", lambda: direct_bm25(docs, q1, k=20).collect())
         run(
             "phrase_idx",
@@ -166,6 +177,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in timings.items()},
+                "queries_extra": extra,
                 "sf": _sf_of(sf_dir),
                 "build_turns_per_sec": round(build_tps, 1),
                 "cpus": cpus,
