@@ -3846,6 +3846,79 @@ def q_river_jdbc_build(spark, sf):
     )
 
 
+def q_river_cdc_feed(spark, sf):
+    """Log-based CDC feed (round 5, VERDICT r4 item 3 — the reference's
+    steady state is a binlog TAIL, canal/Canal.java:108-129, not a
+    re-dump): copy the cached documents index, write a Debezium-shaped
+    change directory (op c/u/d + after-image rows: text of
+    doc_id % 97 == 11 replaced, doc_id % 103 == 9 deleted, three new
+    docs inserted), and apply it with river_cdc_feed
+    (streaming/cdc_feed.py) — O(delta): the tick reads the feed plus the
+    index's own forward table for the affected buckets, never a source
+    snapshot, never a diff join. The oracle recomputes BM25 in SQL over
+    the post-change corpus, so a leaked deleted doc, stale term, or
+    missed insert breaks rank or score."""
+    import shutil
+
+    from mysql_es_spark.streaming.cdc_feed import river_cdc_feed
+
+    cfg = _docs_index_cfg()
+    src_ix = _index_for_documents(spark, sf)
+    ix, marker = _ixcache_dir(sf, "-cdcfeed")
+    if not os.path.exists(marker):
+        shutil.rmtree(ix, ignore_errors=True)
+        shutil.copytree(src_ix, ix)
+        docs = _t(spark, sf, "documents")
+        upd = docs.filter(
+            (F.col("doc_id") % 97 == 11) & (F.col("doc_id") % 103 != 9)
+        ).withColumn(
+            "text",
+            F.concat(F.lit("cdcfeedy cdcfeedy fdq"), (F.col("doc_id") % 5).cast("string")),
+        )
+        dele = docs.filter(F.col("doc_id") % 103 == 9)
+        ins = spark.createDataFrame(
+            [
+                (1000000001, "fresh cdcfeedy doc spark join"),
+                (1000000002, "another cdcfeedy query window"),
+                (1000000003, "third cdcfeedy insert scan"),
+            ],
+            "doc_id long, text string",
+        ).select(
+            "doc_id", F.lit("en").alias("lang"), "text", F.lit("feed").alias("source")
+        )
+        feed = (
+            _documents_as_transcripts(upd).withColumn("op", F.lit("u"))
+            .unionByName(_documents_as_transcripts(ins).withColumn("op", F.lit("c")))
+            .unionByName(
+                _documents_as_transcripts(dele)
+                .withColumn("op", F.lit("d"))
+                .withColumn("text", F.lit(None).cast("string"))
+            )
+            .withColumn("seq", F.lit(None).cast("long"))
+            .select("op", "conv_id", "turn_idx", "role", "text", "tool", "ts", "seq")
+        )
+        feed_dir = ix + "_feed"
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        feed.write.parquet(feed_dir)
+        res = river_cdc_feed(spark, feed_dir, ix, cfg, batch_id=5)
+        if not res["ops"] or "delete" not in res["ops"]:
+            raise RuntimeError(f"change feed did not apply: {res}")
+        with open(marker, "w") as f:
+            f.write("ok")
+    top = bm25_topk(
+        spark, ix, " ".join(BM25_Q1) + " cdcfeedy", k=60, cfg=cfg,
+        mode="pruned", with_keys=True,
+    )
+    return (
+        top.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 def _river_bm25_sql(terms: list[str], k: int, n_first: int) -> str:
     """BM25 over only the first ``n_first`` documents by doc_id — the
     oracle twin of q_river_jdbc_build's Derby-seeded corpus."""
@@ -4021,10 +4094,77 @@ _GATE_WINDOW_R4 = [
 ]
 
 
+# Round-5 gate window (VERDICT r4 "Next round" #1): finish end-to-end
+# driver verification of the whole surface. 4 canaries (driver-green in
+# r01-r04) + the round-5 river_cdc_feed + ALL 45 oracle-backed entries
+# never seen by any CORRECTNESS_r0{1,2,3,4}.json (the set computed as
+# queries() keys minus the union of those four files, restricted to
+# oracle_sql() keys, in registration order) = exactly 50. After this
+# round the only never-hash-checked entries are the 6 rows-only-by-design
+# families (agg_variable_width_histogram, emb_ann_lsh/ivf/pq, mm_feature_
+# extract, mm_frame_sample), each of which already has a hash-green
+# exact-config twin in a prior driver file.
+_GATE_WINDOW_R5 = [
+    # canaries
+    "bm25_via_index",
+    "bm25_conjunctive",
+    "emb_cosine_topk",
+    "bm25_update_by_query",
+    # round-5 addition: log-based CDC entry point
+    "river_cdc_feed",
+    # never-driver-checked, oracle-backed (all 45)
+    "agg_sampler",
+    "doc_ingest_pipeline",
+    "doc_contamination",
+    "agg_composite",
+    "agg_composite_mixed",
+    "agg_subaggs_tree",
+    "agg_pipeline",
+    "doc_decontaminate",
+    "doc_epoch_mix",
+    "doc_dsir_weights",
+    "doc_dsir_sample",
+    "doc_temperature_mix",
+    "doc_dup_spans",
+    "bm25_count",
+    "doc_mget",
+    "hybrid_knn_boost",
+    "doc_dedup_keep_best",
+    "bm25_explain",
+    "term_suggest",
+    "terms_enum",
+    "eql_sample",
+    "user_history_dedup",
+    "events_percolate_filters",
+    "transform_pivot",
+    "esql_match",
+    "esql_lookup_stats",
+    "esql_fork",
+    "esql_inlinestats",
+    "esql_score",
+    "events_downsample",
+    "ltr_features",
+    "graph_explore",
+    "bm25_query_rules",
+    "agg_percentiles",
+    "bm25_synonyms",
+    "bm25_index_synonyms",
+    "bm25_span_near",
+    "term_vectors",
+    "mterm_vectors",
+    "bm25_collapse",
+    "bm25_collapse_inner_hits",
+    "agg_children",
+    "agg_parent",
+    "hybrid_linear",
+    "conv_rollup_topk",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order used to be the gate order; since round 3 the
     first-50 driver window is rotated explicitly per round (see
-    ``_GATE_WINDOW_R4``) so every round driver-checks entries no prior
+    ``_GATE_WINDOW_R5``) so every round driver-checks entries no prior
     CORRECTNESS_r*.json has seen."""
     q = {
         # --- flagship: full index build + query engine (SURVEY §2.9) ---
@@ -4137,6 +4277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_missing_sequence": q_eql_missing,
         # --- round-4 additions ---
         "river_jdbc_build": q_river_jdbc_build,
+        # --- round-5 additions ---
+        "river_cdc_feed": q_river_cdc_feed,
         # --- round-1 hash fixes ---
         "a2_runlength_groups": q_a2,
         "sessionize": q_sessionize,
@@ -4283,7 +4425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_json_extract": q_f8,
         "f10_to_json": q_f10,
     }
-    window = [n for n in _GATE_WINDOW_R4 if n in q]
+    window = [n for n in _GATE_WINDOW_R5 if n in q]
     tail = [n for n in q if n not in set(window)]
     return {n: q[n] for n in (*window, *tail)}
 
@@ -6951,6 +7093,38 @@ ORDER BY round(jlh, 9) DESC, term ASC LIMIT 12
         "bm25_direct_q2": _bm25_sql(BM25_Q2, 15),
         "bm25_via_index": _bm25_sql(BM25_Q1, 20),
         "river_jdbc_build": _river_bm25_sql(BM25_Q1, 20, 400),
+        "river_cdc_feed": f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 11
+              THEN 'cdcfeedy cdcfeedy fdq' || CAST(doc_id % 5 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 103 <> 9
+  UNION ALL
+  SELECT * FROM (VALUES (1000000001, 'fresh cdcfeedy doc spark join'),
+                        (1000000002, 'another cdcfeedy query window'),
+                        (1000000003, 'third cdcfeedy insert scan'))
+         AS v(doc_id, text)),
+toks AS (SELECT doc_id, {TOK} AS tl FROM docs2),
+dl AS (SELECT doc_id, len(tl) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT toks.doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(toks.tl) AS u(term)
+  WHERE u.term IN ('spark', 'join', 'query', 'cdcfeedy')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 20
+""",
         "cdc_posting_merge": f"""
 WITH docs2 AS (
   SELECT doc_id,

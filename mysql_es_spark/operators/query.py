@@ -3610,8 +3610,15 @@ def rank_feature_topk(
     sigmoid are strictly < 1, so their contribution is capped by
     ``boost`` and block-max pruning stays on (``additive_max=boost``,
     same WAND-compatibility argument as ES's rank_feature). ``log`` is
-    unbounded in the feature value, so it keeps the full decode."""
-    f = F.expr(feature).cast("double")
+    unbounded in the feature value, so it keeps the full decode.
+
+    ES's rank_feature field type only stores positive values; a raw SQL
+    expression here has no such guarantee, and a negative feature breaks
+    the < 1 cap (f/(f+pivot) > 1 when f < -pivot), which would let the
+    pruned path drop true top-k docs. The feature is therefore clamped
+    to ``max(f, 0)`` (NULL ⇒ 0) before the modifier is built — the
+    positive-feature contract, enforced rather than assumed."""
+    f = F.greatest(F.expr(feature).cast("double"), F.lit(0.0))
     if function == "saturation":
         if pivot <= 0:
             raise ValueError(f"rank_feature_topk: pivot must be > 0, got {pivot}")

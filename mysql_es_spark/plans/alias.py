@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from ..operators.query import invalidate_stats_cache
+from ..sources import fsio
 from ..sources import tables as tbl
 
 
@@ -33,19 +34,23 @@ def set_alias(alias_dir: str, target_dir: str, doc_filter: str | None = None) ->
     core search surfaces — bm25_topk, match_count, match_export — apply
     in filter context (non-scoring mask; idf/avgdl stay corpus-global,
     exactly ES's filtered-alias behavior). Newlines are rejected (the
-    pointer file is line-oriented)."""
-    target = os.path.abspath(target_dir)
-    if os.path.isfile(os.path.join(target, tbl.ALIAS_FILE)):
+    pointer file is line-oriented).
+
+    Both ``alias_dir`` and ``target_dir`` may be ``scheme://`` paths —
+    the pointer write goes through the fsio backend (atomic on either),
+    so aliases work on object storage end to end (round 5)."""
+    target = fsio.absolute(target_dir)
+    if fsio.isfile(fsio.join(target, tbl.ALIAS_FILE)):
         raise ValueError("alias chains are not supported; point at a real index")
-    if not os.path.isdir(target):
+    if not fsio.isdir(target):
         raise ValueError(f"alias target does not exist: {target}")
     if doc_filter is not None and ("\n" in doc_filter or not doc_filter.strip()):
         raise ValueError("doc_filter must be a non-empty single-line SQL predicate")
-    os.makedirs(alias_dir, exist_ok=True)
-    tmp = os.path.join(alias_dir, tbl.ALIAS_FILE + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(target if doc_filter is None else f"{target}\n{doc_filter.strip()}")
-    os.replace(tmp, os.path.join(alias_dir, tbl.ALIAS_FILE))
+    fsio.makedirs(alias_dir)
+    fsio.write_text(
+        fsio.join(alias_dir, tbl.ALIAS_FILE),
+        target if doc_filter is None else f"{target}\n{doc_filter.strip()}",
+    )
     invalidate_stats_cache(alias_dir)
 
 
@@ -92,10 +97,7 @@ def rollover(
     n_docs = int(
         spark.read.parquet(os.path.join(target, "corpus_stats")).collect()[0]["n_docs"]
     )
-    n_bytes = 0
-    for root, _d, files in os.walk(target):
-        for fn in files:
-            n_bytes += os.path.getsize(os.path.join(root, fn))
+    n_bytes = sum(sz for _f, sz in fsio.fs_for(target).walk_files(target))
     hit = (max_docs is not None and n_docs >= max_docs) or (
         max_bytes is not None and n_bytes >= max_bytes
     )
@@ -107,11 +109,11 @@ def rollover(
         return out
 
     base = os.path.basename(os.path.normpath(alias_dir))
-    parent = os.path.dirname(os.path.abspath(alias_dir))
+    parent = os.path.dirname(fsio.absolute(alias_dir))
     # monotonic over ALL generations (ES's generation counter): a merged
     # generation may carry a higher number than the current write index
     nums = [1]
-    m = re.match(rf"^{re.escape(os.path.join(parent, base))}-(\d{{6}})$", target)
+    m = re.match(rf"^{re.escape(parent + '/' + base)}-(\d{{6}})$", target)
     if m:
         nums.append(int(m.group(1)) + 1)
     for label in list_generations(alias_dir):
@@ -119,8 +121,8 @@ def rollover(
         if mm:
             nums.append(int(mm.group(1)) + 1)
     gen = max(nums)
-    new_dir = os.path.join(parent, f"{base}-{gen:06d}")
-    if os.path.exists(new_dir):
+    new_dir = f"{parent}/{base}-{gen:06d}"
+    if fsio.exists(new_dir):
         raise ValueError(f"rollover target already exists: {new_dir}")
     # an empty index with the OLD generation's physical config (unless
     # overridden): build handles zero-doc buckets by design
@@ -142,12 +144,12 @@ def list_generations(alias_dir: str) -> dict[str, str]:
     import re
 
     base = os.path.basename(os.path.normpath(alias_dir))
-    parent = os.path.dirname(os.path.abspath(alias_dir))
+    parent = os.path.dirname(fsio.absolute(alias_dir))
     pat = re.compile(rf"^{re.escape(base)}-\d{{6}}$")
     out = {}
-    for d in sorted(os.listdir(parent)):
-        if pat.match(d) and os.path.isdir(os.path.join(parent, d)):
-            out[d] = os.path.join(parent, d)
+    for d in sorted(fsio.listdir(parent)):
+        if pat.match(d) and fsio.isdir(f"{parent}/{d}"):
+            out[d] = f"{parent}/{d}"
     target = get_alias(alias_dir)
     if target is not None:
         out.setdefault(os.path.basename(os.path.normpath(target)), target)
@@ -173,12 +175,12 @@ def resolve_name(path: str) -> dict:
     "filtered": bool}."""
     from ..sources import tables as tbl
 
-    if not os.path.isdir(path):
+    if not fsio.isdir(path):
         return {"type": "missing", "target": None, "generations": [], "filtered": False}
     target = get_alias(path)
     if target is None:
         kind = "index" if tbl.exists(path, "corpus_stats") else "missing"
-        return {"type": kind, "target": os.path.abspath(path) if kind == "index" else None,
+        return {"type": kind, "target": fsio.absolute(path) if kind == "index" else None,
                 "generations": [], "filtered": False}
     import re
 
@@ -193,7 +195,7 @@ def resolve_name(path: str) -> dict:
     kind = "data_stream" if is_gen_target and not filtered else "alias"
     return {
         "type": kind,
-        "target": os.path.abspath(target),
+        "target": fsio.absolute(target),
         "generations": gens,
         "filtered": filtered,
     }

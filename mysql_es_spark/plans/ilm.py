@@ -18,7 +18,7 @@ with the clock passed in explicitly — a scheduler calls it with
 ``time.time()``; tests pass synthetic instants so every transition is
 deterministic. State (per-generation birth time + actions done) lives
 in ``_ILM_STATE.json`` beside the alias pointer; the policy in
-``_ILM_POLICY.json``. Both are tmp-file + ``os.replace`` writes, so a
+``_ILM_POLICY.json``. Both are atomic write-then-rename writes, so a
 crashed tick never leaves a torn file, and a re-run tick is idempotent
 (each action is recorded before the next is attempted).
 
@@ -32,9 +32,9 @@ thousands of aliases cheaply.
 from __future__ import annotations
 
 import json
-import os
 import re
-import shutil
+
+from ..sources import fsio
 
 POLICY_FILE = "_ILM_POLICY.json"
 STATE_FILE = "_ILM_STATE.json"
@@ -105,10 +105,8 @@ def _validate_policy(policy: dict) -> dict:
 
 
 def _write_json(path: str, obj: dict) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, indent=1, sort_keys=True)
-    os.replace(tmp, path)
+    # atomic on either backend (local tmp+rename / Hadoop create+rename)
+    fsio.write_text(path, json.dumps(obj, indent=1, sort_keys=True))
 
 
 def put_policy(alias_dir: str, policy: dict) -> dict:
@@ -120,24 +118,22 @@ def put_policy(alias_dir: str, policy: dict) -> dict:
     if get_alias(alias_dir) is None:
         raise ValueError(f"{alias_dir} is not an alias (ILM manages rolled aliases)")
     norm = _validate_policy(policy)
-    _write_json(os.path.join(alias_dir, POLICY_FILE), norm)
+    _write_json(fsio.join(alias_dir, POLICY_FILE), norm)
     return norm
 
 
 def get_policy(alias_dir: str) -> dict | None:
-    p = os.path.join(alias_dir, POLICY_FILE)
-    if not os.path.isfile(p):
+    p = fsio.join(alias_dir, POLICY_FILE)
+    if not fsio.isfile(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(fsio.read_text(p))
 
 
 def _load_state(alias_dir: str) -> dict:
-    p = os.path.join(alias_dir, STATE_FILE)
-    if not os.path.isfile(p):
+    p = fsio.join(alias_dir, STATE_FILE)
+    if not fsio.isfile(p):
         return {"generations": {}}
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(fsio.read_text(p))
 
 
 def _register_generations(alias_dir: str, state: dict, now: float) -> None:
@@ -150,7 +146,7 @@ def _register_generations(alias_dir: str, state: dict, now: float) -> None:
 
     for name, d in list_generations(alias_dir).items():
         state["generations"].setdefault(
-            name, {"dir": os.path.abspath(d), "created": now, "forcemerged": False,
+            name, {"dir": fsio.absolute(d), "created": now, "forcemerged": False,
                    "phase": "hot"}
         )
 
@@ -173,7 +169,7 @@ def explain_lifecycle(alias_dir: str, now: float) -> list[dict]:
                 "phase": g["phase"],
                 "forcemerged": g["forcemerged"],
                 "is_write_index": write is not None
-                and os.path.abspath(write) == g["dir"],
+                and fsio.absolute(write) == g["dir"],
             }
         )
     return out
@@ -189,12 +185,12 @@ def _swap_in_compacted(spark, gen_dir: str, cfg, reshard: dict | None) -> dict:
 
     tmp_new = gen_dir + ".ilm-compact"
     old = gen_dir + ".ilm-old"
-    shutil.rmtree(tmp_new, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    fsio.rmtree(tmp_new)
+    fsio.rmtree(old)
     stats = compact_index(spark, gen_dir, tmp_new, cfg=cfg, reshard=reshard)
-    os.rename(gen_dir, old)
-    os.rename(tmp_new, gen_dir)
-    shutil.rmtree(old)
+    fsio.rename(gen_dir, old)
+    fsio.rename(tmp_new, gen_dir)
+    fsio.rmtree(old)
     invalidate_stats_cache(gen_dir)
     return stats
 
@@ -219,7 +215,7 @@ def ilm_tick(spark, alias_dir: str, now: float, cfg=None) -> dict:
         raise ValueError(f"{alias_dir} has no ILM policy (put_policy first)")
     state = _load_state(alias_dir)
     _register_generations(alias_dir, state, now)
-    state_path = os.path.join(alias_dir, STATE_FILE)
+    state_path = fsio.join(alias_dir, STATE_FILE)
     out: dict = {
         "rolled": False, "new_index": None, "compacted": [], "deleted": [],
         "snapshots": [],
@@ -238,7 +234,7 @@ def ilm_tick(spark, alias_dir: str, now: float, cfg=None) -> dict:
             _write_json(state_path, state)
 
     write = get_alias(alias_dir)
-    write_abs = os.path.abspath(write) if write else None
+    write_abs = fsio.absolute(write) if write else None
     for name, g in sorted(state["generations"].items(), key=lambda kv: kv[1]["created"]):
         if g["phase"] == "deleted" or g["dir"] == write_abs:
             continue
@@ -257,7 +253,7 @@ def ilm_tick(spark, alias_dir: str, now: float, cfg=None) -> dict:
                     if "already exists" not in str(e):
                         raise
                 out["snapshots"].append(snap)
-            shutil.rmtree(g["dir"], ignore_errors=True)
+            fsio.rmtree(g["dir"])
             invalidate_stats_cache(g["dir"])
             g["phase"] = "deleted"
             out["deleted"].append(name)

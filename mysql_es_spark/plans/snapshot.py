@@ -68,7 +68,7 @@ def create_snapshot(index_dir: str, repo_dir: str, name: str) -> dict:
     manifest: dict[str, dict] = {}
     n_bytes = added = 0
     for src, size in ifs.walk_files(index_dir):
-        rel = fsio.relpath(src, index_dir)
+        rel = fsio.relpath(src, index_dir, ifs)
         digest = _file_md5(ifs, src)
         blob = fsio.join(blob_dir, digest)
         if not rfs.exists(blob):

@@ -56,9 +56,86 @@ def join(path: str, *parts: str) -> str:
     return out
 
 
-def relpath(path: str, root: str) -> str:
-    """Relative path of ``path`` under ``root`` for either backend."""
+def absolute(path: str) -> str:
+    """Scheme-safe absolutization: ``os.path.abspath`` would mangle a
+    ``scheme://`` URI (it treats it as a relative path and prepends the
+    cwd); URIs are absolute already and only get their trailing slash
+    normalized."""
+    return path.rstrip("/") if has_scheme(path) else os.path.abspath(path)
+
+
+# --- module-level one-shot helpers -----------------------------------------
+# Control-plane files (alias pointers, ILM state, merge markers, river
+# coordinates) are tiny and read/written from the driver; these dispatch
+# per call so a plain path stays pure-`os` (zero JVM round trips) while
+# any scheme:// path rides the Hadoop backend.
+
+def exists(path: str) -> bool:
+    return fs_for(path).exists(path)
+
+
+def isdir(path: str) -> bool:
+    return fs_for(path).isdir(path)
+
+
+def isfile(path: str) -> bool:
+    fs = fs_for(path)
+    return fs.exists(path) and not fs.isdir(path)
+
+
+def listdir(path: str) -> list[str]:
+    return fs_for(path).listdir(path)
+
+
+def makedirs(path: str) -> None:
+    fs_for(path).makedirs(path)
+
+
+def remove(path: str) -> None:
+    fs_for(path).remove(path)
+
+
+def rmtree(path: str) -> None:
+    """Recursive delete, missing-ok, either backend."""
+    fs = fs_for(path)
+    if isinstance(fs, LocalFs):
+        shutil.rmtree(path, ignore_errors=True)
+    elif fs.exists(path):
+        fs.delete_recursive(path)
+
+
+def rename(src: str, dst: str) -> None:
+    """Directory/file rename (no implicit overwrite), either backend."""
+    fs = fs_for(src)
+    if isinstance(fs, LocalFs):
+        os.rename(src, dst)
+    elif not fs.rename(src, dst):
+        raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def read_text(path: str) -> str:
+    return fs_for(path).read_all(path).decode("utf-8")
+
+
+def write_text(path: str, text: str) -> None:
+    """Atomic (write-then-rename) text write on either backend."""
+    fs_for(path).write_atomic(path, text.encode("utf-8"))
+
+
+def relpath(path: str, root: str, fs=None) -> str:
+    """Relative path of ``path`` under ``root`` for either backend.
+
+    Hadoop status paths come back fully qualified (``file:///x``
+    normalizes to ``file:/x``; ``hdfs://`` gains the default port), so a
+    raw string-prefix check against the caller's spelling of ``root``
+    fails. When either side is schemed, both are first qualified through
+    the same FileSystem (``fs.makeQualified``) so the prefix comparison
+    sees one canonical form. Pass the backend as ``fs`` to reuse it."""
     if has_scheme(root) or has_scheme(path):
+        if fs is None:
+            fs = fs_for(root if has_scheme(root) else path)
+        if isinstance(fs, HadoopFs):
+            path, root = fs.qualify(path), fs.qualify(root)
         r = root.rstrip("/") + "/"
         if not path.startswith(r):
             raise ValueError(f"{path!r} is not under {root!r}")
@@ -68,6 +145,9 @@ def relpath(path: str, root: str) -> str:
 
 class LocalFs:
     """POSIX backend — straight ``os``/``shutil``, no JVM."""
+
+    def qualify(self, p: str) -> str:
+        return p
 
     def exists(self, p: str) -> bool:
         return os.path.exists(p)
@@ -198,6 +278,11 @@ class HadoopFs:
     def _p(self, p: str):
         return self._jvm.org.apache.hadoop.fs.Path(p)
 
+    def qualify(self, p: str) -> str:
+        """Canonical fully-qualified form — the spelling listFiles status
+        paths use (file:///x → file:/x, default ports filled in)."""
+        return self._fs.makeQualified(self._p(p)).toString()
+
     def exists(self, p: str) -> bool:
         return bool(self._fs.exists(self._p(p)))
 
@@ -225,6 +310,12 @@ class HadoopFs:
             self._fs.delete(jd, False)
         if not self._fs.rename(self._p(src), jd):
             raise OSError(f"rename failed: {src} -> {dst}")
+
+    def rename(self, src: str, dst: str) -> bool:
+        return bool(self._fs.rename(self._p(src), self._p(dst)))
+
+    def delete_recursive(self, p: str) -> None:
+        self._fs.delete(self._p(p), True)
 
     def walk_files(self, root: str) -> Iterator[tuple[str, int]]:
         it = self._fs.listFiles(self._p(root), True)

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import IndexConfig
+from . import fsio
 
 TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
@@ -59,7 +60,7 @@ def read_snapshot(
     upper_bound: int | None = None,
     fetchsize: int = 10_000,
 ) -> DataFrame:
-    """One consistent snapshot of a transcripts-shaped JDBC table.
+    """A snapshot scan of a transcripts-shaped JDBC table.
 
     With ``partition_column`` the scan issues ``num_partitions`` parallel
     range queries (bounds probed with one MIN/MAX query when not given —
@@ -67,7 +68,17 @@ def read_snapshot(
     names are case-normalized and projected onto the transcript schema;
     extra columns are dropped, missing optional columns (tool) become
     NULL — the same forgiving mapping the reference applies to river
-    tables."""
+    tables.
+
+    NOT point-in-time consistent under concurrent writes: the parallel
+    range queries run as independent transactions (unlike the
+    reference's ``mysqldump --single-transaction``), and the frame is
+    lazy — every downstream action re-executes the scan. river_sync
+    therefore STAGES the snapshot to parquet once per tick, giving each
+    tick one frozen view; rows that move between range queries within
+    that single staging pass surface as changes on the next tick
+    (at-least-once, converges — the same guarantee the incremental path
+    gives everywhere else, ST2)."""
     def base():
         r = (
             spark.read.format("jdbc")
@@ -168,7 +179,7 @@ def snapshot_diff(
 
 
 def _river_meta_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "river_jdbc.json")
+    return fsio.join(index_dir, "river_jdbc.json")
 
 
 def river_build(
@@ -189,8 +200,10 @@ def river_build(
     cfg = cfg or IndexConfig()
     df = read_snapshot(spark, url, table, driver=driver, **reader_kw)
     metrics = build_index(spark, df, index_dir, cfg, resume=resume)
-    with open(_river_meta_path(index_dir), "w") as f:
-        json.dump({"url": url, "table": table, "driver": driver, **reader_kw}, f)
+    fsio.write_text(
+        _river_meta_path(index_dir),
+        json.dumps({"url": url, "table": table, "driver": driver, **reader_kw}),
+    )
     metrics["river"] = {"url": url, "table": table}
     return metrics
 
@@ -210,21 +223,32 @@ def river_sync(
     from ..streaming.incremental import incremental_update
 
     mp = _river_meta_path(index_dir)
-    if not os.path.exists(mp):
+    if not fsio.exists(mp):
         raise ValueError(f"{index_dir} was not built by river_build (no river_jdbc.json)")
-    with open(mp) as f:
-        meta = json.load(f)
+    meta = json.loads(fsio.read_text(mp))
     snap = read_snapshot(
         spark, meta["url"], meta["table"], driver=meta.get("driver"),
         **{k: v for k, v in meta.items() if k not in ("url", "table", "driver")},
     )
-    changed_ids, changes = snapshot_diff(spark, index_dir, snap)
+    # stage the snapshot ONCE per tick: the JDBC frame is lazy and this
+    # tick takes several actions (ops count, affected-bucket collect,
+    # per-wave rebuilds) — re-executing the scan under concurrent RDBMS
+    # writes would let the reported ops and the indexed state disagree
+    # within one tick (round 5, ADVICE r4). One frozen view instead.
+    from ..sources import tables as tbl
+
+    stage = fsio.join(tbl.resolve(index_dir), "_riverstage")
+    snap.write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    changed_ids, changes = snapshot_diff(spark, index_dir, staged)
     ops = {r["op"]: r["n"] for r in changes.groupBy("op").agg(F.count("*").alias("n")).collect()}
     if not ops:
+        fsio.rmtree(stage)
         return {"ops": {}, "waves_rebuilt": [], "buckets": []}
     res = incremental_update(
-        spark, snap, changed_ids, index_dir, cfg, batch_id=batch_id, merge=merge
+        spark, staged, changed_ids, index_dir, cfg, batch_id=batch_id, merge=merge
     )
+    fsio.rmtree(stage)
     res["ops"] = ops
     return res
 

@@ -24,6 +24,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import fsio
+
 LINEAGE_SCHEMA = (
     "wave int, buckets array<int>, n_docs long, n_postings long, n_blocks long, "
     "wall_sec double, status string, built_at timestamp"
@@ -55,15 +57,31 @@ INDEX_META_SCHEMA = (
 ALIAS_FILE = "_ALIAS"
 
 
+def _alias_lines(index_dir: str) -> list[str] | None:
+    """The alias pointer file's lines, or None when ``index_dir`` is a
+    real index (or missing). Plain paths stay on the zero-overhead
+    ``os`` fast path; ``scheme://`` paths (s3a, hdfs, file) go through
+    the Hadoop backend — aliases must resolve on object storage too
+    (round 5; previously this was local-POSIX-only and an aliased
+    s3a:// index silently failed to resolve)."""
+    if fsio.has_scheme(index_dir):
+        f = fsio.join(index_dir, ALIAS_FILE)
+        if fsio.isfile(f):
+            return fsio.read_text(f).splitlines()
+        return None
+    f = os.path.join(index_dir, ALIAS_FILE)
+    if os.path.isfile(f):
+        with open(f) as fh:
+            return fh.read().splitlines()
+    return None
+
+
 def resolve(index_dir: str) -> str:
     """Follow one level of alias indirection (non-chaining by contract).
     A filtered alias stores its doc_filter on line 2 (see alias_filter);
     the target path is always line 1."""
-    f = os.path.join(index_dir, ALIAS_FILE)
-    if os.path.isfile(f):
-        with open(f) as fh:
-            return fh.read().splitlines()[0].strip()
-    return index_dir
+    lines = _alias_lines(index_dir)
+    return lines[0].strip() if lines else index_dir
 
 
 def alias_filter(index_dir: str) -> str | None:
@@ -72,12 +90,9 @@ def alias_filter(index_dir: str) -> str | None:
     second line, or None for plain aliases / real index dirs. Honored by
     the core search surfaces (bm25_topk, match_count, match_export);
     see plans/alias.py set_alias."""
-    f = os.path.join(index_dir, ALIAS_FILE)
-    if os.path.isfile(f):
-        with open(f) as fh:
-            lines = fh.read().splitlines()
-        if len(lines) > 1 and lines[1].strip():
-            return lines[1].strip()
+    lines = _alias_lines(index_dir)
+    if lines and len(lines) > 1 and lines[1].strip():
+        return lines[1].strip()
     return None
 
 
@@ -136,26 +151,51 @@ _EMPTY_FALLBACK = {
 # writer (finalize, posting merge, compact swap) already calls
 # operators.query.invalidate_stats_cache, which clears this too. The
 # deletes table is deliberately NOT cached (rewritten out-of-band).
-_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+#
+# Cache contract (round 5, ADVICE r4): entries store their originating
+# SparkSession and are ignored/replaced when a different session asks —
+# a cached plan is bound to the session that built it and is dead after
+# an in-process session restart. Keys are canonicalized (file:-scheme
+# stripped, local paths absolutized) so file:///x and /x share one entry
+# and one invalidation. Single-process single-writer assumption: a
+# writer in ANOTHER process (e.g. a CLI river-sync against an index a
+# long-lived query session has cached) cannot trigger invalidation here
+# — external-writer deployments should call invalidate_scan_cache (or
+# spark.catalog.refreshByPath) after out-of-band commits.
+_SCAN_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
 _SCAN_CACHED_TABLES = ("postings", "forward", "doc_lens", "term_dict")
+
+
+def _canon(path: str) -> str:
+    """One canonical cache-key form per physical location: file:-scheme
+    URIs reduce to their local path, locals absolutize, other schemes
+    keep the URI minus trailing slashes."""
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return os.path.abspath(rest)
+    if fsio.has_scheme(path):
+        return path.rstrip("/")
+    return os.path.abspath(path)
 
 
 def invalidate_scan_cache(index_dir: str | None = None) -> None:
     if index_dir is None:
         _SCAN_CACHE.clear()
         return
-    rd = resolve(index_dir)
-    for k in [k for k in _SCAN_CACHE if k[0] in (index_dir, rd)]:
+    drop = {_canon(index_dir), _canon(resolve(index_dir))}
+    for k in [k for k in _SCAN_CACHE if k[0] in drop]:
         _SCAN_CACHE.pop(k, None)
 
 
 def read(spark: SparkSession, index_dir: str, table: str) -> DataFrame:
     rd = resolve(index_dir)
-    key = (rd, table)
+    key = (_canon(rd), table)
     if table in _SCAN_CACHED_TABLES:
-        cached = _SCAN_CACHE.get(key)
-        if cached is not None:
-            return cached
+        entry = _SCAN_CACHE.get(key)
+        if entry is not None and entry[0] is spark:
+            return entry[1]
     path = os.path.join(rd, table)
     try:
         out = spark.read.option("basePath", path).parquet(path)
@@ -165,17 +205,22 @@ def read(spark: SparkSession, index_dir: str, table: str) -> DataFrame:
             raise
         if table == "postings":
             meta = os.path.join(rd, "index_meta")
-            if os.path.isdir(meta):
+            if fsio.isdir(meta):
                 if bool(spark.read.parquet(meta).collect()[0]["with_positions"]):
                     fb += ", pos_blob binary"
         out = spark.read.schema(fb).option("basePath", path).parquet(path)
     if table in _SCAN_CACHED_TABLES:
-        _SCAN_CACHE[key] = out
+        _SCAN_CACHE[key] = (spark, out)
     return out
 
 
 def exists(index_dir: str, table: str) -> bool:
     d = p(index_dir, table)
+    if fsio.has_scheme(d):
+        fs = fsio.fs_for(d)
+        if not fs.isdir(d):
+            return False
+        return any(f.endswith(".parquet") for f, _sz in fs.walk_files(d))
     if not os.path.isdir(d):
         return False
     for root, _dirs, files in os.walk(d):

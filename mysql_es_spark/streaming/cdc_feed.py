@@ -1,0 +1,196 @@
+"""Log-based CDC: consume a change feed directly, O(delta) per tick.
+
+The reference's steady state is a binlog TAIL — embedded canal streams
+row events (``canal/Canal.java:108-129``, ``canal/Client.java:230-283``)
+and each event names exactly the rows that changed. The JDBC river's
+``snapshot_diff`` (sources/jdbc.py) is the fallback for sources without
+log access, but its tick cost is O(corpus): a full-outer join of two
+complete snapshots. This module is the log-based front door: a
+Debezium-shaped change set (op + after-image rows) feeds the existing
+``incremental_update`` with NO source scan at all — the "current
+snapshot of the affected buckets" is reconstructed from the index's own
+forward table patched with the delta, so one tick touches
+
+    O(|delta|  +  |rows in affected buckets|)
+
+data, independent of corpus size. At 10^12 turns that is the difference
+between a tick that reads terabytes and one that reads the few buckets
+a conversation hashes into.
+
+Feed contract (one batch = one directory of parquet files, the shape a
+``Debezium → object store`` sink or a Structured Streaming file source
+produces):
+
+    op       string   insert|update|delete (Debezium c/u/d/r accepted;
+                      r = snapshot read, treated as upsert like insert)
+    conv_id  string   ─┐ the row key, always present
+    turn_idx int      ─┘
+    role/text/tool/ts          after-image; ignored for deletes
+    seq      long (optional)   total order WITHIN the batch for multiple
+                               events on one key (Debezium: lsn/pos).
+                               Highest seq wins; absent ⇒ at most one
+                               event per key is assumed (enforced).
+
+Replay safety matches the rest of the CDC surface (ST2): applying the
+same change directory twice converges — the second apply rebuilds the
+same buckets from an already-patched forward table and produces the
+same bytes (upserts) or keeps rows absent (deletes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from ..operators.docids import with_bucket
+from ..sources import tables as tbl
+from ..sources.jdbc import TRANSCRIPT_COLS
+
+CHANGE_FEED_SCHEMA = (
+    "op string, conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp, seq long"
+)
+
+_OP_MAP = {
+    "c": "insert", "u": "update", "d": "delete", "r": "insert",
+    "insert": "insert", "update": "update", "delete": "delete",
+}
+
+
+def read_change_feed(spark: SparkSession, feed_dir: str) -> DataFrame:
+    """A change directory → change frame (the columns of
+    CHANGE_FEED_SCHEMA; a missing ``seq`` column reads as NULL). Op
+    normalization/validation happens in :func:`apply_change_feed` so it
+    covers every producer, not just this reader."""
+    return spark.read.schema(CHANGE_FEED_SCHEMA).parquet(feed_dir)
+
+
+def _normalize_ops(changes: DataFrame) -> DataFrame:
+    """Map Debezium/verbose op codes to insert/update/delete. Unknown
+    op codes fail the job (row-level raise_error) rather than silently
+    dropping or misapplying events."""
+    op = F.lower(F.trim(F.col("op")))
+    mapped = F.create_map(
+        *[F.lit(x) for kv in _OP_MAP.items() for x in kv]
+    )[op]
+    return changes.withColumn(
+        "op",
+        F.when(mapped.isNotNull(), mapped).otherwise(
+            F.raise_error(F.concat(F.lit("unknown change-feed op: "), op))
+        ),
+    )
+
+
+def _latest_per_key(changes: DataFrame) -> DataFrame:
+    """Collapse multiple events per (conv_id, turn_idx) to the final one
+    (highest seq; NULL seq sorts first so an explicit seq always wins).
+    Mirrors how the reference applies binlog events in order — only the
+    last state of a row matters for the rebuilt index."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("conv_id", "turn_idx")
+        .orderBy(F.col("seq").desc_nulls_last())
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_change_feed(
+    spark: SparkSession,
+    changes: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    batch_id: int = -1,
+    merge: str = "auto",
+) -> dict:
+    """Apply one normalized change batch to the index.
+
+    The affected buckets' current rows come from the index's forward
+    table (it IS the previously indexed snapshot — same trick
+    snapshot_diff uses for its "old" side), changed keys are dropped
+    (anti-join) and the feed's after-images unioned in; that patched
+    frame is exactly the ``transcripts_now`` slice ``incremental_update``
+    needs, because only the affected waves rebuild. Small update-only
+    batches still take the posting-merge fast path unchanged.
+
+    Returns incremental_update's result plus ``ops`` counts (the
+    reference's Statistic insert/update/delete counters).
+    """
+    from ..operators.query import effective_config
+    from .incremental import affected_buckets, incremental_update
+
+    cfg = effective_config(spark, index_dir, cfg)
+    final = _latest_per_key(_normalize_ops(changes)).cache()
+    try:
+        ops = {
+            r["op"]: r["n"]
+            for r in final.groupBy("op").agg(F.count("*").alias("n")).collect()
+        }
+        if not ops:
+            return {"ops": {}, "waves_rebuilt": [], "buckets": []}
+        changed_ids = final.select("conv_id").distinct()
+        buckets = affected_buckets(changed_ids, cfg)
+
+        # incremental_update rebuilds whole WAVES: the patched frame
+        # must carry every row of every bucket sharing a wave with a
+        # changed bucket, or the rebuild would drop the siblings
+        from ..plans.build import waves_of
+
+        scope: set[int] = set()
+        for wb in waves_of(cfg):
+            if set(buckets) & set(wb):
+                scope |= set(wb)
+
+        fwd = tbl.read(spark, index_dir, "forward").select(*TRANSCRIPT_COLS)
+        in_scope = (
+            with_bucket(fwd, cfg)
+            .filter(F.col("bucket").isin(sorted(int(b) for b in scope)))
+            .drop("bucket")
+        )
+        keys = final.select("conv_id", "turn_idx")
+        kept = in_scope.join(keys, ["conv_id", "turn_idx"], "left_anti")
+        upserts = final.filter(F.col("op") != "delete").select(*TRANSCRIPT_COLS)
+        patched = kept.unionByName(upserts)
+
+        # STAGE the patched frame before rebuilding: its plan reads the
+        # forward table, and build_wave OVERWRITES forward/wave=K — a
+        # lazy plan re-listing those files mid-update would hit deleted
+        # part files (and would make at-least-once replay read its own
+        # writes). One bounded write of the affected buckets' rows, the
+        # same discipline update_by_query uses for its rebuild input.
+        from ..sources import fsio
+
+        stage = fsio.join(tbl.resolve(index_dir), "_cdcstage")
+        patched.write.mode("overwrite").parquet(stage)
+        staged = spark.read.parquet(stage)
+        res = incremental_update(
+            spark, staged, changed_ids, index_dir, cfg,
+            batch_id=batch_id, merge=merge,
+        )
+        fsio.rmtree(stage)
+        res["ops"] = ops
+        return res
+    finally:
+        final.unpersist()
+
+
+def river_cdc_feed(
+    spark: SparkSession,
+    feed_dir: str,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    batch_id: int = -1,
+    merge: str = "auto",
+) -> dict:
+    """One log-based CDC tick: read the change directory, apply it.
+    The O(delta) sibling of sources/jdbc.py:river_sync — same return
+    shape, no snapshot scan, no diff join."""
+    return apply_change_feed(
+        spark, read_change_feed(spark, feed_dir), index_dir, cfg,
+        batch_id=batch_id, merge=merge,
+    )

@@ -56,7 +56,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 from datetime import datetime, timezone
 
@@ -70,6 +69,7 @@ from ..config import IndexConfig
 from ..functions.codecs import decode_block, decode_positions, encode_block, encode_positions
 from ..operators.docids import bucket_capacity, with_bucket
 from ..operators.postings import BLOCK_POS_SCHEMA, BLOCK_SCHEMA, tokenized
+from ..sources import fsio
 from ..sources import tables as tbl
 
 MARKER = "_MERGE_INFLIGHT"
@@ -77,29 +77,29 @@ MARKER = "_MERGE_INFLIGHT"
 
 def marker_buckets(index_dir: str) -> list[int]:
     """Buckets recorded by an interrupted merge (empty when none)."""
-    f = os.path.join(tbl.resolve(index_dir), MARKER)
-    if not os.path.isfile(f):
+    f = fsio.join(tbl.resolve(index_dir), MARKER)
+    if not fsio.isfile(f):
         return []
-    with open(f) as fh:
-        return [int(b) for b in json.load(fh).get("buckets", [])]
+    return [int(b) for b in json.loads(fsio.read_text(f)).get("buckets", [])]
 
 
 def _write_marker(index_dir: str, batch_id: int, buckets: list[int]) -> None:
-    f = os.path.join(tbl.resolve(index_dir), MARKER)
-    with open(f, "w") as fh:
-        json.dump({"batch_id": int(batch_id), "buckets": [int(b) for b in buckets]}, fh)
+    f = fsio.join(tbl.resolve(index_dir), MARKER)
+    fsio.write_text(
+        f, json.dumps({"batch_id": int(batch_id), "buckets": [int(b) for b in buckets]})
+    )
 
 
 def clear_marker(index_dir: str) -> None:
-    f = os.path.join(tbl.resolve(index_dir), MARKER)
-    if os.path.isfile(f):
-        os.remove(f)
+    f = fsio.join(tbl.resolve(index_dir), MARKER)
+    if fsio.isfile(f):
+        fsio.remove(f)
 
 
 def _swap(tmp: str, real: str) -> None:
-    shutil.rmtree(real, ignore_errors=True)
-    if os.path.isdir(tmp):
-        shutil.move(tmp, real)
+    fsio.rmtree(real)
+    if fsio.isdir(tmp):
+        fsio.rename(tmp, real)
 
 
 def _wave_expr(cap: int, wave_size: int):
@@ -272,8 +272,8 @@ def _run_merge(
         # table dirs: a crash before the swap window must never leave a
         # directory that partition discovery would pick up on the next
         # read (forward/wave=0._merge_tmp would parse as a wave value)
-        tmp_root = os.path.join(tbl.resolve(index_dir), "_mergetmp")
-        shutil.rmtree(tmp_root, ignore_errors=True)
+        tmp_root = fsio.join(tbl.resolve(index_dir), "_mergetmp")
+        fsio.rmtree(tmp_root)
         post_root = tbl.p(index_dir, "postings")
         tmp_post = os.path.join(tmp_root, "postings")
         out_cols = ["wave"] + blk_names
@@ -401,7 +401,7 @@ def _run_merge(
             _swap(tmp, real)
         if del_tmp:
             _swap(*del_tmp)
-        shutil.rmtree(tmp_root, ignore_errors=True)
+        fsio.rmtree(tmp_root)
         finalize(spark, index_dir, cfg)
         for w in waves:
             commit_lineage(

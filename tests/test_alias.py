@@ -39,6 +39,34 @@ def test_alias_swap(spark, tiny_transcripts, tmp_path_factory):
     assert [(r.docid, r.score) for r in swapped] == [(r.docid, r.score) for r in want]
 
 
+def test_alias_over_hadoop_scheme(spark, built_index, tmp_path_factory):
+    """Round-5 object-storage control plane: an alias ADDRESSED via a
+    scheme:// path must resolve on the query path. file:// forces the
+    Hadoop FileSystem backend (the same code path as s3a://); previously
+    resolve()/alias_filter() did os.path.isfile on the URI string and
+    silently treated the alias as a real (missing) index."""
+    from mysql_es_spark.sources import fsio
+    from mysql_es_spark.sources import tables as tbl
+
+    base = tmp_path_factory.mktemp("aliases_h")
+    alias_local = str(base / "hlive")
+    alias = "file://" + alias_local
+    # pointer written AND read through the Hadoop backend
+    set_alias(alias, built_index)
+    assert fsio.isfile(fsio.join(alias, tbl.ALIAS_FILE))
+    assert get_alias(alias) == built_index
+    got = bm25_topk(spark, alias, "w0 w3", k=5, cfg=TEST_CFG).collect()
+    want = bm25_topk(spark, built_index, "w0 w3", k=5, cfg=TEST_CFG).collect()
+    assert [(r.docid, r.score) for r in got] == [(r.docid, r.score) for r in want]
+    # the same alias via its plain path resolves identically (one
+    # canonical scan-cache entry for both spellings)
+    assert get_alias(alias_local) == built_index
+    # filtered alias over the scheme too
+    falias = "file://" + str(base / "hfiltered")
+    set_alias(falias, built_index, doc_filter="role = 'user'")
+    assert tbl.alias_filter(falias) == "role = 'user'"
+
+
 def test_alias_validation(spark, tiny_transcripts, tmp_path_factory):
     base = tmp_path_factory.mktemp("aliases2")
     ix = str(base / "ix")

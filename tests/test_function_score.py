@@ -136,3 +136,32 @@ def test_rank_feature_log_and_sigmoid(spark, built_index, fwd, base_scores):
         rank_feature_topk(spark, built_index, Q, function="nope", cfg=TEST_CFG)
     with pytest.raises(ValueError):
         rank_feature_topk(spark, built_index, Q, function="saturation", pivot=0, cfg=TEST_CFG)
+
+
+def test_rank_feature_negative_feature_clamped(spark, built_index, fwd, base_scores):
+    """A feature expression that can go negative must not break the
+    additive_max=boost upper bound: ES's rank_feature stores positive
+    values only, and rank_feature_topk enforces that contract by clamping
+    f = max(f, 0). With f < -pivot, f/(f+pivot) > 1 would otherwise
+    exceed the per-salt bound and the pruned path could drop true top-k
+    docs. Oracle applies the same clamp."""
+    from mysql_es_spark.operators.query import rank_feature_topk
+
+    # length(text) - C straddles zero across the corpus
+    cut = sorted(len(r.text or "") for r in fwd.values())[len(fwd) // 2]
+    feat = f"length(text) - {cut}"
+    sat = lambda d: 2.0 * (
+        max(len(fwd[d].text or "") - cut, 0.0)
+        / (max(len(fwd[d].text or "") - cut, 0.0) + 10.0)
+    )
+    want = sorted(
+        ((d, s + sat(d)) for d, s in base_scores.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = rank_feature_topk(
+        spark, built_index, Q, feature=feat, function="saturation",
+        pivot=10.0, boost=2.0, k=10, cfg=TEST_CFG,
+    ).collect()
+    assert [r.docid for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r.score, s, rel_tol=1e-12)

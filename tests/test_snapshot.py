@@ -210,6 +210,26 @@ def test_snapshot_over_hadoop_scheme(spark, built_index, tmp_path):
     assert [s["name"] for s in list_snapshots(repo)] == ["h2"]
 
 
+def test_snapshot_of_schemed_index(spark, built_index, tmp_path):
+    """Round-5 (ADVICE r4): the INDEX side addressed by a scheme. Hadoop
+    listFiles returns qualified status paths (file:///x normalizes to
+    file:/x), so relpath must qualify the root through the same
+    FileSystem before prefix-stripping — previously this raised
+    ValueError for every file. Manifest relpaths must come out identical
+    to the plain-path snapshot's."""
+    from mysql_es_spark.plans.snapshot import create_snapshot, list_snapshots
+
+    repo = str(tmp_path / "srepo")
+    plain = create_snapshot(built_index, repo, "plain")
+    schemed = create_snapshot("file://" + built_index, repo, "schemed")
+    assert schemed["files"] == plain["files"]
+    assert schemed["bytes"] == plain["bytes"]
+    # byte-identical content ⇒ every blob is shared with the plain snap
+    assert schemed["blobs_added"] == 0
+    snaps = {s["name"]: s for s in list_snapshots(repo)}
+    assert snaps["schemed"]["files"] == snaps["plain"]["files"]
+
+
 def test_index_stats_and_disk_usage_over_scheme(spark, built_index):
     """index_stats/disk_usage must produce identical numbers when the
     index is addressed via file:// (Hadoop backend, seekable footer
