@@ -81,6 +81,16 @@ class IndexConfig:
     # nothing, so the two extra actions are pure overhead; on skewed real
     # corpora (the documents bench) pruning wins and Σ df picks it.
     auto_pruned_min_postings: int = 1 << 25
+    # mode="auto" crossover, CALIBRATED (round 5): when the index's
+    # index_meta carries a build-time measured decode_rows_per_sec (one
+    # timed probe over the head terms' postings at finalize — see
+    # plans/build._decode_probe) and the caller left
+    # auto_pruned_min_postings at its default, the effective threshold is
+    # measured_rate × this latency budget instead of the static 32M —
+    # deployments stop guessing their decode throughput. An explicit
+    # caller auto_pruned_min_postings always wins; indexes too small to
+    # measure meaningfully (< ~1M probe postings) keep the static value.
+    auto_latency_budget_sec: float = 2.0
 
     def with_(self, **kw) -> "IndexConfig":
         return replace(self, **kw)

@@ -85,6 +85,9 @@ def corpus_stats(spark: SparkSession, index_dir: str) -> dict:
 
 # persisted build-time config per index_dir (see tables.INDEX_META_SCHEMA)
 _CFG_CACHE: dict[str, IndexConfig] = {}
+# build-time measured decode throughput per index_dir (rows/sec; None
+# when the index was too small to calibrate) — read alongside the config
+_RATE_CACHE: dict[str, float | None] = {}
 
 # fields that are physical facts about a built index — query-time values
 # MUST match the writer's or results are silently wrong (term_buckets
@@ -119,22 +122,41 @@ def effective_config(
             kw["synonyms"] = tuple(_json.loads(d["synonyms"]))
         stored = IndexConfig(**kw)
         _CFG_CACHE[index_dir] = stored
+        _RATE_CACHE[index_dir] = d.get("decode_rows_per_sec")
     if cfg is None:
         return stored
     return stored.with_(
         candidate_factor=cfg.candidate_factor,
         max_driver_salts=cfg.max_driver_salts,
         auto_pruned_min_postings=cfg.auto_pruned_min_postings,
+        auto_latency_budget_sec=cfg.auto_latency_budget_sec,
     )
+
+
+def auto_threshold(index_dir: str, cfg: IndexConfig) -> int:
+    """The mode="auto" posting-volume crossover for this index: the
+    build-time measured decode rate × the latency budget when the index
+    is calibrated and the caller left the static knob at its default;
+    otherwise the caller's/static ``auto_pruned_min_postings``
+    (config.py round-5 note)."""
+    from ..config import DEFAULT
+
+    if cfg.auto_pruned_min_postings == DEFAULT.auto_pruned_min_postings:
+        rate = _RATE_CACHE.get(index_dir)
+        if rate:
+            return int(rate * cfg.auto_latency_budget_sec)
+    return cfg.auto_pruned_min_postings
 
 
 def invalidate_stats_cache(index_dir: str | None = None) -> None:
     if index_dir is None:
         _STATS_CACHE.clear()
         _CFG_CACHE.clear()
+        _RATE_CACHE.clear()
     else:
         _STATS_CACHE.pop(index_dir, None)
         _CFG_CACHE.pop(index_dir, None)
+        _RATE_CACHE.pop(index_dir, None)
     # the scan-relation memo (tables._SCAN_CACHE) follows the same
     # invalidation discipline: every index writer already calls this
     tbl.invalidate_scan_cache(index_dir)
@@ -405,12 +427,14 @@ def bm25_topk(
             terms = [t for t in terms if t in idf0]
             if not terms:
                 return empty
-            if sum(dfs.values()) <= cfg.auto_pruned_min_postings:
+            thr = auto_threshold(index_dir, cfg)
+            if sum(dfs.values()) <= thr:
                 mode, pre_meta = "simple", (idf0, buckets0)
             else:
                 mode = "pruned"
             if profile is not None:
                 profile["auto_sum_df"] = int(sum(dfs.values()))
+                profile["auto_threshold"] = int(thr)
                 profile["auto_chose"] = mode
 
     if mode == "simple":

@@ -46,7 +46,7 @@ METRICS_SCHEMA = (
 INDEX_META_SCHEMA = (
     "k1 double, b double, edge_ngram boolean, edge_ngram_min int, edge_ngram_max int, "
     "with_positions boolean, block_size int, n_buckets int, wave_size int, "
-    "salt_docs long, term_buckets int, synonyms string"
+    "salt_docs long, term_buckets int, synonyms string, decode_rows_per_sec double"
 )
 
 
