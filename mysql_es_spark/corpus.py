@@ -100,6 +100,96 @@ def transcripts_pdf(n_turns: int, seed: int = 42) -> pd.DataFrame:
     )
 
 
+def bursty_pdf(
+    n_docs: int, seed: int = 42, drift: tuple[float, float] = (0.0, 1.0)
+) -> pd.DataFrame:
+    """Skewed single-turn corpus: per-doc term BURSTINESS (repeated
+    terms, tf ≫ 1) and doc length that DRIFT with corpus position — the
+    tf/dl profile the uniform generator above deliberately lacks.
+
+    Why it exists: block-max pruning keys off per-salt score upper
+    bounds max(idf · tf/(tf+k1·(1−b+b·dl/avgdl))). With uniform tf≈1
+    and dl in a narrow band every salt's bound is equal and WAND prunes
+    nothing (BENCH.md §8a: pruned_salts=0 of 768 at 12M docs) — and
+    burstiness ALONE doesn't fix that either: the per-salt max is an
+    extreme statistic, so if heavy repeaters are sprinkled uniformly,
+    every 16k-doc salt contains one and the bounds flatten again. Real
+    block-max wins come from score-correlated docid ORDER (Lucene's
+    index sort, reference T6): here burst intensity grows with the
+    corpus ordinal (a corpus that drifted over ingestion time), and
+    because docids sort by conv_id — which encodes the ordinal — each
+    bucket's salt ranges segment that drift: early salts carry tf≈1-3
+    bounds, late salts the heavy repeaters. Top-k concentrates in the
+    late salts and the pruned path gets real work to skip.
+
+    ``drift`` is this slice's (start, end) position in [0,1] of the
+    global ordinal axis — bursty_df_dist wires it so the drift is
+    continuous across slices. Seed-stable, numpy only."""
+    rng = np.random.default_rng(seed)
+    vocab = _vocab()
+    probs = _zipf_probs(VOCAB_SIZE)
+
+    frac = np.linspace(drift[0], drift[1], num=n_docs, endpoint=False)
+    n_distinct = rng.integers(4, 65, size=n_docs)
+    # burst multiplier: quadratic in corpus position, up to ~60 extra
+    # repetitions of the doc's head terms at the drift end
+    burst = (rng.random(n_docs) < (0.02 + 0.38 * frac**2)) * (
+        1.0 + 60.0 * frac**2 * rng.random(n_docs)
+    )
+    total_distinct = int(n_distinct.sum())
+    flat_terms = vocab[rng.choice(VOCAB_SIZE, size=total_distinct, p=probs)]
+    d_bounds = np.cumsum(n_distinct)[:-1]
+    per_doc_terms = np.split(flat_terms, d_bounds)
+    texts = np.empty(n_docs, dtype=object)
+    for i, terms in enumerate(per_doc_terms):
+        # base tf 1-3; bursty docs multiply their head terms' reps
+        reps = rng.integers(1, 4, size=len(terms))
+        if burst[i] > 0:
+            head = max(1, len(terms) // 8)
+            reps[:head] = (reps[:head] * burst[i]).astype(np.int64)
+        texts[i] = " ".join(np.repeat(terms, reps))
+    ts = EPOCH_2026 + np.arange(n_docs, dtype=np.int64) * np.timedelta64(13, "s")
+    return pd.DataFrame(
+        {
+            "conv_id": np.array([f"d{i:09d}" for i in range(n_docs)], dtype=object),
+            "turn_idx": np.zeros(n_docs, dtype=np.int32),
+            "role": np.where(rng.random(n_docs) < 0.5, "user", "assistant").astype(object),
+            "text": texts,
+            "tool": np.full(n_docs, None, dtype=object),
+            "ts": pd.Series(ts),
+        }
+    )
+
+
+def bursty_df_dist(spark, n_docs: int, seed: int = 42, n_slices: int = 32):
+    """Distributed bursty corpus (same slice scheme as
+    transcripts_df_dist: per-slice seed, slice-unique id namespace).
+    Slice s covers the global-ordinal drift window [s/n, (s+1)/n], and
+    conv_ids are slice-major, so within every bucket docid order tracks
+    the drift axis — the property the per-salt bounds need (see
+    bursty_pdf)."""
+    from pyspark.sql import functions as F
+
+    per = int(np.ceil(n_docs / n_slices))
+
+    def gen(batches):
+        for pdf in batches:
+            for s in pdf["slice"]:
+                s = int(s)
+                out = bursty_pdf(
+                    per, seed=seed + s, drift=(s / n_slices, (s + 1) / n_slices)
+                )
+                out["conv_id"] = f"g{s:03d}" + out["conv_id"]
+                yield out
+
+    return (
+        spark.range(n_slices)
+        .withColumnRenamed("id", "slice")
+        .repartition(n_slices, "slice")
+        .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
+    )
+
+
 def conversations_pdf(n_convs: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Parent tables (conversations, owners) for relation-join fixtures."""
     rng = np.random.default_rng(seed + 1)

@@ -304,11 +304,16 @@ def _tokenized_pandas_ngram_pos(df: DataFrame, lo: int, hi: int) -> DataFrame:
 
 
 def _encode_batches(
-    batches: Iterator[pd.DataFrame], block_size: int, with_pos: bool = False
+    batches: Iterator[pd.DataFrame],
+    block_size: int,
+    salt_docs: int,
+    with_pos: bool = False,
 ) -> Iterator[pd.DataFrame]:
-    """Partition-sorted (term_bucket, term, salt, docid, tf, dl) rows →
-    block rows. Group boundaries found vectorized (one change-point scan
-    per Arrow batch); the only per-group Python is numpy slice + encode.
+    """Partition-sorted (term_bucket, term, docid, tf, dl) rows →
+    block rows; ``salt = docid DIV salt_docs`` recomputed here rather
+    than shuffled. Group boundaries found vectorized (one change-point
+    scan per Arrow batch); the only per-group Python is numpy slice +
+    encode.
 
     An Arrow batch boundary may split a (term, salt) group; that's fine —
     the split emits two shorter runs of blocks whose docid ranges are
@@ -323,8 +328,11 @@ def _encode_batches(
         if not m:
             continue
         terms = pdf["term"].to_numpy()
-        salts = pdf["salt"].to_numpy(dtype=np.int64)
         docids = pdf["docid"].to_numpy(dtype=np.int64)
+        # salt never rides the shuffle: it is pure math on docid
+        # (round 5 bandwidth cut — the build's one big shuffle carried
+        # a redundant 8-byte column per posting)
+        salts = docids // salt_docs
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
         tbs = pdf["term_bucket"].to_numpy(dtype=np.int64)
@@ -367,15 +375,25 @@ def _encode_batches(
 def posting_blocks(tok: DataFrame, cfg: IndexConfig) -> DataFrame:
     """Exploded postings → encoded block rows (see module docstring).
 
-    Shuffle by (term_bucket, term, salt) + sortWithinPartitions, then ONE
-    vectorized mapInPandas encode pass per partition. (A per-group
-    applyInPandas is pathological here: head-term corpora make millions of
-    tiny groups and the per-group pandas overhead dominates the build.)
+    Shuffle by (term_bucket, term, salt-expr) + sortWithinPartitions,
+    then ONE vectorized mapInPandas encode pass per partition. (A
+    per-group applyInPandas is pathological here: head-term corpora make
+    millions of tiny groups and the per-group pandas overhead dominates
+    the build.)
+
+    Bandwidth note (round 5): this is the build's single big shuffle and
+    the build is memory-bandwidth-bound at high core counts (BENCH.md
+    §11), so the rows carry no derivable columns — ``salt`` is a
+    partitioning EXPRESSION (hashed for routing, never materialized into
+    the row) and the encode pass recomputes it from docid; the sort key
+    drops it too, since salt = docid DIV c is monotone in docid, making
+    (term, docid) order identical to (term, salt, docid). Output blocks
+    are byte-identical to the prior layout.
     """
     block_size = cfg.block_size
+    salt_docs = int(cfg.salt_docs)
     p = (
         tok.filter(F.col("term").isNotNull())
-        .withColumn("salt", F.expr(f"docid DIV {int(cfg.salt_docs)}"))
         .withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int")
         )
@@ -393,9 +411,15 @@ def posting_blocks(tok: DataFrame, cfg: IndexConfig) -> DataFrame:
     with_pos = cfg.with_positions
     schema = BLOCK_POS_SCHEMA if with_pos else BLOCK_SCHEMA
     return (
-        p.repartition(n_parts, "term_bucket", "term", "salt")
-        .sortWithinPartitions("term", "salt", "docid")
-        .mapInPandas(lambda it: _encode_batches(it, block_size, with_pos), schema=schema)
+        p.repartition(
+            n_parts, F.col("term_bucket"), F.col("term"),
+            F.expr(f"docid DIV {salt_docs}"),
+        )
+        .sortWithinPartitions("term", "docid")
+        .mapInPandas(
+            lambda it: _encode_batches(it, block_size, salt_docs, with_pos),
+            schema=schema,
+        )
     )
 
 
