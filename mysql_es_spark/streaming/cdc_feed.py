@@ -179,6 +179,43 @@ def apply_change_feed(
         final.unpersist()
 
 
+def start_change_feed_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    cfg: IndexConfig | None = None,
+    processing_time: str | None = None,
+    merge: str = "auto",
+):
+    """Tail a change directory (Debezium-file sink shape) and apply each
+    micro-batch O(delta) — the streaming face of :func:`apply_change_feed`
+    and the closest Spark analog of the reference's continuous canal
+    tail (Canal.java:108-129 + Emiter.java's 200 ms flush): new change
+    files arrive, the file source hands them to foreachBatch exactly
+    once per checkpoint, and the apply patches only the affected
+    buckets. Trigger modes and crash semantics match
+    incremental.start_cdc_stream: availableNow for backfill→tail
+    handover drains, processing_time for the long-running tail;
+    at-least-once on replay (re-applying a change batch converges).
+    Returns the StreamingQuery."""
+    stream = spark.readStream.schema(CHANGE_FEED_SCHEMA).parquet(feed_dir)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_change_feed(
+            spark, batch_df, index_dir, cfg, batch_id=int(epoch_id), merge=merge
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def river_cdc_feed(
     spark: SparkSession,
     feed_dir: str,

@@ -244,6 +244,44 @@ def test_unknown_op_raises(spark, delta, tmp_path):
         apply_change_feed(spark, bad, ix, CFG)
 
 
+def test_change_feed_stream(spark, delta, tmp_path):
+    """Streaming face: two change batches dropped as files, drained with
+    availableNow — each micro-batch applies O(delta), and the final
+    state equals a fresh build of v2 (same fingerprints). Batch 2 is a
+    follow-up update on top of batch 1's state."""
+    from mysql_es_spark.streaming.cdc_feed import start_change_feed_stream
+
+    v1, v2, feed = delta
+    ix = str(tmp_path / "ixstream")
+    feed_dir = str(tmp_path / "feedstream")
+    ckpt = str(tmp_path / "ckpt")
+    build_index(spark, v1, ix, CFG)
+    feed.write.parquet(feed_dir)
+    q = start_change_feed_stream(spark, feed_dir, ix, ckpt, CFG)
+    q.processAllAvailable()
+    q.stop()
+    full = str(tmp_path / "full")
+    build_index(spark, v2, full, CFG)
+    assert _fingerprints(spark, ix) == _fingerprints(spark, full)
+
+    # second batch: new files appear; restart from the same checkpoint
+    # only processes the NEW files (exactly-once per checkpoint)
+    key = v2.orderBy("conv_id", "turn_idx").limit(1).collect()[0]
+    batch2 = spark.createDataFrame(
+        [("u", key.conv_id, key.turn_idx, key.role, "streamed update w0",
+          key.tool, key.ts, None)],
+        schema=CHANGE_FEED_SCHEMA,
+    )
+    batch2.write.mode("append").parquet(feed_dir)
+    q = start_change_feed_stream(spark, feed_dir, ix, ckpt, CFG)
+    q.processAllAvailable()
+    q.stop()
+    row = spark.read.parquet(f"{ix}/forward").filter(
+        (F.col("conv_id") == key.conv_id) & (F.col("turn_idx") == key.turn_idx)
+    ).collect()
+    assert len(row) == 1 and row[0].text == "streamed update w0"
+
+
 def test_tick_reads_no_source_corpus(spark, delta, applied):
     """The O(delta) contract, verified on the plan: the patched
     transcripts frame is built from the index's OWN forward table plus
