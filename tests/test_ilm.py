@@ -125,6 +125,40 @@ def test_full_lifecycle(spark, built_index, tmp_path):
     assert r5["deleted"] == [] and r5["snapshots"] == []
 
 
+def test_ilm_over_hadoop_scheme(spark, built_index, tmp_path):
+    """Round-5 object-storage control plane: the ENTIRE lifecycle driven
+    with the alias addressed via file:// (the Hadoop backend — the same
+    code path as s3a://): policy/state JSON reads+writes, rollover's
+    size walk, forcemerge's aside-swap renames, and generation delete
+    all go through fsio."""
+    ix = tmp_path / "ix"
+    shutil.copytree(built_index, ix)
+    al_local = str(tmp_path / "hal")
+    al = "file://" + al_local
+    set_alias(al, str(ix))
+    put_policy(
+        al,
+        {
+            "hot": {"rollover": {"max_docs": 1}},
+            "warm": {"min_age": "10s", "forcemerge": True},
+            "delete": {"min_age": 100},
+        },
+    )
+    assert get_policy(al) is not None
+    want = _top(spark, ix)
+
+    r0 = ilm_tick(spark, al, now=0.0, cfg=TEST_CFG)
+    assert r0["rolled"] and get_alias(al).endswith("-000001")
+    r2 = ilm_tick(spark, al, now=20.0, cfg=TEST_CFG)
+    assert r2["compacted"] == ["ix"]
+    assert _top(spark, ix) == want  # in-place swap rank-identical
+    r4 = ilm_tick(spark, al, now=150.0, cfg=TEST_CFG)
+    assert r4["deleted"] == ["ix"] and not ix.exists()
+    # state/policy files live under the plain alias dir (one location
+    # for both spellings), readable via either path form
+    assert get_policy(al_local) == get_policy(al)
+
+
 def test_cli_ilm(spark, built_index, tmp_path, capsys):
     import json
 
