@@ -1999,13 +1999,13 @@ def q_hybrid_knn(spark, sf):
 
     ix = _index_for_documents(spark, sf)
     bm = bm25_topk(
-        spark, ix, " ".join(BM25_Q1), k=1000, cfg=_docs_index_cfg(), with_keys=True
+        spark, ix, " ".join(BM25_Q1), k=20_000, cfg=_docs_index_cfg(), with_keys=True
     ).select(
         F.col("conv_id").cast("long").alias("doc_id"), F.round("score", 4).alias("s")
     )
     emb = _t(spark, sf, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
-    vec = similarity.cosine_topk(emb, qv, k=1000).select(
+    vec = similarity.cosine_topk(emb, qv, k=20_000).select(
         F.col("vec_id").alias("doc_id"), F.col("cos").alias("s")
     )
     fused = linear_fuse([(bm, 1.0), (vec, 5.0)], k=20, score_decimals=4)
@@ -3021,7 +3021,7 @@ def q_constant_score(spark, sf):
     output is the full filter result ordered by doc_id."""
     ix = _index_for_documents(spark, sf)
     top = constant_score_topk(
-        spark, ix, " ".join(BM25_Q1), k=600, boost=1.5, cfg=_docs_index_cfg(),
+        spark, ix, " ".join(BM25_Q1), k=100_000, boost=1.5, cfg=_docs_index_cfg(),
         with_keys=True,
     )
     return top.select(
@@ -3072,9 +3072,12 @@ def q_match_bool_prefix(spark, sf):
     bool-should — score = term BM25 + best-expansion BM25."""
     ix = _index_for_documents(spark, sf)
     top = match_bool_prefix_topk(
-        spark, ix, "join s", k=30, cfg=_docs_index_cfg(), max_expansions=50,
+        spark, ix, "join s", k=90, cfg=_docs_index_cfg(), max_expansions=50,
         with_keys=True,
     )
+    # cut on the ROUNDED score (the oracle's ordering) with 3x operator
+    # headroom: raw-score near-ties at the k boundary otherwise flip
+    # membership between engines at denser corpus scales
     return (
         top.select(
             F.col("conv_id").cast("long").alias("doc_id"),
@@ -3160,9 +3163,10 @@ def q_span_not(spark, sf):
 
     ix = _index_for_documents(spark, sf, positions=True)
     top = span_not_topk(
-        spark, ix, "scan", "row", pre=1, post=0, k=30, cfg=_docs_index_cfg(True),
+        spark, ix, "scan", "row", pre=1, post=0, k=90, cfg=_docs_index_cfg(True),
         with_keys=True,
     )
+    # rounded-cut discipline (see q_match_bool_prefix)
     return (
         top.select(
             F.col("conv_id").cast("long").alias("doc_id"),
@@ -3489,7 +3493,7 @@ def q_terms_lookup(spark, sf):
     ix = _index_for_documents(spark, sf)
     docs = _t(spark, sf, "documents")
     top = terms_lookup_topk(
-        spark, ix, docs, F.col("doc_id") == 7, k=600, boost=1.0,
+        spark, ix, docs, F.col("doc_id") == 7, k=100_000, boost=1.0,
         cfg=_docs_index_cfg(), with_keys=True,
     )
     return top.select(
